@@ -1,0 +1,65 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes fully via the `noop` sink (no driver-side collect — the
+measurement is plan execution, the same thing a cluster run would pay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from openmrs_patient_migration_script_spark.plans import QUERIES
+from openmrs_patient_migration_script_spark.session import get_spark
+
+HEADLINE = [
+    "etl_registration",
+    "agg_group",
+    "join_multiway",
+    "join_broadcast",
+    "win_running",
+    "topk_limit",
+    "agg_distinct",
+    "etl_surrogate_keys",
+    "etl_mapping",
+    "win_lag_lead",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+    # JVM/codegen warmup on the first headline query (not measured)
+    run_one(spark, names[0], sf_dir)
+    timings = {n: round(run_one(spark, n, sf_dir), 3) for n in names}
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""openmrs_patient_migration_script_spark — a PySpark-native analytics/ETL engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference repo ``stanelyg/OpenMRS-Patient-Migration-Script`` (a single-process
+MySQL→OpenMRS patient-registration ETL script, ``/root/reference/README.md:2``),
+widened into a general analytics engine per SURVEY.md:
+
+- declarative DataFrame/SQL operators (scans, filters, joins, aggregations,
+  windows, set ops, scalar functions),
+- the reference's ETL composites (registration build, surrogate keys,
+  unpivot, key mapping) re-designed for 100 TB scale,
+- LLM-data-pipeline extensions (exact/fuzzy/MinHash/SimHash dedup,
+  similarity search, text analysis, multimodal column plumbing),
+- a Structured Streaming surface over event tables.
+
+Everything is built on public PySpark 4.x APIs only; no code is taken from
+the reference (its implementation file is absent from the snapshot anyway —
+see SURVEY.md §0).
+"""
+
+from openmrs_patient_migration_script_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,203 @@
+"""Deduplication operators (SURVEY.md §2.9 X1-X3; BASELINE.json:6 "dedup").
+
+Scale design: every variant avoids the naive all-pairs comparison —
+- exact dedup is one hash shuffle on the key;
+- fuzzy dedup blocks on a cheap key (prefix/length/soundex) before the
+  quadratic-in-block comparator;
+- MinHash/SimHash/n-gram-Jaccard compare only candidate pairs that collide
+  in at least one band/bucket, the standard LSH contract (PAPERS.md:
+  approximation-algorithms line of work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact_keep_first(
+    df: DataFrame, keys: list[str], order_by: str
+) -> DataFrame:
+    """X1: keep exactly one deterministic row per key.
+
+    ``dropDuplicates(keys)`` keeps an *arbitrary* row; ETL needs a
+    deterministic survivor, so we rank within the key and keep rank 1.
+    One shuffle on the key columns.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    block_exprs: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """X2: near-duplicate pairs via blocking + Levenshtein.
+
+    ``block_exprs`` are cheap expressions (e.g. prefix, length bucket,
+    soundex) — candidate pairs are generated only *within* a block, turning
+    the O(n²) comparison into O(Σ block²); at 100 TB the block key is the
+    shuffle key and block sizes bound the worst task.
+
+    Returns (key_a, key_b, dist) with key_a < key_b.
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(text_col).alias("text_a"),
+        *[e.alias(f"_blk{i}") for i, e in enumerate(block_exprs)],
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(text_col).alias("text_b"),
+        *[e.alias(f"_blk{i}") for i, e in enumerate(block_exprs)],
+    )
+    on = [f"_blk{i}" for i in range(len(block_exprs))]
+    pairs = a.join(b, on=on, how="inner").filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_distance)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingles of a token string (documents.text is
+    space-separated tokens)."""
+    toks = F.split(text_col, " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(
+        k > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array())
+
+
+def minhash_signatures(
+    df: DataFrame, key_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """X3 stage 1: per-document MinHash signature.
+
+    DataFrame-native: explode shingles once, then ``min(xxhash64(shingle,
+    seed_i))`` per doc for each of the ``num_hashes`` seeds in ONE groupBy
+    (single shuffle). No MLlib, no UDFs — all JVM built-ins.
+    """
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("key").agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X3: LSH banding — docs whose signature agrees on ALL rows of at least
+    one band become candidate pairs (shingle→minhash→band→bucket-join).
+
+    Scale: the bucket join shuffles on (band, bucket-hash); hot buckets are
+    AQE-skew-split. Output: (key_a, key_b) distinct candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
+    buckets = sig.select(
+        "key", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("key", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col("key").alias("key_a"), "band", "bucket")
+    b2 = buckets.select(F.col("key").alias("key_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """X2b: n-gram Jaccard similarity via an inverted index — shuffle on the
+    shingle (the classic "document join" plan): explode distinct shingles,
+    self-join on shingle to count intersections, then compute union sizes
+    from per-doc counts. Integer outputs (inter/union) keep the oracle
+    byte-exact; jaccard = inter/union is derivable.
+    """
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("key").alias("key_a"), "shingle")
+    b = sh.select(F.col("key").alias("key_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("inter_cnt"))
+        .filter(F.col("inter_cnt") >= min_shared)
+    )
+    sa = sizes.select(F.col("key").alias("key_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("key").alias("key_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "inter_cnt",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")).alias("union_cnt"),
+        )
+    )
+
+
+def simhash(df: DataFrame, key_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """X2c: SimHash fingerprint per document — sign-sum of per-token hash
+    bits, all in built-in array/bitwise expressions (no UDF).
+
+    For each bit position b: count tokens whose hash has bit b set, vs
+    total; bit of the fingerprint = majority. Near-dups = small Hamming
+    distance between fingerprints.
+    """
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_bit = toks.groupBy("key").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+    return per_bit.select("key", fp.alias("simhash"))
+
+
+def hamming_distance(a, b, bits: int = 32):
+    """Popcount of XOR via bit_count (Spark 3.3+)."""
+    return F.bit_count(a.bitwiseXOR(b))

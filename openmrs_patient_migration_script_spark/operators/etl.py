@@ -1,0 +1,197 @@
+"""ETL composites — the reference's actual workload, re-designed for Spark.
+
+The reference migrates DREAMS client enrollment rows into the OpenMRS
+person/patient tables: person details, addresses, attributes, identifiers
+(with National-ID → Birth-Certificate → generated-ID precedence) and a
+client_id→patient_id mapping table (/root/reference/README.md:2,7-19).
+The harness has no MySQL, so the `customer` table plays the enrollment
+source (FIXTURES.md §B mapping); the *shapes* — multi-sink fan-out,
+identifier precedence, surrogate keys, unpivot, key mapping — are the
+reference semantics.
+
+Scale notes (100 TB):
+- every transform here is a narrow projection over the scan (no shuffle)
+  except surrogate-key assignment, which uses a range-partition +
+  per-partition-offset scheme instead of a single-partition global window;
+- dimension joins (nation/region) are explicit broadcasts;
+- UUIDs are deterministic (functions/ids.py) so re-runs are idempotent and
+  speculative task retries are safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.functions.ids import deterministic_uuid
+
+
+def identifier_with_fallback(
+    national_id: Column, birth_cert: Column, generated: Column
+) -> tuple[Column, Column]:
+    """The reference's identifier precedence, encoded once and reused:
+    National ID, else Birth Certificate, else a generated patient ID
+    (/root/reference/README.md:13-15).
+
+    Returns ``(identifier, identifier_type)`` columns.
+    """
+    identifier = F.coalesce(national_id, birth_cert, generated)
+    id_type = (
+        F.when(national_id.isNotNull(), F.lit("NATIONAL_ID"))
+        .when(birth_cert.isNotNull(), F.lit("BIRTH_CERTIFICATE"))
+        .otherwise(F.lit("GENERATED"))
+    )
+    return identifier, id_type
+
+
+def synthesize_enrollment(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Derive a DREAMS-enrollment-shaped source from the harness `customer`
+    table (FIXTURES.md §B): names, gender, birthdate, address parts and the
+    two optional identifier columns, with deterministic nullability so the
+    fallback path is exercised.
+    """
+    c = customer
+    # c_name is 'Customer#000000042' → family name = the numeric suffix
+    enrolled = (
+        c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            c.c_custkey.alias("client_id"),
+            F.lit("Customer").alias("given_name"),
+            F.regexp_extract(c.c_name, "#(\\d+)$", 1).alias("family_name"),
+            F.when(c.c_custkey % 2 == 0, F.lit("M")).otherwise(F.lit("F")).alias("gender"),
+            F.date_add(F.lit("1970-01-01").cast("date"), (c.c_custkey % 18250).cast("int")).alias(
+                "birthdate"
+            ),
+            F.col("n_name").alias("county"),
+            c.c_mktsegment.alias("village"),
+            # ~2/3 of clients have a National ID; of the rest, ~half have a
+            # birth certificate — mirrors the README's fallback ladder.
+            F.when(
+                c.c_custkey % 3 != 0, F.concat(F.lit("NAT-"), F.lpad(c.c_custkey, 9, "0"))
+            ).alias("national_id"),
+            F.when(
+                c.c_custkey % 2 != 0, F.concat(F.lit("BC-"), F.lpad(c.c_custkey, 9, "0"))
+            ).alias("birth_cert_no"),
+            c.c_acctbal.alias("acctbal"),
+        )
+    )
+    return enrolled
+
+
+def registration_build(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Flagship E1: full patient-registration build — one ready-to-insert row
+    per eligible client with person core, address, identifier (with
+    precedence) and deterministic UUIDs (/root/reference/README.md:7-19).
+
+    Pure narrow ops after one broadcast join: at 100 TB this is a single
+    scan-project pipeline with no shuffle.
+    """
+    e = synthesize_enrollment(customer, nation)
+    identifier, id_type = identifier_with_fallback(
+        F.col("national_id"),
+        F.col("birth_cert_no"),
+        F.concat(F.lit("GEN-"), F.lpad(F.col("client_id"), 9, "0")),
+    )
+    return e.select(
+        F.col("client_id"),
+        F.upper(F.trim(F.col("given_name"))).alias("given_name"),
+        F.col("family_name"),
+        F.col("gender"),
+        F.col("birthdate"),
+        F.col("county"),
+        F.col("village"),
+        identifier.alias("identifier"),
+        id_type.alias("identifier_type"),
+        deterministic_uuid("client_id", namespace="person").alias("person_uuid"),
+        deterministic_uuid("client_id", namespace="patient").alias("patient_uuid"),
+        F.lit(0).alias("voided"),
+        F.lit(1).alias("preferred"),
+    )
+
+
+def assign_surrogate_keys(
+    df: DataFrame,
+    natural_key: str,
+    id_col: str = "new_id",
+    offset: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """E2: dense surrogate keys = ``offset + row_number() OVER (ORDER BY key)``
+    — without the single-partition global window that kills parallelism at
+    100 TB (SURVEY.md §4).
+
+    Strategy: range-partition on the natural key (non-overlapping ranges),
+    count rows per partition, compute cumulative offsets driver-side (one
+    tiny row per partition), then add a partition-local row_number. The
+    result is byte-identical to the global window but every stage stays
+    parallel.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, F.col(natural_key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    try:
+        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        # repartitionByRange orders partitions by key range, so cumulative
+        # counts in pid order are exactly the global rank offsets.
+        cum, offsets = 0, {}
+        for pid in sorted(counts):
+            offsets[pid] = cum
+            cum += counts[pid]
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+        w = Window.partitionBy("_pid").orderBy(natural_key)
+        out = (
+            ranged.withColumn("_local_rn", F.row_number().over(w))
+            .withColumn(id_col, (F.lit(offset) + offset_expr + F.col("_local_rn")).cast("long"))
+            .drop("_pid", "_local_rn")
+        )
+        # materialization happens lazily; caller unpersists via action
+        return out
+    finally:
+        # keep persisted through the caller's action; Spark auto-evicts LRU.
+        pass
+
+
+def unpivot_attributes(
+    df: DataFrame, key_col: str, attr_cols: dict[str, str]
+) -> DataFrame:
+    """E3: wide attribute columns → (key, attribute_type, value) rows — the
+    person_attribute fan-out (/root/reference/README.md:11). Uses the
+    built-in ``stack`` table generator (whole-stage-codegen'd, no shuffle).
+
+    ``attr_cols`` maps attribute-type name → source column (string-typed).
+    """
+    n = len(attr_cols)
+    stack_args = ", ".join(f"'{name}', {col}" for name, col in attr_cols.items())
+    return df.selectExpr(
+        f"{key_col} as person_id",
+        f"stack({n}, {stack_args}) as (attribute_type, value)",
+    ).filter(F.col("value").isNotNull())
+
+
+def build_mapping(
+    registrations: DataFrame, keyed: DataFrame, client_col: str = "client_id"
+) -> DataFrame:
+    """E4: client_id → patient_id mapping rows, the reference's
+    ``dreams_client_patient_mapping`` table (/root/reference/README.md:17)."""
+    return (
+        registrations.select(client_col)
+        .join(keyed.select(client_col, "patient_id"), client_col, "inner")
+        .withColumn("uuid", deterministic_uuid(client_col, namespace="mapping"))
+    )
+
+
+def idempotent_new_rows(
+    source: DataFrame, existing: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """J5: idempotent re-run support — migrate only clients not already in
+    the destination (anti-join probe, SURVEY.md §2.3). Running the migration
+    twice therefore inserts zero new rows."""
+    keys = [key] if isinstance(key, str) else key
+    return source.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")

@@ -1,0 +1,15 @@
+"""Declared-query registry (the SURVEY.md §2 contract).
+
+Importing this package populates ``QUERIES`` / ``ORACLES`` from the query
+modules; ``__spark_entry__.py`` re-exports them for the driver.
+"""
+
+from openmrs_patient_migration_script_spark.plans.registry import ORACLES, QUERIES, query
+
+# populate the registry
+from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
+    relational,
+    etl_queries,
+)
+
+__all__ = ["QUERIES", "ORACLES", "query"]

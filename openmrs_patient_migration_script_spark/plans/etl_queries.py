@@ -1,0 +1,159 @@
+"""Declared ETL-composite queries (SURVEY.md §2.11) — the reference's actual
+workload (patient registration, surrogate keys, attribute unpivot, client→
+patient mapping; /root/reference/README.md:2,7-19) replayed on the harness
+star schema per the FIXTURES.md §B mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.functions.ids import deterministic_uuid_sql
+from openmrs_patient_migration_script_spark.operators.etl import (
+    assign_surrogate_keys,
+    build_mapping,
+    registration_build,
+    synthesize_enrollment,
+    unpivot_attributes,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+# The enrollment synthesis (operators/etl.py::synthesize_enrollment) as a SQL
+# CTE, reused by several oracles below.
+_ENROLLMENT_CTE = """
+    e AS (
+      SELECT c_custkey AS client_id,
+             'Customer' AS given_name,
+             regexp_extract(c_name, '#(\\d+)$', 1) AS family_name,
+             CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS gender,
+             DATE '1970-01-01' + CAST(c_custkey % 18250 AS INT) AS birthdate,
+             n_name AS county,
+             c_mktsegment AS village,
+             CASE WHEN c_custkey % 3 <> 0
+                  THEN 'NAT-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS national_id,
+             CASE WHEN c_custkey % 2 <> 0
+                  THEN 'BC-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS birth_cert_no,
+             c_acctbal AS acctbal
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    )
+"""
+
+
+@query(
+    "etl_registration",
+    oracle=f"""
+    WITH {_ENROLLMENT_CTE}
+    SELECT client_id,
+           upper(trim(given_name)) AS given_name,
+           family_name, gender, birthdate, county, village,
+           coalesce(national_id, birth_cert_no,
+                    'GEN-' || lpad(CAST(client_id AS VARCHAR), 9, '0')) AS identifier,
+           CASE WHEN national_id IS NOT NULL THEN 'NATIONAL_ID'
+                WHEN birth_cert_no IS NOT NULL THEN 'BIRTH_CERTIFICATE'
+                ELSE 'GENERATED' END AS identifier_type,
+           {deterministic_uuid_sql("client_id", namespace="person")} AS person_uuid,
+           {deterministic_uuid_sql("client_id", namespace="patient")} AS patient_uuid,
+           0 AS voided, 1 AS preferred
+    FROM e
+    """,
+)
+def etl_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 flagship: the full patient-registration build — person core,
+    address, identifier-with-precedence, deterministic UUIDs, audit flags
+    (/root/reference/README.md:7-19). One broadcast join, zero shuffles."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    out = registration_build(customer, nation)
+    # int literals: Spark lit(0) is INT; align to oracle's INTEGER
+    return out.withColumn("voided", F.col("voided").cast("int")).withColumn(
+        "preferred", F.col("preferred").cast("int")
+    )
+
+
+@query(
+    "etl_surrogate_keys",
+    oracle="""
+    SELECT c_custkey AS client_id,
+           10000 + row_number() OVER (ORDER BY c_custkey) AS person_id
+    FROM customer
+    """,
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: dense surrogate keys at scale — range partition + per-partition
+    offsets instead of a single-partition global window (SURVEY §4)."""
+    c = load_table(spark, sf_dir, "customer")
+    keyed = assign_surrogate_keys(c, "c_custkey", id_col="person_id", offset=10000)
+    return keyed.select(F.col("c_custkey").alias("client_id"), "person_id")
+
+
+@query(
+    "etl_unpivot",
+    oracle="""
+    WITH j AS (SELECT c_custkey, c_mktsegment, n_name
+               FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey)
+    SELECT c_custkey AS person_id, 'mktsegment' AS attribute_type,
+           c_mktsegment AS value FROM j WHERE c_mktsegment IS NOT NULL
+    UNION ALL
+    SELECT c_custkey AS person_id, 'county' AS attribute_type,
+           n_name AS value FROM j WHERE n_name IS NOT NULL
+    """,
+)
+def etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: wide attributes → (person, attribute_type, value) rows — the
+    person_attribute fan-out (README.md:11) via the `stack` generator."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
+        "c_custkey", "c_mktsegment", "n_name"
+    )
+    return unpivot_attributes(
+        j, "c_custkey", {"mktsegment": "c_mktsegment", "county": "n_name"}
+    )
+
+
+@query(
+    "etl_mapping",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT c_custkey AS client_id,
+             20000 + row_number() OVER (ORDER BY c_custkey) AS patient_id
+      FROM customer
+    )
+    SELECT client_id, patient_id,
+           {deterministic_uuid_sql("client_id", namespace="mapping")} AS uuid
+    FROM keyed
+    """,
+)
+def etl_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: client_id → patient_id mapping rows — the reference's
+    dreams_client_patient_mapping sink (README.md:17)."""
+    c = load_table(spark, sf_dir, "customer")
+    keyed = assign_surrogate_keys(c, "c_custkey", id_col="patient_id", offset=20000).select(
+        F.col("c_custkey").alias("client_id"), "patient_id"
+    )
+    regs = c.select(F.col("c_custkey").alias("client_id"))
+    return build_mapping(regs, keyed)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact key dedup — keep the first row per key. Expressed as the
+    scale-safe row_number()==1 form (dropDuplicates is the API sugar; this
+    form controls WHICH duplicate survives)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import dedup_exact_keep_first
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact_keep_first(d, ["lang", "source"], order_by="doc_id").select(
+        "doc_id", "lang", "source"
+    )

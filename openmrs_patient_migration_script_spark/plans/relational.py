@@ -1,0 +1,634 @@
+"""Core relational declared queries (SURVEY.md §2.1-§2.8).
+
+Each function is the Spark-first expression of one operator row; the oracle
+string is the ANSI-SQL twin DuckDB runs on the same parquet views. Aliases
+match exactly on both sides (driver hashes columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.functions.ids import (
+    deterministic_uuid,
+    deterministic_uuid_sql,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+
+# --- §2.1/2.2 scans, projections, filters, conditionals -------------------
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name,
+           c_mktsegment AS segment, c_acctbal AS acctbal
+    FROM customer
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+P1: parquet scan with column pruning + rename (the reference's
+    legacy→OpenMRS column mapping, /root/reference/README.md:9)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        c.c_custkey.alias("custkey"),
+        c.c_name.alias("name"),
+        c.c_mktsegment.alias("segment"),
+        c.c_acctbal.alias("acctbal"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 30
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_discount > 0.02
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: conjunctive predicate with BETWEEN / IN / comparison — all pushed
+    to the parquet scan by Catalyst (PushedFilters in .explain())."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_quantity").between(10, 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.02)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@query(
+    "cond_identifier_fallback",
+    oracle="""
+    WITH e AS (
+      SELECT c_custkey AS client_id,
+             CASE WHEN c_custkey % 3 <> 0
+                  THEN 'NAT-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS national_id,
+             CASE WHEN c_custkey % 2 <> 0
+                  THEN 'BC-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END AS birth_cert_no
+      FROM customer
+    )
+    SELECT client_id,
+           coalesce(national_id, birth_cert_no,
+                    'GEN-' || lpad(CAST(client_id AS VARCHAR), 9, '0')) AS identifier,
+           CASE WHEN national_id IS NOT NULL THEN 'NATIONAL_ID'
+                WHEN birth_cert_no IS NOT NULL THEN 'BIRTH_CERTIFICATE'
+                ELSE 'GENERATED' END AS identifier_type
+    FROM e
+    """,
+)
+def cond_identifier_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the reference's identifier precedence — National ID, else Birth
+    Certificate, else generated ID (/root/reference/README.md:13-15)."""
+    from openmrs_patient_migration_script_spark.operators.etl import identifier_with_fallback
+
+    c = load_table(spark, sf_dir, "customer")
+    e = c.select(
+        c.c_custkey.alias("client_id"),
+        F.when(
+            c.c_custkey % 3 != 0, F.concat(F.lit("NAT-"), F.lpad(c.c_custkey, 9, "0"))
+        ).alias("national_id"),
+        F.when(
+            c.c_custkey % 2 != 0, F.concat(F.lit("BC-"), F.lpad(c.c_custkey, 9, "0"))
+        ).alias("birth_cert_no"),
+    )
+    ident, id_type = identifier_with_fallback(
+        F.col("national_id"),
+        F.col("birth_cert_no"),
+        F.concat(F.lit("GEN-"), F.lpad(F.col("client_id"), 9, "0")),
+    )
+    return e.select("client_id", ident.alias("identifier"), id_type.alias("identifier_type"))
+
+
+# --- §2.3 joins -------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi join (client→patient key attach,
+    /root/reference/README.md:17). AQE picks broadcast vs sort-merge."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explicit map-side broadcast of the small dimension (the
+    reference's attribute/identifier type lookups, README.md:11,13). No
+    shuffle for the join; only the final partial+final agg exchanges."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join keeping clients with no optional rows
+    (README.md:11 — missing address/attributes must not drop the person)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi existence probe ('already migrated?'), README.md:17."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-anti = migrate only NOT-yet-registered clients — the
+    idempotent re-run core (README.md:17; SURVEY §5 invariant 4)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: star-schema chain (TPC-H Q5 shape). Facts shuffle on join keys;
+    nation/region are broadcast (tiny dims); AQE reorders/skew-splits."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_close
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 1000 AND s_acctbal + 1000
+    GROUP BY s_suppkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: theta/range join — equi key narrows the space, the band predicate
+    filters inside it; small side broadcast so no cartesian shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (
+        (s.s_nationkey == c.c_nationkey)
+        & (c.c_acctbal >= s.s_acctbal - 1000)
+        & (c.c_acctbal <= s.s_acctbal + 1000)
+    )
+    return (
+        F.broadcast(s).join(c, cond).groupBy("s_suppkey").agg(F.count("*").alias("n_close"))
+    )
+
+
+# --- §2.4 aggregations -------------------------------------------------------
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)      AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: hash group-by aggregation (TPC-H Q1 shape) — map-side partial agg
+    + final agg; the reconciliation-report workhorse (SURVEY §2.4)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS supp_cnt,
+           count(DISTINCT l_partkey) AS part_cnt,
+           count(*) AS row_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct aggregation (duplicate detection). At 100 TB prefer
+    approx_count_distinct (HLL) — exact distinct shown here for the oracle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+        F.count("*").alias("row_cnt"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: post-aggregation filter (duplicate-identifier audits)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("order_cnt") >= 3)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: hierarchical rollup for multi-level reconciliation reports
+    (SURVEY §2.4 / E5)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# --- §2.6 sorts / top-k ------------------------------------------------------
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k — Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global sort. Tie-broken for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- §2.7 set operations -----------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT 'NATIONAL_ID' AS id_source, c_custkey AS client_id FROM customer
+      WHERE c_custkey % 3 <> 0
+    UNION ALL
+    SELECT 'BIRTH_CERTIFICATE' AS id_source, c_custkey AS client_id FROM customer
+      WHERE c_custkey % 2 <> 0
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-all of the identifier feeds (README.md:13-15 ladder)."""
+    c = load_table(spark, sf_dir, "customer")
+    nat = c.filter(c.c_custkey % 3 != 0).select(
+        F.lit("NATIONAL_ID").alias("id_source"), c.c_custkey.alias("client_id")
+    )
+    bc = c.filter(c.c_custkey % 2 != 0).select(
+        F.lit("BIRTH_CERTIFICATE").alias("id_source"), c.c_custkey.alias("client_id")
+    )
+    return nat.unionByName(bc)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: set intersection (source∩destination key-overlap audit)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(o.o_orderstatus == "F").select("o_custkey")
+    op = o.filter(o.o_orderstatus == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set difference — the set form of the J5 not-yet-migrated probe."""
+    o = load_table(spark, sf_dir, "orders")
+    op = o.filter(o.o_orderstatus == "O").select("o_custkey")
+    f = o.filter(o.o_orderstatus == "F").select("o_custkey")
+    return op.subtract(f)
+
+
+# --- §2.5 window functions ---------------------------------------------------
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking windows — the surrogate-key primitive (E2) and top-N per
+    group. One shuffle on the partition key."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: running frame aggregate per key (deterministic total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(value - lag(value) OVER w, 2) AS value_delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag/lead — inter-event deltas, the sessionization feeder (ST3)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --- §2.8 scalar functions ---------------------------------------------------
+
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                            AS uname,
+           lower(c_mktsegment)                      AS lseg,
+           substring(c_name, 1, 8)                  AS prefix,
+           length(c_name)                           AS name_len,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           regexp_extract(c_name, '#(\\d+)', 1)     AS digits,
+           (c_name LIKE '%1')                       AS ends_one
+    FROM customer
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: string cleanup functions (the reference's name normalization,
+    README.md:9) — all JVM built-ins inside whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.regexp_extract("c_name", "#(\\d+)", 1).alias("digits"),
+        F.col("c_name").like("%1").alias("ends_one"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                         AS odate,
+           CAST(year(o_orderdate) AS BIGINT)                 AS oyear,
+           CAST(month(o_orderdate) AS BIGINT)                AS omonth,
+           CAST(quarter(o_orderdate) AS BIGINT)              AS oquarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE)    AS month_start,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: date functions (birthdate parse/derive, README.md:9)."""
+    o = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        odate.alias("odate"),
+        F.year("o_orderdate").cast("long").alias("oyear"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        F.quarter("o_orderdate").cast("long").alias("oquarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch95"
+        ),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON property extraction from the event payload column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        "event_type",
+    )
+
+
+@query(
+    "etl_uuid",
+    oracle=f"""
+    SELECT c_custkey AS client_id,
+           {deterministic_uuid_sql("c_custkey", namespace="person")} AS person_uuid
+    FROM customer
+    """,
+)
+def etl_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: deterministic UUID policy — same bytes on every run, unlike the
+    reference's per-row random uuid (README.md:19; SURVEY §1.2 decision)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        c.c_custkey.alias("client_id"),
+        deterministic_uuid("c_custkey", namespace="person").alias("person_uuid"),
+    )

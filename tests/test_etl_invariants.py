@@ -1,0 +1,79 @@
+"""Property-style ETL invariants (SURVEY.md §5.4): idempotency, key density,
+fan-out conservation, UUID determinism — the guarantees the reference script
+never had but a re-runnable distributed migration needs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.etl import (
+    assign_surrogate_keys,
+    idempotent_new_rows,
+    registration_build,
+    unpivot_attributes,
+)
+from openmrs_patient_migration_script_spark.sources import load_table
+
+
+def test_surrogate_keys_dense_and_ordered(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    keyed = assign_surrogate_keys(c, "c_custkey", id_col="pid", offset=100)
+    rows = keyed.select("c_custkey", "pid").orderBy("c_custkey").collect()
+    ids = [r["pid"] for r in rows]
+    assert ids == list(range(101, 101 + len(rows)))  # gapless, offset applied
+    keys = [r["c_custkey"] for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_registration_fanout_conservation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    reg = registration_build(c, n)
+    assert reg.count() == c.count()  # one person per eligible client
+    # identifiers never null thanks to the GENERATED fallback
+    assert reg.filter(F.col("identifier").isNull()).count() == 0
+
+
+def test_uuid_deterministic_across_runs(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    a = {r["client_id"]: r["person_uuid"] for r in registration_build(c, n).collect()}
+    b = {r["client_id"]: r["person_uuid"] for r in registration_build(c, n).collect()}
+    assert a == b  # unlike the reference's per-run random uuid (README.md:19)
+
+
+def test_idempotent_rerun_adds_zero_rows(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    first_run = registration_build(c, n)
+    second_run = idempotent_new_rows(
+        registration_build(c, n), first_run, key="client_id"
+    )
+    assert second_run.count() == 0
+
+
+def test_unpivot_shape(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    out = unpivot_attributes(
+        c, "c_custkey", {"segment": "c_mktsegment", "name": "c_name"}
+    )
+    assert out.columns == ["person_id", "attribute_type", "value"]
+    assert out.count() == 2 * c.count()
+
+
+def test_identifier_precedence_matrix(spark):
+    """Encode README.md:13-15 as a truth table."""
+    from openmrs_patient_migration_script_spark.operators.etl import identifier_with_fallback
+
+    df = spark.createDataFrame(
+        [
+            ("NAT-1", "BC-1", "GEN-1", "NAT-1", "NATIONAL_ID"),
+            (None, "BC-2", "GEN-2", "BC-2", "BIRTH_CERTIFICATE"),
+            (None, None, "GEN-3", "GEN-3", "GENERATED"),
+        ],
+        ["nat", "bc", "gen", "want_id", "want_type"],
+    )
+    ident, id_type = identifier_with_fallback(F.col("nat"), F.col("bc"), F.col("gen"))
+    got = df.select("want_id", "want_type", ident.alias("id"), id_type.alias("ty")).collect()
+    for r in got:
+        assert r["id"] == r["want_id"] and r["ty"] == r["want_type"]
