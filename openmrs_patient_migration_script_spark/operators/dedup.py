@@ -38,6 +38,7 @@ def fuzzy_dedup_pairs(
     text_col: str,
     block_exprs: list,
     max_distance: int = 2,
+    block_mode: str = "all",
 ) -> DataFrame:
     """X2: near-duplicate pairs via blocking + Levenshtein.
 
@@ -46,25 +47,46 @@ def fuzzy_dedup_pairs(
     the O(n²) comparison into O(Σ block²); at 100 TB the block key is the
     shuffle key and block sizes bound the worst task.
 
+    ``block_mode``:
+    - ``"all"`` (default): one pass joining on the conjunction of ALL block
+      expressions — highest precision/lowest cost, lower recall (a pair must
+      agree on every key).
+    - ``"any"``: standard multi-pass blocking — one candidate pass per block
+      expression, pairs unioned and de-duplicated, so agreeing on ANY single
+      key is enough. Higher recall at the cost of one shuffle per pass.
+
     Returns (key_a, key_b, dist) with key_a < key_b.
     """
-    a = df.select(
-        F.col(key_col).alias("key_a"),
-        F.col(text_col).alias("text_a"),
-        *[e.alias(f"_blk{i}") for i, e in enumerate(block_exprs)],
-    )
-    b = df.select(
-        F.col(key_col).alias("key_b"),
-        F.col(text_col).alias("text_b"),
-        *[e.alias(f"_blk{i}") for i, e in enumerate(block_exprs)],
-    )
-    on = [f"_blk{i}" for i in range(len(block_exprs))]
-    pairs = a.join(b, on=on, how="inner").filter(F.col("key_a") < F.col("key_b"))
-    return (
-        pairs.withColumn("dist", F.levenshtein("text_a", "text_b"))
-        .filter(F.col("dist") <= max_distance)
-        .select("key_a", "key_b", "dist")
-    )
+
+    def one_pass(exprs: list) -> DataFrame:
+        a = df.select(
+            F.col(key_col).alias("key_a"),
+            F.col(text_col).alias("text_a"),
+            *[e.alias(f"_blk{i}") for i, e in enumerate(exprs)],
+        )
+        b = df.select(
+            F.col(key_col).alias("key_b"),
+            F.col(text_col).alias("text_b"),
+            *[e.alias(f"_blk{i}") for i, e in enumerate(exprs)],
+        )
+        on = [f"_blk{i}" for i in range(len(exprs))]
+        pairs = a.join(b, on=on, how="inner").filter(F.col("key_a") < F.col("key_b"))
+        return (
+            pairs.withColumn("dist", F.levenshtein("text_a", "text_b"))
+            .filter(F.col("dist") <= max_distance)
+            .select("key_a", "key_b", "dist")
+        )
+
+    if block_mode == "all" or len(block_exprs) == 1:
+        return one_pass(block_exprs)
+    if block_mode != "any":
+        raise ValueError(f"block_mode must be 'all' or 'any', got {block_mode!r}")
+    out = one_pass([block_exprs[0]])
+    for e in block_exprs[1:]:
+        out = out.unionByName(one_pass([e]))
+    # dist is a pure function of the pair, so distinct() on all three
+    # columns de-duplicates pairs found by multiple passes.
+    return out.distinct()
 
 
 def _shingles(text_col, n: int = 3):
@@ -138,18 +160,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     min_shared: int = 2,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """X2b: n-gram Jaccard similarity via an inverted index — shuffle on the
     shingle (the classic "document join" plan): explode distinct shingles,
     self-join on shingle to count intersections, then compute union sizes
     from per-doc counts. Integer outputs (inter/union) keep the oracle
     byte-exact; jaccard = inter/union is derivable.
+
+    Skew guard: a shingle appearing in ``df`` documents produces an O(df²)
+    bucket in the self-join — one hot shingle (a boilerplate phrase) would
+    dominate the whole job. ``max_df`` drops shingles whose document
+    frequency exceeds the cap before the join (standard prefix-filtering:
+    ubiquitous shingles carry ~no Jaccard signal anyway). Note this makes
+    ``inter_cnt`` a lower bound when the cap fires; union sizes stay exact.
     """
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
     sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_df), "shingle", "inner")
+            .drop("_df")
+        )
     a = sh.select(F.col("key").alias("key_a"), "shingle")
     b = sh.select(F.col("key").alias("key_b"), "shingle")
     inter = (
@@ -185,16 +221,17 @@ def simhash(df: DataFrame, key_col: str, text_col: str, bits: int = 32) -> DataF
         F.col(key_col).alias("key"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
+    # NB: shift Python-side (1 << b) — PySpark Column has no __lshift__.
     aggs = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     per_bit = toks.groupBy("key").agg(*aggs)
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return per_bit.select("key", fp.alias("simhash"))
 
 

@@ -20,8 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.functions.ids import deterministic_uuid
@@ -110,6 +109,15 @@ def registration_build(customer: DataFrame, nation: DataFrame) -> DataFrame:
     )
 
 
+def max_id_offset(existing: DataFrame, id_col: str) -> int:
+    """A1: scalar ``MAX(id)`` over the destination table — the reference's
+    collision-avoidance rule: generated IDs must start above every existing
+    one (/root/reference/README.md:15). One tiny all-reduce job; returns 0
+    on an empty table."""
+    row = existing.agg(F.max(F.col(id_col)).alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else 0
+
+
 def assign_surrogate_keys(
     df: DataFrame,
     natural_key: str,
@@ -122,40 +130,48 @@ def assign_surrogate_keys(
     100 TB (SURVEY.md §4).
 
     Strategy: range-partition on the natural key (non-overlapping ranges),
-    count rows per partition, compute cumulative offsets driver-side (one
-    tiny row per partition), then add a partition-local row_number. The
-    result is byte-identical to the global window but every stage stays
-    parallel.
+    **localCheckpoint** the result so the partitioning is materialized
+    exactly once, count rows per partition, compute cumulative offsets
+    driver-side (one tiny row per partition), then add a partition-local
+    row_number. The result is byte-identical to the global window but every
+    stage stays parallel.
+
+    Why checkpoint rather than persist: range boundaries come from sampling,
+    so a recomputation after cache eviction could re-draw boundaries and
+    silently diverge from the driver-side offsets (duplicate/gapped ids).
+    ``localCheckpoint(eager=True)`` cuts the lineage — offsets and output are
+    guaranteed to read the same materialized partitions, and there is no
+    persist handle to leak. On a real cluster an executor loss would require
+    a re-run (or ``spark.checkpoint`` to a reliable store for long jobs) —
+    the honest trade for exactly-once id assignment.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(natural_key)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(natural_key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    ranged = ranged.persist()
-    try:
-        counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        # repartitionByRange orders partitions by key range, so cumulative
-        # counts in pid order are exactly the global rank offsets.
-        cum, offsets = 0, {}
-        for pid in sorted(counts):
-            offsets[pid] = cum
-            cum += counts[pid]
-        offset_expr = F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("_pid"),
-        )
-        w = Window.partitionBy("_pid").orderBy(natural_key)
-        out = (
-            ranged.withColumn("_local_rn", F.row_number().over(w))
-            .withColumn(id_col, (F.lit(offset) + offset_expr + F.col("_local_rn")).cast("long"))
-            .drop("_pid", "_local_rn")
-        )
-        # materialization happens lazily; caller unpersists via action
-        return out
-    finally:
-        # keep persisted through the caller's action; Spark auto-evicts LRU.
-        pass
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    # repartitionByRange orders partitions by key range, so cumulative
+    # counts in pid order are exactly the global rank offsets.
+    cum, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = cum
+        cum += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(natural_key)
+    return (
+        ranged.withColumn("_local_rn", F.row_number().over(w))
+        .withColumn(id_col, (F.lit(offset) + offset_expr + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn")
+    )
 
 
 def unpivot_attributes(

@@ -12,9 +12,8 @@ from pyspark.sql import functions as F
 from openmrs_patient_migration_script_spark.functions.ids import deterministic_uuid_sql
 from openmrs_patient_migration_script_spark.operators.etl import (
     assign_surrogate_keys,
-    build_mapping,
+    max_id_offset,
     registration_build,
-    synthesize_enrollment,
     unpivot_attributes,
 )
 from openmrs_patient_migration_script_spark.plans.registry import query
@@ -76,15 +75,21 @@ def etl_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_surrogate_keys",
     oracle="""
     SELECT c_custkey AS client_id,
-           10000 + row_number() OVER (ORDER BY c_custkey) AS person_id
+           (SELECT max(o_orderkey) FROM orders)
+             + row_number() OVER (ORDER BY c_custkey) AS person_id
     FROM customer
     """,
 )
 def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: dense surrogate keys at scale — range partition + per-partition
-    offsets instead of a single-partition global window (SURVEY §4)."""
+    """E2 (+A1): dense surrogate keys at scale — range partition +
+    per-partition offsets instead of a single-partition global window
+    (SURVEY §4). The offset is the scalar MAX over the destination table
+    (`orders` plays the already-populated OpenMRS table), the reference's
+    no-collision rule (/root/reference/README.md:15)."""
     c = load_table(spark, sf_dir, "customer")
-    keyed = assign_surrogate_keys(c, "c_custkey", id_col="person_id", offset=10000)
+    existing = load_table(spark, sf_dir, "orders")
+    offset = max_id_offset(existing, "o_orderkey")
+    keyed = assign_surrogate_keys(c, "c_custkey", id_col="person_id", offset=offset)
     return keyed.select(F.col("c_custkey").alias("client_id"), "person_id")
 
 
@@ -128,13 +133,19 @@ def etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def etl_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: client_id → patient_id mapping rows — the reference's
-    dreams_client_patient_mapping sink (README.md:17)."""
+    dreams_client_patient_mapping sink (README.md:17).
+
+    The mapping is a pure projection of the keyed registrations — no join:
+    `operators/etl.py::build_mapping` exists for the general case (separate
+    registration and key feeds), but re-joining a table to itself here would
+    pay a full shuffle for an identity operation."""
+    from openmrs_patient_migration_script_spark.functions.ids import deterministic_uuid
+
     c = load_table(spark, sf_dir, "customer")
     keyed = assign_surrogate_keys(c, "c_custkey", id_col="patient_id", offset=20000).select(
         F.col("c_custkey").alias("client_id"), "patient_id"
     )
-    regs = c.select(F.col("c_custkey").alias("client_id"))
-    return build_mapping(regs, keyed)
+    return keyed.withColumn("uuid", deterministic_uuid("client_id", namespace="mapping"))
 
 
 @query(

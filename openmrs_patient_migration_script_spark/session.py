@@ -33,6 +33,12 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+
+    # Driver heap must be fixed BEFORE the JVM launches — a builder .config()
+    # is too late once getOrCreate has started the gateway. Route it through
+    # PYSPARK_SUBMIT_ARGS, which the Python gateway reads at JVM launch.
+    mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell")
     if shuffle_partitions is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus_env) if cpus_env else 32
@@ -54,7 +60,6 @@ def get_spark(
         # generous broadcast threshold: our dims (region/nation/part at test
         # SF) are tiny; at 100 TB the dims are still << executor memory
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

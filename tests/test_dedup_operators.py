@@ -1,0 +1,96 @@
+"""Unit tests for the dedup operator library (SURVEY.md §2.9 X1-X3) —
+planted near-duplicates, skew caps, and the SimHash/Hamming path that
+round-1 shipped unexercised."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.dedup import (
+    fuzzy_dedup_pairs,
+    hamming_distance,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["key", "text"])
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark query engine for large scale data"),
+            (2, "spark query engine for large scale data"),
+            (3, "completely different words about gardening tulips soil"),
+        ],
+    )
+    fp = simhash(df, "key", "text")
+    rows = {r["key"]: r["simhash"] for r in fp.collect()}
+    assert rows[1] == rows[2]
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hd"),
+        )
+    )
+    hd = {(r["key_a"], r["key_b"]): r["hd"] for r in pairs.collect()}
+    assert hd[(1, 2)] == 0
+    assert hd[(1, 3)] > 0
+
+
+def test_minhash_lsh_finds_planted_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # one token differs
+    far = "completely unrelated text about database engines and vectorized execution plans"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    cand = minhash_candidate_pairs(df, "key", "text", num_hashes=16, bands=8)
+    pairs = {(r["key_a"], r["key_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_fuzzy_dedup_any_block_recall_beats_all_block(spark):
+    # 1/2 agree on prefix but not length-bucket; conjunction mode misses them.
+    df = _docs(spark, [(1, "martha"), (2, "marthaa"), (3, "zzzzzz")])
+    blocks = [F.substring("text", 1, 4), F.length("text")]
+    all_pairs = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_dedup_pairs(df, "key", "text", blocks, 2, "all").collect()
+    }
+    any_pairs = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_dedup_pairs(df, "key", "text", blocks, 2, "any").collect()
+    }
+    assert (1, 2) not in all_pairs
+    assert (1, 2) in any_pairs
+    assert (1, 3) not in any_pairs
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
+    # every doc shares the hot shingle "a b c"; only 1/2 share more.
+    rows = [(i, f"a b c x{i} y{i} z{i}") for i in range(1, 6)]
+    rows[1] = (2, "a b c x1 y1 z2")  # near-dup of doc 1
+    df = _docs(spark, rows)
+    capped = ngram_jaccard_pairs(df, "key", "text", shingle_n=3, min_shared=2, max_df=3)
+    pairs = {(r["key_a"], r["key_b"]) for r in capped.collect()}
+    # hot shingle (df=5 > cap) is excluded, so only the genuine near-dup pair
+    # still shares >= 2 shingles
+    assert pairs == {(1, 2)}
+    uncapped = ngram_jaccard_pairs(df, "key", "text", shingle_n=3, min_shared=1, max_df=None)
+    assert uncapped.count() == 10  # all C(5,2) pairs share the hot shingle
+
+
+def test_max_id_offset(spark):
+    from openmrs_patient_migration_script_spark.operators.etl import max_id_offset
+
+    df = spark.createDataFrame([(5,), (17,), (3,)], ["id"])
+    assert max_id_offset(df, "id") == 17
+    empty = df.filter("id > 100")
+    assert max_id_offset(empty, "id") == 0
