@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X4 +
+builder-brief ANN extension).
+
+Two tiers, the standard vector-search architecture re-expressed in
+DataFrame ops:
+
+- **Brute-force cosine top-k** (the exact baseline): broadcast the query
+  side, compute cosine with higher-order array functions (`zip_with` +
+  `aggregate` — JVM-side, no Python UDF), rank per query. Cost is
+  O(|corpus| x |queries|) but embarrassingly parallel: the corpus scan is
+  the only big input and it partitions freely; at 100 TB this is the
+  "small query batch against the whole corpus" shape.
+- **LSH-bucketed ANN** (the scale path): sign-random-projection hashing —
+  deterministic ±1 hyperplanes derived from `xxhash64(plane, dim)` — maps
+  each vector to a bucket; candidates are generated only within a bucket
+  (shuffle key = bucket), then exact-cosine re-ranked. Sub-linear candidate
+  generation; recall tunable via `num_planes` (fewer planes → bigger
+  buckets → higher recall, more compute).
+
+Arrays are cast float→double before arithmetic: each float32 product is
+exact in double, keeping the DuckDB oracle within ulps (rounded to 6dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_similarity(a, b):
+    """cos(a, b) via zip_with/aggregate folds — whole-stage-codegen'd."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def _as_double(col):
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """X4 exact baseline: top-k nearest corpus vectors per query vector.
+
+    `queries` must carry (query_id_col, vec_col); it is broadcast — the
+    corpus never shuffles, and the per-query ranking window partitions on
+    query_id (bounded by the query-batch size, never the corpus).
+    Similarity is rounded to 6dp *before* ranking so the (sim, id) order is
+    reproducible across engines; ties break on the candidate id.
+    """
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qe")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_similarity(F.col("_qe"), F.col("_ce")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket(vec_col, num_planes: int = 8, plane_offset: int = 0):
+    """Sign-random-projection bucket id in [0, 2^num_planes).
+
+    Plane p's weight for dimension d is ±1 from the parity of
+    ``xxhash64(p, d)`` — deterministic across runs/engines, no stored model.
+    bit_p = 1 iff Σ_d w_pd · x_d >= 0. ``plane_offset`` selects a disjoint
+    plane family so multiple hash tables are independent.
+    """
+    bits = []
+    for p in range(plane_offset, plane_offset + num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec_col) - 1),
+                    lambda d: F.when(
+                        F.pmod(F.xxhash64(F.lit(p), d), 2) == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bits.append(
+            F.when(proj >= 0, F.lit(1 << (p - plane_offset))).otherwise(F.lit(0))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: multi-table LSH bucket join + exact cosine re-rank.
+
+    Standard (m, L) LSH: ``num_tables`` independent hash tables of
+    ``num_planes`` hyperplanes each; a corpus vector is a candidate for a
+    query if they share a bucket in ANY table (recall = 1-(1-p^m)^L where
+    p = 1 - θ/π). The corpus is hashed once into L (table, bucket) rows —
+    a narrow explode, no extra scan — and the candidate join shuffles on
+    (table, bucket) instead of exploding the full cross product; per-table
+    candidate volume drops by ~2^m. `distinct` collapses multi-table hits
+    before the exact re-rank so each pair is scored once.
+
+    Tune (m, L) to the corpus: higher similarity corpora (near-dup search)
+    take larger m for sharper pruning; uniform corpora need more tables.
+    """
+    def hashed(df: DataFrame, key: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(v, num_planes, plane_offset=t * num_planes).alias("bkt"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(key), F.explode(tables).alias("_tb")
+        ).select(key, F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bkt"))
+
+    cand = (
+        hashed(corpus, id_col)
+        .join(F.broadcast(hashed(queries, query_id_col)), ["_tbl", "_bkt"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_ce"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qe"))
+    scored = (
+        cand.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_similarity(F.col("_qe"), F.col("_ce")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

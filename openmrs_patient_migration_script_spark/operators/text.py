@@ -1,0 +1,155 @@
+"""Text-analysis operators (SURVEY.md §2.9 X5/X6 + builder-brief extensions:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All JVM built-ins — `split`/`explode`/higher-order array functions — so every
+stage stays inside whole-stage codegen; no Python UDFs anywhere. `documents`
+at 100 TB is the text corpus of an LLM training pipeline: per-doc transforms
+are narrow (scan-projections), and the only shuffles are the token/doc-freq
+aggregations, which Spark executes with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small fixed stopword list — shared with the DuckDB oracles, so keep in sync
+# with plans/text_queries.py if edited.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "in", "to", "is")
+
+# deterministic language marker map for the n-gram/marker-token heuristic.
+# On real corpora these would be per-language frequency-ranked token lists;
+# the harness vocabulary is synthetic, so the lists just pick disjoint
+# vocabulary slices — the *mechanics* (per-lang scoring + argmax with a
+# deterministic tie-break) are what the oracle verifies.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("hash", "sort", "merge"),
+    "en": ("the", "a", "fast"),
+    "es": ("data", "row", "slow"),
+    "fr": ("filter", "join", "group"),
+    "zh": ("window", "stream", "batch"),
+}
+
+
+def tokens(text_col) -> F.Column:
+    """Lower-cased whitespace tokens with empties removed (BPE-ish regex
+    splitting would swap the delimiter pattern here; the harness corpus is
+    single-space separated)."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X5: corpus token frequency — explode + one hash aggregation (partial
+    map-side combine makes the shuffle carry only the vocabulary)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def tf_idf(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """X6: TF-IDF per (doc, token) — pure DataFrame ops.
+
+    tfidf = tf * ln((1 + N) / (1 + df)). The doc-frequency table is
+    vocabulary-sized, so its join back onto the tf table is a broadcast;
+    N arrives via a 1-row crossJoin (no driver action in the plan).
+    """
+    tf = (
+        df.select(F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(key_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(key_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            key_col,
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def quality_metrics(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals for corpus filtering: token count, mean token
+    length, stopword ratio, punctuation ratio, and a composite score in
+    [0, 1]. Narrow projection — no shuffle at any scale."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    punct_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", ""))
+    stop_ratio = F.round(stop_cnt / n_tokens, 6)
+    return df.select(
+        F.col(key_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens, 6).alias(
+            "mean_tok_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(punct_chars / n_chars, 6).alias("punct_ratio"),
+        F.round(F.least(n_tokens / 100.0, F.lit(1.0)) * (1.0 - stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    markers: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-token language ID: score = how many tokens appear in each
+    language's marker list; predicted = argmax with alphabetical tie-break.
+    Deterministic, all built-ins, narrow (no shuffle)."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(F.col(text_col))
+    langs = sorted(markers)
+    def marker_score(marker_list: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in marker_list])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_score(markers[lang]) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit(langs[-1])
+    # first lang (alphabetically) whose score equals the max wins
+    for lang in reversed(langs[:-1]):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(key_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def doc_fingerprint(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Document fingerprint = min hash over rolling word shingles (a
+    winnowing-style representative), plus the distinct-shingle count.
+
+    Uses md5 so the DuckDB oracle is byte-exact; at scale swap in
+    `xxhash64` (8-byte fixed width beats a 32-char string through the
+    shuffle). Docs shorter than `shingle_n` tokens yield no fingerprint.
+    """
+    from openmrs_patient_migration_script_spark.operators.dedup import _shingles
+
+    sh = df.select(
+        F.col(key_col),
+        F.explode(_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    return sh.groupBy(key_col).agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )

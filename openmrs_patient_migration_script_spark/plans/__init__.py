@@ -10,6 +10,8 @@ from openmrs_patient_migration_script_spark.plans.registry import ORACLES, QUERI
 from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     relational,
     etl_queries,
+    text_queries,
+    similarity_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,70 @@
+"""Declared similarity-search queries (SURVEY.md §2.9 X4 + ANN scale path)
+over the `embeddings` fixture table (64-dim float vectors).
+
+The exact top-k query is hash-checked against DuckDB's
+`list_cosine_similarity`; both sides rank on round(cos, 6) with a vec_id
+tie-break so the top-k set is order-stable across engines. The LSH ANN
+variant is approximate by construction → rows-only check here, recall
+measured against the exact baseline in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+# every 50th vector is a query point: a small deterministic query batch
+# against the full corpus — the production shape for batch ANN scoring.
+_QUERY_PRED = "vec_id % 50 = 0"
+_K = 5
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: exact brute-force cosine top-k — broadcast query batch, corpus
+    never shuffles, cosine via zip_with/aggregate (JVM, no UDF)."""
+    emb, queries = _split(spark, sf_dir)
+    return cosine_topk(emb, queries, k=_K)
+
+
+@query("sim_ann_lsh")  # approximate → rows-only; recall tested vs exact
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: multi-table sign-random-projection LSH + exact
+    re-rank within buckets. (3 planes, 8 tables) measures 0.88 recall vs
+    the exact baseline on the harness corpus (tests/test_similarity.py)."""
+    emb, queries = _split(spark, sf_dir)
+    return ann_topk_lsh(emb, queries, k=_K, num_planes=3, num_tables=8)

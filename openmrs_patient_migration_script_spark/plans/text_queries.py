@@ -1,0 +1,157 @@
+"""Declared text-analysis queries (SURVEY.md §2.9 X5/X6 + builder-brief
+text extensions) over the `documents` corpus table.
+
+Each Spark plan's ANSI twin runs on DuckDB 1.0 (lambdas via `list_filter`,
+rolling shingles via a position self-join). Float columns produced through
+`ln`/division are round(…, 6)-ed identically on both sides per the engine
+float policy (plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_metrics,
+    tf_idf,
+    token_counts,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: corpus token frequency — explode + single hash agg (map-side
+    partial combine; the shuffle carries only the vocabulary)."""
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: TF-IDF — tf table joined to a broadcast vocabulary-sized
+    doc-frequency table; N via a broadcast 1-row crossJoin (no driver
+    action inside the plan)."""
+    return tf_idf(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars,
+           round(length(replace(text, ' ', ''))
+                 / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6)
+             AS mean_tok_len,
+           round(len(list_filter(string_split(lower(text), ' '),
+                                 t -> list_contains({_SQL_STOPLIST}, t)))
+                 / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6)
+             AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                 / length(text), 6) AS punct_ratio,
+           round(least(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                       / 100.0, 1.0)
+                 * (1.0 - round(len(list_filter(string_split(lower(text), ' '),
+                                t -> list_contains({_SQL_STOPLIST}, t)))
+                    / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6)),
+                 6) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for corpus filtering — token count, mean token
+    length, stopword/punctuation ratios, composite score. Narrow
+    scan-projection: zero shuffles at any scale."""
+    return quality_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n           ".join(
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"""t -> list_contains([{", ".join(f"'{m}'" for m in LANG_MARKERS[lang])}], t)))"""
+        f" AS score_{lang}"
+        for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {score_exprs}
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token scoring: per-lang score + argmax with
+    alphabetical tie-break. The oracle verifies the scoring/argmax
+    mechanics; real corpora would plug frequency-ranked marker lists into
+    operators/text.py::LANG_MARKERS."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+    SELECT doc_id, min(md5(shingle)) AS fingerprint,
+           count(DISTINCT shingle) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling 3-word shingles
+    (winnowing-style representative) + distinct-shingle count. One groupBy
+    on doc_id; md5 here for oracle byte-parity, xxhash64 at scale."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,65 @@
+"""Similarity-search tests: exact top-k sanity + ANN recall vs the exact
+baseline (the contract an approximate index must be graded on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+)
+from openmrs_patient_migration_script_spark.sources import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _split(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.expr("vec_id % 50 = 0")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+def test_cosine_topk_shape_and_self_exclusion(spark):
+    emb, queries = _split(spark)
+    out = cosine_topk(emb, queries, k=5).collect()
+    n_queries = queries.count()
+    assert len(out) == 5 * n_queries
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    # per query: 5 distinct candidates, descending similarity
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    for sims in by_q.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True) or sorted(sims, reverse=True) == sims
+
+
+def test_ann_lsh_recall_against_exact(spark):
+    emb, queries = _split(spark)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_lsh(emb, queries, k=5, num_planes=3, num_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.88 at (3 planes, 8 tables) on this corpus; uniform random
+    # vectors are the SRP worst case, so leave slack — hashes are
+    # deterministic, the slack is for corpus regeneration, not flakiness.
+    assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb, _ = _split(spark)
+    from openmrs_patient_migration_script_spark.operators.similarity import lsh_bucket
+
+    b1 = emb.select(lsh_bucket(F.col("embedding").cast("array<double>"), 4).alias("b"))
+    b2 = emb.select(lsh_bucket(F.col("embedding").cast("array<double>"), 4).alias("b"))
+    assert [r["b"] for r in b1.collect()] == [r["b"] for r in b2.collect()]
+    assert b1.agg(F.min("b"), F.max("b")).collect()[0] != (None, None)
