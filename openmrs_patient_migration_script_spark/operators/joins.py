@@ -1,0 +1,82 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.3 J8).
+
+As-of join: for every left row, the most recent right row for the same key
+at-or-before the left timestamp (trades/quotes, event attribution, slowly
+changing dimensions).
+
+Spark has no native as-of join. The naive plan — equi+range join then
+row_number()==1 — materializes every (left, earlier-right) pair before
+pruning: O(|L| x matches) intermediate, quadratic on hot keys. The
+scale-safe plan used here is the **union + ordered carry-forward**:
+
+1. union both sides with a side tag (right rows carry their payload, left
+   rows carry null payload);
+2. one shuffle: partition by key, order by (ts, side, right_id) — right
+   sorts before left at equal ts, giving <= semantics;
+3. `last(payload, ignorenulls=True)` over rows UNBOUNDED PRECEDING..CURRENT
+   carries the latest right payload forward;
+4. keep only left rows.
+
+One shuffle, no pair blow-up, linear in |L| + |R|; skewed keys are a sort
+problem (AQE-splittable), not a cartesian one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    right_id: str | None = None,
+    payload_prefix: str = "",
+) -> DataFrame:
+    """Left as-of join: latest right row per key at-or-before each left row.
+
+    Left rows with no prior right row survive with null payload (left-join
+    semantics). Ties on the right timestamp break on descending
+    ``right_id`` (the later-inserted row wins), matching the
+    ``row_number() OVER (ORDER BY ts DESC, id DESC) = 1`` oracle form.
+    """
+    if right_id is not None and right_id not in right_payload:
+        raise ValueError("right_id must be one of right_payload")
+    carried = [payload_prefix + c for c in right_payload]
+    r_dtypes = dict(right.dtypes)
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    for c in right_payload:
+        l_tag = l_tag.withColumn(payload_prefix + c, F.lit(None).cast(r_dtypes[c]))
+    l_tag = l_tag.withColumn("_ts", F.col(left_ts))
+
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(payload_prefix + c) for c in right_payload],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    # align column order for unionByName
+    cols = on + ["_ts", "_side"] + [c for c in left.columns if c not in on] + carried
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
+
+    # right rows (side=0) sort before left rows (side=1) at equal ts → '<='
+    sort_cols = [F.col("_ts"), F.col("_side")] + (
+        [] if right_id is None else [F.col(payload_prefix + right_id)]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in carried:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side", "_ts")

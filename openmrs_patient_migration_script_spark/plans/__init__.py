@@ -12,6 +12,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     etl_queries,
     text_queries,
     similarity_queries,
+    dedup_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

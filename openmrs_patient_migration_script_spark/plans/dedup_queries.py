@@ -1,0 +1,131 @@
+"""Declared dedup queries (SURVEY.md §2.9 X1-X3) — the operator library in
+operators/dedup.py wired to the correctness gate.
+
+- `dedup_fuzzy` / `dedup_ngram_jaccard`: full DuckDB hash-check (integer
+  distances / counts keep the comparison byte-exact).
+- `dedup_minhash` / `dedup_simhash`: xxhash64-based — DuckDB has no xxhash64
+  twin, so these are rows-only here; their semantics are pinned by unit
+  tests with planted near-duplicates (tests/test_dedup_operators.py).
+
+(`dedup_exact` lives in plans/etl_queries.py since round 1.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.dedup import (
+    fuzzy_dedup_pairs,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+# Synthetic patient-name column for fuzzy matching: map the padded custkey's
+# digits to letters so Levenshtein distance == number of differing digit
+# positions — fully deterministic and reproducible in ANSI SQL.
+_NAME_SQL = "translate(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), '0123456789', 'abcdefghij')"
+
+
+@query(
+    "dedup_fuzzy",
+    oracle=f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM named a JOIN named b
+      ON substring(a.name, 1, 6) = substring(b.name, 1, 6)
+     AND a.key < b.key
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: near-duplicate patient names via blocking + Levenshtein — the
+    reference's fuzzy patient-matching shape (SURVEY.md §2.3 J9). Candidates
+    only within a name-prefix block: the block key is the shuffle key, so
+    the O(n²) comparator is bounded by the largest block, not the table."""
+    c = load_table(spark, sf_dir, "customer")
+    named = c.select(
+        F.col("c_custkey").alias("key"),
+        F.translate(
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+            "0123456789",
+            "abcdefghij",
+        ).alias("name"),
+    )
+    return fuzzy_dedup_pairs(
+        named, "key", "name", [F.substring("name", 1, 6)], max_distance=1
+    )
+
+
+_JACCARD_MIN_SHARED = 2
+_JACCARD_MAX_DF = 50
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle),
+    shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)
+      WHERE dfc <= {_JACCARD_MAX_DF}
+    ),
+    inter AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b, count(*) AS inter_cnt
+      FROM shf a JOIN shf b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_JACCARD_MIN_SHARED}
+    )
+    SELECT key_a, key_b, inter_cnt,
+           sa.n_sh + sb.n_sh - inter_cnt AS union_cnt
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: n-gram Jaccard near-dup pairs via the inverted-index self-join,
+    with the document-frequency cap bounding hot-shingle buckets. Integer
+    inter/union counts keep the oracle exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text",
+        shingle_n=3, min_shared=_JACCARD_MIN_SHARED, max_df=_JACCARD_MAX_DF,
+    )
+
+
+@query("dedup_minhash")  # xxhash64-based → rows-only; recall pinned in tests
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: MinHash+LSH candidate pairs — shingle→minhash in one groupBy,
+    band/bucket join (never all-pairs). At 100 TB the bucket join shuffles
+    on (band, bucket) and AQE splits skewed buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
+
+
+@query("dedup_simhash")  # xxhash64-based → rows-only; collisions pinned in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c: per-document SimHash fingerprint (majority bit over token
+    hashes) — near-dups are small Hamming distances between fingerprints;
+    one groupBy, 32 integer aggregates, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")

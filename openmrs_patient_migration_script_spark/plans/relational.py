@@ -632,3 +632,117 @@ def etl_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.c_custkey.alias("client_id"),
         deterministic_uuid("c_custkey", namespace="person").alias("person_uuid"),
     )
+
+
+# --- §2.4 A6 pivot / §2.5 W4 ntile / §2.3 J8 as-of join -------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT n_name,
+           count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+           count(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS building,
+           count(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS furniture,
+           count(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS household,
+           count(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS machinery
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: attribute rows → columns (inverse of the E3 unpivot) — the
+    person_attribute-to-wide shape. Explicit pivot values keep the plan a
+    single pass (no extra distinct-values job) and pin the output schema —
+    both required at 100 TB. Missing cells coalesce to 0 to match SQL
+    conditional-count semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower()) for s in _SEGMENTS],
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ntile quartiles per segment — value-distribution bucketing.
+    The extra c_custkey sort key makes bucket assignment deterministic
+    under acctbal ties (ntile order-dependence is the classic flaky-test
+    trap)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, view_value
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+             v.value AS view_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join — for each purchase event, the latest 'view' event of
+    the same user at-or-before the purchase (event attribution; the
+    trades/quotes shape). Runs the union + ordered-carry-forward plan
+    (operators/joins.py::asof_join): ONE shuffle on user_id, linear in
+    |purchases|+|views| — the equi+range+row_number oracle form would
+    materialize every (purchase, earlier-view) pair first."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_payload=["view_id", "view_ts", "view_value"],
+        right_id="view_id",
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "view_value"
+    )
