@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 
 def dedup_exact_keep_first(
-    df: DataFrame, keys: list[str], order_by: str
+    df: DataFrame, keys: list[str], order_by: str | list[str]
 ) -> DataFrame:
     """X1: keep exactly one deterministic row per key.
 
@@ -24,7 +24,8 @@ def dedup_exact_keep_first(
     deterministic survivor, so we rank within the key and keep rank 1.
     One shuffle on the key columns.
     """
-    w = Window.partitionBy(*keys).orderBy(order_by)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -13,6 +13,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     text_queries,
     similarity_queries,
     dedup_queries,
+    streaming_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,139 @@
+"""Structured Streaming surface (SURVEY.md §2.10 ST1-ST5).
+
+The reference is a one-shot batch script (/root/reference/README.md:52);
+this module is the engine's streaming extension over the `events` table.
+Every transformation here is *identical* to its batch twin in
+plans/streaming_queries.py — the same `F.window` / `F.session_window` /
+dedup expressions applied to a `readStream` DataFrame — which is what makes
+the batch DuckDB oracle a valid correctness check for the streaming logic.
+
+Late data: each aggregation carries ``withWatermark("ts", ...)`` so state
+is bounded — at 100 TB/day of events the watermark is what lets Spark
+evict window state instead of holding every key forever. Stateful per-key
+logic uses ``applyInPandasWithState`` (Arrow-batched, GroupState-backed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from openmrs_patient_migration_script_spark.schemas import TABLE_SCHEMAS
+
+WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a file-source stream: the same TIMESTAMP(NANOS) handling
+    as the batch loader (sources/parquet.py) — nanos scanned as long,
+    converted to a µs timestamp."""
+    # the file stream source requires a directory: scan sf_dir but admit
+    # only the events file
+    raw = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST1: 1-hour tumbling windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST2: 1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST3: per-user sessions closed by a 30-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "last_ts")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST4: streaming dedup — one row per (user_id, event_type) with state
+    bounded by the watermark (a duplicate arriving later than the watermark
+    is dropped as late data rather than tracked forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_STATEFUL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST5: custom stateful per-key operator via applyInPandasWithState —
+    a running (count, sum) per user maintained in GroupState across
+    micro-batches; emits the updated totals each batch. The Pandas path is
+    Arrow-batched (never row-at-a-time Python)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_STATEFUL_OUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
