@@ -20,6 +20,7 @@ from openmrs_patient_migration_script_spark.plans import QUERIES
 from openmrs_patient_migration_script_spark.session import get_spark
 
 HEADLINE = [
+    # round-1 core (BENCH_r01 floor: 7.122 s total at sf0.1)
     "etl_registration",
     "agg_group",
     "join_multiway",
@@ -30,6 +31,15 @@ HEADLINE = [
     "etl_surrogate_keys",
     "etl_mapping",
     "win_lag_lead",
+    # round-2 extension operators
+    "sim_cosine_topk",
+    "dedup_fuzzy",
+    "dedup_minhash",
+    "text_tfidf",
+    "stream_tumbling",
+    "stream_session",
+    "join_asof",
+    "multimodal_image_features",
 ]
 
 

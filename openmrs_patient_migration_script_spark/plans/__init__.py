@@ -14,6 +14,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     similarity_queries,
     dedup_queries,
     streaming_queries,
+    multimodal_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

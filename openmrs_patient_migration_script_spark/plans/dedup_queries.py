@@ -39,7 +39,7 @@ _NAME_SQL = "translate(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), '0123456789', '
     SELECT a.key AS key_a, b.key AS key_b,
            levenshtein(a.name, b.name) AS dist
     FROM named a JOIN named b
-      ON substring(a.name, 1, 6) = substring(b.name, 1, 6)
+      ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
      AND a.key < b.key
     WHERE levenshtein(a.name, b.name) <= 1
     """,
@@ -59,7 +59,7 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
     )
     return fuzzy_dedup_pairs(
-        named, "key", "name", [F.substring("name", 1, 6)], max_distance=1
+        named, "key", "name", [F.substring("name", 1, 7)], max_distance=1
     )
 
 

@@ -1,0 +1,67 @@
+"""Declared multimodal queries — the Pandas-UDF plumbing verified against
+SQL oracles.
+
+The fake decode derives every 'decoded' property from md5(payload), which
+DuckDB can compute natively — so even though the feature extraction runs
+through Arrow-batched ``mapInPandas``, the driver's hash-check is exact.
+The harness ships no binary fixtures; UTF-8 text bytes stand in for the
+encoded payload (md5(utf-8 bytes) == md5(text) for the ASCII corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmrs_patient_migration_script_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    make_media_table,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           16 + ('0x' || substr(md5(text), 1, 4))::INTEGER % 512 AS width,
+           16 + ('0x' || substr(md5(text), 5, 4))::INTEGER % 512 AS height,
+           round(('0x' || substr(md5(text), 9, 4))::INTEGER % 10000 / 10000.0, 6)
+             AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → per-image features via Arrow-batched
+    mapInPandas (operators/multimodal.py; decode stubbed deterministically,
+    plumbing real). No shuffle: features computed where the bytes live."""
+    d = load_table(spark, sf_dir, "documents")
+    return image_features(make_media_table(d))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + ('0x' || substr(md5(text), 13, 2))::INTEGER % 8 AS n_frames,
+             1 + ('0x' || substr(md5(text), 15, 2))::INTEGER % 300 AS duration_s
+      FROM documents
+    )
+    SELECT media_id, CAST(frame_index AS INTEGER) AS frame_index,
+           round(frame_index * duration_s / n_frames, 6) AS frame_ts_s
+    FROM (
+      SELECT media_id, n_frames, duration_s,
+             unnest(generate_series(0, n_frames - 1)) AS frame_index
+      FROM m
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1→N row explosion inside the mapInPandas task
+    (no shuffle-side duplication); evenly-spaced frame timestamps over the
+    decoded duration."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(make_media_table(d))
