@@ -129,15 +129,23 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """X3: LSH banding — docs whose signature agrees on ALL rows of at least
     one band become candidate pairs (shingle→minhash→band→bucket-join).
 
     Scale: the bucket join shuffles on (band, bucket-hash); hot buckets are
     AQE-skew-split. Output: (key_a, key_b) distinct candidate pairs.
+
+    ``materialize`` (default on) localCheckpoints the signature table —
+    it is tiny (one row per doc × num_hashes longs) and both sides of the
+    bucket self-join derive from it, so without it the expensive
+    shingle-explode + minhash aggregation runs TWICE.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -162,6 +170,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_shared: int = 2,
     max_df: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """X2b: n-gram Jaccard similarity via an inverted index — shuffle on the
     shingle (the classic "document join" plan): explode distinct shingles,
@@ -175,11 +184,17 @@ def ngram_jaccard_pairs(
     frequency exceeds the cap before the join (standard prefix-filtering:
     ubiquitous shingles carry ~no Jaccard signal anyway). Note this makes
     ``inter_cnt`` a lower bound when the cap fires; union sizes stay exact.
+
+    ``materialize`` (default on) localCheckpoints the exploded inverted
+    index, which four plan branches consume (sizes, doc-freq, both join
+    sides) — without it the shingle explode runs four times.
     """
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))

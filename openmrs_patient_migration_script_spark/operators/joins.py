@@ -76,7 +76,12 @@ def asof_join(
         .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for c in carried:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    # all carries in ONE select over the same window spec → a single Window
+    # node (sequential withColumn calls would re-sort per column, since each
+    # carry rewrites a column the next window's sort key references)
+    keep = [c for c in unioned.columns if c not in carried]
+    out = unioned.select(
+        *keep,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in carried],
+    )
     return out.filter(F.col("_side") == 1).drop("_side", "_ts")

@@ -48,32 +48,52 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tf_idf(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def tf_idf(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+    materialize_tf: bool = False,
+) -> DataFrame:
     """X6: TF-IDF per (doc, token) — pure DataFrame ops.
 
-    tfidf = tf * ln((1 + N) / (1 + df)). The doc-frequency table is
-    vocabulary-sized, so its join back onto the tf table is a broadcast;
-    N arrives via a 1-row crossJoin (no driver action in the plan).
+    tfidf = tf * ln((1 + N) / (1 + df)).
+
+    Plan shape, chosen for 100 TB: the doc-frequency table aggregates down
+    to the vocabulary (map-side partial combine → the shuffle carries ~the
+    vocab, not the corpus) and is **broadcast** back onto the tf table —
+    the big tf table itself never reshuffles (a per-token window would
+    shuffle all of tf on a skewed key). Two lineage uses of tf remain:
+    pass ``materialize_tf=True`` to localCheckpoint it (one scan total);
+    the default leaves the plan pure and pays one extra columnar scan.
+
+    ``n_docs``: pass the corpus size when known (for a unique-keyed table
+    a parquet metadata count is ~free); default derives it in-plan via a
+    distinct-count crossJoin.
     """
     tf = (
         df.select(F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(key_col, "token")
         .agg(F.count("*").alias("tf"))
     )
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = df.select(F.countDistinct(key_col).alias("n_docs"))
-    return (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            key_col,
-            "token",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6
-            ).alias("tfidf"),
-        )
+    joined = tf.join(F.broadcast(dfreq), "token")
+    if n_docs is None:
+        n_df = df.select(F.countDistinct(key_col).alias("n_docs"))
+        joined = joined.crossJoin(F.broadcast(n_df))
+        n_expr = F.col("n_docs")
+    else:
+        n_expr = F.lit(float(n_docs))
+    return joined.select(
+        key_col,
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log((1.0 + n_expr) / (1.0 + F.col("df"))), 6).alias(
+            "tfidf"
+        ),
     )
 
 

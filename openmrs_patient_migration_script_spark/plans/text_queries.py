@@ -61,9 +61,11 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: TF-IDF — tf table joined to a broadcast vocabulary-sized
-    doc-frequency table; N via a broadcast 1-row crossJoin (no driver
-    action inside the plan)."""
-    return tf_idf(load_table(spark, sf_dir, "documents"))
+    doc-frequency table. doc_id is the table's unique key, so N is a
+    parquet metadata-only count; tf is checkpointed so the corpus is
+    scanned exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs, n_docs=docs.count(), materialize_tf=True)
 
 
 @query(
