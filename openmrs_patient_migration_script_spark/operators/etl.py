@@ -203,6 +203,75 @@ def build_mapping(
     )
 
 
+def fan_out_registration(reg: DataFrame) -> dict[str, DataFrame]:
+    """S5: one registration row → the reference's ~6 OpenMRS insert feeds
+    (person, person_name, person_address, person_attribute, patient,
+    patient_identifier, client→patient mapping; /root/reference/
+    README.md:7-17). Every frame is a narrow projection of the same
+    upstream — callers materialize `reg` ONCE (see write_multi_sink) so
+    the fan-out costs one scan, not seven."""
+    return {
+        "person": reg.select(
+            "client_id",
+            F.col("person_uuid").alias("uuid"),
+            "gender",
+            "birthdate",
+            "voided",
+        ),
+        "person_name": reg.select(
+            "client_id",
+            "given_name",
+            "family_name",
+            "preferred",
+            deterministic_uuid("client_id", namespace="person_name").alias("uuid"),
+        ),
+        "person_address": reg.select(
+            "client_id",
+            "county",
+            "village",
+            deterministic_uuid("client_id", namespace="person_address").alias("uuid"),
+        ),
+        "person_attribute": unpivot_attributes(
+            reg, "client_id", {"county": "county", "village": "village"}
+        ).withColumn(
+            "uuid",
+            deterministic_uuid("person_id", "attribute_type", namespace="person_attribute"),
+        ),
+        "patient": reg.select(
+            "client_id", F.col("patient_uuid").alias("uuid"), "voided"
+        ),
+        "patient_identifier": reg.select(
+            "client_id",
+            "identifier",
+            "identifier_type",
+            F.lit(1).alias("preferred"),
+            deterministic_uuid("client_id", namespace="patient_identifier").alias("uuid"),
+        ),
+        "mapping": reg.select(
+            "client_id",
+            F.col("patient_uuid").alias("patient_uuid"),
+            deterministic_uuid("client_id", namespace="mapping").alias("uuid"),
+        ),
+    }
+
+
+def write_multi_sink(
+    reg: DataFrame, base_path: str, fmt: str = "parquet"
+) -> dict[str, str]:
+    """S5 sink half: materialize the registration build once
+    (localCheckpoint — same exactly-once rationale as
+    assign_surrogate_keys), then write each fan-out frame under
+    ``base_path/<table>``. Against MySQL the same frames feed
+    sources/jdbc.py::write_jdbc_append instead. Returns table → path."""
+    reg = reg.localCheckpoint(eager=True)
+    paths = {}
+    for name, frame in fan_out_registration(reg).items():
+        path = f"{base_path}/{name}"
+        frame.write.format(fmt).mode("overwrite").save(path)
+        paths[name] = path
+    return paths
+
+
 def idempotent_new_rows(
     source: DataFrame, existing: DataFrame, key: str | list[str]
 ) -> DataFrame:

@@ -1,0 +1,84 @@
+"""JDBC source/sink parity (SURVEY.md §2.1 S1-S3) — the reference's actual
+deployment surface: read the legacy MySQL enrollment table, read destination
+state (existing ids, type lookups), append into the OpenMRS tables
+(/root/reference/README.md:5,7-17,27).
+
+The harness ships no MySQL server or JDBC driver jar, so these wrappers are
+covered by option-assembly unit tests only (tests/test_jdbc_options.py);
+the parquet loaders stand in everywhere else. The scale decisions are in
+the options they emit:
+
+- **S1 partitioned scan**: `partitionColumn/lowerBound/upperBound/
+  numPartitions` turn one big JDBC cursor into N parallel range scans —
+  without them Spark reads the whole table through a single task.
+- **pushdown**: pass a `(SELECT ...) AS t` subquery as ``table`` to ship
+  projection/filter into the database instead of pulling all columns.
+- **S2 dimension read**: small lookups read unpartitioned and get a
+  `broadcast()` hint so dimension joins never shuffle the fact side.
+- **S3 append sink**: `batchsize` + MySQL's `rewriteBatchedStatements`
+  collapse row-at-a-time INSERTs into multi-row packets; idempotent
+  re-runs anti-join against destination keys BEFORE writing
+  (operators/etl.py::idempotent_new_rows), the reference's "skip
+  already-migrated clients" rule re-expressed as a plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """S1: option map for a (possibly partitioned) JDBC scan. Pure —
+    unit-testable without a database."""
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned scan requires lower/upper bounds")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_append_options(
+    url: str, table: str, batch_size: int = 5_000, isolation: str = "READ_COMMITTED"
+) -> dict[str, str]:
+    """S3: option map for an append sink."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation,
+    }
+
+
+def read_jdbc_partitioned(spark: SparkSession, **scan_kwargs) -> DataFrame:
+    """S1: parallel range-partitioned JDBC scan (one task per id range)."""
+    return spark.read.format("jdbc").options(**jdbc_scan_options(**scan_kwargs)).load()
+
+
+def read_jdbc_dim(spark: SparkSession, url: str, table: str) -> DataFrame:
+    """S2: small destination-state lookup, broadcast-hinted for map-side
+    dimension joins."""
+    return F.broadcast(
+        spark.read.format("jdbc").options(**jdbc_scan_options(url, table)).load()
+    )
+
+
+def write_jdbc_append(df: DataFrame, **append_kwargs) -> None:
+    """S3: append rows into a destination table."""
+    df.write.format("jdbc").options(**jdbc_append_options(**append_kwargs)).mode(
+        "append"
+    ).save()

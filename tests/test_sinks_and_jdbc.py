@@ -1,0 +1,102 @@
+"""S5 multi-sink fan-out + S1-S3 JDBC option assembly + E2 idempotency
+(the re-run-safety invariants VERDICT r1 called out)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openmrs_patient_migration_script_spark.operators.etl import (
+    assign_surrogate_keys,
+    fan_out_registration,
+    idempotent_new_rows,
+    max_id_offset,
+    registration_build,
+    write_multi_sink,
+)
+from openmrs_patient_migration_script_spark.sources import load_table
+from openmrs_patient_migration_script_spark.sources.jdbc import (
+    jdbc_append_options,
+    jdbc_scan_options,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reg(spark):
+    return registration_build(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "nation")
+    )
+
+
+def test_multi_sink_writes_all_tables(spark, tmp_path):
+    reg = _reg(spark)
+    n = reg.count()
+    paths = write_multi_sink(reg, str(tmp_path))
+    assert set(paths) == {
+        "person",
+        "person_name",
+        "person_address",
+        "person_attribute",
+        "patient",
+        "patient_identifier",
+        "mapping",
+    }
+    for name, path in paths.items():
+        df = spark.read.parquet(path)
+        assert "uuid" in df.columns or name == "person"  # person carries person_uuid as uuid
+        expected = 2 * n if name == "person_attribute" else n
+        assert df.count() == expected, name
+
+
+def test_fan_out_frames_share_client_key(spark):
+    frames = fan_out_registration(_reg(spark))
+    for name, df in frames.items():
+        key = "person_id" if name == "person_attribute" else "client_id"
+        assert key in df.columns, name
+
+
+def test_surrogate_keys_idempotent_rerun(spark):
+    """Re-running the migration with the destination already populated must
+    mint no colliding ids and insert zero new rows for migrated clients."""
+    c = load_table(spark, SF, "customer")
+    existing = load_table(spark, SF, "orders")
+    offset = max_id_offset(existing, "o_orderkey")
+    first = assign_surrogate_keys(c, "c_custkey", id_col="person_id", offset=offset)
+    ids = [r["person_id"] for r in first.select("person_id").collect()]
+    # dense, gap-free, strictly above every existing id
+    assert min(ids) == offset + 1 and max(ids) == offset + len(ids)
+    assert len(set(ids)) == len(ids)
+    # run 2: anti-join against the now-populated destination → nothing left
+    migrated = first.select("c_custkey")
+    rerun = idempotent_new_rows(c, migrated, "c_custkey")
+    assert rerun.count() == 0
+    # run 2 on a half-migrated destination migrates exactly the other half
+    half = first.filter("c_custkey % 2 = 0").select("c_custkey")
+    rest = idempotent_new_rows(c, half, "c_custkey")
+    assert rest.count() == c.filter("c_custkey % 2 != 0").count()
+
+
+def test_jdbc_scan_options_partitioned():
+    opts = jdbc_scan_options(
+        "jdbc:mysql://host/db", "enrollment", "client_id", 1, 100000, 16
+    )
+    assert opts["partitionColumn"] == "client_id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "1",
+        "100000",
+        "16",
+    )
+    # unpartitioned reads omit partition options entirely
+    dim = jdbc_scan_options("jdbc:mysql://host/db", "identifier_type")
+    assert "partitionColumn" not in dim
+
+
+def test_jdbc_scan_options_requires_bounds():
+    with pytest.raises(ValueError):
+        jdbc_scan_options("jdbc:mysql://h/d", "t", partition_column="id")
+
+
+def test_jdbc_append_options():
+    opts = jdbc_append_options("jdbc:mysql://host/db", "person", batch_size=1000)
+    assert opts["batchsize"] == "1000"
+    assert opts["dbtable"] == "person"
