@@ -129,3 +129,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy, 32 integer aggregates, no UDFs."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair candidates → duplicate clusters via iterative min-label
+    propagation (operators/graph.py::connected_components) over the
+    dedup_fuzzy pair graph. The engine's iterative-algorithm surface:
+    per-round shuffle join + min-agg, localCheckpoint lineage truncation,
+    convergence on a changed-row count. Oracle = transitive closure via a
+    DuckDB recursive CTE."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    return connected_components(pairs)

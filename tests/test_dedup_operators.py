@@ -94,3 +94,17 @@ def test_max_id_offset(spark):
     assert max_id_offset(df, "id") == 17
     empty = df.filter("id > 100")
     assert max_id_offset(empty, "id") == 0
+
+
+def test_connected_components_planted_clusters(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components: a chain 1-2-3-4 (tests multi-hop label travel) and
+    # the pair 10-11; node 99 appears only via edge 10-99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 99)], ["key_a", "key_b"]
+    )
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 10}
