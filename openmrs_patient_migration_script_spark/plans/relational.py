@@ -746,3 +746,63 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "view_value"
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)::DOUBLE AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6)::DOUBLE AS p90_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4b/F3: exact interpolated percentiles per group (`percentile` is
+    Spark's exact linear-interpolation aggregate = DuckDB quantile_cont;
+    round(6) absorbs interpolation ulps). At 100 TB the exact form holds
+    a per-group value buffer — the docstring-documented scale swap is
+    `percentile_approx` (bounded-memory t-digest sketch, mergeable across
+    partitions), traded for its approximation error."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "topk_salted",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2b: skew-safe top-k per key (operators/skew.py) — partial top-k per
+    (key, salt) bounds the hot key's window task, then a k×salts-row merge
+    re-ranks per key. Result is byte-identical to the single-window oracle
+    form; only the physical shuffle shape differs."""
+    from openmrs_patient_migration_script_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    out = salted_topk_per_key(
+        l.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        key_cols=["l_suppkey"],
+        order_cols=[
+            F.desc("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        k=3,
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")

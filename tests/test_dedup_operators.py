@@ -108,3 +108,25 @@ def test_connected_components_planted_clusters(spark):
     )
     got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 10}
+
+
+def test_salted_topk_matches_plain_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    # one hot key (0) with 500 rows, a few cold keys
+    rows = [(0, i, float((i * 37) % 991)) for i in range(500)]
+    rows += [(kk, i, float(i)) for kk in (1, 2) for i in range(5)]
+    df = spark.createDataFrame(rows, ["key", "rid", "score"])
+    order = [F.desc("score"), F.col("rid")]
+    got = salted_topk_per_key(df, ["key"], order, k=3, salts=8)
+    w = Window.partitionBy("key").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").drop("rn")
+    )
+    as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
