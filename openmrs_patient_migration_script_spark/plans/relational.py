@@ -806,3 +806,28 @@ def topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT n_name, c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 4) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b: CUBE — all 2^k grouping-set combinations in one pass (Spark
+    expands the sets at the partial-agg stage; the shuffle carries one
+    partial row per set x group, not k passes over the data)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )

@@ -90,3 +90,59 @@ def test_no_python_udfs_in_relational_plans(spark):
                  "text_tokens", "stream_tumbling", "sim_cosine_topk"]:
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key pre-partitions data on disk —
+    the sort-merge join then needs ZERO exchanges. This is the co-located
+    join lever for repeated big-big joins at 100 TB."""
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buck LOCATION '{tmp_path}/wh'")
+    try:
+        load_table(spark, sf, "orders").write.bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("buck.orders_b")
+        load_table(spark, sf, "customer").write.bucketBy(8, "c_custkey").sortBy(
+            "c_custkey"
+        ).mode("overwrite").saveAsTable("buck.customer_b")
+        joined = spark.table("buck.orders_b").join(
+            spark.table("buck.customer_b").hint("merge"),
+            spark.table("buck.orders_b").o_custkey
+            == spark.table("buck.customer_b").c_custkey,
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        ns = nodes(plan)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in ns, ns  # bucketing removed both shuffles
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buck CASCADE")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column filter → the scan reads
+    only matching directories (PartitionFilters), the scale lever for
+    time-sliced event tables."""
+    from openmrs_patient_migration_script_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    path = f"{tmp_path}/events_by_day"
+    events = load_table(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.partitionBy("day").mode("overwrite").parquet(path)
+    first_day = events.agg(F.min("day")).collect()[0][0]
+    scan = spark.read.parquet(path).filter(F.col("day") == first_day)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = scan._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [" in plan
+    assert f"isnotnull(day" in plan or "day" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == events.filter(F.col("day") == first_day).count()

@@ -98,3 +98,82 @@ def test_stateful_stream_totals_match_batch(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract: once the watermark (max event time - 10 min)
+    passes a window's end, a straggler row for that window is dropped and
+    the finalized window emits without it."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    d = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    src = str(tmp_path / "src")
+    # Three micro-batches (maxFilesPerTrigger=1, file order pinned by
+    # mtime). Spark ≥3.4 splits the watermark: late-row FILTERING uses the
+    # previous batch's watermark while state EVICTION uses the current one,
+    # so the straggler must arrive two batches after the row that advanced
+    # the watermark:
+    #   batch 0: three rows in window [10:00, 11:00) + 12:05 (max event
+    #            time → watermark 11:55 from batch 1 on)
+    #   batch 1: on-time 12:10 row; window 10:00 (end 11:00 < 11:55) is
+    #            evicted + emitted with n=3
+    #   batch 2: straggler at 10:15 < watermark → dropped, never re-opens
+    #            the finalized window
+    files = [
+        [(1, d(10, 5), "view", 1.0), (2, d(10, 20), "view", 1.0),
+         (3, d(10, 40), "view", 1.0), (4, d(12, 5), "view", 1.0)],
+        [(6, d(12, 10), "view", 1.0)],
+        [(5, d(10, 15), "view", 1.0)],
+    ]
+    for i, rows in enumerate(files):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):  # file source orders batches by mtime
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name = "mem_wm_drop"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    out = {r["window_start"]: r["n_events"] for r in spark.table(name).collect()}
+    # the 10:00 window emitted WITHOUT the late straggler, which the
+    # watermark filter discarded
+    assert out.get(d(10, 0)) == 3, out
+    assert dropped == 1
