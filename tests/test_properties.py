@@ -1,0 +1,154 @@
+"""Property-based invariants (hypothesis): randomized inputs against
+reference implementations computed in plain Python — the invariants
+SURVEY.md §5.4 commits to, beyond the fixed-fixture oracle checks."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic CI: fixed example corpus per run
+)
+
+# (user_id, minutes_offset, is_probe) event tuples
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=500),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(_events)
+def test_asof_join_matches_naive_reference(spark, ev):
+    """asof_join (union + carry-forward plan) == the naive per-probe scan:
+    latest quote of the same user at-or-before the probe time, ties on
+    (ts, id) resolved to the largest id."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(minutes=m), probe) for i, (u, m, probe) in enumerate(ev)
+    ]
+    probes = [(i, u, ts) for i, u, ts, p in rows if p]
+    quotes = [(i, u, ts) for i, u, ts, p in rows if not p]
+    if not probes or not quotes:
+        return
+    left = spark.createDataFrame(probes, ["probe_id", "user_id", "probe_ts"])
+    right = spark.createDataFrame(quotes, ["quote_id", "user_id", "quote_ts"])
+    got = {
+        r["probe_id"]: r["quote_id"]
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="probe_ts",
+            right_ts="quote_ts",
+            right_payload=["quote_id", "quote_ts"],
+            right_id="quote_id",
+        ).collect()
+    }
+    for pid, pu, pts in probes:
+        cands = [(ts, qid) for qid, qu, ts in quotes if qu == pu and ts <= pts]
+        want = max(cands)[1] if cands else None
+        assert got[pid] == want, (pid, got[pid], want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_salted_topk_equals_plain_topk(spark, kv, k):
+    from pyspark.sql import Window
+
+    from openmrs_patient_migration_script_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    rows = [(key, i, float(v)) for i, (key, v) in enumerate(kv)]
+    df = spark.createDataFrame(rows, ["key", "rid", "score"])
+    order = [F.desc("score"), F.col("rid")]
+    got = {
+        tuple(r)
+        for r in salted_topk_per_key(df, ["key"], order, k=k, salts=4).collect()
+    }
+    w = Window.partitionBy("key").orderBy(*order)
+    want = {
+        tuple(r)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .collect()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50, unique=True),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_surrogate_keys_dense_and_ordered(spark, keys, offset):
+    """Gapless ids starting at offset+1, assigned in natural-key order —
+    the global-window contract, from the parallel range-partition plan."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        assign_surrogate_keys,
+    )
+
+    df = spark.createDataFrame([(kk,) for kk in keys], ["k"])
+    out = assign_surrogate_keys(df, "k", id_col="sid", offset=offset, num_partitions=4)
+    got = {r["k"]: r["sid"] for r in out.collect()}
+    for rank, kk in enumerate(sorted(keys), start=1):
+        assert got[kk] == offset + rank
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(min_size=1, max_size=5)),
+            st.one_of(st.none(), st.text(min_size=1, max_size=5)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_identifier_fallback_precedence(spark, pairs):
+    """National ID > Birth Certificate > generated — the reference's rule
+    (README.md:13-15) holds for every null combination."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        identifier_with_fallback,
+    )
+
+    rows = [(i, nid, bc) for i, (nid, bc) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i INT, nid STRING, bc STRING")
+    ident, id_type = identifier_with_fallback(
+        F.col("nid"), F.col("bc"), F.concat(F.lit("GEN-"), F.col("i"))
+    )
+    out = {
+        r["i"]: (r["identifier"], r["identifier_type"])
+        for r in df.select("i", ident.alias("identifier"), id_type.alias("identifier_type")).collect()
+    }
+    for i, nid, bc in rows:
+        if nid is not None:
+            assert out[i] == (nid, "NATIONAL_ID")
+        elif bc is not None:
+            assert out[i] == (bc, "BIRTH_CERTIFICATE")
+        else:
+            assert out[i] == (f"GEN-{i}", "GENERATED")
