@@ -18,7 +18,8 @@ the reference (its implementation file is absent from the snapshot anyway —
 see SURVEY.md §0).
 """
 
+from openmrs_patient_migration_script_spark.engine import Engine
 from openmrs_patient_migration_script_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["Engine", "get_spark"]
 __version__ = "0.1.0"

@@ -1,0 +1,61 @@
+"""User-facing façade: one object giving a reference user everything the
+script gave them — plus the analytics surface — without touching module
+internals.
+
+    from openmrs_patient_migration_script_spark import Engine
+
+    eng = Engine.local(sf_dir="/data/sf0.1")
+    eng.table("orders")                     # schema-pinned DataFrame
+    eng.sql("SELECT count(*) FROM orders")  # ANSI SQL over all tables
+    eng.query("etl_registration")           # any declared operator
+    eng.query_names()                       # the SURVEY §2 inventory
+
+SQL runs through temp views registered with the same explicit schemas as
+the DataFrame path, so both surfaces see identical types and both get full
+Catalyst optimization (the views are lazy scans, not materialized copies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmrs_patient_migration_script_spark.schemas import TABLE_NAMES
+from openmrs_patient_migration_script_spark.session import get_spark
+from openmrs_patient_migration_script_spark.sources import load_table
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._registered = False
+
+    @classmethod
+    def local(cls, sf_dir: str, app_name: str = "openmrs-spark-engine") -> "Engine":
+        return cls(get_spark(app_name), sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_tables(self) -> None:
+        """Register every harness table as a temp view (lazy, schema-pinned
+        scans — filters in SQL still push down to parquet)."""
+        for name in TABLE_NAMES:
+            self.table(name).createOrReplaceTempView(name)
+        self._registered = True
+
+    def sql(self, statement: str) -> DataFrame:
+        if not self._registered:
+            self.register_tables()
+        return self.spark.sql(statement)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a declared operator from the SURVEY §2 inventory."""
+        from openmrs_patient_migration_script_spark.plans import QUERIES
+
+        return QUERIES[name](self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from openmrs_patient_migration_script_spark.plans import QUERIES
+
+        return sorted(QUERIES)

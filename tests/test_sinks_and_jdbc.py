@@ -100,3 +100,50 @@ def test_jdbc_append_options():
     opts = jdbc_append_options("jdbc:mysql://host/db", "person", batch_size=1000)
     assert opts["batchsize"] == "1000"
     assert opts["dbtable"] == "person"
+
+
+def test_engine_facade_sql_and_query_agree(spark):
+    from openmrs_patient_migration_script_spark.engine import Engine
+
+    eng = Engine(spark, SF)
+    assert eng.table("customer").count() == 150
+    n_sql = eng.sql("SELECT count(*) AS n FROM customer").collect()[0]["n"]
+    assert n_sql == 150
+    # SQL view and declared query see the same data/semantics
+    via_query = eng.query("agg_group")
+    assert via_query.count() > 0
+    assert "etl_registration" in eng.query_names()
+    # pushdown survives the SQL surface: filter reaches the parquet scan
+    plan = eng.sql(
+        "SELECT c_custkey FROM customer WHERE c_custkey = 7"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan
+
+
+def test_kafka_option_assembly_and_value_parsing(spark):
+    from datetime import datetime
+
+    from openmrs_patient_migration_script_spark.streaming.kafka import (
+        kafka_source_options,
+        parse_event_values,
+    )
+
+    opts = kafka_source_options("broker:9092", "events", max_offsets_per_trigger=500)
+    assert opts["subscribe"] == "events"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["failOnDataLoss"] == "false"
+
+    # value parsing over a Kafka-shaped frame: good row parses, bad row nulls
+    rows = [
+        (b"k1", b'{"event_id": 1, "user_id": 7, "event_type": "view", "value": 2.5, "props": "{}"}',
+         datetime(2024, 1, 1, 10, 0)),
+        (b"k2", b"not json", datetime(2024, 1, 1, 10, 1)),
+    ]
+    kafka_like = spark.createDataFrame(rows, "key BINARY, value BINARY, timestamp TIMESTAMP")
+    out = parse_event_values(kafka_like).collect()
+    good = [r for r in out if r["event_id"] == 1][0]
+    assert (good["user_id"], good["event_type"], good["value"]) == (7, "view", 2.5)
+    bad = [r for r in out if r["event_id"] is None][0]
+    assert bad["ts"] is not None  # envelope survives even when payload fails

@@ -1,0 +1,41 @@
+"""SURVEY.md §2 ↔ registry drift guard — round-1's verdict found queries
+declared ✔ in SURVEY that were never registered; this test makes that
+class of drift a test failure in both directions."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from openmrs_patient_migration_script_spark.plans import ORACLES, QUERIES
+
+SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
+
+
+def declared_names() -> set[str]:
+    """Names marked ✔/◐ in SURVEY §2 'declare' columns (last cell of a
+    table row containing a checkmark + backticked name)."""
+    names = set()
+    for line in SURVEY.read_text().splitlines():
+        if not line.startswith("|"):
+            continue
+        last_cell = line.rsplit("|", 2)[-2]
+        # a declared name is the backticked identifier IMMEDIATELY after a
+        # ✔/◐ marker; other backticks in the cell are prose (oracle
+        # function names etc.)
+        names.update(re.findall(r"[✔◐]\s*`([a-z0-9_]+)`", last_cell))
+    return names
+
+
+def test_every_survey_declared_query_is_registered():
+    missing = declared_names() - set(QUERIES)
+    assert not missing, f"SURVEY declares unregistered queries: {sorted(missing)}"
+
+
+def test_every_registered_query_is_declared_in_survey():
+    undeclared = set(QUERIES) - declared_names()
+    assert not undeclared, f"registered but not in SURVEY §2: {sorted(undeclared)}"
+
+
+def test_oracles_are_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
