@@ -169,3 +169,46 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return e.groupBy("user_id").applyInPandas(running, schema=out_schema)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           p.ts AS purchase_ts, v.ts AS view_ts
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour'
+     AND v.ts <= p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (batch form): purchases joined to the views of the same user in
+    the preceding hour — the stream-stream interval-join shape. In stream
+    mode (streaming/pipelines.py::interval_join_streams) the same condition
+    plus watermarks on BOTH sides lets Spark bound each side's join state
+    to the interval width instead of buffering the streams forever."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (v.view_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.view_ts <= p.purchase_ts),
+    )
+    return joined.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")

@@ -137,3 +137,36 @@ def stateful_user_totals(events: DataFrame, watermark: str = WATERMARK) -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_streams(
+    purchases: DataFrame, views: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """ST6: stream-stream interval join — purchases matched to same-user
+    views from the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds view_ts
+    relative to purchase_ts from BOTH directions; that pair is what lets
+    Spark evict join state (a buffered view older than
+    watermark - 1 hour can never match a future purchase). Without the
+    time bounds a stream-stream inner join must buffer both streams
+    forever — the difference between bounded and unbounded state at
+    100 TB/day.
+    """
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user_id)
+        & (v.view_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.view_ts <= p.purchase_ts),
+    )
+    return joined.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")

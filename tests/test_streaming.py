@@ -177,3 +177,24 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # watermark filter discarded
     assert out.get(d(10, 0)) == 3, out
     assert dropped == 1
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """ST6: the dual-readStream interval join must equal the batch interval
+    join row-for-row (both sides watermarked; availableNow to completion)."""
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        interval_join_streams,
+    )
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase")
+        v = df.filter(F.col("event_type") == "view")
+        return p, v
+
+    sp, sv = split(read_events_stream(spark, SF))
+    stream = interval_join_streams(sp, sv)
+    name = _run_to_memory(stream, "append")
+    bp, bv = split(load_table(spark, SF, "events"))
+    batch = interval_join_streams(bp, bv)  # same fn works on batch frames
+    cols = ["purchase_id", "view_id", "user_id", "purchase_ts", "view_ts"]
+    assert _rows(spark.table(name), cols) == _rows(batch, cols)
