@@ -170,3 +170,54 @@ def interval_join_streams(
         & (v.view_ts <= p.purchase_ts),
     )
     return joined.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+
+
+def stateful_user_totals_tws(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """ST5b: the same running per-user totals on Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState: typed state handles (ValueState) instead of a
+    raw tuple, explicit init/close lifecycle, and RocksDB-backed state
+    (set spark.sql.streaming.stateStore.providerClass to the RocksDB
+    provider; required by TWS). NOTE: the TWS state protocol requires
+    google.protobuf at runtime — absent from this harness, so the parity
+    test skips here; applyInPandasWithState (ST5) is the tested path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

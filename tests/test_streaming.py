@@ -198,3 +198,45 @@ def test_interval_join_stream_matches_batch(spark):
     batch = interval_join_streams(bp, bv)  # same fn works on batch frames
     cols = ["purchase_id", "view_id", "user_id", "purchase_ts", "view_ts"]
     assert _rows(spark.table(name), cols) == _rows(batch, cols)
+
+
+def test_tws_stateful_totals_match_batch(spark):
+    """ST5b: transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    provider) produces the same per-user totals as the batch aggregate.
+
+    TWS's state protocol needs google.protobuf, which this environment
+    does not ship — skip (not fail) where absent; applyInPandasWithState
+    (ST5) remains the fully-tested stateful path."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available: TWS state protocol unusable")
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stateful_user_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_user_totals_tws(read_events_stream(spark, SF))
+        name = _run_to_memory(stream, "update")
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+            for r in spark.table(name).collect()
+        }
+        batch = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        )
+        want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch.collect()}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
