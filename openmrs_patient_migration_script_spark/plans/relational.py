@@ -831,3 +831,28 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
         )
     )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_discount), 8) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3b: statistical aggregates (stddev/variance/correlation/covariance)
+    — single-pass mergeable moment sketches in both engines, so partial
+    aggregation works and the shuffle carries one moment tuple per group;
+    round() absorbs the cross-engine update-order ulps."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
