@@ -170,3 +170,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_fuzzy(spark, sf_dir)
     return connected_components(pairs)
+
+
+_EMB_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT key_a, key_b, cos_sim FROM (
+      SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: embedding-cosine near-duplicate pairs — semantic dedup, the
+    last of the builder brief's dedup family. Exact all-pairs here (the
+    query corpus is vector-batch-sized); the 100 TB path reuses the
+    multi-table LSH bucketing from operators/similarity.py so candidates
+    come from bucket joins, never the full cross product — same
+    bound-the-quadratic design as every other dedup variant."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        _as_double,
+        cosine_similarity,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("key_a"), _as_double(F.col("embedding")).alias("_va"))
+    b = e.select(F.col("vec_id").alias("key_b"), _as_double(F.col("embedding")).alias("_vb"))
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
+    )
