@@ -196,19 +196,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from bucket joins, never the full cross product — same
     bound-the-quadratic design as every other dedup variant."""
     from openmrs_patient_migration_script_spark.operators.similarity import (
-        _as_double,
-        cosine_similarity,
+        dot,
+        normalized,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("key_a"), _as_double(F.col("embedding")).alias("_va"))
-    b = e.select(F.col("vec_id").alias("key_b"), _as_double(F.col("embedding")).alias("_vb"))
+    # normalize once per row (cosine → dot), and spread the tiny stream
+    # side across the cluster — a vector-batch-sized table otherwise sits
+    # in one partition and serializes the whole pair evaluation
+    a = e.select(
+        F.col("vec_id").alias("key_a"), normalized(F.col("embedding")).alias("_va")
+    ).repartition(e.sparkSession.sparkContext.defaultParallelism, "key_a")
+    b = e.select(F.col("vec_id").alias("key_b"), normalized(F.col("embedding")).alias("_vb"))
     return (
         a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
         .select(
             "key_a",
             "key_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
     )

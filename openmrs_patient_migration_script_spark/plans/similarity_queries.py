@@ -17,7 +17,7 @@ from openmrs_patient_migration_script_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
 )
-from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.plans.registry import ORACLES, query
 from openmrs_patient_migration_script_spark.sources import load_table
 
 # every 50th vector is a query point: a small deterministic query batch
@@ -55,10 +55,17 @@ def _split(spark: SparkSession, sf_dir: str):
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: exact brute-force cosine top-k — broadcast query batch, corpus
-    never shuffles, cosine via zip_with/aggregate (JVM, no UDF)."""
+    """X4: exact brute-force cosine top-k — numpy matmul per Arrow batch
+    (operators/similarity.py::cosine_topk_vectorized), the measured 34x
+    winner over the interpreted higher-order-function form at 50k x 10.
+    The corpus never shuffles; the ranking window partitions on the
+    query-batch key."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
     emb, queries = _split(spark, sf_dir)
-    return cosine_topk(emb, queries, k=_K)
+    return cosine_topk_vectorized(emb, queries, k=_K)
 
 
 @query("sim_ann_lsh")  # approximate → rows-only; recall tested vs exact
@@ -68,3 +75,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline on the harness corpus (tests/test_similarity.py)."""
     emb, queries = _split(spark, sf_dir)
     return ann_topk_lsh(emb, queries, k=_K, num_planes=3, num_tables=8)
+
+
+# same oracle as sim_cosine_topk: both implementations must produce
+# identical rounded scores and tie-breaks
+@query("sim_cosine_topk_hof", oracle=ORACLES["sim_cosine_topk"])
+def sim_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 UDF-free reference variant: cosine via zip_with/aggregate
+    higher-order functions (JVM expression eval, zero Python). Kept as
+    the built-ins-only twin of sim_cosine_topk; interpreted lambda eval
+    makes it ~34x slower at 50k x 10, the engine's one measured case
+    where the Pandas escape hatch beats built-ins."""
+    emb, queries = _split(spark, sf_dir)
+    return cosine_topk(emb, queries, k=_K)

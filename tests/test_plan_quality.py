@@ -51,10 +51,15 @@ def test_broadcast_join_is_broadcast(spark):
 
 
 def test_sim_cosine_topk_no_cartesian(spark):
+    # vectorized default: Arrow-batched matmul, no join at all
     plan = plan_of(spark, "sim_cosine_topk")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # broadcast query batch
+    assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan  # top-k pushed below the full sort
+    # the UDF-free HOF twin keeps the broadcast join shape
+    hof = plan_of(spark, "sim_cosine_topk_hof")
+    assert "CartesianProduct" not in hof
+    assert "BroadcastNestedLoopJoin" in hof
 
 
 def test_join_asof_single_shuffle_single_window(spark):
@@ -87,7 +92,7 @@ def test_no_python_udfs_in_relational_plans(spark):
     multimodal) stays JVM-side — BatchEvalPython/ArrowEvalPython in a
     relational plan means a Python UDF leaked into the hot path."""
     for name in ["agg_group", "join_multiway", "win_running", "dedup_fuzzy",
-                 "text_tokens", "stream_tumbling", "sim_cosine_topk"]:
+                 "text_tokens", "stream_tumbling", "sim_cosine_topk_hof"]:
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
 
