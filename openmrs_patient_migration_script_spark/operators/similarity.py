@@ -258,3 +258,49 @@ def cosine_topk_vectorized(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cosine_pairs_vectorized(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold, vectorized: the corpus
+    matrix (vector-batch-sized by contract — same bound as the query batch
+    in cosine_topk_vectorized) ships in the task closure; each Arrow batch
+    does one matmul against it and emits only the surviving pairs, so the
+    n x m score matrix never leaves the task. At open-corpus scale use the
+    LSH bucket join for candidates instead."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key_a", LongType()),
+            StructField("key_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = np.round(c @ mat.T, 6)
+            a_ids = pdf[id_col].to_numpy()
+            keep = (sims >= threshold) & (a_ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"key_a": a_ids[ai], "key_b": ids[bi], "cos_sim": sims[ai, bi]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)

@@ -173,3 +173,23 @@ def doc_fingerprint(
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", dims: int = 64
+) -> DataFrame:
+    """Feature-hashing text embedding (the hashing trick): token → bucket
+    via a stable hash, value = term frequency. Emitted SPARSE as
+    (key, bucket, tf) rows — at corpus scale the sparse form shuffles only
+    non-zeros, and downstream cosine/ANN can consume it directly or
+    pivot to dense arrays per key. md5-derived buckets keep the oracle
+    exact; swap xxhash64 when cross-engine parity is not needed."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long"),
+        F.lit(dims),
+    )
+    return (
+        df.select(F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(key_col, bucket.alias("bucket"))
+        .agg(F.count("*").alias("tf"))
+    )

@@ -190,30 +190,15 @@ _EMB_DUP_THRESHOLD = 0.4
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2d: embedding-cosine near-duplicate pairs — semantic dedup, the
-    last of the builder brief's dedup family. Exact all-pairs here (the
-    query corpus is vector-batch-sized); the 100 TB path reuses the
-    multi-table LSH bucketing from operators/similarity.py so candidates
-    come from bucket joins, never the full cross product — same
-    bound-the-quadratic design as every other dedup variant."""
+    last of the builder brief's dedup family. Vectorized all-pairs (numpy
+    matmul per Arrow batch, operators/similarity.py::cosine_pairs_vectorized)
+    since the corpus here is vector-batch-sized; the 100 TB path generates
+    candidates from the multi-table LSH buckets instead of the cross
+    product — same bound-the-quadratic design as every other dedup
+    variant."""
     from openmrs_patient_migration_script_spark.operators.similarity import (
-        dot,
-        normalized,
+        cosine_pairs_vectorized,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # normalize once per row (cosine → dot), and spread the tiny stream
-    # side across the cluster — a vector-batch-sized table otherwise sits
-    # in one partition and serializes the whole pair evaluation
-    a = e.select(
-        F.col("vec_id").alias("key_a"), normalized(F.col("embedding")).alias("_va")
-    ).repartition(e.sparkSession.sparkContext.defaultParallelism, "key_a")
-    b = e.select(F.col("vec_id").alias("key_b"), normalized(F.col("embedding")).alias("_vb"))
-    return (
-        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.round(dot(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _EMB_DUP_THRESHOLD)
-    )
+    return cosine_pairs_vectorized(e, threshold=_EMB_DUP_THRESHOLD)

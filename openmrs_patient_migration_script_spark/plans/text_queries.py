@@ -157,3 +157,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (winnowing-style representative) + distinct-shingle count. One groupBy
     on doc_id; md5 here for oracle byte-parity, xxhash64 at scale."""
     return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_hash_embed",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 4))::BIGINT % 64 AS bucket,
+           count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY 1, 2
+    """,
+)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedding: documents → sparse 64-dim hashed
+    bag-of-words vectors (operators/text.py::hashed_embedding) — the
+    text→vector bridge of the pipeline (feeds the similarity/ANN surface).
+    One explode + one hash agg; sparse rows shuffle only non-zeros."""
+    from openmrs_patient_migration_script_spark.operators.text import hashed_embedding
+
+    return hashed_embedding(load_table(spark, sf_dir, "documents"))
