@@ -77,3 +77,32 @@ def test_identifier_precedence_matrix(spark):
     got = df.select("want_id", "want_type", ident.alias("id"), id_type.alias("ty")).collect()
     for r in got:
         assert r["id"] == r["want_id"] and r["ty"] == r["want_type"]
+
+
+def test_schema_pinned_reads_fail_loudly_on_drift(spark, tmp_path):
+    """schemas.py policy: production reads pass explicit schemas so a
+    drifted file errors at read time instead of silently changing types.
+    Parquet scans verify the physical type against the requested one."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = f"{tmp_path}/drifted"
+    spark.range(3).select(
+        F.col("id").alias("c_custkey"), F.lit("x").alias("c_name")
+    ).write.parquet(p)
+    drifted = StructType(
+        [
+            StructField("c_custkey", StringType()),  # file has BIGINT
+            StructField("c_name", StringType()),
+        ]
+    )
+    with pytest.raises(Exception) as exc:
+        spark.read.schema(drifted).parquet(p).collect()
+    assert "c_custkey" in str(exc.value) or "SCHEMA" in str(exc.value).upper()
+
+    # the matching schema reads fine
+    ok = StructType(
+        [StructField("c_custkey", LongType()), StructField("c_name", StringType())]
+    )
+    assert spark.read.schema(ok).parquet(p).count() == 3
