@@ -1,8 +1,9 @@
 """Text-analysis operators (SURVEY.md §2.9 X5/X6 + builder-brief extensions:
 language-ID, quality scoring, token counting, document fingerprinting).
 
-All JVM built-ins — `split`/`explode`/higher-order array functions — so every
-stage stays inside whole-stage codegen; no Python UDFs anywhere. `documents`
+All JVM built-ins — `split`/`explode`/higher-order array functions — no
+Python UDFs anywhere (HOF lambdas evaluate interpreted but stay row-local
+here; the generators and aggregations around them are codegen'd). `documents`
 at 100 TB is the text corpus of an LLM training pipeline: per-doc transforms
 are narrow (scan-projections), and the only shuffles are the token/doc-freq
 aggregations, which Spark executes with map-side partial aggregation.
