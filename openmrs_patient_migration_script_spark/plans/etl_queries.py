@@ -168,3 +168,65 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_keep_first(d, ["lang", "source"], order_by="doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "etl_scd2_delta",
+    oracle="""
+    WITH prev AS (
+      SELECT c_custkey AS client_id,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    cur AS (SELECT c_custkey AS client_id, c_acctbal AS acctbal FROM customer)
+    SELECT coalesce(cur.client_id, prev.client_id) AS client_id,
+           CASE WHEN prev.client_id IS NULL THEN 'insert'
+                WHEN cur.client_id IS NULL THEN 'close'
+                ELSE 'update' END AS action,
+           prev.acctbal AS old_value, cur.acctbal AS new_value
+    FROM cur FULL OUTER JOIN prev ON cur.client_id = prev.client_id
+    WHERE prev.client_id IS NULL OR cur.client_id IS NULL
+       OR prev.acctbal <> cur.acctbal
+    """,
+)
+def etl_scd2_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b: slowly-changing-dimension change detection — the incremental
+    form of the migration: a full outer join of current source vs the
+    previously-loaded dimension emits exactly the rows that need action
+    (insert new keys, close removed keys, version changed values);
+    unchanged rows never leave the join. One co-partitioned shuffle on the
+    business key; at 100 TB both sides would be bucketed on it so the join
+    needs no exchange at all (tests/test_plan_quality.py proves that
+    layout). The previous snapshot is synthesized deterministically
+    (every 10th key's balance drifted, every 97th key absent)."""
+    c = load_table(spark, sf_dir, "customer")
+    prev = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("p_client_id"),
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("old_value"),
+        )
+    )
+    cur = c.select(
+        F.col("c_custkey").alias("c_client_id"), F.col("c_acctbal").alias("new_value")
+    )
+    j = cur.join(prev, cur.c_client_id == prev.p_client_id, "full_outer")
+    return (
+        j.filter(
+            F.col("p_client_id").isNull()
+            | F.col("c_client_id").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            F.coalesce("c_client_id", "p_client_id").alias("client_id"),
+            F.when(F.col("p_client_id").isNull(), F.lit("insert"))
+            .when(F.col("c_client_id").isNull(), F.lit("close"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+            "old_value",
+            "new_value",
+        )
+    )

@@ -106,3 +106,20 @@ def test_schema_pinned_reads_fail_loudly_on_drift(spark, tmp_path):
         [StructField("c_custkey", LongType()), StructField("c_name", StringType())]
     )
     assert spark.read.schema(ok).parquet(p).count() == 3
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The documented 100 TB swap for exact distinct counts: the HLL sketch
+    (mergeable, bounded memory) must land within its rsd bound on the
+    harness data."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.06, (row["exact"], row["approx"])
