@@ -194,3 +194,25 @@ def hashed_embedding(
         .groupBy(key_col, bucket.alias("bucket"))
         .agg(F.count("*").alias("tf"))
     )
+
+
+def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Word n-gram frequency — built with index-aware `transform` lambdas
+    plus 0-based `F.get` (NULL past the array end), so each document's
+    n-grams materialize row-locally with no self-join and no explode-join
+    shuffle; the only shuffle is the final n-gram hash aggregation, which
+    partial-combines map-side exactly like `token_counts`."""
+    toks = tokens(F.col(text_col))
+
+    def make(t, i):
+        parts = [t] + [F.get(toks, i + k) for k in range(1, n)]
+        # concat_ws skips NULLs, so gate on the furthest element: if it
+        # exists, every nearer one does too (contiguous window).
+        return F.when(F.get(toks, i + F.lit(n - 1)).isNotNull(), F.concat_ws(" ", *parts))
+
+    grams = F.filter(F.transform(toks, make), lambda x: x.isNotNull())
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -15,6 +15,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     dedup_queries,
     streaming_queries,
     multimodal_queries,
+    analytics_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

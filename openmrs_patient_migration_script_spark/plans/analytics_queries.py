@@ -1,0 +1,118 @@
+"""Declared pipeline-analytics queries: deterministic corpus sampling and
+event funnel analysis (builder-brief training-data / product-analytics ops).
+
+Both are exact-SQL-expressible, so they carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.sampling import (
+    stratified_hash_sample,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+# per-language keep rates (per mille) for the declared sampling query — the
+# language-rebalancing shape of an LLM data mix. Keep in sync with the
+# oracle CASE below.
+SAMPLE_RATES: dict[str, int] = {"en": 500, "de": 250, "es": 250, "fr": 250, "zh": 100}
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source, bucket
+    FROM (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 500
+                     WHEN 'de' THEN 250
+                     WHEN 'es' THEN 250
+                     WHEN 'fr' THEN 250
+                     WHEN 'zh' THEN 100
+                     ELSE 0
+                   END
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash
+    (operators/sampling.py) — reproducible across runs, cluster sizes and
+    partition layouts, unlike `DataFrame.sample`. Narrow scan + filter:
+    zero shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(docs, "doc_id", "lang", SAMPLE_RATES)
+
+
+@query(
+    "funnel_events",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+               OVER (PARTITION BY user_id) AS first_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+               OVER (PARTITION BY user_id) AS first_purchase
+      FROM s2
+    )
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN first_view IS NOT NULL THEN user_id END)
+             AS n_viewed,
+           count(DISTINCT CASE WHEN first_click IS NOT NULL THEN user_id END)
+             AS n_clicked,
+           count(DISTINCT CASE WHEN first_purchase IS NOT NULL THEN user_id END)
+             AS n_purchased
+    FROM s3
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after view → purchase after
+    click) per user, reduced to stage counts. The three window mins share
+    one `user_id` partitioning, so Spark plans a single Exchange with
+    stacked Window nodes — one shuffle total before the tiny global agg.
+    At 100 TB the exact countDistinct would swap to approx_count_distinct
+    (HLL) per the engine's documented policy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    df = (
+        e.withColumn("first_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("first_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("first_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    stage = lambda c: F.countDistinct(  # noqa: E731
+        F.when(F.col(c).isNotNull(), F.col("user_id"))
+    )
+    return df.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        stage("first_view").alias("n_viewed"),
+        stage("first_click").alias("n_clicked"),
+        stage("first_purchase").alias("n_purchased"),
+    )

@@ -834,6 +834,70 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5c: explicit GROUPING SETS — the general form of rollup/cube; Spark
+    expands the sets before the partial aggregation, so the shuffle carries
+    one partial row per (set x group), a single pass over the fact table
+    regardless of how many report levels are requested."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding[1:4],
+                 x -> CAST(x AS DOUBLE) * 2.0)), 6) AS head4_x2_sum,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: array higher-order functions (transform/slice/aggregate/filter/
+    array_max) over the embedding column — row-local lambda evaluation, so
+    the whole query is a narrow scan-projection with zero shuffles at any
+    scale. Outputs are scalars (the fold results), keeping the oracle
+    compare exact; map-typed access is exercised by `json_funcs`."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.slice(vec_d, 1, 4), F.lit(0.0), lambda acc, x: acc + x * 2.0
+            ),
+            6,
+        ).alias("head4_x2_sum"),
+        F.round(
+            F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        ).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

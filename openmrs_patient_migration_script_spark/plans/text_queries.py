@@ -17,6 +17,7 @@ from openmrs_patient_migration_script_spark.operators.text import (
     STOPWORDS,
     doc_fingerprint,
     language_id,
+    ngram_counts,
     quality_metrics,
     tf_idf,
     token_counts,
@@ -66,6 +67,28 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned exactly once."""
     docs = load_table(spark, sf_dir, "documents")
     return tf_idf(docs, n_docs=docs.count(), materialize_tf=True)
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT a.tok || ' ' || b.tok AS ngram, count(*) AS cnt
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b: bigram frequency. The oracle needs a positional self-join; the
+    Spark plan builds n-grams row-locally with index-aware array lambdas
+    (operators/text.py::ngram_counts) — no join, one hash agg."""
+    return ngram_counts(load_table(spark, sf_dir, "documents"), n=2)
 
 
 @query(

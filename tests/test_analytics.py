@@ -1,0 +1,73 @@
+"""Tests for the pipeline-analytics surface: deterministic hash sampling,
+event funnels, n-grams, grouping sets, array HOFs (plans/analytics_queries,
+operators/sampling, operators/text::ngram_counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.sampling import (
+    hash_bucket,
+    stratified_hash_sample,
+)
+from openmrs_patient_migration_script_spark.operators.text import ngram_counts
+from openmrs_patient_migration_script_spark.plans import QUERIES
+
+
+def test_hash_sample_is_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    rates = {"en": 500, "de": 250, "es": 250, "fr": 250, "zh": 100}
+    a = {r.doc_id for r in stratified_hash_sample(docs, "doc_id", "lang", rates).collect()}
+    # same input repartitioned arbitrarily -> identical selection
+    b = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            docs.repartition(13), "doc_id", "lang", rates
+        ).collect()
+    }
+    assert a == b and a, "hash sample must be independent of partition layout"
+
+
+def test_hash_sample_rate_is_close_to_nominal(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    kept = stratified_hash_sample(docs, "doc_id", "lang", {"en": 500}).count()
+    total_en = docs.filter(F.col("lang") == "en").count()
+    assert total_en > 0
+    # md5 buckets are uniform; at n~100 the binomial spread is wide, so
+    # assert a loose band around 50%
+    assert 0.25 <= kept / total_en <= 0.75
+
+
+def test_unknown_stratum_defaults_to_dropped(spark):
+    df = spark.createDataFrame([(1, "xx"), (2, "xx")], "k long, lang string")
+    assert stratified_hash_sample(df, "k", "lang", {"en": 500}).count() == 0
+
+
+def test_funnel_stage_counts_are_monotonic(spark, sf_dir):
+    row = QUERIES["funnel_events"](spark, sf_dir).collect()[0]
+    assert row.n_users >= row.n_viewed >= row.n_clicked >= row.n_purchased
+    assert row.n_users > 0
+
+
+def test_ngram_counts_on_planted_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.ngram: r.cnt for r in ngram_counts(df, n=2).collect()}
+    assert got == {"a b": 2, "b c": 1}
+    tri = {r.ngram: r.cnt for r in ngram_counts(df, n=3).collect()}
+    assert tri == {"a b c": 1}
+
+
+def test_hash_bucket_matches_duckdb(spark, duck):
+    df = spark.range(50).select(
+        F.col("id"), hash_bucket(F.col("id")).alias("bucket")
+    )
+    got = {r.id: r.bucket for r in df.collect()}
+    want = dict(
+        duck.sql(
+            "SELECT r AS id, ('0x' || substr(md5(r::VARCHAR), 1, 8))::BIGINT % 1000 "
+            "FROM range(50) t(r)"
+        ).fetchall()
+    )
+    assert got == want
