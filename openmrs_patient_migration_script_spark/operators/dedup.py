@@ -225,18 +225,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, key_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame, key_col: str, text_col: str, bits: int = 32, hash_fn=None
+) -> DataFrame:
     """X2c: SimHash fingerprint per document — sign-sum of per-token hash
     bits, all in built-in array/bitwise expressions (no UDF).
 
     For each bit position b: count tokens whose hash has bit b set, vs
     total; bit of the fingerprint = majority. Near-dups = small Hamming
     distance between fingerprints.
+
+    ``hash_fn`` maps a token Column to an integer hash Column. Default is
+    ``xxhash64`` (cheapest JVM hash — the 100 TB choice); the declared
+    query passes an md5-derived 32-bit hash instead, which DuckDB can
+    reproduce bit-for-bit, upgrading the oracle from rows-only to exact.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     # NB: shift Python-side (1 << b) — PySpark Column has no __lshift__.
     aggs = [
         F.sum(

@@ -3,9 +3,10 @@ operators/dedup.py wired to the correctness gate.
 
 - `dedup_fuzzy` / `dedup_ngram_jaccard`: full DuckDB hash-check (integer
   distances / counts keep the comparison byte-exact).
-- `dedup_minhash` / `dedup_simhash`: xxhash64-based — DuckDB has no xxhash64
-  twin, so these are rows-only here; their semantics are pinned by unit
-  tests with planted near-duplicates (tests/test_dedup_operators.py).
+- `dedup_minhash`: xxhash64-based — DuckDB has no xxhash64 twin, so it is
+  rows-only here; its semantics are pinned by unit tests with planted
+  near-duplicates (tests/test_dedup_operators.py). `dedup_simhash` swaps
+  in an md5-derived hash for the declared form, making its oracle exact.
 
 (`dedup_exact` lives in plans/etl_queries.py since round 1.)
 """
@@ -122,13 +123,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
 
 
-@query("dedup_simhash")  # xxhash64-based → rows-only; collisions pinned in tests
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h & ((1::BIGINT) << b)) != 0 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id AS key,
+           CAST(sum(CASE WHEN s > 0 THEN ((1::BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2c: per-document SimHash fingerprint (majority bit over token
     hashes) — near-dups are small Hamming distances between fingerprints;
-    one groupBy, 32 integer aggregates, no UDFs."""
+    one groupBy, 32 integer aggregates, no UDFs. The declared form hashes
+    tokens with md5-derived 32-bit values so the DuckDB oracle matches
+    bit-for-bit; production swaps hash_fn back to xxhash64 (default)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text")
+    md5_32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return simhash(d, "doc_id", "text", hash_fn=md5_32)
 
 
 @query(
