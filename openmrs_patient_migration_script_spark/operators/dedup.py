@@ -103,20 +103,31 @@ def _shingles(text_col, n: int = 3):
 
 
 def minhash_signatures(
-    df: DataFrame, key_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """X3 stage 1: per-document MinHash signature.
 
-    DataFrame-native: explode shingles once, then ``min(xxhash64(shingle,
+    DataFrame-native: explode shingles once, then ``min(hash(shingle,
     seed_i))`` per doc for each of the ``num_hashes`` seeds in ONE groupBy
     (single shuffle). No MLlib, no UDFs — all JVM built-ins.
+
+    ``hash_fn(col, seed_int) -> Column`` defaults to seeded ``xxhash64``
+    (cheapest — the 100 TB choice); the declared query passes an
+    md5-derived hash DuckDB reproduces exactly.
     """
+    if hash_fn is None:
+        hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.min(hash_fn(F.col("shingle"), i)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("key").agg(*aggs)
@@ -130,6 +141,8 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     materialize: bool = True,
+    hash_fn=None,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """X3: LSH banding — docs whose signature agrees on ALL rows of at least
     one band become candidate pairs (shingle→minhash→band→bucket-join).
@@ -143,13 +156,22 @@ def minhash_candidate_pairs(
     shingle-explode + minhash aggregation runs TWICE.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n, hash_fn)
     if materialize:
         sig = sig.localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket")))
+        # bucket = hash of the band's signature slice (compact shuffle key)
+        # or the raw slice as a struct — identical join semantics; the
+        # struct form lets a SQL oracle reproduce the join exactly.
+        bucket = (
+            F.xxhash64(*cols)
+            if hash_buckets
+            # uniform field names so all bands share one struct type
+            else F.struct(*[c.alias(f"s{j}") for j, c in enumerate(cols)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     buckets = sig.select(
         "key", F.explode(F.array(*band_cols)).alias("bb")
     ).select("key", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

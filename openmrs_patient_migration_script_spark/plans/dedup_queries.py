@@ -3,10 +3,10 @@ operators/dedup.py wired to the correctness gate.
 
 - `dedup_fuzzy` / `dedup_ngram_jaccard`: full DuckDB hash-check (integer
   distances / counts keep the comparison byte-exact).
-- `dedup_minhash`: xxhash64-based — DuckDB has no xxhash64 twin, so it is
-  rows-only here; its semantics are pinned by unit tests with planted
-  near-duplicates (tests/test_dedup_operators.py). `dedup_simhash` swaps
-  in an md5-derived hash for the declared form, making its oracle exact.
+- `dedup_minhash` / `dedup_simhash`: the declared forms swap the default
+  xxhash64 (no DuckDB twin) for md5-derived hashes, so both oracles are
+  exact; the xxhash64 defaults stay the production path, with recall
+  pinned by planted-near-dup unit tests (tests/test_dedup_operators.py).
 
 (`dedup_exact` lives in plans/etl_queries.py since round 1.)
 """
@@ -114,13 +114,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # xxhash64-based → rows-only; recall pinned in tests
+@query(
+    "dedup_minhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sig AS (
+      SELECT doc_id, i,
+             min(('0x' || substr(md5(shingle || '#' || i), 1, 8))::BIGINT) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig_str
+      FROM sig GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig_str = b.sig_str
+                AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: MinHash+LSH candidate pairs — shingle→minhash in one groupBy,
     band/bucket join (never all-pairs). At 100 TB the bucket join shuffles
-    on (band, bucket) and AQE splits skewed buckets."""
+    on (band, bucket) and AQE splits skewed buckets. The declared form
+    uses md5-seeded shingle hashes + raw-signature band keys so the DuckDB
+    oracle reproduces the banding join exactly; production keeps the
+    defaults (seeded xxhash64 + hashed buckets — cheaper shuffle keys)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
+    md5_seeded = lambda c, i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws("#", c, F.lit(str(i)))), 1, 8), 16, 10
+    ).cast("long")
+    return minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=4,
+        hash_fn=md5_seeded, hash_buckets=False,
+    )
 
 
 @query(
