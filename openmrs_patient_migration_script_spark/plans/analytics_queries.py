@@ -1,7 +1,8 @@
-"""Declared pipeline-analytics queries: deterministic corpus sampling and
-event funnel analysis (builder-brief training-data / product-analytics ops).
+"""Declared pipeline-analytics queries: deterministic corpus sampling,
+event funnels, and cohort retention (builder-brief training-data /
+product-analytics ops).
 
-Both are exact-SQL-expressible, so they carry full DuckDB oracles.
+All are exact-SQL-expressible, so they carry full DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -115,4 +116,46 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage("first_view").alias("n_viewed"),
         stage("first_click").alias("n_clicked"),
         stage("first_purchase").alias("n_purchased"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT date_trunc('week', signup_ts) AS cohort_week,
+           CAST(floor(date_diff('day', signup_ts, ts) / 7) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN signup USING (user_id)
+    WHERE e.ts >= signup_ts
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup week, counted as active at
+    each whole-week offset since their signup. The signup table is one row
+    per user (tiny relative to the event log), so Spark broadcasts it and
+    the event scan never shuffles before the aggregation — at 100 TB the
+    only exchange is the (cohort, offset) agg, whose key space is weeks x
+    offsets (small), with countDistinct -> approx_count_distinct as the
+    documented swap."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    return (
+        e.join(F.broadcast(signup), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy(
+            F.date_trunc("week", F.col("signup_ts")).alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts"), F.col("signup_ts")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
     )

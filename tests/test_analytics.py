@@ -71,3 +71,11 @@ def test_hash_bucket_matches_duckdb(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_retention_cohort_shape(spark, sf_dir):
+    rows = QUERIES["retention_cohort"](spark, sf_dir).collect()
+    assert rows, "fixture has signup events, so cohorts must exist"
+    assert all(r.week_offset >= 0 and r.n_active > 0 for r in rows)
+    # week-0 activity exists for at least one cohort (the signup event itself)
+    assert any(r.week_offset == 0 for r in rows)
