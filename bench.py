@@ -40,6 +40,8 @@ HEADLINE = [
     "stream_session",
     "join_asof",
     "multimodal_image_features",
+    "sample_hash",
+    "funnel_events",
 ]
 
 
