@@ -109,6 +109,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     hash_fn=None,
+    double_hash=None,
 ) -> DataFrame:
     """X3 stage 1: per-document MinHash signature.
 
@@ -117,19 +118,31 @@ def minhash_signatures(
     (single shuffle). No MLlib, no UDFs — all JVM built-ins.
 
     ``hash_fn(col, seed_int) -> Column`` defaults to seeded ``xxhash64``
-    (cheapest — the 100 TB choice); the declared query passes an
-    md5-derived hash DuckDB reproduces exactly.
+    (cheapest — the 100 TB choice). ``double_hash(col) -> (h1, h2)``
+    instead derives all ``num_hashes`` functions from ONE base hash via
+    Kirsch-Mitzenmacher double hashing (``h1 + i*h2 mod 2^32``) — the
+    declared query uses an md5-based pair DuckDB reproduces exactly,
+    paying one md5 per shingle instead of sixteen.
     """
-    if hash_fn is None:
-        hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
-    aggs = [
-        F.min(hash_fn(F.col("shingle"), i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    if double_hash is not None:
+        h1, h2 = double_hash(F.col("shingle"))
+        sh = sh.select("key", h1.alias("h1"), h2.alias("h2"))
+        m = F.lit(1 << 32).cast("long")
+        aggs = [
+            F.min(F.pmod(F.col("h1") + i * F.col("h2"), m)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        if hash_fn is None:
+            hash_fn = lambda c, i: F.xxhash64(c, F.lit(i))  # noqa: E731
+        aggs = [
+            F.min(hash_fn(F.col("shingle"), i)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy("key").agg(*aggs)
 
 
@@ -142,6 +155,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     materialize: bool = True,
     hash_fn=None,
+    double_hash=None,
     hash_buckets: bool = True,
 ) -> DataFrame:
     """X3: LSH banding — docs whose signature agrees on ALL rows of at least
@@ -156,7 +170,9 @@ def minhash_candidate_pairs(
     shingle-explode + minhash aggregation runs TWICE.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, key_col, text_col, num_hashes, shingle_n, hash_fn)
+    sig = minhash_signatures(
+        df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash
+    )
     if materialize:
         sig = sig.localCheckpoint(eager=True)
     band_cols = []

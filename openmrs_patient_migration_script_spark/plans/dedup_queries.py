@@ -128,10 +128,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
     sig AS (
-      SELECT doc_id, i,
-             min(('0x' || substr(md5(shingle || '#' || i), 1, 8))::BIGINT) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+      SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS mh
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
       GROUP BY doc_id, i
     ),
     bands AS (
@@ -149,16 +154,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: MinHash+LSH candidate pairs — shingle→minhash in one groupBy,
     band/bucket join (never all-pairs). At 100 TB the bucket join shuffles
     on (band, bucket) and AQE splits skewed buckets. The declared form
-    uses md5-seeded shingle hashes + raw-signature band keys so the DuckDB
-    oracle reproduces the banding join exactly; production keeps the
-    defaults (seeded xxhash64 + hashed buckets — cheaper shuffle keys)."""
+    uses ONE md5 per shingle split into two 32-bit halves, expanded to 16
+    hash functions by double hashing (h1 + i*h2 mod 2^32) + raw-signature
+    band keys, so the DuckDB oracle reproduces the banding join exactly at
+    near-xxhash64 cost; production keeps the defaults (seeded xxhash64 +
+    hashed buckets — cheaper shuffle keys)."""
     d = load_table(spark, sf_dir, "documents")
-    md5_seeded = lambda c, i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws("#", c, F.lit(str(i)))), 1, 8), 16, 10
-    ).cast("long")
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
     return minhash_candidate_pairs(
         d, "doc_id", "text", num_hashes=16, bands=4,
-        hash_fn=md5_seeded, hash_buckets=False,
+        double_hash=md5_pair, hash_buckets=False,
     )
 
 
