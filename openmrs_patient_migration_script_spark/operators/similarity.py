@@ -244,16 +244,29 @@ def cosine_topk_vectorized(
     def score(batches):
         import pandas as pd
 
+        # partial top-k inside the task: a row dropped here has k+1 rows of
+        # the SAME batch strictly ahead of it under the exact final order
+        # (cos_sim desc, id asc) — even if one of those is the self-match
+        # filtered later, k remain, so the drop can never reach the global
+        # top-k. Egress per batch falls from batch x nq rows to (k+1) x nq.
         for pdf in batches:
             c = np.array(list(pdf[vec_col]), dtype=np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = np.round(c @ q_mat.T, 6)  # (batch, nq)
+            ids = pdf[id_col].to_numpy()
             n, m = sims.shape
+            take = min(k + 1, n)
+            qcols, icols, scols = [], [], []
+            for j in range(m):
+                order = np.lexsort((ids, -sims[:, j]))[:take]
+                qcols.append(np.full(take, q_ids[j]))
+                icols.append(ids[order])
+                scols.append(sims[order, j])
             yield pd.DataFrame(
                 {
-                    query_id_col: np.tile(q_ids, n),
-                    id_col: np.repeat(pdf[id_col].to_numpy(), m),
-                    "cos_sim": sims.ravel(),
+                    query_id_col: np.concatenate(qcols),
+                    id_col: np.concatenate(icols),
+                    "cos_sim": np.concatenate(scols),
                 }
             )
 
