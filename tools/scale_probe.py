@@ -41,6 +41,34 @@ def replicate(df, key_cols, k: int, shift: int):
     return out.drop("_rep")
 
 
+def _funnel(ev):
+    """The funnel shape: three stacked window mins on one user_id
+    partitioning + a global distinct-count agg."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return df.agg(
+        F.countDistinct("user_id"),
+        F.countDistinct(F.when(F.col("first_click").isNotNull(), F.col("user_id"))),
+    )
+
+
 def timed(df) -> float:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -53,6 +81,7 @@ def main() -> None:
     orders = load_table(spark, SF_DIR, "orders").localCheckpoint(eager=True)
     events = load_table(spark, SF_DIR, "events").localCheckpoint(eager=True)
     docs = load_table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
     KEY_SHIFT = 10_000_000
 
     def shapes(k: int):
@@ -64,6 +93,14 @@ def main() -> None:
             minhash_candidate_pairs,
         )
         from openmrs_patient_migration_script_spark.operators.joins import asof_join
+        from openmrs_patient_migration_script_spark.operators.similarity import (
+            cosine_topk_vectorized,
+        )
+
+        e_k = replicate(emb, ["vec_id"], k, KEY_SHIFT)
+        q10 = emb.limit(10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
 
         purchases = ev_k.filter("event_type = 'purchase'").select(
             F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
@@ -95,6 +132,8 @@ def main() -> None:
                 right_payload=["vid", "vts"], right_id="vid",
             ),
             "minhash_lsh": minhash_candidate_pairs(d_k, "doc_id", "text", 16, 4),
+            "cosine_topk_vectorized": cosine_topk_vectorized(e_k, q10, k=5),
+            "funnel_windows": _funnel(ev_k),
             "tumbling_window": ev_k.groupBy(
                 F.window("ts", "1 hour"), "event_type"
             ).agg(F.count("*"), F.sum("value")),
