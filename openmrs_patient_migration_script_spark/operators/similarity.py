@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (SURVEY.md §2.9 X4 +
 builder-brief ANN extension).
 
-Three tiers, the standard vector-search architecture re-expressed on Spark:
+Four tiers, the standard vector-search architecture re-expressed on Spark:
 
 - **Vectorized brute-force top-k** (`cosine_topk_vectorized` — the
   production exact path): numpy matmul per Arrow batch against the
@@ -17,6 +17,11 @@ Three tiers, the standard vector-search architecture re-expressed on Spark:
   from `xxhash64(plane, dim)` — multi-table (m, L) bucketing; candidates
   only within shared buckets (shuffle key = bucket), exact re-rank after.
   Recall/cost tunable via (num_planes, num_tables).
+- **IVF ANN** (`ivf_topk` — the cell-pruned path): deterministic
+  hash-seeded coarse centroids, per-batch cell assignment, broadcast
+  nprobe probing (no corpus shuffle), exact re-rank; at scale the cell
+  becomes a storage partition column and probing becomes partition
+  pruning.
 
 Arrays are cast float→double before arithmetic: each float32 product is
 exact in double, keeping the DuckDB oracle within ulps (rounded to 6dp).
@@ -324,3 +329,132 @@ def cosine_pairs_vectorized(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN scale path #2: IVF (inverted-file) top-k — the cell-pruned
+    counterpart of `ann_topk_lsh`.
+
+    1. Coarse quantizer: ``n_cells`` deterministic seed centroids — the
+       corpus rows with the smallest md5-bucket of their id (content-
+       addressed, so every run/cluster picks the same seeds; a k-means
+       refinement would slot in here without changing the plan shape).
+    2. Assignment: every corpus vector goes to its nearest centroid cell —
+       one numpy argmax per Arrow batch, a narrow mapInPandas projection.
+    3. Probing: each query searches only its ``nprobe`` nearest cells; the
+       (query, cell) probe list is tiny and broadcast, so the candidate
+       join prunes the corpus to ~nprobe/n_cells of its rows WITHOUT a
+       corpus shuffle.
+    4. Exact cosine re-rank of candidates (row-wise vectorized dot), then
+       the usual (cos desc, id asc) top-k window per query.
+
+    At 100 TB the assignment step would be persisted (cell = partition
+    column), making step 3 partition pruning on the storage layout — the
+    standard IVF index — rather than a runtime filter.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    seeds = (
+        corpus.select(
+            id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+        )
+        .orderBy("_b", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_pos = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    # (query, cell) probe list: nprobe nearest centroids per query
+    q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probes = [
+        (int(q_ids[i]), int(c)) for i in range(len(q_ids)) for c in q_cells[i]
+    ]
+    spark = corpus.sparkSession
+    probes_df = spark.createDataFrame(
+        probes, schema=f"{query_id_col} long, _cell int"
+    )
+
+    assign_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("_cell", IntegerType()),
+            StructField(vec_col, ArrayType(FloatType())),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_cell": np.argmax(mn @ cent.T, axis=1).astype("int32"),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    cand = assigned.join(F.broadcast(probes_df), "_cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+
+    score_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qi = np.array([q_pos[int(q)] for q in pdf[query_id_col]])
+            sims = np.round(np.einsum("ij,ij->i", mn, q_mat[qi]), 6)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "cos_sim": sims,
+                }
+            )
+
+    scored = cand.mapInPandas(rerank, score_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -216,3 +216,26 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# BPE-ish piece pattern: letter runs, digit runs, and single non-alnum
+# marks — the standard pre-tokenizer shape (whitespace splitting plus
+# punctuation/digit isolation) used to estimate LLM token counts without
+# shipping a tokenizer model. Keep in sync with the oracle SQL.
+TOKEN_PIECE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_estimates(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token-count estimates: whitespace words and BPE-ish
+    regex pieces (TOKEN_PIECE_PATTERN). Narrow scan-projection — zero
+    shuffles; the regexes run inside whole-stage codegen."""
+    lower = F.lower(F.col(text_col))
+    return df.select(
+        F.col(key_col),
+        F.size(F.filter(F.split(lower, " "), lambda t: t != F.lit(""))).alias(
+            "n_ws_tokens"
+        ),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PIECE_PATTERN}', 0)")
+        ).alias("n_bpe_pieces"),
+    )

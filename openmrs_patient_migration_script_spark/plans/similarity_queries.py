@@ -3,9 +3,9 @@ over the `embeddings` fixture table (64-dim float vectors).
 
 The exact top-k query is hash-checked against DuckDB's
 `list_cosine_similarity`; both sides rank on round(cos, 6) with a vec_id
-tie-break so the top-k set is order-stable across engines. The LSH ANN
-variant is approximate by construction → rows-only check here, recall
-measured against the exact baseline in tests/test_similarity.py.
+tie-break so the top-k set is order-stable across engines. The LSH and
+IVF ANN variants are approximate by construction → rows-only checks here,
+recall measured against the exact baseline in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -88,3 +88,19 @@ def sim_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the Pandas escape hatch beats built-ins."""
     emb, queries = _split(spark, sf_dir)
     return cosine_topk(emb, queries, k=_K)
+
+
+@query("sim_ann_ivf")  # approximate (cell pruning) → rows-only; recall tested vs exact
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — deterministic hash-seeded coarse centroids,
+    cell assignment per Arrow batch, nprobe-cell probing (broadcast probe
+    list prunes the corpus without a shuffle), exact re-rank
+    (operators/similarity.py::ivf_topk). Recall vs the exact baseline is
+    pinned in tests/test_similarity.py. NB the harness embeddings are
+    ~uniform random — the IVF worst case (neighbors spread evenly over
+    cells), hence nprobe=8 of 16; clustered real corpora reach high
+    recall at much smaller scan fractions."""
+    from openmrs_patient_migration_script_spark.operators.similarity import ivf_topk
+
+    emb, queries = _split(spark, sf_dir)
+    return ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=8)

@@ -202,3 +202,23 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_patient_migration_script_spark.operators.text import hashed_embedding
 
     return hashed_embedding(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c: token counting — whitespace words plus BPE-ish regex pieces
+    (operators/text.py::token_estimates), the budget estimator for LLM
+    context/cost accounting over a corpus."""
+    from openmrs_patient_migration_script_spark.operators.text import token_estimates
+
+    return token_estimates(load_table(spark, sf_dir, "documents"))

@@ -63,3 +63,18 @@ def test_lsh_bucket_deterministic(spark):
     b2 = emb.select(lsh_bucket(F.col("embedding").cast("array<double>"), 4).alias("b"))
     assert [r["b"] for r in b1.collect()] == [r["b"] for r in b2.collect()]
     assert b1.agg(F.min("b"), F.max("b")).collect()[0] != (None, None)
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    a = {(r.query_id, r.vec_id) for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()}
+    b = {(r.query_id, r.vec_id) for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()}
+    assert a == b, "hash-seeded IVF must be deterministic across runs"
+    recall = len(exact & a) / len(exact)
+    # uniform-random fixture = IVF worst case; floor is conservative
+    assert recall >= 0.55, f"IVF recall {recall} below floor"
