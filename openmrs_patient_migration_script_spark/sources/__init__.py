@@ -1,3 +1,16 @@
+from openmrs_patient_migration_script_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
 from openmrs_patient_migration_script_spark.sources.parquet import load_table, load_tables
 
-__all__ = ["load_table", "load_tables"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "write_csv",
+    "write_json",
+]

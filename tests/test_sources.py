@@ -1,0 +1,55 @@
+"""CSV/JSON file source/sink parity: exact roundtrips with pinned schemas
+and fail-loud malformed-row behavior (sources/files.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openmrs_patient_migration_script_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+)
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_roundtrip_is_exact(spark, sf_dir, tmp_path, fmt):
+    # orders exercises long/string/double/timestamp columns
+    orig = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / f"orders_{fmt}")
+    if fmt == "csv":
+        write_csv(orig, path)
+        back = read_csv(spark, path, orig.schema)
+    else:
+        write_json(orig, path)
+        back = read_json(spark, path, orig.schema)
+    assert back.schema == orig.schema
+    assert _rowset(back) == _rowset(orig)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orig = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_csv(orig.select("o_orderkey", "o_totalprice", "o_orderstatus"), path,
+              partition_by=["o_orderstatus"])
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("o_orderstatus=")}
+    assert {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"} <= dirs
+
+
+def test_malformed_csv_fails_loud(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("k,v\n1,2\nnot_a_number,3\n")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(p), schema).collect()
