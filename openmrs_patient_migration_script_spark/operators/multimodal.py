@@ -57,6 +57,9 @@ def fake_decode(content: bytes) -> dict:
         "mean_intensity": round(int(h[8:12], 16) % 10000 / 10000.0, 6),
         "n_frames": 1 + int(h[12:14], 16) % 8,
         "duration_s": 1 + int(h[14:16], 16) % 300,
+        "sample_rate": (8000, 16000, 22050, 44100)[int(h[16:18], 16) % 4],
+        "n_channels": 1 + int(h[18:19], 16) % 2,
+        "rms_db": round(-(int(h[19:23], 16) % 6000) / 100.0, 6),
     }
 
 
@@ -173,3 +176,45 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             yield out
 
     return media.mapInPandas(resize, schema=schema)
+
+
+_AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms_db", DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio feature extraction — same Arrow-batched
+    ``mapInPandas`` contract as ``image_features`` (iterator in/out,
+    bounded task memory, zero shuffle); a real path would swap
+    librosa/ffmpeg into the decode call without changing the plan."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [fake_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "duration_s": [f["duration_s"] for f in feats],
+                    "n_samples": [
+                        f["sample_rate"] * f["duration_s"] * f["n_channels"]
+                        for f in feats
+                    ],
+                    "rms_db": [f["rms_db"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=_AUDIO_FEATURES_SCHEMA)

@@ -65,3 +65,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded duration."""
     d = load_table(spark, sf_dir, "documents")
     return frame_sample(make_media_table(d))
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE ('0x' || substr(md5(text), 17, 2))::INTEGER % 4
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+             ELSE 44100 END AS sample_rate,
+           1 + ('0x' || substr(md5(text), 19, 1))::INTEGER % 2 AS n_channels,
+           1 + ('0x' || substr(md5(text), 15, 2))::INTEGER % 300 AS duration_s,
+           (CASE ('0x' || substr(md5(text), 17, 2))::INTEGER % 4
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+              ELSE 44100 END)
+             * (1 + ('0x' || substr(md5(text), 15, 2))::INTEGER % 300)
+             * (1 + ('0x' || substr(md5(text), 19, 1))::INTEGER % 2) AS n_samples,
+           round(-(('0x' || substr(md5(text), 20, 4))::INTEGER % 6000) / 100.0, 6)
+             AS rms_db
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip features (sample rate/channels/duration/sample count/RMS
+    level) via the same Arrow-batched mapInPandas contract as the image
+    path — decode stubbed deterministically, plumbing real, zero shuffle."""
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_features(make_media_table(d))
