@@ -280,3 +280,40 @@ def idempotent_new_rows(
     twice therefore inserts zero new rows."""
     keys = [key] if isinstance(key, str) else key
     return source.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str, payload_cols: list[str]
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (copy-on-write): source
+    rows upsert over target rows by key; target keys absent from the
+    source are kept. Emits the merged table plus a `merge_action`
+    provenance column (inserted/updated/unchanged/kept).
+
+    One co-partitioned full-outer shuffle on the key — the same plan as
+    the SCD2 delta (this op APPLIES what that op DETECTS); at 100 TB the
+    table formats' merge-on-read (Delta/Iceberg) replaces the full
+    rewrite, but the join shape is identical.
+    """
+    t = target.select(
+        F.col(key).alias("_tk"), *[F.col(c).alias(f"_t_{c}") for c in payload_cols]
+    )
+    s = source.select(
+        F.col(key).alias("_sk"), *[F.col(c).alias(f"_s_{c}") for c in payload_cols]
+    )
+    j = s.join(t, s["_sk"] == t["_tk"], "full_outer")
+    changed = None
+    for c in payload_cols:
+        ne = F.col(f"_s_{c}") != F.col(f"_t_{c}")
+        changed = ne if changed is None else (changed | ne)
+    action = (
+        F.when(F.col("_tk").isNull(), F.lit("inserted"))
+        .when(F.col("_sk").isNull(), F.lit("kept"))
+        .when(changed, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce("_sk", "_tk").alias(key),
+        *[F.coalesce(f"_s_{c}", f"_t_{c}").alias(c) for c in payload_cols],
+        action.alias("merge_action"),
+    )

@@ -230,3 +230,43 @@ def etl_scd2_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_value",
         )
     )
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey AS client_id,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    source AS (SELECT c_custkey AS client_id, c_acctbal AS acctbal FROM customer)
+    SELECT coalesce(source.client_id, target.client_id) AS client_id,
+           coalesce(source.acctbal, target.acctbal) AS acctbal,
+           CASE WHEN target.client_id IS NULL THEN 'inserted'
+                WHEN source.client_id IS NULL THEN 'kept'
+                WHEN source.acctbal <> target.acctbal THEN 'updated'
+                ELSE 'unchanged' END AS merge_action
+    FROM source FULL OUTER JOIN target ON source.client_id = target.client_id
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5c: MERGE INTO applied — upserts the current source over the
+    previously-loaded dimension (the same synthesized snapshot as
+    etl_scd2_delta: that query DETECTS the change set, this one APPLIES
+    it) and keeps target-only keys. One co-partitioned full-outer shuffle
+    (operators/etl.py::merge_upsert)."""
+    from openmrs_patient_migration_script_spark.operators.etl import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 97 != 0).select(
+        F.col("c_custkey").alias("client_id"),
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    source = c.select(
+        F.col("c_custkey").alias("client_id"), F.col("c_acctbal").alias("acctbal")
+    )
+    return merge_upsert(target, source, "client_id", ["acctbal"])

@@ -123,3 +123,20 @@ def test_approx_count_distinct_within_tolerance(spark):
     ).collect()[0]
     rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel_err < 0.06, (row["exact"], row["approx"])
+
+
+def test_merge_upsert_covers_all_keys_and_actions(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = QUERIES["etl_merge_upsert"](spark, sf_dir).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r.merge_action, 0)
+        by_action[r.merge_action] += 1
+    # source covers every key, so nothing is 'kept' in this fixture; the
+    # synthesized snapshot guarantees inserts (every 97th key absent from
+    # target) and updates (every 10th drifted)
+    assert by_action.get("inserted", 0) > 0
+    assert by_action.get("updated", 0) > 0
+    assert by_action.get("kept", 0) == 0
+    assert len({r.client_id for r in rows}) == len(rows), "one row per key"
