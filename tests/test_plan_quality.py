@@ -151,3 +151,35 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert f"isnotnull(day" in plan or "day" in plan.split("PartitionFilters")[1][:200]
     assert scan.count() == events.filter(F.col("day") == first_day).count()
+
+
+def test_funnel_stacked_windows_share_one_exchange(spark):
+    # three window mins on the same user_id partitioning must plan exactly
+    # one Exchange before the final (tiny) aggregation pair
+    plan = plan_of(spark, "funnel_events")
+    n = nodes(plan)
+    assert n.count("Window") == 3, n
+    pre_agg = n[: n.index("HashAggregate")] if "HashAggregate" in n else n
+    assert pre_agg.count("Exchange") == 1, pre_agg
+
+
+def test_retention_signup_dim_is_broadcast(spark):
+    plan = plan_of(spark, "retention_cohort")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_hash_has_no_shuffle(spark):
+    n = nodes(plan_of(spark, "sample_hash"))
+    assert "Exchange" not in n, n
+
+
+def test_ivf_probe_join_is_broadcast_no_corpus_shuffle(spark):
+    plan = plan_of(spark, "sim_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    n = nodes(plan)
+    # the only Exchange allowed is the top-k ranking window's (plus AQE
+    # bookkeeping); the corpus-side candidate pruning must not shuffle
+    win = n.index("Window") if "Window" in n else len(n)
+    assert n[:win].count("Exchange") <= 1, n
