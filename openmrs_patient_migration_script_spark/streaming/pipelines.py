@@ -221,3 +221,35 @@ def stateful_user_totals_tws(events: DataFrame, watermark: str = WATERMARK) -> D
             timeMode="None",
         )
     )
+
+
+def write_stream_idempotent(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, trigger_available_now: bool = True
+):
+    """Exactly-once file sink via the idempotent-``foreachBatch`` pattern.
+
+    Spark's foreachBatch gives at-least-once delivery: after a crash
+    between sink write and checkpoint commit, the SAME (batchId, data) is
+    replayed. Writing each micro-batch under ``_batch_id=<id>`` and
+    skipping ids that already exist on disk makes the replay a no-op, so
+    the sink converges to exactly-once — the standard recipe when the
+    target isn't a transactional table format. (With Delta/Iceberg the
+    ``txnAppId``/``txnVersion`` options replace the directory probe.)
+
+    Returns the started StreamingQuery; callers own awaitTermination.
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"_batch_id={batch_id}")
+        if os.path.exists(target):  # replayed batch → already durable
+            return
+        batch_df.write.mode("overwrite").parquet(target)
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

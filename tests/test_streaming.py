@@ -240,3 +240,30 @@ def test_tws_stateful_totals_match_batch(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
+    """Replaying the same epochs (fresh checkpoint, same input) must not
+    duplicate rows in the sink: the _batch_id directory probe makes the
+    second delivery a no-op."""
+    import glob
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        read_events_stream,
+        write_stream_idempotent,
+    )
+
+    out = str(tmp_path / "sink")
+    events = read_events_stream(spark, SF).select("event_id", "ts", "event_type")
+    q = write_stream_idempotent(events, out, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    n1 = spark.read.option("pathGlobFilter", "*.parquet").parquet(out).count()
+    assert n1 > 0
+    dirs1 = set(glob.glob(f"{out}/_batch_id=*"))
+    # second run: NEW checkpoint → Spark replays the same availableNow
+    # batches with the same ids; the sink must not grow
+    q2 = write_stream_idempotent(events, out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    n2 = spark.read.option("pathGlobFilter", "*.parquet").parquet(out).count()
+    assert n2 == n1
+    assert set(glob.glob(f"{out}/_batch_id=*")) == dirs1
