@@ -920,3 +920,60 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ), 4) AS sum_30d
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2b: value-based window frame — per-customer rolling 30-day order
+    total via RANGE BETWEEN (frame bounded by the ORDER BY *value*, not
+    row offsets: all same-timestamp rows enter the frame together, which
+    rows-frames get wrong). Spark's rangeBetween needs a numeric order
+    key, so the timestamp is cast to epoch seconds and the bound is
+    30*86400 — exactly DuckDB's INTERVAL 30 DAYS under UTC. Same single
+    per-key Exchange as every other window query."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("sum_30d"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           array_to_string(json_keys(props), ',') AS key_list,
+           json_extract(props, '$.k')::INTEGER AS k_value
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6b: map-typed access — JSON props parsed to map<string,int> once,
+    then size/map_keys/element_at (the map family of F6). Narrow
+    scan-projection, zero shuffles; the parse happens inside codegen."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.element_at(m, "k").alias("k_value"),
+    )
