@@ -140,3 +140,24 @@ def test_merge_upsert_covers_all_keys_and_actions(spark, sf_dir):
     assert by_action.get("updated", 0) > 0
     assert by_action.get("kept", 0) == 0
     assert len({r.client_id for r in rows}) == len(rows), "one row per key"
+
+
+def test_scd2_delta_agrees_with_merge_upsert(spark, sf_dir):
+    """Cross-operator invariant: the change set etl_scd2_delta DETECTS must
+    be exactly what etl_merge_upsert records APPLYING (same synthesized
+    target/source snapshot in both declared queries)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    delta = QUERIES["etl_scd2_delta"](spark, sf_dir).collect()
+    merged = QUERIES["etl_merge_upsert"](spark, sf_dir).collect()
+    delta_by_action = {}
+    for r in delta:
+        delta_by_action.setdefault(r.action, set()).add(r.client_id)
+    merge_by_action = {}
+    for r in merged:
+        merge_by_action.setdefault(r.merge_action, set()).add(r.client_id)
+    assert delta_by_action.get("insert", set()) == merge_by_action.get("inserted", set())
+    assert delta_by_action.get("update", set()) == merge_by_action.get("updated", set())
+    # the source covers every key, so nothing closes in merge terms; the
+    # delta's 'close' set must be empty too for this fixture
+    assert not delta_by_action.get("close")
