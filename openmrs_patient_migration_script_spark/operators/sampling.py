@@ -18,7 +18,7 @@ cheapest JVM hash when cross-engine parity is not required.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,3 +53,45 @@ def stratified_hash_sample(
         )
     bucket = hash_bucket(F.col(key_col), buckets)
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int],
+    buckets: int = 1000,
+) -> DataFrame:
+    """Assign every row to a named split by hash-bucket range, e.g.
+    ``{"train": 900, "val": 50, "test": 50}`` (per-mille widths summing to
+    <= buckets). Content-addressed like `stratified_hash_sample`: the same
+    key lands in the same split on every run, any partitioning, and across
+    TABLES — so features and labels computed in separate jobs can never
+    leak across the train/test boundary."""
+    if sum(splits.values()) > buckets:
+        raise ValueError(f"split widths {splits} exceed {buckets} buckets")
+    bucket = hash_bucket(F.col(key_col), buckets)
+    edge = 0
+    expr = None
+    for name, width in splits.items():
+        cond = (bucket >= edge) & (bucket < edge + width)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        edge += width
+    return df.withColumn("split", expr)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, max_rows: int
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen deterministically by
+    hash order (not input order) — the domain-capping step of an LLM data
+    mix (no single source may dominate). One shuffle on the group key;
+    `WindowGroupLimit` prunes each partition to max_rows before the final
+    rank, so the shuffle never carries more than it must."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 1 << 30), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )

@@ -159,3 +159,54 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "sample_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b
+      FROM documents
+    )
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash-bucket range
+    (operators/sampling.py::hash_split) — the same key lands in the same
+    split on every run and in every table, so separately-computed features
+    and labels can never leak across the boundary. Zero shuffles."""
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+
+
+@query(
+    "sample_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          % 1073741824,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 10 documents per source, chosen by hash
+    order rather than input order so the kept set is stable across runs
+    and partitionings (operators/sampling.py::cap_per_group). One shuffle
+    on source; WindowGroupLimit prunes partitions to the cap pre-shuffle."""
+    from openmrs_patient_migration_script_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", 10)

@@ -79,3 +79,27 @@ def test_retention_cohort_shape(spark, sf_dir):
     assert all(r.week_offset >= 0 and r.n_active > 0 for r in rows)
     # week-0 activity exists for at least one cohort (the signup event itself)
     assert any(r.week_offset == 0 for r in rows)
+
+
+def test_hash_split_partitions_every_row_once(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = hash_split(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count(), "every row in exactly one split"
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_cap_per_group_is_deterministic_and_bounded(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    a = {tuple(r) for r in cap_per_group(docs, "source", "doc_id", 5).collect()}
+    b = {tuple(r) for r in cap_per_group(docs.repartition(7), "source", "doc_id", 5).collect()}
+    assert a == b, "kept set must not depend on partitioning"
+    per_src = {}
+    for _, src in a:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert max(per_src.values()) <= 5
