@@ -3,10 +3,12 @@ deployment surface: read the legacy MySQL enrollment table, read destination
 state (existing ids, type lookups), append into the OpenMRS tables
 (/root/reference/README.md:5,7-17,27).
 
-The harness ships no MySQL server or JDBC driver jar, so these wrappers are
-covered by option-assembly unit tests only (tests/test_jdbc_options.py);
-the parquet loaders stand in everywhere else. The scale decisions are in
-the options they emit:
+The harness ships no MySQL server, so the runtime tests
+(tests/test_sinks_and_jdbc.py) exercise these wrappers end-to-end against
+embedded Derby — the JDBC database Spark itself ships in jars/ — covering
+the partitioned scan, the broadcast dim read, the append sink, and the
+idempotent re-run. The parquet loaders stand in everywhere else. The scale
+decisions are in the options they emit:
 
 - **S1 partitioned scan**: `partitionColumn/lowerBound/upperBound/
   numPartitions` turn one big JDBC cursor into N parallel range scans —
@@ -36,10 +38,13 @@ def jdbc_scan_options(
     upper_bound: int | None = None,
     num_partitions: int = 32,
     fetch_size: int = 10_000,
+    driver: str | None = None,
 ) -> dict[str, str]:
     """S1: option map for a (possibly partitioned) JDBC scan. Pure —
     unit-testable without a database."""
     opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    if driver is not None:
+        opts["driver"] = driver
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partitioned scan requires lower/upper bounds")
@@ -53,15 +58,22 @@ def jdbc_scan_options(
 
 
 def jdbc_append_options(
-    url: str, table: str, batch_size: int = 5_000, isolation: str = "READ_COMMITTED"
+    url: str,
+    table: str,
+    batch_size: int = 5_000,
+    isolation: str = "READ_COMMITTED",
+    driver: str | None = None,
 ) -> dict[str, str]:
     """S3: option map for an append sink."""
-    return {
+    opts = {
         "url": url,
         "dbtable": table,
         "batchsize": str(batch_size),
         "isolationLevel": isolation,
     }
+    if driver is not None:
+        opts["driver"] = driver
+    return opts
 
 
 def read_jdbc_partitioned(spark: SparkSession, **scan_kwargs) -> DataFrame:
@@ -69,11 +81,15 @@ def read_jdbc_partitioned(spark: SparkSession, **scan_kwargs) -> DataFrame:
     return spark.read.format("jdbc").options(**jdbc_scan_options(**scan_kwargs)).load()
 
 
-def read_jdbc_dim(spark: SparkSession, url: str, table: str) -> DataFrame:
+def read_jdbc_dim(
+    spark: SparkSession, url: str, table: str, driver: str | None = None
+) -> DataFrame:
     """S2: small destination-state lookup, broadcast-hinted for map-side
     dimension joins."""
     return F.broadcast(
-        spark.read.format("jdbc").options(**jdbc_scan_options(url, table)).load()
+        spark.read.format("jdbc")
+        .options(**jdbc_scan_options(url, table, driver=driver))
+        .load()
     )
 
 
