@@ -42,6 +42,9 @@ HEADLINE = [
     "multimodal_image_features",
     "sample_hash",
     "funnel_events",
+    # composed end-to-end training-corpus pipeline (quality → langid →
+    # exact dedup → LSH near-dup clusters → split), production hash form
+    "corpus_prep",
 ]
 
 

@@ -1,0 +1,103 @@
+"""End-to-end training-corpus preparation (builder brief: "the operations a
+large-scale training-data pipeline would need", composed).
+
+One call chains the whole preprocessing recipe a user of the reference's
+data surface would run before LLM training:
+
+    quality filter → language ID → exact dedup → MinHash near-dup
+    cluster removal → deterministic train/val/test split
+
+Shuffle budget at 100 TB (the design constraint):
+
+1. Quality + language ID are **expression-level** (operators/text.py
+   ``quality_exprs`` / ``langid_exprs``) stacked onto the ONE corpus scan —
+   no join, no shuffle, and the quality filter prunes rows before anything
+   expensive runs.
+2. Exact dedup is one shuffle on ``md5(text)`` (content hash, never the
+   raw text — the shuffle carries 32 bytes per row, not the document).
+3. Near-dup candidates reuse the LSH banding join (operators/dedup.py) —
+   bounded by bucket sizes, never all-pairs — and only over rows that
+   survived 1–2. Cluster merge is the iterative min-label propagation
+   (operators/graph.py), O(|pairs|) per round; pair graphs after exact
+   dedup are sparse, so rounds ≈ small cluster diameter.
+4. Split assignment is content-addressed (operators/sampling.py
+   ``hash_split``): row-local, reproducible across runs/partitionings.
+
+The intermediate survivor set is localCheckpoint'd once: the LSH self-join
+consumes it twice (both sides) and the final anti-membership join consumes
+it again — without materialization the scan+filter lineage would re-run
+three times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openmrs_patient_migration_script_spark.operators.dedup import (
+    minhash_candidate_pairs,
+)
+from openmrs_patient_migration_script_spark.operators.graph import (
+    connected_components,
+)
+from openmrs_patient_migration_script_spark.operators.sampling import hash_split
+from openmrs_patient_migration_script_spark.operators.text import (
+    langid_exprs,
+    quality_exprs,
+)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.2,
+    min_tokens: int = 12,
+    splits: dict[str, int] | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    double_hash=None,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """Returns (key, predicted_lang, quality_score, split) for every kept
+    document. ``double_hash``/``hash_buckets`` pass through to the LSH
+    stage (the declared query uses the md5 double-hash + raw-struct bucket
+    form so a SQL oracle can replay the banding join exactly; production
+    keeps the cheaper xxhash64 defaults)."""
+    q = quality_exprs(F.col(text_col))
+    _, pred = langid_exprs(F.col(text_col))
+    enriched = docs.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("text"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        pred.alias("predicted_lang"),
+    ).filter(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+
+    # exact dedup: one row per content hash, deterministic survivor
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col("text"))).orderBy("key")
+    )
+    survivors = (
+        enriched.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+    ).localCheckpoint(eager=True)
+
+    pairs = minhash_candidate_pairs(
+        survivors,
+        "key",
+        "text",
+        num_hashes=num_hashes,
+        bands=bands,
+        double_hash=double_hash,
+        hash_buckets=hash_buckets,
+        materialize=True,
+    )
+    comp = connected_components(pairs)
+    kept = survivors.join(comp, survivors.key == comp.node, "left").filter(
+        F.col("node").isNull() | (F.col("cluster") == F.col("key"))
+    )
+    out = kept.select("key", "predicted_lang", "quality_score")
+    return hash_split(out, "key", splits or {"train": 900, "val": 50, "test": 50})

@@ -98,29 +98,38 @@ def tf_idf(
     )
 
 
+def quality_exprs(text_col) -> dict[str, F.Column]:
+    """Quality-signal expressions over one text column — exposed at the
+    expression level so composed pipelines (operators/corpus.py) can stack
+    them onto an existing projection without a join."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(text_col)
+    punct_chars = F.length(F.regexp_replace(F.lower(text_col), "[a-z0-9 ]", ""))
+    stop_ratio = F.round(stop_cnt / n_tokens, 6)
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "mean_tok_len": F.round(
+            F.length(F.regexp_replace(text_col, " ", "")) / n_tokens, 6
+        ),
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": F.round(punct_chars / n_chars, 6),
+        "quality_score": F.round(
+            F.least(n_tokens / 100.0, F.lit(1.0)) * (1.0 - stop_ratio), 6
+        ),
+    }
+
+
 def quality_metrics(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc quality signals for corpus filtering: token count, mean token
     length, stopword ratio, punctuation ratio, and a composite score in
     [0, 1]. Narrow projection — no shuffle at any scale."""
-    toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_chars = F.length(F.col(text_col))
-    punct_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", ""))
-    stop_ratio = F.round(stop_cnt / n_tokens, 6)
+    exprs = quality_exprs(F.col(text_col))
     return df.select(
-        F.col(key_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        F.round(F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tokens, 6).alias(
-            "mean_tok_len"
-        ),
-        stop_ratio.alias("stopword_ratio"),
-        F.round(punct_chars / n_chars, 6).alias("punct_ratio"),
-        F.round(F.least(n_tokens / 100.0, F.lit(1.0)) * (1.0 - stop_ratio), 6).alias(
-            "quality_score"
-        ),
+        F.col(key_col), *[c.alias(name) for name, c in exprs.items()]
     )
 
 
@@ -134,8 +143,23 @@ def language_id(
     language's marker list; predicted = argmax with alphabetical tie-break.
     Deterministic, all built-ins, narrow (no shuffle)."""
     markers = markers or LANG_MARKERS
-    toks = tokens(F.col(text_col))
+    scores, pred = langid_exprs(F.col(text_col), markers)
+    return df.select(
+        F.col(key_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(markers)],
+        pred.alias("predicted_lang"),
+    )
+
+
+def langid_exprs(
+    text_col, markers: dict[str, tuple[str, ...]] | None = None
+) -> tuple[dict[str, F.Column], F.Column]:
+    """(per-language score exprs, argmax-language expr) — the expression
+    form of `language_id`, for join-free composition."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
     langs = sorted(markers)
+
     def marker_score(marker_list: tuple[str, ...]):
         arr = F.array(*[F.lit(x) for x in marker_list])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
@@ -146,12 +170,7 @@ def language_id(
     # first lang (alphabetically) whose score equals the max wins
     for lang in reversed(langs[:-1]):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    out = df.select(
-        F.col(key_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        pred.alias("predicted_lang"),
-    )
-    return out
+    return scores, pred
 
 
 def doc_fingerprint(

@@ -16,6 +16,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     streaming_queries,
     multimodal_queries,
     analytics_queries,
+    corpus_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,64 @@
+"""End-to-end corpus-prep pipeline invariants (operators/corpus.py):
+planted exact dup, planted near-dup, planted junk doc — each stage must
+remove exactly its target, and the split assignment must be deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.corpus import prepare_corpus
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE + " one"),
+        (2, BASE + " one"),  # exact duplicate of 1
+        (3, BASE + " two"),  # near-duplicate of 1/2 (one token differs)
+        (4, "short junk"),  # fails min_tokens
+        (5, "completely different words about streaming shuffle partitions "
+            "broadcast join watermark state store checkpoint lineage "
+            "executor driver codegen pushdown pruning skew salting "
+            "bucketing sketch arrow"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _md5_pair(c):
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+
+
+def test_pipeline_removes_each_planted_defect(spark):
+    out = prepare_corpus(
+        _docs(spark), double_hash=_md5_pair, hash_buckets=False
+    ).collect()
+    kept = {r.key for r in out}
+    # doc 4: quality-filtered; doc 2: exact dup of 1; doc 3: near-dup
+    # clustered with 1 (cluster representative = min key = 1).
+    assert kept == {1, 5}
+    for r in out:
+        assert r.split in {"train", "val", "test"}
+
+
+def test_pipeline_is_deterministic_across_runs(spark):
+    a = sorted(map(tuple, prepare_corpus(
+        _docs(spark), double_hash=_md5_pair, hash_buckets=False).collect()))
+    b = sorted(map(tuple, prepare_corpus(
+        _docs(spark).repartition(5), double_hash=_md5_pair, hash_buckets=False
+    ).collect()))
+    assert a == b
+
+
+def test_production_hash_defaults_agree_on_keep_set(spark):
+    """The cheaper xxhash64 + hashed-bucket form must keep the same docs
+    here (the planted near-dup is far inside any LSH threshold)."""
+    out = prepare_corpus(_docs(spark)).collect()
+    assert {r.key for r in out} == {1, 5}
