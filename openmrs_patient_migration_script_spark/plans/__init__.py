@@ -17,6 +17,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     multimodal_queries,
     analytics_queries,
     corpus_queries,
+    privacy_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

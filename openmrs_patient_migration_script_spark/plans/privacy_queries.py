@@ -1,0 +1,99 @@
+"""Declared privacy queries (operators/privacy.py): de-identified export,
+text PII scrub, k-anonymity audit. All value-checked against DuckDB —
+the regex patterns are restricted to explicit character classes so the
+Java and RE2 engines agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmrs_patient_migration_script_spark.operators.privacy import (
+    EMAIL_RE,
+    LONG_NUM_RE,
+    k_anonymity_audit,
+    pseudonymize,
+    scrub_text,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+_SALT = "migration-2026"
+
+
+@query(
+    "etl_pseudonymize",
+    oracle=f"""
+    SELECT substr(md5('{_SALT}' || ':' || c_custkey::VARCHAR), 1, 16)
+             AS pseudo_id,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS c_name_redacted,
+           CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS c_acctbal_band,
+           c_mktsegment, c_nationkey
+    FROM customer
+    """,
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-identified patient export: salted deterministic pseudonym
+    (stable across tables, so downstream joins survive), digit-redacted
+    name, banded balance, quasi-identifiers passed through. Row-local —
+    zero shuffles at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    return pseudonymize(
+        c,
+        "c_custkey",
+        _SALT,
+        name_col="c_name",
+        band_cols={"c_acctbal": 100},
+        keep_cols=["c_mktsegment", "c_nationkey"],
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+    no_email AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+             regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+      FROM lowered
+    )
+    SELECT doc_id,
+           regexp_replace(t, '{LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed_text,
+           n_emails,
+           len(regexp_extract_all(t, '{LONG_NUM_RE}')) AS n_numbers
+    FROM no_email
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: emails then 3+-digit runs replaced by typed
+    sentinels, with per-doc redaction counts (quarantine signal). The
+    harness corpus is synthetic, so counts are mostly zero here — the
+    planted-PII unit tests (tests/test_privacy.py) exercise the actual
+    redaction; this query pins the full-corpus mechanics and schema."""
+    return scrub_text(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "privacy_kanon",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+           count(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, segment, balance band): the groups a de-identified release
+    must suppress or generalize further. One partial-combined hash agg."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
