@@ -183,3 +183,32 @@ def test_ivf_probe_join_is_broadcast_no_corpus_shuffle(spark):
     # bookkeeping); the corpus-side candidate pruning must not shuffle
     win = n.index("Window") if "Window" in n else len(n)
     assert n[:win].count("Exchange") <= 1, n
+
+
+def test_pseudonymize_is_pure_projection(spark):
+    """De-identification is row-local: any Exchange means the scrub started
+    shuffling 100 TB of patient rows for no reason."""
+    ns = nodes(plan_of(spark, "etl_pseudonymize"))
+    assert "Exchange" not in ns, ns
+    assert not any("Join" in n for n in ns), ns
+
+
+def test_pii_scrub_is_pure_projection(spark):
+    ns = nodes(plan_of(spark, "text_pii_scrub"))
+    assert "Exchange" not in ns, ns
+
+
+def test_kanon_audit_partial_aggregates(spark):
+    """One shuffle carrying only distinct quasi-identifier tuples: partial
+    HashAggregate must sit below the single Exchange."""
+    ns = nodes(plan_of(spark, "privacy_kanon"))
+    assert ns.count("Exchange") == 1, ns
+    assert ns.count("HashAggregate") == 2, ns
+
+
+def test_corpus_prep_survivor_stage_no_cartesian(spark):
+    """The composed pipeline must never degrade to an all-pairs product —
+    candidate generation stays a banding equi-join."""
+    plan = plan_of(spark, "corpus_prep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
