@@ -210,3 +210,40 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, "source", "doc_id", 10)
+
+
+@query(
+    "ts_resample",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT key, min(bucket) AS mn, max(bucket) AS mx
+               FROM obs GROUP BY key),
+    grid AS (
+      SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT g.key, g.bucket,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.key ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_sum,
+           o.v IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket = o.bucket
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling hourly resample with forward fill over the event log
+    (operators/timeseries.py::resample_ffill) — irregular events → the
+    dense per-user grid sequence models train on. Events aggregate before
+    the grid explodes, so grid size is users × hours, independent of the
+    event count."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_ffill(e, "user_id", "ts", "value")

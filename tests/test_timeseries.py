@@ -1,0 +1,42 @@
+"""resample_ffill semantics: dense grid, forward fill, guard rail."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from openmrs_patient_migration_script_spark.operators.timeseries import resample_ffill
+
+
+def _events(spark):
+    rows = [
+        # user 1: observations at hours 0 and 3 — hours 1-2 must fill with 10.0
+        (1, datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, datetime(2024, 1, 1, 3, 5), 7.0),
+        (1, datetime(2024, 1, 1, 3, 40), 3.0),  # same bucket as above: sums
+        # user 2: single observation — one-row grid
+        (2, datetime(2024, 1, 1, 5, 0), 1.5),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+
+def test_ffill_grid_and_sums(spark):
+    out = resample_ffill(_events(spark), "user_id", "ts", "value").collect()
+    by = {(r.key, r.bucket.hour): (r.value_sum, r.observed) for r in out}
+    assert len([k for k in by if k[0] == 1]) == 4  # hours 0..3 dense
+    assert by[(1, 0)] == (10.0, True)
+    assert by[(1, 1)] == (10.0, False)  # filled
+    assert by[(1, 2)] == (10.0, False)  # filled
+    assert by[(1, 3)] == (10.0, True)  # 7 + 3 summed in-bucket
+    assert by[(2, 5)] == (1.5, True)
+
+
+def test_grid_explosion_guard(spark):
+    rows = [
+        (1, datetime(2020, 1, 1), 1.0),
+        (1, datetime(2026, 1, 1), 1.0),  # ~52k hourly buckets
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    with pytest.raises(ValueError, match="buckets"):
+        resample_ffill(df, "user_id", "ts", "value", max_buckets=10_000)
