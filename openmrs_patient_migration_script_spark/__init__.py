@@ -9,9 +9,14 @@ widened into a general analytics engine per SURVEY.md:
   windows, set ops, scalar functions),
 - the reference's ETL composites (registration build, surrogate keys,
   unpivot, key mapping) re-designed for 100 TB scale,
-- LLM-data-pipeline extensions (exact/fuzzy/MinHash/SimHash dedup,
-  similarity search, text analysis, multimodal column plumbing),
-- a Structured Streaming surface over event tables.
+- LLM-data-pipeline extensions (exact/fuzzy/MinHash/SimHash/embedding
+  dedup, similarity search, text analysis, multimodal column plumbing,
+  deterministic sampling/splits, and the composed end-to-end corpus-prep
+  pipeline),
+- privacy/de-identification (pseudonyms, PII scrub, k-anonymity audit),
+- time-series regularization (gap-filling resample + forward fill),
+- a Structured Streaming surface over event tables,
+- JDBC source/sink parity (runtime-tested against embedded Derby).
 
 Everything is built on public PySpark 4.x APIs only; no code is taken from
 the reference (its implementation file is absent from the snapshot anyway —

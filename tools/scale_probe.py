@@ -71,6 +71,8 @@ def _funnel(ev):
 
 def timed(df) -> float:
     t0 = time.time()
+    if callable(df):
+        df = df()  # deferred shapes: construction runs jobs — time them
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
@@ -89,12 +91,19 @@ def main() -> None:
         o_k = replicate(orders, ["o_orderkey", "o_custkey"], k, KEY_SHIFT)
         ev_k = replicate(events, ["event_id", "user_id"], k, KEY_SHIFT)
         d_k = replicate(docs, ["doc_id"], k, KEY_SHIFT)
+        from openmrs_patient_migration_script_spark.operators.corpus import (
+            prepare_corpus,
+        )
         from openmrs_patient_migration_script_spark.operators.dedup import (
             minhash_candidate_pairs,
         )
         from openmrs_patient_migration_script_spark.operators.joins import asof_join
+        from openmrs_patient_migration_script_spark.operators.privacy import scrub_text
         from openmrs_patient_migration_script_spark.operators.similarity import (
             cosine_topk_vectorized,
+        )
+        from openmrs_patient_migration_script_spark.operators.timeseries import (
+            resample_ffill,
         )
 
         e_k = replicate(emb, ["vec_id"], k, KEY_SHIFT)
@@ -137,6 +146,13 @@ def main() -> None:
             "tumbling_window": ev_k.groupBy(
                 F.window("ts", "1 hour"), "event_type"
             ).agg(F.count("*"), F.sum("value")),
+            # deferred (lambda) shapes: construction itself runs jobs
+            # (localCheckpoints, iterative rounds) that must be timed too
+            "ts_resample_ffill": lambda: resample_ffill(
+                ev_k, "user_id", "ts", "value"
+            ),
+            "pii_scrub": scrub_text(d_k),
+            "corpus_prep_pipeline": lambda: prepare_corpus(d_k),
         }
 
     results: dict[str, dict[int, float]] = {}
