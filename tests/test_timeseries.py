@@ -38,5 +38,9 @@ def test_grid_explosion_guard(spark):
         (1, datetime(2026, 1, 1), 1.0),  # ~52k hourly buckets
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
-    with pytest.raises(ValueError, match="buckets"):
-        resample_ffill(df, "user_id", "ts", "value", max_buckets=10_000)
+    # the guard is in-plan (assert_true) — it fires at execution time with
+    # zero extra passes, surfacing as a Spark job failure
+    with pytest.raises(Exception, match="buckets"):
+        resample_ffill(
+            df, "user_id", "ts", "value", max_buckets=10_000
+        ).collect()
