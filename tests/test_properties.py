@@ -152,3 +152,54 @@ def test_identifier_fallback_precedence(spark, pairs):
             assert out[i] == (bc, "BIRTH_CERTIFICATE")
         else:
             assert out[i] == (f"GEN-{i}", "GENERATED")
+
+
+_ts_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=72),  # hour offset
+        st.integers(min_value=0, max_value=59),  # minute
+        st.integers(min_value=-50, max_value=50),  # value (int: exact sums)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(_ts_events)
+def test_resample_ffill_matches_naive_reference(spark, ev):
+    """resample_ffill (row-local gap-segment plan) == the naive python
+    reference: dense hourly grid per key from first to last observed
+    bucket, missing buckets carrying the previous bucket-sum forward."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, base + timedelta(hours=h, minutes=m), float(v)) for k, h, m, v in ev
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r.key, r.bucket): (r.value_sum, r.observed)
+        for r in resample_ffill(df, "user_id", "ts", "value").collect()
+    }
+
+    # naive reference
+    sums: dict[tuple[int, datetime], float] = {}
+    for k, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        sums[(k, b)] = round(sums.get((k, b), 0.0) + v, 6)
+    want = {}
+    for k in {k for k, _ in sums}:
+        buckets = sorted(b for kk, b in sums if kk == k)
+        cur = None
+        b = buckets[0]
+        while b <= buckets[-1]:
+            observed = (k, b) in sums
+            if observed:
+                cur = sums[(k, b)]
+            want[(k, b)] = (cur, observed)
+            b += timedelta(hours=1)
+    assert got == want
