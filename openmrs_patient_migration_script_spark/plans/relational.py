@@ -392,6 +392,35 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sort_global",
+    oracle="""
+    SELECT n_name, o_orderdate, o_orderkey, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 300000
+    ORDER BY n_name, o_orderdate DESC, o_orderkey
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: totally-ordered output without a LIMIT — Spark range-partitions
+    on a sampled key distribution (Exchange rangepartitioning) then sorts
+    partitions independently, so no single node ever holds the full
+    dataset; concatenating partitions in order IS the total order. The
+    filter halves the sorted volume before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("n_name", F.desc("o_orderdate"), "o_orderkey")
+    )
+
+
 # --- §2.7 set operations -----------------------------------------------------
 
 

@@ -212,3 +212,12 @@ def test_corpus_prep_survivor_stage_no_cartesian(spark):
     plan = plan_of(spark, "corpus_prep")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """O1 must distribute: Exchange rangepartitioning + per-partition Sort,
+    never a single-partition global sort."""
+    plan = plan_of(spark, "sort_global")
+    assert "rangepartitioning" in plan
+    ns = nodes(plan_of(spark, "sort_global"))
+    assert "Sort" in ns, ns
