@@ -1006,3 +1006,50 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("key_list"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+# --- §2 SQL surface: correlated subqueries (Catalyst decorrelation) ----------
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, stmt: str, tables: list[str]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(stmt)
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+"""
+
+_SCALAR_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@query("sql_exists_subquery", oracle=_EXISTS_SQL)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the ANSI SQL surface — Catalyst
+    decorrelates it into a left-semi hash join (never a per-row probe);
+    the plan pin asserts the rewrite. Same statement doubles as the
+    oracle: the point is that Spark's decorrelated plan and DuckDB's
+    evaluation agree value-for-value."""
+    return _sql_query(spark, sf_dir, _EXISTS_SQL, ["customer", "orders"])
+
+
+@query("sql_scalar_subquery", oracle=_SCALAR_SQL)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (rows above 2x their group's average) —
+    decorrelated into one aggregation + one equi-join instead of a
+    per-row rescan; the O(n^2) naive evaluation would never survive
+    100 TB, the rewritten plan is two shuffles."""
+    return _sql_query(spark, sf_dir, _SCALAR_SQL, ["orders"])

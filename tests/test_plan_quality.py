@@ -221,3 +221,20 @@ def test_global_sort_is_range_partitioned(spark):
     assert "rangepartitioning" in plan
     ns = nodes(plan_of(spark, "sort_global"))
     assert "Sort" in ns, ns
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must rewrite to a hash semi join — a per-row
+    subquery probe (nested loop) would be O(n*m) at scale."""
+    plan = plan_of(spark, "sql_exists_subquery")
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_one_agg_join(spark):
+    """Correlated scalar subquery = one aggregation + one equi-join, not a
+    rescan per outer row."""
+    ns = nodes(plan_of(spark, "sql_scalar_subquery"))
+    assert sum(1 for n in ns if "HashAggregate" in n) == 2, ns  # partial+final
+    assert any("Join" in n for n in ns), ns
+    assert "CartesianProduct" not in ns
