@@ -1053,3 +1053,77 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row rescan; the O(n^2) naive evaluation would never survive
     100 TB, the rewritten plan is two shuffles."""
     return _sql_query(spark, sf_dir, _SCALAR_SQL, ["orders"])
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 13
+                ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned value distribution (fixed-width buckets) — the profiling
+    pass before choosing filter/banding thresholds at scale. Bucketing is
+    floor arithmetic with an upper overflow bucket (the SQL width_bucket
+    convention, spelled out on both sides since DuckDB 1.x lacks the
+    function); one partial-combined hash agg, shuffle carries only the
+    bucket count."""
+    o = load_table(spark, sf_dir, "orders")
+    n, lo, hi = 12, 0.0, 600000.0
+    bucket = F.when(F.col("o_totalprice") >= hi, n + 1).otherwise(
+        F.floor((F.col("o_totalprice") - lo) / ((hi - lo) / n)) + 1
+    )
+    return (
+        o.select(bucket.cast("long").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    b AS (
+      SELECT DISTINCT
+             CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE 'BUILDING' END AS seg
+      FROM nation
+    )
+    SELECT a.c_custkey, a.seg
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    NULL keys — the semantics plain equi joins silently drop. Stays a hash
+    join (null-safe equality is still an equi-key for partitioning);
+    at scale a hot NULL key is the classic skew cell — salt it or filter
+    nulls into a separate union branch."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    a = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    b = n.select(
+        F.when(F.col("n_nationkey") % 5 == 0, None)
+        .otherwise(F.lit("BUILDING"))
+        .alias("seg")
+    ).distinct()
+    return a.join(F.broadcast(b), a.seg.eqNullSafe(b.seg)).select("c_custkey", a.seg)
