@@ -45,6 +45,11 @@ HEADLINE = [
     # composed end-to-end training-corpus pipeline (quality → langid →
     # exact dedup → LSH near-dup clusters → split), production hash form
     "corpus_prep",
+    # round-2 second wave: time series, privacy, global sort, SQL surface
+    "ts_resample",
+    "etl_pseudonymize",
+    "sort_global",
+    "sql_scalar_subquery",
 ]
 
 
