@@ -53,23 +53,21 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        new_labels = (
+        # carry the old label through the update so the convergence count
+        # is a filter on the checkpointed result, not another shuffle join
+        upd = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("cluster").alias("old_cluster"),
                 F.least(
                     F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("cluster") != F.col("old_cluster")).count()
+        labels = upd.select("node", "cluster")
         if changed == 0:
             break
     return labels
