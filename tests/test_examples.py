@@ -1,0 +1,32 @@
+"""The examples/ scripts must stay runnable — they are the user-facing
+switch-over story (reference workflow -> this engine)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_migration_runbook(tmp_path):
+    stdout = _run("migration_runbook.py", "/root/testdata/sf0.001", str(tmp_path))
+    assert "migrated 150 clients" in stdout
+    assert (tmp_path / "person").exists()
+    assert (tmp_path / "mapping").exists()
+
+
+def test_corpus_pipeline():
+    stdout = _run("corpus_pipeline.py")
+    assert "documents in ->" in stdout
+    assert "train" in stdout
