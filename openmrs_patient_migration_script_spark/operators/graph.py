@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
@@ -29,17 +30,32 @@ def connected_components(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 25,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster id (= min member key) per node of the undirected pair graph.
 
     Returns (node, cluster) for every node that appears in an edge.
     Each iteration: one shuffle join (neighbor labels) + one aggregation
     (min per node); work per round is O(|E|), rounds = graph diameter.
+
+    **Adaptive local path**: a near-dup pair graph is usually a sliver of
+    the corpus (pairs exist only where documents nearly collide), while the
+    iterative loop pays several full Spark jobs *per round*. When the edge
+    list is at most ``local_threshold`` rows, it is collected and solved
+    with union-find on the driver — the same data-size-gated decision AQE
+    makes when it swaps a shuffle join for a broadcast join, and with the
+    same bound: the collected side must fit in driver memory (~tens of MB
+    at the default threshold; raise/lower with driver heap). Graphs above
+    the threshold take the distributed loop unchanged — at 100 TB both
+    paths are live, chosen per job by the observed edge count. Pass
+    ``local_threshold=0`` to force the loop (tests pin both paths agree).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    if local_threshold and sym.count() <= local_threshold:
+        return _local_components(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -71,3 +87,41 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _local_components(sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected (already symmetrized) edge
+    list. Labels match the distributed loop exactly: cluster = min member.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in sym.select("a", "b").toLocalIterator():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    # resolve: min member key per root becomes every member's cluster id
+    root_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = root_min.get(r)
+        if m is None or node < m:
+            root_min[r] = node
+    key_type = sym.schema["a"].dataType
+    out_schema = StructType(
+        [StructField("node", key_type), StructField("cluster", key_type)]
+    )
+    rows = [(n, root_min[find(n)]) for n in parent]
+    return sym.sparkSession.createDataFrame(rows, out_schema)

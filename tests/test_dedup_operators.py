@@ -109,6 +109,14 @@ def test_connected_components_planted_clusters(spark):
     got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 10}
 
+    # the distributed loop (forced via local_threshold=0) must agree with
+    # the adaptive union-find path exactly
+    looped = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert looped == got
+
 
 def test_salted_topk_matches_plain_window(spark):
     from pyspark.sql import Window
