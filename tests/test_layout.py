@@ -101,6 +101,39 @@ def test_cluster_by_range_tightens_rowgroup_bands(spark, tmp_path):
     assert len(hits) <= 2
 
 
+def test_zorder_skips_in_both_dimensions(spark, tmp_path):
+    from openmrs_patient_migration_script_spark.operators.layout import zorder_by
+
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zordered")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n_files = 16
+
+    cluster_by_range(orders, ["o_custkey"], n_files).write.parquet(linear)
+    zorder_by(orders, "o_custkey", "o_totalprice", n_files).write.parquet(zordered)
+
+    def hits(path, column, probe):
+        bands = rowgroup_bands(path, column)
+        return sum(1 for lo, hi in bands if lo <= probe <= hi), len(bands)
+
+    ck = orders.agg(F.expr("percentile_approx(o_custkey, 0.5)")).first()[0]
+    tp = orders.agg(F.expr("percentile_approx(o_totalprice, 0.5)")).first()[0]
+
+    # linear clustering: perfect on the leading column...
+    h, n = hits(linear, "o_custkey", ck)
+    assert h <= 2
+    # ...but useless on the second (every file spans the money range)
+    h, n = hits(linear, "o_totalprice", tp)
+    assert h >= n - 1
+
+    # z-order: a point probe on EITHER column skips most files
+    h_ck, n_z = hits(zordered, "o_custkey", ck)
+    h_tp, _ = hits(zordered, "o_totalprice", tp)
+    assert n_z >= 8
+    assert h_ck <= n_z // 2
+    assert h_tp <= n_z // 2
+
+
 def test_partitioned_fact_gets_dynamic_partition_pruning(spark, tmp_path):
     """Join partitioned-fact ⋈ filtered-dim must prune fact partitions at
     RUNTIME (the dim filter value is only known after scanning the dim) —

@@ -238,3 +238,47 @@ def test_scalar_subquery_decorrelates_to_one_agg_join(spark):
     assert sum(1 for n in ns if "HashAggregate" in n) == 2, ns  # partial+final
     assert any("Join" in n for n in ns), ns
     assert "CartesianProduct" not in ns
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """A selective dim filter on a shuffle join should inject a runtime
+    bloom filter on the fact side (semi-join reduction): fact rows whose
+    key can't match are dropped BEFORE the shuffle. At 100 TB the default
+    size thresholds (creation side <=10 MB post-filter, application scan
+    >=10 GB) are met by any real fact table; the fixture is far below
+    them, so the thresholds are relaxed here to pin the mechanism.
+    """
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.sources.parquet import load_table
+
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        q = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
