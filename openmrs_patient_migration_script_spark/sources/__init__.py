@@ -1,8 +1,10 @@
 from openmrs_patient_migration_script_spark.sources.files import (
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
 )
 from openmrs_patient_migration_script_spark.sources.parquet import load_table, load_tables
 
@@ -11,6 +13,8 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_csv",
     "write_json",
+    "write_orc",
 ]

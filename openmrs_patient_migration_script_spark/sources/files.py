@@ -36,6 +36,24 @@ def write_csv(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     w.mode("overwrite").csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC: the other columnar format Spark ships a vectorized reader for.
+
+    Unlike CSV/JSON, ORC keeps the parquet-grade scan properties — column
+    pruning, predicate pushdown into stripe/row-group stats — so it is a
+    landing format, not just an ingest boundary. Schema stays explicit for
+    the same fail-loud reasons as every other source here.
+    """
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode("overwrite").orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return (
         spark.read.schema(schema)

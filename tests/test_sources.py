@@ -9,8 +9,10 @@ from openmrs_patient_migration_script_spark.sources import (
     load_table,
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
 )
 
 
@@ -18,7 +20,7 @@ def _rowset(df):
     return {tuple(r) for r in df.collect()}
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_roundtrip_is_exact(spark, sf_dir, tmp_path, fmt):
     # orders exercises long/string/double/timestamp columns
     orig = load_table(spark, sf_dir, "orders")
@@ -26,11 +28,32 @@ def test_roundtrip_is_exact(spark, sf_dir, tmp_path, fmt):
     if fmt == "csv":
         write_csv(orig, path)
         back = read_csv(spark, path, orig.schema)
-    else:
+    elif fmt == "json":
         write_json(orig, path)
         back = read_json(spark, path, orig.schema)
+    else:
+        write_orc(orig, path)
+        back = read_orc(spark, path, orig.schema)
     assert back.schema == orig.schema
     assert _rowset(back) == _rowset(orig)
+
+
+def test_orc_scan_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC is a landing format: filters must reach the scan (PushedFilters)
+    and the read schema must shrink to the projection, same as parquet."""
+    orig = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orig, path)
+    q = (
+        read_orc(spark, path, orig.schema)
+        .filter("o_totalprice > 100000.0")
+        .select("o_orderkey")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in scan_schema and "o_comment" not in scan_schema
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
