@@ -1127,3 +1127,127 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg")
     ).distinct()
     return a.join(F.broadcast(b), a.seg.eqNullSafe(b.seg)).select("c_custkey", a.seg)
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two dims — the (region × segment)
+    reporting scaffold every cell-complete rollup starts from. Declared
+    only for dim×dim shapes: a cross join is O(|L|·|R|) by definition, so
+    at 100 TB either side must be broadcast-tiny; Spark refuses implicit
+    cartesians unless the API states intent (``crossJoin``)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(F.broadcast(seg))
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 multiset variant: INTERSECT ALL keeps min(countL, countR) copies
+    per key instead of collapsing to distinct — the semantics that matter
+    when rows are observations (e.g. per-order audit events), not keys.
+    Same single shuffle as distinct intersect; Spark tracks per-key counts
+    in the aggregate instead of a boolean."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(o.o_orderstatus == "F").select("o_custkey")
+    op = o.filter(o.o_orderstatus == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 companion to ntile: continuous relative position (percent_rank)
+    and inclusive CDF (cume_dist) per segment. c_custkey tiebreak keeps
+    both deterministic; rounded on both sides because the rank ratio is a
+    float division."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_CTE_SQL = """
+WITH nation_orders AS (
+  SELECT n.n_name, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+nation_totals AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+  FROM nation_orders GROUP BY n_name
+)
+SELECT n_name, total, n_orders
+FROM nation_totals
+WHERE total > (SELECT avg(total) FROM nation_totals)
+"""
+
+
+@query("sql_cte", oracle=_CTE_SQL)
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-adjacent SQL-surface depth: chained CTEs where the second CTE is
+    consumed twice (rows + scalar-subquery average). The identical
+    statement is the oracle. Catalyst plans the reused CTE once per
+    consumer (inline) — correct either way; at scale a hand-tuned pipeline
+    would localCheckpoint a reused intermediate exactly like
+    operators/corpus.py does."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CTE_SQL)
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+             AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): several differently-
+    filtered measures in ONE pass over the fact table — the reconciliation-
+    report shape that would otherwise be N scans + N joins. Pure partial-
+    combinable hash agg; the WHEN guards run map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), 2
+        ).alias("big_total"),
+    )
