@@ -22,6 +22,7 @@ def get_spark(
     app_name: str = "openmrs-spark-engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -62,4 +63,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # caller overrides (e.g. tools/shuffle_audit.py re-enables the UI to
+    # read per-stage shuffle metrics over the REST API)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
