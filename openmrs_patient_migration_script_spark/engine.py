@@ -59,3 +59,29 @@ class Engine:
         from openmrs_patient_migration_script_spark.plans import QUERIES
 
         return sorted(QUERIES)
+
+    # -- table maintenance (operators/layout.py) ---------------------------
+
+    def compact(
+        self,
+        path: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_cols: list[str] | None = None,
+    ) -> tuple[int, int]:
+        """Bin-pack a fragmented parquet table; returns (files_before,
+        files_after)."""
+        from openmrs_patient_migration_script_spark.operators.layout import (
+            compact_table,
+        )
+
+        return compact_table(self.spark, path, target_file_bytes, partition_cols)
+
+    def cluster(self, name_or_df, cols: list[str], n_files: int) -> DataFrame:
+        """Range-cluster a table (or DataFrame) for row-group skipping on
+        ``cols``; write the result wherever the pipeline lands it."""
+        from openmrs_patient_migration_script_spark.operators.layout import (
+            cluster_by_range,
+        )
+
+        df = self.table(name_or_df) if isinstance(name_or_df, str) else name_or_df
+        return cluster_by_range(df, cols, n_files)

@@ -1251,3 +1251,29 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), 2
         ).alias("big_total"),
     )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema aggregation (``max_by``/``min_by`` = DuckDB arg_max/
+    arg_min): the key of the extreme row per group WITHOUT a self-join or
+    window — one partial-combinable hash agg carrying (value, arg) pairs.
+    The window form (`row_number()==1`) costs a per-group sort; this is
+    the reduction form. Ties broken identically on both engines by the
+    orderkey-unique fixture (o_totalprice ties don't occur per group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
