@@ -264,3 +264,43 @@ def token_estimates(df: DataFrame, key_col: str = "doc_id", text_col: str = "tex
             F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PIECE_PATTERN}', 0)")
         ).alias("n_bpe_pieces"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    long-document preprocessing step before tokenization (context windows
+    are finite; chunk boundaries overlap so no span is ever split without
+    also appearing whole in a neighbor).
+
+    Row-local end to end: token split, window starts
+    (``sequence(1, greatest(n-overlap, 1), stride)``), and per-window
+    ``slice``+``array_join`` all happen inside the task that read the row —
+    ZERO shuffles at any scale, and the chunk explosion (~n_tokens/stride
+    rows per doc) happens after scan-side filters can prune docs. The last
+    window may be shorter than ``chunk_tokens``; every token is covered.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(key_col).alias("key"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "key",
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

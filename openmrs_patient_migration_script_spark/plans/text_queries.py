@@ -222,3 +222,37 @@ def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_patient_migration_script_spark.operators.text import token_estimates
 
     return token_estimates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+               AS start,
+             generate_subscripts(
+               generate_series(1, greatest(len(toks) - 16, 1), 48), 1) - 1
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id AS key, chunk_id,
+           array_to_string(toks[start : least(start + 63, len(toks))], ' ')
+             AS chunk_text,
+           least(start + 63, len(toks)) - start + 1 AS n_chunk_tokens
+    FROM s
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: overlapping fixed-token chunking (64-token windows, 16-token
+    overlap) — the long-document context-window prep. Row-local
+    sequence+slice explosion, zero shuffles
+    (operators/text.py::chunk_documents)."""
+    from openmrs_patient_migration_script_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

@@ -62,3 +62,34 @@ def test_production_hash_defaults_agree_on_keep_set(spark):
     here (the planted near-dup is far inside any LSH threshold)."""
     out = prepare_corpus(_docs(spark)).collect()
     assert {r.key for r in out} == {1, 5}
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from openmrs_patient_migration_script_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(1, 151))  # 150 tokens
+    tiny = "a b"  # shorter than one window
+    df = spark.createDataFrame([(1, text), (2, tiny)], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["key"], []).append(r)
+    # doc 2: one short chunk, intact
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    # doc 1: stride 48 over 150 tokens -> starts 1,49,97 -> 3 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(chunks) == 3
+    # full windows except the last; every token appears; consecutive
+    # chunks share exactly `overlap` tokens
+    assert [c["n_chunk_tokens"] for c in chunks] == [64, 64, 54]
+    seen = set()
+    prev = None
+    for c in chunks:
+        toks = c["chunk_text"].split(" ")
+        assert len(toks) == c["n_chunk_tokens"]
+        if prev is not None:
+            assert prev[-16:] == toks[:16], "adjacent chunks must overlap"
+        seen.update(toks)
+        prev = toks
+    assert seen == set(text.split(" ")), "every token must be covered"
