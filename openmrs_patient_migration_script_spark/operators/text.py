@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # small fixed stopword list — shared with the DuckDB oracles, so keep in sync
 # with plans/text_queries.py if edited.
@@ -303,4 +304,42 @@ def chunk_documents(
         "chunk_id",
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    key_cols: list[str],
+    count_col: str,
+    seq_tokens: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing: assign token-counted pieces to
+    fixed-length training sequences by concat-and-split — pieces are laid
+    end-to-end in a deterministic hash order and cut every ``seq_tokens``
+    tokens (a piece may straddle a cut; the tokenizer's EOS/BOS handling
+    owns boundaries downstream). This is the standard pretraining packing
+    that wastes zero tokens, vs. first-fit bin packing which can't be
+    expressed as a parallel plan (each decision depends on every prior
+    bin's fill).
+
+    Scale shape: pieces are hashed into ``n_buckets`` independent packing
+    streams (PARTITION BY bucket — no global window, no single-partition
+    chokepoint); within a bucket one window cumsum assigns offsets. Each
+    bucket yields its own sequence ids; (bucket, seq_id) is the training
+    sequence key. One shuffle on bucket.
+    """
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    bucketed = chunks.withColumn("bucket", hash_bucket(h, n_buckets))
+    w = Window.partitionBy("bucket").orderBy(h)
+    offset = F.coalesce(
+        F.sum(count_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return bucketed.select(
+        *key_cols,
+        "bucket",
+        offset.alias("token_offset"),
+        F.floor(offset / seq_tokens).cast("long").alias("seq_id"),
     )

@@ -256,3 +256,59 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@query(
+    "text_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 16, 1), 48))
+               AS start,
+             generate_subscripts(
+               generate_series(1, greatest(len(toks) - 16, 1), 48), 1) - 1
+               AS chunk_id
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id AS key, chunk_id,
+             least(start + 63, len(toks)) - start + 1 AS n
+      FROM s
+    ),
+    h AS (
+      SELECT key, chunk_id, n,
+             md5(concat_ws(chr(31), key::VARCHAR, chunk_id::VARCHAR)) AS hv
+      FROM c
+    ),
+    b AS (
+      SELECT key, chunk_id, n, hv,
+             ('0x' || substr(md5(hv), 1, 8))::BIGINT % 32 AS bucket
+      FROM h
+    )
+    SELECT key, chunk_id, bucket,
+           CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS token_offset,
+           CAST(floor(coalesce(sum(n) OVER w, 0) / 512) AS BIGINT) AS seq_id
+    FROM b
+    WINDOW w AS (PARTITION BY bucket ORDER BY hv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e: GPT-style sequence packing — chunks laid end-to-end in
+    deterministic hash order within 32 independent packing streams, cut
+    every 512 tokens (operators/text.py::pack_sequences). One shuffle on
+    the bucket; no global window."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+    return pack_sequences(
+        chunks, ["key", "chunk_id"], "n_chunk_tokens", seq_tokens=512, n_buckets=32
+    )

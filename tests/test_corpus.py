@@ -93,3 +93,33 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
         seen.update(toks)
         prev = toks
     assert seen == set(text.split(" ")), "every token must be covered"
+
+
+def test_pack_sequences_is_deterministic_and_contiguous(spark):
+    from openmrs_patient_migration_script_spark.operators.text import pack_sequences
+
+    rows = [(i, 0, 64 if i % 3 else 54) for i in range(200)]
+    df = spark.createDataFrame(rows, "key long, chunk_id long, n long")
+    out = pack_sequences(df, ["key", "chunk_id"], "n", seq_tokens=512, n_buckets=8)
+    a = {(r["key"], r["chunk_id"]): (r["bucket"], r["token_offset"], r["seq_id"])
+         for r in out.collect()}
+    b = {(r["key"], r["chunk_id"]): (r["bucket"], r["token_offset"], r["seq_id"])
+         for r in pack_sequences(
+             df.repartition(7), ["key", "chunk_id"], "n", 512, 8
+         ).collect()}
+    assert a == b, "packing must not depend on partition layout"
+
+    # within each bucket, offsets are contiguous: sorted pieces tile the
+    # token stream with no gaps or overlaps, and seq_id = offset // 512
+    n_of = {(k, c): n for k, c, n in rows}
+    by_bucket = {}
+    for (k, c), (bucket, off, seq) in a.items():
+        assert seq == off // 512
+        by_bucket.setdefault(bucket, []).append((off, n_of[(k, c)]))
+    assert len(by_bucket) > 1
+    for pieces in by_bucket.values():
+        pieces.sort()
+        expect = 0
+        for off, n in pieces:
+            assert off == expect, "offsets must tile with no gaps"
+            expect = off + n
