@@ -282,3 +282,44 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A planted hot key (83% of the left side) must trigger AQE's
+    OptimizeSkewedJoin — the final adaptive plan marks the sort-merge join
+    skew=true (the hot partition was split across tasks). Thresholds are
+    lowered to fixture scale; at 100 TB the defaults (256 MB partition,
+    5x median) catch the same shape. This is the runtime half of the skew
+    story — the static half (salted windows) is operators/skew.py.
+    """
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+    }
+    for k in saved:
+        saved[k] = spark.conf.get(k)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("v").alias("sv"))
+        j.collect()  # AQE decides at runtime; must execute, not just plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -267,3 +267,47 @@ def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     n2 = spark.read.option("pathGlobFilter", "*.parquet").parquet(out).count()
     assert n2 == n1
     assert set(glob.glob(f"{out}/_batch_id=*")) == dirs1
+
+
+def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The default (HDFS-backed in-memory) state store holds every key in
+    executor heap — fine for fixtures, wrong for 100 TB keyspaces. The
+    bundled RocksDB provider spills state to local disk with incremental
+    checkpointing; this pins that the provider loads and produces the
+    same aggregate as batch."""
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = spark.createDataFrame(
+            [(i, f"u{i % 5}") for i in range(100)], "id long, user string"
+        )
+        src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+        stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "in"))
+        q = (
+            stream.groupBy("user")
+            .count()
+            .writeStream.format("memory")
+            .queryName("rocksdb_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["user"]: r["count"]
+            for r in spark.sql("SELECT * FROM rocksdb_counts").collect()
+        }
+        want = {
+            r["user"]: r["count"]
+            for r in src.groupBy("user").count().collect()
+        }
+        assert got == want
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
