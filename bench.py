@@ -50,6 +50,8 @@ HEADLINE = [
     "etl_pseudonymize",
     "sort_global",
     "sql_scalar_subquery",
+    # round-2 third wave: data-quality audit (the big-big FK edge join)
+    "dq_referential",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Data-quality audit operators — the pre-migration assessment and
+post-migration verification surface a migration engine needs around the
+move itself (reference scope: an automated migration implies verifying the
+data it moved, /root/reference/README.md:2; the identifier-precedence rules
+at README.md:13-15 only make sense against profiled source data).
+
+Three audits, all single-purpose DataFrame plans:
+
+- **Column profiling** (`profile_columns`): per-column null count, exact
+  distinct count, canonical min/max — one full-table pass. Multiple exact
+  COUNT(DISTINCT)s make Catalyst plan an Expand (input rows × #profiled
+  columns before partial aggregation); that is the standard exact plan and
+  fine for an offline audit. At 100 TB swap `exact_distinct=False` to
+  `approx_count_distinct`, which partial-aggregates HLL sketches with NO
+  Expand — one narrow pass at any scale.
+- **Referential integrity** (`referential_orphans`): orphaned-FK counts per
+  relation via LEFT JOIN + conditional count in a single pass per edge —
+  no separate COUNT(*) job. Parent keys are deduplicated first so a
+  dirty parent (dup PKs) can't multiply child rows and corrupt the audit.
+  Small parents (dimension tables) broadcast; big-big edges (fact→fact)
+  shuffle on the key — the honest cost of checking 100 TB of edges.
+- **Incremental extract** (`incremental_extract`): classic high-watermark
+  CDC-lite — take MAX(cursor) over the already-loaded slice, ship only
+  source rows strictly above it. The watermark is a one-row aggregate
+  broadcast into the filter (scalar-subquery shape), so the source scan
+  stays a narrow filtered pass; with the cursor as a partition/sort column
+  the filter becomes partition pruning / row-group skipping at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_str(col: Column, dtype: str) -> Column:
+    """Engine-portable string form for an aggregated min/max: floats via
+    DECIMAL(18,2) so Spark and a serial engine print identically;
+    ints/strings cast plain. Applied AFTER aggregation — min/max compare
+    native values, never lexicographic strings."""
+    if dtype == "double":
+        return col.cast("decimal(18,2)").cast("string")
+    return col.cast("string")
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """One-pass per-column profile → long form
+    (column_name, null_count, distinct_count, min_value, max_value).
+
+    One wide aggregate row (4 measures per column + one total), then an
+    in-row explode to long form — the reshape is row-local, so the whole
+    audit is a single aggregation pass whatever the column count.
+    """
+    dtypes = dict(df.dtypes)
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            distinct_fn(F.col(c)).alias(f"_dc_{c}"),
+            _canonical_str(F.min(F.col(c)), dtypes[c]).alias(f"_mn_{c}"),
+            _canonical_str(F.max(F.col(c)), dtypes[c]).alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("_total") - F.col(f"_nn_{c}")).alias("null_count"),
+                F.col(f"_dc_{c}").alias("distinct_count"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_p")).select("_p.*")
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """One relation's FK audit → a single row
+    (relation, child_rows, orphan_rows).
+
+    LEFT JOIN against the deduplicated parent key set, then one conditional
+    aggregate — child_rows and orphan_rows come out of the same pass.
+    NULL child keys count as orphans (a NULL FK can't resolve to a parent).
+    """
+    keys = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    joined = child.select(F.col(child_key).alias("_ck")).join(
+        keys, F.col("_ck") == F.col("_pk"), "left"
+    )
+    return joined.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("child_rows"),
+        F.count(F.when(F.col("_pk").isNull(), 1)).alias("orphan_rows"),
+    )
+
+
+def incremental_extract(
+    source: DataFrame, loaded_pred: Column, cursor_col: str
+) -> DataFrame:
+    """High-watermark incremental extract: rows strictly newer than the
+    MAX(cursor) of the already-loaded slice (``loaded_pred``).
+
+    The watermark aggregate is one row, cross-joined with an explicit
+    broadcast — Catalyst turns it into the same plan as a scalar subquery,
+    and the source side remains a narrow filtered scan. Re-running after
+    new loads is naturally idempotent: the watermark advances with the
+    loaded slice.
+    """
+    wm = source.filter(loaded_pred).agg(F.max(cursor_col).alias("_wm"))
+    return (
+        source.crossJoin(F.broadcast(wm))
+        .filter(F.col(cursor_col) > F.col("_wm"))
+        .drop("_wm")
+    )

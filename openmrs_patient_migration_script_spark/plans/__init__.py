@@ -18,6 +18,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     analytics_queries,
     corpus_queries,
     privacy_queries,
+    quality_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,124 @@
+"""Declared data-quality audit queries (SURVEY.md §2.11 E6-E8) — the
+assessment/verification passes around the migration itself: profile the
+source before mapping it, audit FK integrity, extract incrementally on
+re-runs (reference's idempotent-rerun concern, /root/reference/README.md:17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.quality import (
+    incremental_extract,
+    profile_columns,
+    referential_orphans,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _profile_oracle_branch(col: str, numeric: bool) -> str:
+    mn = (
+        f"CAST(CAST(min({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        if numeric
+        else f"CAST(min({col}) AS VARCHAR)"
+    )
+    mx = (
+        f"CAST(CAST(max({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        if numeric
+        else f"CAST(max({col}) AS VARCHAR)"
+    )
+    return f"""
+    SELECT '{col}' AS column_name,
+           count(*) - count({col}) AS null_count,
+           count(DISTINCT {col}) AS distinct_count,
+           {mn} AS min_value,
+           {mx} AS max_value
+    FROM customer"""
+
+
+@query(
+    "dq_profile",
+    oracle=" UNION ALL ".join(
+        _profile_oracle_branch(c, numeric=(c == "c_acctbal")) for c in _PROFILE_COLS
+    ),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: pre-migration source profile — null/distinct/min/max per column
+    of the enrollment source, one aggregation pass (operators/quality.py).
+    Exact distincts here (audit precision); `exact_distinct=False` swaps in
+    HLL sketches for the 100 TB pass without the Expand blow-up."""
+    customer = load_table(spark, sf_dir, "customer")
+    return profile_columns(customer, _PROFILE_COLS)
+
+
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           count(*) AS child_rows,
+           count(*) FILTER (WHERE p._pk IS NULL) AS orphan_rows
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) p
+      ON o_custkey = p._pk
+    UNION ALL
+    SELECT 'lineitem->orders',
+           count(*),
+           count(*) FILTER (WHERE p._pk IS NULL)
+    FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) p
+      ON l_orderkey = p._pk
+    UNION ALL
+    SELECT 'customer->nation',
+           count(*),
+           count(*) FILTER (WHERE p._pk IS NULL)
+    FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey AS _pk FROM nation) p
+      ON c_nationkey = p._pk
+    """,
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: FK-integrity audit over the star schema's three edges — each a
+    LEFT JOIN + conditional count in one pass (operators/quality.py).
+    nation broadcasts; the fact→fact edges shuffle on their keys, which is
+    the honest cost of verifying every edge at 100 TB (AQE handles the
+    skewed-key case)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        referential_orphans(orders, customer, "o_custkey", "c_custkey", "orders->customer")
+        .unionByName(
+            referential_orphans(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem->orders")
+        )
+        .unionByName(
+            referential_orphans(
+                customer, nation, "c_nationkey", "n_nationkey", "customer->nation",
+                broadcast_parent=True,
+            )
+        )
+    )
+
+
+@query(
+    "etl_incremental_watermark",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: high-watermark incremental extract — the idempotent re-run path
+    (README.md:17) when the destination already holds a prior load
+    (simulated: everything before 1996). One-row watermark aggregate
+    broadcast into a narrow filtered scan (operators/quality.py); with the
+    cursor as the partition column the filter prunes partitions outright."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    return incremental_extract(
+        orders, F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "o_orderdate"
+    )
