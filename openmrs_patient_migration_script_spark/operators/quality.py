@@ -19,6 +19,10 @@ Three audits, all single-purpose DataFrame plans:
   dirty parent (dup PKs) can't multiply child rows and corrupt the audit.
   Small parents (dimension tables) broadcast; big-big edges (fact→fact)
   shuffle on the key — the honest cost of checking 100 TB of edges.
+- **Validation rules** (`validate_rules`): named row-level predicates →
+  per-rule violation counts, all in one conditional-count aggregate pass
+  (N rules = N counters in one scan, the A8 FILTER-agg shape). NULL rule
+  results count as violations.
 - **Incremental extract** (`incremental_extract`): classic high-watermark
   CDC-lite — take MAX(cursor) over the already-loaded slice, ship only
   source rows strictly above it. The watermark is a one-row aggregate
@@ -105,6 +109,35 @@ def referential_orphans(
         F.count(F.lit(1)).alias("child_rows"),
         F.count(F.when(F.col("_pk").isNull(), 1)).alias("orphan_rows"),
     )
+
+
+def validate_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-level validation rule audit → long form
+    (rule, total_rows, violations).
+
+    ``rules`` maps rule name → boolean Column that is True when the row is
+    VALID; a violation is a row where the predicate is False **or NULL**
+    (an unevaluable rule is a dirty row, not a pass — the standard audit
+    stance). All rules evaluate in ONE pass over the table as conditional
+    counts inside a single partial-combinable aggregate; adding a rule
+    adds a counter, never a scan.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)).alias(f"_v_{i}")
+        for i, pred in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("_total").alias("total_rows"),
+                F.col(f"_v_{i}").alias("violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_p")).select("_p.*")
 
 
 def incremental_extract(

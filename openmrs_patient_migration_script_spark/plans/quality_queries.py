@@ -13,6 +13,7 @@ from openmrs_patient_migration_script_spark.operators.quality import (
     incremental_extract,
     profile_columns,
     referential_orphans,
+    validate_rules,
 )
 from openmrs_patient_migration_script_spark.plans.registry import query
 from openmrs_patient_migration_script_spark.sources import load_table
@@ -98,6 +99,44 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
                 broadcast_parent=True,
             )
         )
+    )
+
+
+_SEGMENTS = "('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')"
+
+
+@query(
+    "dq_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE NOT coalesce(c_custkey > 0, FALSE)) AS v0,
+             count(*) FILTER (WHERE NOT coalesce(c_acctbal >= 0, FALSE)) AS v1,
+             count(*) FILTER (WHERE NOT coalesce(c_mktsegment IN {_SEGMENTS}, FALSE)) AS v2,
+             count(*) FILTER (WHERE NOT coalesce(c_name LIKE 'Customer#%', FALSE)) AS v3
+      FROM customer
+    )
+    SELECT 'custkey_positive' AS rule, total AS total_rows, v0 AS violations FROM t
+    UNION ALL SELECT 'acctbal_nonnegative', total, v1 FROM t
+    UNION ALL SELECT 'mktsegment_known', total, v2 FROM t
+    UNION ALL SELECT 'name_format', total, v3 FROM t
+    """,
+)
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: validation-rule audit — named row-level predicates, all counted
+    in ONE conditional-count aggregate pass (operators/quality.py); rules
+    that evaluate to NULL count as violations. The pre-flight check the
+    reference's precedence rules (README.md:13-15) presuppose."""
+    customer = load_table(spark, sf_dir, "customer")
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return validate_rules(
+        customer,
+        {
+            "custkey_positive": F.col("c_custkey") > 0,
+            "acctbal_nonnegative": F.col("c_acctbal") >= 0,
+            "mktsegment_known": F.col("c_mktsegment").isin(segments),
+            "name_format": F.col("c_name").like("Customer#%"),
+        },
     )
 
 

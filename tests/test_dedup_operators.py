@@ -138,3 +138,29 @@ def test_salted_topk_matches_plain_window(spark):
     )
     as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
     assert as_set(got) == as_set(want)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.skew import salted_join
+
+    # hot key 0 dominates the big side; key 99 has no match (left probe)
+    big = spark.createDataFrame(
+        [(0, i) for i in range(400)] + [(1, 1000), (2, 2000), (99, 9000)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "w"])
+    as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = salted_join(big, small, ["k"], how=how, salts=8)
+        want = big.join(small, ["k"], how)
+        assert as_set(got) == as_set(want), how
+    # the salted inner plan must join on (k, _salt), not k alone
+    plan = (
+        salted_join(big, small, ["k"], salts=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "_salt" in plan

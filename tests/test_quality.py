@@ -10,6 +10,7 @@ from openmrs_patient_migration_script_spark.operators.quality import (
     incremental_extract,
     profile_columns,
     referential_orphans,
+    validate_rules,
 )
 
 
@@ -51,6 +52,35 @@ def test_referential_orphans_counts_planted_orphans(spark):
     assert row.relation == "c->p"
     assert row.child_rows == 4  # dup parent PK must NOT multiply children
     assert row.orphan_rows == 2  # fk=99 and fk=NULL
+
+
+def test_validate_rules_counts_violations_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 0.0)], "id long, v double"
+    )
+    rows = {
+        r.rule: r
+        for r in validate_rules(
+            df,
+            {"v_nonneg": F.col("v") >= 0, "id_small": F.col("id") < 10},
+        ).collect()
+    }
+    assert rows["v_nonneg"].total_rows == 4
+    assert rows["v_nonneg"].violations == 2  # -5.0 and NULL both dirty
+    assert rows["id_small"].violations == 0
+
+
+def test_validate_rules_is_single_pass(spark):
+    """N rules must stay one aggregate over one scan — no per-rule jobs."""
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    plan = (
+        validate_rules(df, {f"r{i}": F.col("v") > i for i in range(8)})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") <= 2  # partial + final, nothing more
+    assert plan.count("Range") == 1
 
 
 def test_incremental_extract_advances_with_watermark(spark):
