@@ -60,6 +60,16 @@ class Engine:
 
         return sorted(QUERIES)
 
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """Physical plan of a declared query as a string — the per-query
+        form of the tools/explain_all.py audit (modes: simple, extended,
+        codegen, cost, formatted)."""
+        df = self.query(name)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+        return df._jdf.queryExecution().explainString(jmode)
+
     # -- table maintenance (operators/layout.py) ---------------------------
 
     def compact(

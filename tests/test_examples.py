@@ -30,3 +30,10 @@ def test_corpus_pipeline():
     stdout = _run("corpus_pipeline.py")
     assert "documents in ->" in stdout
     assert "train" in stdout
+
+
+def test_quality_audit():
+    stdout = _run("quality_audit.py")
+    assert "audit: CLEAN" in stdout  # fixtures have no orphans
+    assert "acctbal_nonnegative" in stdout
+    assert "incremental plan:" in stdout

@@ -120,6 +120,9 @@ def test_engine_facade_sql_and_query_agree(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PushedFilters: [" in plan
+    # per-query plan audit surface
+    ex = eng.explain("agg_group")
+    assert "HashAggregate" in ex and "Scan parquet" in ex
 
 
 def test_kafka_option_assembly_and_value_parsing(spark):

@@ -269,6 +269,40 @@ def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     assert set(glob.glob(f"{out}/_batch_id=*")) == dirs1
 
 
+def test_restart_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill-and-restart contract: a second run against the SAME checkpoint
+    must process only files that arrived after the first run — offsets come
+    from the checkpoint, not the source listing — so the append-mode sink
+    sees every input row exactly once across restarts. This is the
+    recovery half of the exactly-once story (the idempotent-sink half is
+    test_foreachbatch_sink_is_idempotent)."""
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    schema = "id long"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    spark.range(0, 100).write.mode("append").parquet(src)
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+    spark.range(100, 150).write.mode("append").parquet(src)
+    run_once()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(150))  # b1 not reprocessed, b2 fully processed
+
+
 def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
     """The default (HDFS-backed in-memory) state store holds every key in
     executor heap — fine for fixtures, wrong for 100 TB keyspaces. The

@@ -99,6 +99,10 @@ def main() -> None:
         )
         from openmrs_patient_migration_script_spark.operators.joins import asof_join
         from openmrs_patient_migration_script_spark.operators.privacy import scrub_text
+        from openmrs_patient_migration_script_spark.operators.quality import (
+            profile_columns,
+            referential_orphans,
+        )
         from openmrs_patient_migration_script_spark.operators.similarity import (
             cosine_topk_vectorized,
         )
@@ -153,6 +157,12 @@ def main() -> None:
             ),
             "pii_scrub": scrub_text(d_k),
             "corpus_prep_pipeline": lambda: prepare_corpus(d_k),
+            "fk_audit (left join + cond agg)": referential_orphans(
+                li_k, o_k, "l_orderkey", "o_orderkey", "lineitem->orders"
+            ),
+            "profile_multi_distinct (Expand)": profile_columns(
+                o_k, ["o_custkey", "o_orderstatus", "o_totalprice"]
+            ),
         }
 
     results: dict[str, dict[int, float]] = {}
