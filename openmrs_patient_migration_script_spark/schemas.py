@@ -74,13 +74,16 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # NOTE: ts on disk is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it scans as LongType and
-    # sources/parquet.py converts to TimestampType (µs). The published
-    # schema for `events` therefore has ts: TimestampType after load.
+    # NOTE: this is the *published* (post-load) schema: ts is always a
+    # TimestampType (µs). On disk the harness has shipped `events.ts` as
+    # both TIMESTAMP(MICROS) and TIMESTAMP(NANOS) across regenerations;
+    # sources/parquet.py probes the parquet footer and pins the matching
+    # read schema (NANOS scans as LongType under
+    # spark.sql.legacy.parquet.nanosAsLong, then converts) — see
+    # events_read_schema().
     "events": _st(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),
@@ -101,3 +104,23 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 }
 
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+
+def events_read_schema(ts_unit: str) -> StructType:
+    """The pinned *read* schema for `events` given the on-disk ts unit.
+
+    ``us`` files scan straight into TimestampType; ``ns`` files scan as a
+    raw LongType epoch (spark.sql.legacy.parquet.nanosAsLong) that the
+    loader converts with exact integer division — see
+    sources/parquet.py::load_table.
+    """
+    if ts_unit == "ns":
+        return _st(
+            ("event_id", LongType()),
+            ("ts", LongType()),
+            ("user_id", LongType()),
+            ("event_type", StringType()),
+            ("value", DoubleType()),
+            ("props", StringType()),
+        )
+    return TABLE_SCHEMAS["events"]

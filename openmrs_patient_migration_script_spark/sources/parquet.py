@@ -14,24 +14,55 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmrs_patient_migration_script_spark.schemas import TABLE_SCHEMAS
+from functools import lru_cache
+
+from openmrs_patient_migration_script_spark.schemas import (
+    TABLE_SCHEMAS,
+    events_read_schema,
+)
+
+
+@lru_cache(maxsize=64)
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """On-disk time unit ('us'/'ns') of a parquet timestamp column.
+
+    Footer-only metadata probe (no data pages) on the driver, cached per
+    path — the harness has shipped `events.ts` as both TIMESTAMP(MICROS)
+    and TIMESTAMP(NANOS) across testdata regenerations, and reading one
+    as the other silently shifts every epoch by 1000x.
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        names = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet") and not n.startswith("_")
+        )
+        if not names:
+            return "us"
+        target = os.path.join(path, names[0])
+    return pq.ParquetFile(target).schema_arrow.field(column).type.unit
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = TABLE_SCHEMAS.get(name)
+    if name == "events":
+        unit = parquet_ts_unit(path)
+        df = spark.read.schema(events_read_schema(unit)).parquet(path)
+        if unit == "ns":
+            # NANOS scans as ns-since-epoch long
+            # (spark.sql.legacy.parquet.nanosAsLong). Convert with integer
+            # division — ns epochs (~1.7e18) overflow double's 53-bit
+            # mantissa, so `/ 1000` would corrupt low-order digits; `div`
+            # is exact.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(path)
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, scanned as ns-since-epoch long
-        # (spark.sql.legacy.parquet.nanosAsLong). Convert with integer
-        # division — ns epochs (~1.7e18) overflow double's 53-bit mantissa,
-        # so `/ 1000` would corrupt low-order digits; `div` is exact.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return reader.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -25,23 +25,29 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from openmrs_patient_migration_script_spark.schemas import TABLE_SCHEMAS
+from openmrs_patient_migration_script_spark.schemas import events_read_schema
+from openmrs_patient_migration_script_spark.sources.parquet import parquet_ts_unit
 
 WATERMARK = "10 minutes"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` as a file-source stream: the same TIMESTAMP(NANOS) handling
-    as the batch loader (sources/parquet.py) — nanos scanned as long,
-    converted to a µs timestamp."""
+    """`events` as a file-source stream: the same on-disk ts-unit handling
+    as the batch loader (sources/parquet.py) — µs files scan straight to
+    TimestampType; NANOS files scan as long and convert."""
+    import os
+
+    unit = parquet_ts_unit(os.path.join(sf_dir, "events.parquet"))
     # the file stream source requires a directory: scan sf_dir but admit
     # only the events file
     raw = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        spark.readStream.schema(events_read_schema(unit))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
