@@ -244,6 +244,58 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination probe: training documents sharing word
+    n-gram shingles with any held-out document.
+
+    The standard LLM-pipeline hygiene step — a benchmark answer that leaks
+    into the training mix inflates eval scores — run as two row-local
+    shingle explosions and one equi-join on the shingle:
+
+    1. distinct shingles of the eval side (small by construction: the
+       held-out set is a fraction of the corpus), deduped globally;
+    2. per-document distinct shingles of the train side;
+    3. join on shingle, count matches per training document, keep docs
+       with >= ``min_hits``.
+
+    Returns (key_col, n_eval_shingles): how many of the doc's distinct
+    shingles appear anywhere in the eval set.
+
+    Scale: the join shuffles on the shingle string. Production runs use
+    long shingles (8-13 grams) that are near-unique, so no shingle key is
+    hot; at small ``shingle_n`` common phrases become hot keys AND false
+    positives — raise ``shingle_n``/``min_hits`` together. When the eval
+    side's distinct-shingle set fits the broadcast threshold AQE converts
+    the join map-side on its own.
+    """
+    from openmrs_patient_migration_script_spark.operators.dedup import _shingles
+
+    eval_sh = evalset.select(
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        )
+    ).distinct()
+    train_sh = train.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_eval_shingles"))
+        .filter(F.col("n_eval_shingles") >= min_hits)
+    )
+
+
 # BPE-ish piece pattern: letter runs, digit runs, and single non-alnum
 # marks — the standard pre-tokenizer shape (whitespace splitting plus
 # punctuation/digit isolation) used to estimate LLM token counts without

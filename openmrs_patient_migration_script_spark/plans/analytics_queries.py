@@ -213,6 +213,55 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_decontaminate",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bkt
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM b
+    ),
+    sh AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+      FROM toks t1
+      JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+    ),
+    ev AS (
+      SELECT DISTINCT shingle FROM sh JOIN b USING (doc_id) WHERE b.bkt >= 900
+    )
+    SELECT sh.doc_id, count(*) AS n_eval_shingles
+    FROM sh JOIN b USING (doc_id) JOIN ev USING (shingle)
+    WHERE b.bkt < 900
+    GROUP BY sh.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: eval-set decontamination — training documents whose 3-gram
+    shingles collide with the held-out split (operators/text.py::
+    ngram_contamination). The split boundary is the SAME md5 hash-bucket
+    rule as `sample_split`, so the probe composes with the published
+    train/val/test assignment; val+test together form the eval side."""
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_split
+    from openmrs_patient_migration_script_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, "doc_id", {"train": 900, "val": 50, "test": 50})
+    train = split.filter(F.col("split") == "train")
+    evalset = split.filter(F.col("split") != "train")
+    return ngram_contamination(
+        train, evalset, "doc_id", "text", shingle_n=3, min_hits=2
+    )
+
+
+@query(
     "ts_resample",
     oracle="""
     WITH obs AS (

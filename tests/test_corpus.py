@@ -123,3 +123,34 @@ def test_pack_sequences_is_deterministic_and_contiguous(spark):
         for off, n in pieces:
             assert off == expect, "offsets must tile with no gaps"
             expect = off + n
+
+
+def test_ngram_contamination_flags_planted_leak(spark):
+    from openmrs_patient_migration_script_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    evalset = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # leaked: contains two distinct eval 3-grams
+            (1, "prefix words the secret benchmark answer is copied here"),
+            # clean: no 3-gram overlap with the eval doc
+            (2, "completely unrelated training text about spark shuffles"),
+            # single-shingle brush: only one eval 3-gram, below min_hits=2
+            (3, "mentions forty two exactly once in passing"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.n_eval_shingles
+        for r in ngram_contamination(
+            train, evalset, "doc_id", "text", shingle_n=3, min_hits=2
+        ).collect()
+    }
+    assert set(out) == {1}
+    # "the secret benchmark", "secret benchmark answer", "benchmark answer is"
+    assert out[1] == 3
