@@ -52,6 +52,9 @@ HEADLINE = [
     "sql_scalar_subquery",
     # round-2 third wave: data-quality audit (the big-big FK edge join)
     "dq_referential",
+    # round-2 fourth wave: SQL-surface depth + variant decode
+    "sql_lateral_topk",
+    "json_variant",
 ]
 
 

@@ -646,6 +646,35 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b: semi-structured access through Spark 4's VariantType —
+    `parse_json` decodes the payload ONCE into a binary variant, then any
+    number of `variant_get` extractions are offset lookups into that
+    encoding. `get_json_object` (json_funcs) re-parses the raw string per
+    extraction, so variant wins as soon as a payload is probed twice; at
+    100 TB the parse happens at ingest and the stored variant column
+    amortizes it to zero per query. The variant itself never crosses the
+    driver boundary — outputs are plain ints, so the DuckDB JSON oracle
+    compares exact."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("k").cast("double")), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
     "etl_uuid",
     oracle=f"""
     SELECT c_custkey AS client_id,
@@ -1224,6 +1253,66 @@ def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CTE_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1992-01-01 00:00:00' AS TIMESTAMP) AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < CAST('1998-12-01 00:00:00' AS TIMESTAMP)
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total, 0.0) AS total
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`): generate a monthly
+    calendar spine, then left-join per-month order aggregates so empty
+    months surface as zero rows — the gap-aware report shape `ts_resample`
+    solves for event data, here expressed purely in SQL. The identical
+    statement is the oracle.
+
+    Scale notes: the spine is 84 rows built driver-side by the recursion
+    (bounded by spark.sql.cteRecursionLevelLimit, default 100 — a runaway
+    anchor/step fails loudly instead of spinning); the month aggregate is
+    one partial-combined hash agg of the fact table, and the spine side of
+    the join is broadcast. Recursion here generates a DIMENSION, never
+    iterates over the fact table — the iterative-over-facts pattern
+    (connected components) stays in operators/graph.py where each round is
+    checkpoint-bounded."""
+    return _sql_query(spark, sf_dir, _RECURSIVE_SQL, ["orders"])
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    spelling of per-key top-k. Catalyst decorrelates the per-customer
+    probe into a pre-shuffle `WindowGroupLimit` (each input partition
+    prunes to k rows BEFORE the exchange) feeding one hash join — never
+    the naive per-row rescan of orders. tests/test_plan_quality.py pins
+    the rewrite (no nested-loop join in the plan). Ties break on
+    o_orderkey so the result is deterministic. The identical statement is
+    the oracle."""
+    return _sql_query(spark, sf_dir, _LATERAL_SQL, ["customer", "orders"])
 
 
 @query(

@@ -323,3 +323,29 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL LIMIT subquery must rewrite to a pre-shuffle
+    WindowGroupLimit + hash join; a nested-loop join here is the O(n*m)
+    per-row rescan that cannot survive scale."""
+    ns = nodes(plan_of(spark, "sql_lateral_topk"))
+    assert "BroadcastNestedLoopJoin" not in ns, ns
+    assert "CartesianProduct" not in ns, ns
+    assert any("WindowGroupLimit" in n for n in ns), ns
+
+
+def test_recursive_cte_aggregates_facts_once(spark):
+    """The recursion builds the 84-row calendar spine; the fact table must
+    contribute exactly one partial+final aggregation pair (one Exchange),
+    never one scan per recursion step."""
+    ns = nodes(plan_of(spark, "sql_recursive_cte"))
+    assert sum(1 for n in ns if n.startswith("Scan")) <= 1, ns
+    assert ns.count("Exchange") <= 2, ns
+
+
+def test_json_variant_single_parse(spark):
+    """parse_json must appear once in the projection (decode-once variant
+    path), with both extractions reading the same variant value."""
+    plan = plan_of(spark, "json_variant")
+    assert plan.lower().count("parse_json") <= 1, plan
