@@ -95,3 +95,55 @@ def cap_per_group(
         .filter(F.col("_rn") <= max_rows)
         .drop("_rn")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial temperature resampling across strata: keep fractions
+    chosen so the output mix follows ``p_s ∝ n_s^alpha`` (the standard
+    multilingual-LLM rebalancing rule — alpha=1 keeps the natural mix,
+    alpha→0 approaches uniform across strata; alpha<1 up-weights
+    low-resource strata *relatively* by down-sampling dominant ones).
+
+    ``target_frac`` scales the total output (0.5 = half the corpus); a
+    stratum whose target exceeds its size is kept whole (never
+    up-sampled — duplication belongs to an explicit repeat step, not a
+    sampler). Selection is content-addressed (`hash_bucket`), so the kept
+    set is reproducible across runs and partitionings, and the per-stratum
+    keep fraction is rounded to 6 decimals so the threshold arithmetic is
+    reproducible across engines (the DuckDB oracle replays it exactly).
+
+    Shuffle budget: ONE partial-combined count aggregation over the
+    corpus; the per-stratum fractions (rows = #strata) broadcast back, and
+    the keep filter is row-local. The corpus itself never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(alpha))).alias("_z"),
+        F.sum("_n").alias("_total"),
+    )
+    fractions = counts.crossJoin(F.broadcast(z)).select(
+        F.col(strata_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(target_frac) * F.col("_total") * F.pow(F.col("_n"), F.lit(alpha)) / F.col("_z"))
+                / F.col("_n"),
+            ),
+            6,
+        ).alias("_keep_frac"),
+    )
+    return (
+        df.join(F.broadcast(fractions), strata_col)
+        .filter(
+            hash_bucket(F.col(key_col), buckets)
+            < (F.col("_keep_frac") * buckets).cast("long")
+        )
+        .drop("_keep_frac")
+    )

@@ -213,6 +213,39 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM counts),
+    fr AS (
+      SELECT lang,
+             round(least(1.0, (0.5 * total * pow(n, 0.5) / z.z) / n), 6) AS f
+      FROM counts, z
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr USING (lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+          < CAST(f * 1000000 AS BIGINT)
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: temperature-based mixture resampling (p ∝ n^alpha, alpha=0.5,
+    half-corpus target) over the language strata — the multilingual
+    rebalancing step of an LLM data mix
+    (operators/sampling.py::temperature_resample). One count aggregation;
+    the per-language keep fractions broadcast back; the keep filter is
+    content-addressed and row-local, so the corpus never shuffles."""
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(
+        docs, "lang", "doc_id", alpha=0.5, target_frac=0.5
+    )
+
+
+@query(
     "text_decontaminate",
     oracle="""
     WITH b AS (

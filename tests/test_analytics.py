@@ -147,3 +147,26 @@ def test_hll_sketch_rollup_bounds_error_and_roundtrips(spark, sf_dir):
         got = {r["l_returnflag"]: r["distinct_estimate"] for r in reread.collect()}
         want = {r["l_returnflag"]: r["distinct_estimate"] for r in rolled.collect()}
         assert got == want
+
+
+def test_temperature_resample_rebalances_toward_uniform(spark):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    # dominant stratum 'en' (900 rows) vs low-resource 'sw' (100 rows)
+    rows = [(i, "en" if i < 900 else "sw") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_resample(df, "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    kept = out.groupBy("lang").count().collect()
+    frac = {r.lang: r["count"] / (900 if r.lang == "en" else 100) for r in kept}
+    # alpha<1 must keep a LARGER fraction of the low-resource stratum
+    assert frac["sw"] > frac["en"]
+    # never up-sample: kept <= stratum size, and fractions <= 1
+    assert all(f <= 1.0 for f in frac.values())
+    # content-addressed: re-running yields the identical kept set
+    again = temperature_resample(df, "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # target scale: total kept within a few % of half the corpus
+    total = sum(r["count"] for r in kept)
+    assert 400 <= total <= 600
