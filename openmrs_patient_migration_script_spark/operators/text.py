@@ -244,6 +244,37 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame
     )
 
 
+def repetition_metrics(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): distinct-token and distinct-bigram ratios per document — a
+    low ratio means the document repeats itself (boilerplate, keyword
+    stuffing, generation loops) and should be down-weighted or dropped.
+
+    Entirely row-local array arithmetic (split → zip_with bigrams →
+    array_distinct): zero shuffles at any scale, runs inside whole-stage
+    codegen on the single corpus scan. Docs with < 2 tokens report a
+    bigram ratio of 0 (no bigrams to be distinct).
+    """
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    shifted = F.slice(toks, 2, sz)
+    bi = F.filter(
+        F.zip_with(
+            toks, shifted, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(key_col),
+        F.round(F.size(F.array_distinct(toks)) / sz, 6).alias("tok_distinct_ratio"),
+        F.round(
+            F.size(F.array_distinct(bi)) / F.greatest(F.size(bi), F.lit(1)), 6
+        ).alias("bigram_distinct_ratio"),
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     evalset: DataFrame,

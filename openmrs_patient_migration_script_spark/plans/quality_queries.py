@@ -161,3 +161,48 @@ def etl_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_extract(
         orders, F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "o_orderdate"
     )
+
+
+@query(
+    "dq_anomaly",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - avg_p) / std_p, 4) AS z_score
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_orderpriority) AS avg_p,
+             stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority)
+               AS std_p
+      FROM orders
+    )
+    WHERE std_p > 0 AND abs((o_totalprice - avg_p) / std_p) > 1.5
+    """,
+)
+def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: z-score outlier audit — rows whose value sits more than
+    1.5 group standard deviations from the group mean (the numeric-anomaly
+    pass of a pre-migration audit; the threshold is a parameter — 1.5
+    exercises the tail here because the synthetic uniform-ish prices cap
+    |z| at sqrt(3), where real heavy-tailed data would use 3). One shuffle on the group key; both
+    moments come from the same unbounded window, so the fact table is
+    scanned once. At 100 TB swap the window for a tiny agg + broadcast
+    join when group cardinality is low (identical except the moments ride
+    a broadcast instead of a partition sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(z, 4).alias("z_score"),
+            F.stddev_samp("o_totalprice").over(w).alias("_std"),
+            z.alias("_z"),
+        )
+        .filter((F.col("_std") > 0) & (F.abs(F.col("_z")) > 1.5))
+        .drop("_std", "_z")
+    )

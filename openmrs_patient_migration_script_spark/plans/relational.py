@@ -731,6 +731,40 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_acctbal) OVER w AS seg_min_bal,
+           last_value(c_acctbal) OVER w AS seg_max_bal,
+           nth_value(c_acctbal, 2) OVER w AS seg_second_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3b: first/last/nth_value over an explicit full-partition frame —
+    the frame matters: the default frame ends at CURRENT ROW, which makes
+    last_value a row-identity (the classic window bug); UNBOUNDED
+    FOLLOWING gives the per-segment extreme every row sees. One shuffle on
+    the segment; ties broken on c_custkey for determinism."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_acctbal").over(w).alias("seg_min_bal"),
+        F.last("c_acctbal").over(w).alias("seg_max_bal"),
+        F.nth_value("c_acctbal", 2).over(w).alias("seg_second_bal"),
+    )
+
+
+@query(
     "win_ntile",
     oracle="""
     SELECT c_custkey, c_mktsegment,

@@ -19,6 +19,7 @@ from openmrs_patient_migration_script_spark.operators.text import (
     language_id,
     ngram_counts,
     quality_metrics,
+    repetition_metrics,
     tf_idf,
     token_counts,
 )
@@ -89,6 +90,33 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plan builds n-grams row-locally with index-aware array lambdas
     (operators/text.py::ngram_counts) — no join, one hash agg."""
     return ngram_counts(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+            FROM t),
+    bi AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+           FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+    bia AS (SELECT doc_id, count(DISTINCT bg) AS nd, count(*) AS nb
+            FROM bi GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             AS tok_distinct_ratio,
+           round(coalesce(nd, 0)::DOUBLE / greatest(coalesce(nb, 0), 1), 6)
+             AS bigram_distinct_ratio
+    FROM t LEFT JOIN bia USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c: repetition-based quality ratios (distinct-token /
+    distinct-bigram fractions, the Gopher filter family) —
+    operators/text.py::repetition_metrics. The oracle needs a positional
+    self-join + two aggregations; the Spark plan is row-local array
+    arithmetic on the single scan, zero shuffles."""
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
 @query(
