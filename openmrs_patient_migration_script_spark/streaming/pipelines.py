@@ -178,6 +178,22 @@ def interval_join_streams(
     return joined.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """ST7: stream-static enrichment join — each micro-batch of the event
+    stream joins the (bounded, batch) dimension table.
+
+    Unlike stream-stream joins this holds NO join state at all: the static
+    side is just re-planned per micro-batch, and with a broadcast-sized
+    dimension every batch is a map-side hash join (the plan the test
+    pins). The static side is re-resolved per batch, so a dimension
+    REWRITTEN in place (e.g. a compacted parquet dir) picks up new files
+    without a restart — the standard slowly-refreshing-lookup pattern; for
+    versioned dims a restart or Delta/Iceberg source gives snapshot
+    isolation. Left join keeps events whose key has no dimension row yet
+    (late-arriving dimension data must not drop facts)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stateful_user_totals_tws(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     """ST5b: the same running per-user totals on Spark 4's
     transformWithStateInPandas — the successor API to

@@ -345,3 +345,41 @@ def test_streaming_agg_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+
+
+def test_stream_static_enrichment_matches_batch_and_holds_no_state(spark):
+    """ST7: per-micro-batch join against a static broadcast dim — result
+    parity with the batch twin, zero stateful operators (nothing buffers
+    across batches), and facts with no dim row survive (left join)."""
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        enrich_stream,
+    )
+
+    dim = (
+        load_table(spark, SF, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .filter(F.col("user_id") % 2 == 0)  # force unmatched keys
+    )
+    stream = enrich_stream(
+        read_events_stream(spark, SF).select("event_id", "user_id", "value"), dim
+    )
+    name = "mem_enrich_" + __import__("uuid").uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    assert progress and all(not p["stateOperators"] for p in progress)
+
+    batch = enrich_stream(
+        load_table(spark, SF, "events").select("event_id", "user_id", "value"), dim
+    )
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    got = _rows(spark.table(name), cols)
+    assert got == _rows(batch, cols)
+    # left-join semantics: odd user_ids enriched with NULL, not dropped
+    assert any(r[2] is None for r in got)
