@@ -42,6 +42,40 @@ def main() -> None:
     for r in summary:
         print(f"  {r.split:5s}: {r.docs:6d} docs, avg quality {r.avg_quality}")
 
+    # post-split hygiene: repetition filter, eval-set decontamination,
+    # and temperature rebalancing of the training mix
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        temperature_resample,
+    )
+    from openmrs_patient_migration_script_spark.operators.text import (
+        ngram_contamination,
+        repetition_metrics,
+    )
+
+    kept = out.join(docs.select(F.col("doc_id").alias("key"), "text"), "key")
+    rep = repetition_metrics(kept, "key", "text").filter(
+        F.col("tok_distinct_ratio") >= 0.2
+    )
+    kept = kept.join(rep.select("key"), "key", "left_semi")
+
+    train = kept.filter(F.col("split") == "train")
+    evalset = kept.filter(F.col("split") != "train")
+    # synthetic docs draw from a tiny vocabulary, so short shingles
+    # collide by chance — use longer shingles + a higher hit floor (real
+    # corpora use 8-13 gram exact-match for the same reason)
+    leaked = ngram_contamination(train, evalset, "key", "text", shingle_n=4, min_hits=2)
+    clean_train = train.join(leaked.select("key"), "key", "left_anti")
+    print(
+        f"repetition filter kept {kept.count()}; decontamination dropped "
+        f"{leaked.count()} leaked train docs -> {clean_train.count()} train"
+    )
+
+    mix = temperature_resample(
+        clean_train, "predicted_lang", "key", alpha=0.5, target_frac=0.5
+    )
+    for r in mix.groupBy("predicted_lang").count().orderBy("predicted_lang").collect():
+        print(f"  final mix {r.predicted_lang}: {r['count']} docs")
+
 
 if __name__ == "__main__":
     main()
