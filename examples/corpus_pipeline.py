@@ -56,14 +56,20 @@ def main() -> None:
     rep = repetition_metrics(kept, "key", "text").filter(
         F.col("tok_distinct_ratio") >= 0.2
     )
-    kept = kept.join(rep.select("key"), "key", "left_semi")
+    # several counts + the anti-join + the resample all consume this —
+    # materialize once (same pattern prepare_corpus uses for survivors)
+    kept = kept.join(rep.select("key"), "key", "left_semi").localCheckpoint(
+        eager=True
+    )
 
     train = kept.filter(F.col("split") == "train")
     evalset = kept.filter(F.col("split") != "train")
     # synthetic docs draw from a tiny vocabulary, so short shingles
     # collide by chance — use longer shingles + a higher hit floor (real
     # corpora use 8-13 gram exact-match for the same reason)
-    leaked = ngram_contamination(train, evalset, "key", "text", shingle_n=4, min_hits=2)
+    leaked = ngram_contamination(
+        train, evalset, "key", "text", shingle_n=4, min_hits=2
+    ).localCheckpoint(eager=True)
     clean_train = train.join(leaked.select("key"), "key", "left_anti")
     print(
         f"repetition filter kept {kept.count()}; decontamination dropped "

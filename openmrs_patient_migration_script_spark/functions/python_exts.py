@@ -27,22 +27,32 @@ The reference's per-row Python transforms (inf from
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType
+
+from openmrs_patient_migration_script_spark.operators.text import STOPWORDS
+
+_STOPSET = frozenset(STOPWORDS)
 
 
 @pandas_udf(DoubleType())
 def vectorized_quality_score(text: pd.Series) -> pd.Series:
-    """Arrow-batched scalar: a NumPy re-expression of the engine's
-    expression-level quality score (operators/text.py::quality_exprs) —
-    kept numerically aligned so tests can compare the two paths."""
-    toks = text.str.split(" ")
-    n_tokens = toks.str.len().clip(lower=1)
-    length_score = (n_tokens / 100.0).clip(upper=1.0)
-    stop = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
-    stop_ratio = toks.map(lambda ts: sum(t in stop for t in ts)) / n_tokens
-    return (length_score * (1.0 - stop_ratio.round(6))).round(6)
+    """Arrow-batched scalar: a pandas re-expression of the engine's
+    expression-level quality score, numerically aligned with
+    operators/text.py::quality_exprs token for token — same STOPWORDS,
+    same lowercasing, same empty-token filtering, and the same edge
+    semantics (NULL text → 0.0, token-less text → NULL) — so tests can
+    compare the two paths value-for-value on any corpus."""
+    toks = text.fillna("").str.lower().str.split(" ").map(
+        lambda ts: [t for t in ts if t]
+    )
+    n = toks.str.len().astype("float64")
+    stop_cnt = toks.map(lambda ts: sum(t in _STOPSET for t in ts))
+    stop_ratio = (stop_cnt / n).round(6)
+    score = ((n / 100.0).clip(upper=1.0) * (1.0 - stop_ratio)).round(6)
+    score[n == 0] = float("nan")  # no tokens → NULL, like the builtin
+    score[text.isna()] = 0.0  # builtin yields 0.0 for NULL text
+    return score
 
 
 @pandas_udf(DoubleType())
@@ -65,6 +75,8 @@ class ChunkSpans:
     once registered via ``spark.udtf.register``."""
 
     def eval(self, text: str, size: int):
+        if size is None or size <= 0:
+            raise ValueError(f"chunk_spans: size must be a positive int, got {size}")
         if not text:
             return
         toks = text.split(" ")
@@ -86,7 +98,3 @@ __all__ = [
     "vectorized_quality_score",
     "weighted_mean",
 ]
-
-# referenced to keep the import explicit for readers; F is part of the
-# documented usage (mixing built-ins with the escape hatches)
-_ = F

@@ -139,11 +139,17 @@ def temperature_resample(
             6,
         ).alias("_keep_frac"),
     )
+    # round-then-cast: `_keep_frac * buckets` can land a hair below the
+    # intended integer (round(249/1e6, 6) * 1e6 = 248.99999999999997), and
+    # a bare cast("long") TRUNCATES while DuckDB's CAST ROUNDS — a
+    # one-bucket threshold disagreement that breaks oracle parity for any
+    # stratum whose boundary bucket is populated. Rounding to the integer
+    # first makes both engines agree exactly.
     return (
         df.join(F.broadcast(fractions), strata_col)
         .filter(
             hash_bucket(F.col(key_col), buckets)
-            < (F.col("_keep_frac") * buckets).cast("long")
+            < F.round(F.col("_keep_frac") * buckets, 0).cast("long")
         )
         .drop("_keep_frac")
     )

@@ -266,12 +266,22 @@ def repetition_metrics(
         ),
         lambda x: x.isNotNull(),
     )
+    # NULL text: size(NULL) is -1 under non-ANSI legacy semantics, which
+    # would silently yield ratios of 1.0 / -1.0 (a NULL doc scoring as
+    # "perfectly diverse"); gate explicitly to the oracle's semantics —
+    # NULL token ratio, 0.0 bigram ratio.
+    notnull = F.col(text_col).isNotNull()
     return df.select(
         F.col(key_col),
-        F.round(F.size(F.array_distinct(toks)) / sz, 6).alias("tok_distinct_ratio"),
-        F.round(
-            F.size(F.array_distinct(bi)) / F.greatest(F.size(bi), F.lit(1)), 6
-        ).alias("bigram_distinct_ratio"),
+        F.when(
+            notnull, F.round(F.size(F.array_distinct(toks)) / sz, 6)
+        ).alias("tok_distinct_ratio"),
+        F.when(
+            notnull,
+            F.round(F.size(F.array_distinct(bi)) / F.greatest(F.size(bi), F.lit(1)), 6),
+        )
+        .otherwise(0.0)
+        .alias("bigram_distinct_ratio"),
     )
 
 

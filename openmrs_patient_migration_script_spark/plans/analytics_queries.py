@@ -225,7 +225,7 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang
     FROM documents d JOIN fr USING (lang)
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
-          < CAST(f * 1000000 AS BIGINT)
+          < CAST(round(f * 1000000, 0) AS BIGINT)
     """,
 )
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

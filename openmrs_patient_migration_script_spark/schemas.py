@@ -115,12 +115,13 @@ def events_read_schema(ts_unit: str) -> StructType:
     sources/parquet.py::load_table.
     """
     if ts_unit == "ns":
-        return _st(
-            ("event_id", LongType()),
-            ("ts", LongType()),
-            ("user_id", LongType()),
-            ("event_type", StringType()),
-            ("value", DoubleType()),
-            ("props", StringType()),
+        # derive from the published schema with only ts swapped, so a
+        # column added to TABLE_SCHEMAS["events"] can't silently go
+        # missing from the ns read path
+        return StructType(
+            [
+                StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
         )
     return TABLE_SCHEMAS["events"]

@@ -74,6 +74,8 @@ class _EnrollmentReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 4))
 
     def partitions(self) -> list[_IdRange]:
+        if self.rows <= 0:  # a legitimate empty extract
+            return [_IdRange(0, 0)]
         n = max(1, self.num_partitions)
         step = -(-self.rows // n)  # ceil-div: last slice may be short
         return [

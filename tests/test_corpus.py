@@ -154,3 +154,22 @@ def test_ngram_contamination_flags_planted_leak(spark):
     assert set(out) == {1}
     # "the secret benchmark", "secret benchmark answer", "benchmark answer is"
     assert out[1] == 3
+
+
+def test_repetition_metrics_null_text_matches_oracle_semantics(spark):
+    from openmrs_patient_migration_script_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a a a"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    # NULL text: NULL token ratio, 0.0 bigram ratio (DuckDB oracle parity)
+    assert got[1].tok_distinct_ratio is None
+    assert got[1].bigram_distinct_ratio == 0.0
+    # repeated doc: low token diversity
+    assert abs(got[3].tok_distinct_ratio - 1 / 3) < 1e-6
+    # single-token doc: no bigrams -> ratio 0
+    assert got[4].bigram_distinct_ratio == 0.0

@@ -27,6 +27,36 @@ def test_vectorized_scalar_matches_builtin_quality_score(spark):
     assert bad.count() == 0, bad.limit(5).collect()
 
 
+def test_vectorized_scalar_matches_builtin_on_edge_cases(spark):
+    """The cases the harness corpus never exercises: NULL text, empty
+    text, uppercase stopwords, double spaces, stopword-only docs — the
+    two paths must still agree (including NULL vs NULL)."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "THE The the"),
+            (5, "of and  in to is"),
+            (6, "Zebra quick FOX jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    jvm = {r.doc_id: r.quality_score for r in quality_metrics(docs).collect()}
+    py = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", vectorized_quality_score("text").alias("q")
+        ).collect()
+    }
+    assert set(jvm) == set(py)
+    for k in jvm:
+        if jvm[k] is None:
+            assert py[k] is None, (k, py[k])
+        else:
+            assert py[k] is not None and abs(jvm[k] - py[k]) < 1e-9, (k, jvm[k], py[k])
+
+
 def test_pandas_udaf_weighted_mean(spark):
     df = spark.createDataFrame(
         [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 2.0), ("b", 20.0, 0.0)],
@@ -71,3 +101,16 @@ def test_udtf_chunk_spans_via_sql_lateral(spark):
 def test_udtf_direct_invocation(spark):
     out = ChunkSpans(F.lit("p q r"), F.lit(2)).collect()
     assert [(r.start, r.piece) for r in out] == [(0, "p q"), (2, "r")]
+
+
+def test_udtf_rejects_nonpositive_size(spark):
+    register_python_exts(spark)
+    spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]).createOrReplaceTempView(
+        "udtf_docs_bad"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="size must be a positive int"):
+        spark.sql(
+            "SELECT * FROM udtf_docs_bad, LATERAL chunk_spans(text, 0)"
+        ).collect()

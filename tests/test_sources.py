@@ -132,3 +132,7 @@ class TestPythonDataSource:
         rows = out.collect()
         assert len(rows) == 200
         assert all(r.identifier is not None for r in rows)
+
+    def test_zero_rows_yields_empty_frame(self, spark):
+        df = self._read(spark, rows=0, parts=4)
+        assert df.count() == 0
