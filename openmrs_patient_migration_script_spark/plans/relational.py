@@ -1289,6 +1289,58 @@ def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CTE_SQL)
 
 
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4)
+    — each region's nation names joined in deterministic order. Listagg
+    buffers and sorts the whole group, so it belongs ONLY on
+    bounded-cardinality groups like this dimension rollup; for unbounded
+    groups the engine pattern is top-k first (O2/O3), then concat the
+    bounded survivors."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        )
+    )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: heavy hitters via the approx_top_k sketch (Spark 4.1) —
+    ONE bounded-memory, partial-combinable sketch per partition instead
+    of a full-cardinality groupBy: the shuffle carries fixed-size sketch
+    state however many distinct items exist, which is the point at 100 TB
+    (a trending-items pass over a high-cardinality column). At the
+    fixture's 5-type cardinality the sketch tracks every item exactly, so
+    the exact GROUP BY oracle hash-matches; past maxItemsTracked the
+    counts become approximate (documented trade)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_topk_src")
+    return spark.sql(
+        """
+        SELECT t.item AS item, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 10)) AS t
+              FROM events_topk_src)
+        """
+    )
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE months(m) AS (
   SELECT CAST('1992-01-01 00:00:00' AS TIMESTAMP) AS m
