@@ -295,6 +295,50 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           count(*) AS n_obs
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15b: OHLC downsampling bars — open/high/low/close per key and
+    hour, the standard lossy compaction of a tick stream before charting
+    or feature extraction. Pure reduction: ONE partial-combinable
+    aggregation (min_by/max_by carry (value, orderkey) pairs map-side),
+    no window — the window formulation would shuffle full rows and rank
+    every partition. The struct tie-break key (ts, event_id) makes both
+    engines pick the same row; it also makes Spark plan partial+final
+    SortAggregate instead of a hash agg (struct comparisons are
+    sort-based) — still one shuffle carrying only the per-bucket pairs."""
+    e = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(F.min_by("value", order_key), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", order_key), 6).alias("close"),
+        F.count("*").alias("n_obs"),
+    )
+
+
+@query(
     "ts_resample",
     oracle="""
     WITH obs AS (
