@@ -1290,6 +1290,35 @@ def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: statically salted equi-join (operators/skew.py::salted_join) —
+    the pre-AQE skew lever: the big side's rows scatter over (key, salt)
+    so one hot customer can't pin a whole task, the small side replicates
+    once per salt. The oracle is the PLAIN join: the hash check is the
+    proof that salting is row-identical to the unsalted join. Use only
+    when AQE's runtime skew split can't apply (shuffled-hash stage, AQE
+    off, or the salted partitioning feeds the next stage)."""
+    from openmrs_patient_migration_script_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return salted_join(o, c, on=["o_custkey"], how="inner", salts=8)
+
+
+@query(
     "agg_listagg",
     oracle="""
     SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
