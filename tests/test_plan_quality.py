@@ -349,3 +349,13 @@ def test_json_variant_single_parse(spark):
     path), with both extractions reading the same variant value."""
     plan = plan_of(spark, "json_variant")
     assert plan.lower().count("parse_json") <= 1, plan
+
+
+def test_salted_join_stays_hash_join_with_salt_explosion(spark):
+    """The salted join must remain an equi hash join on (key, salt) with
+    the small side exploded (Generate) — a nested-loop or cartesian here
+    would mean the salt column broke the equi-join condition."""
+    ns = nodes(plan_of(spark, "join_salted"))
+    assert "BroadcastNestedLoopJoin" not in ns and "CartesianProduct" not in ns, ns
+    assert "Generate" in ns, ns  # per-salt replication of the small side
+    assert any("HashJoin" in n or n == "SortMergeJoin" for n in ns), ns
