@@ -28,7 +28,6 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._registered = False
 
     @classmethod
     def local(cls, sf_dir: str, app_name: str = "openmrs-spark-engine") -> "Engine":
@@ -42,11 +41,13 @@ class Engine:
         scans — filters in SQL still push down to parquet)."""
         for name in TABLE_NAMES:
             self.table(name).createOrReplaceTempView(name)
-        self._registered = True
 
     def sql(self, statement: str) -> DataFrame:
-        if not self._registered:
-            self.register_tables()
+        # re-register per call: temp views live on the SHARED SparkSession,
+        # so a "registered once" flag would serve another Engine's sf_dir
+        # after two engines interleave. Registration is driver-side
+        # metadata (lazy scans) — re-doing it costs microseconds.
+        self.register_tables()
         return self.spark.sql(statement)
 
     def query(self, name: str) -> DataFrame:

@@ -183,6 +183,12 @@ def minhash_candidate_pairs(
     bucket self-join derive from it, so without it the expensive
     shingle-explode + minhash aggregation runs TWICE.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop signature rows "
+            "and change the (rows, bands) recall trade the caller tuned"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash

@@ -302,9 +302,14 @@ def merge_upsert(
         F.col(key).alias("_sk"), *[F.col(c).alias(f"_s_{c}") for c in payload_cols]
     )
     j = s.join(t, s["_sk"] == t["_tk"], "full_outer")
+    # null-SAFE comparison: a bare != returns NULL when either side is
+    # NULL, which would route NULL↔value transitions to 'unchanged' —
+    # wrong provenance AND (via a value coalesce) a silently dropped
+    # explicit-NULL upsert. Matched rows take the SOURCE value outright
+    # (MERGE ... UPDATE SET c = s.c semantics, NULLs included).
     changed = None
     for c in payload_cols:
-        ne = F.col(f"_s_{c}") != F.col(f"_t_{c}")
+        ne = ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}"))
         changed = ne if changed is None else (changed | ne)
     action = (
         F.when(F.col("_tk").isNull(), F.lit("inserted"))
@@ -314,6 +319,11 @@ def merge_upsert(
     )
     return j.select(
         F.coalesce("_sk", "_tk").alias(key),
-        *[F.coalesce(f"_s_{c}", f"_t_{c}").alias(c) for c in payload_cols],
+        *[
+            F.when(F.col("_sk").isNotNull(), F.col(f"_s_{c}"))
+            .otherwise(F.col(f"_t_{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
         action.alias("merge_action"),
     )

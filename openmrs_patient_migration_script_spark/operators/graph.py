@@ -86,6 +86,16 @@ def connected_components(
         labels = upd.select("node", "cluster")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some
+        # component's diameter exceeds the round budget — returning the
+        # partial labels would silently split that component (dedup would
+        # keep several "representatives" of one duplicate cluster)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to Small-Star/Large-Star for high-diameter graphs"
+        )
     return labels
 
 

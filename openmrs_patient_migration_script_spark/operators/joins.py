@@ -47,6 +47,12 @@ def asof_join(
     if right_id is not None and right_id not in right_payload:
         raise ValueError("right_id must be one of right_payload")
     carried = [payload_prefix + c for c in right_payload]
+    clobbered = set(carried) & set(left.columns)
+    if clobbered:
+        raise ValueError(
+            f"carried payload columns {sorted(clobbered)} collide with left "
+            "columns and would silently overwrite them — set payload_prefix"
+        )
     r_dtypes = dict(right.dtypes)
 
     l_tag = left.withColumn("_side", F.lit(1))

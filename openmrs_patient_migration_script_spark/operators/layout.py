@@ -101,10 +101,14 @@ def compact_table(
     column would scatter every directory across every task and regenerate
     the small-file problem being fixed).
 
-    The rewrite stages into ``<path>__compact_tmp`` and swaps via rename —
-    a reader never observes a half-written table. On object stores the
-    swap is the transactional-commit step a table format (Iceberg/Delta)
-    would own; the sizing and clustering logic stays the same.
+    The rewrite stages into ``<path>__compact_tmp``, renames the old table
+    aside, promotes the staged copy, then deletes the old data — a reader
+    never observes a HALF-WRITTEN table, and no point in the sequence can
+    lose data (a crash between the two renames leaves the table briefly
+    absent but fully recoverable from ``<path>__compact_old``). True
+    atomic swap is the transactional-commit step a table format
+    (Iceberg/Delta) or a metastore owns; the sizing and clustering logic
+    stays the same.
     """
     files_before, total_bytes = table_file_stats(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -122,9 +126,17 @@ def compact_table(
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    # rename-aside, promote, then delete: the old data survives every
+    # crash point (delete-then-rename would lose the table if the driver
+    # died between the two calls)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    if fs.exists(old):  # debris from a previous crashed run
+        fs.delete(old, True)
+    fs.rename(jpath, old)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    fs.delete(old, True)
 
     files_after, _ = table_file_stats(spark, path)
     return files_before, files_after
@@ -174,6 +186,8 @@ def zorder_by(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:  # empty table or all-NULL key column
+        return df  # nothing to cluster; a no-op beats float(None) crashing
     max_code = (1 << bits) - 1
 
     def scaled(c, lo, hi):

@@ -151,10 +151,15 @@ def incremental_extract(
     and the source side remains a narrow filtered scan. Re-running after
     new loads is naturally idempotent: the watermark advances with the
     loaded slice.
+
+    Bootstrap case: an EMPTY loaded slice aggregates to a NULL watermark,
+    and a bare ``cursor > NULL`` would silently ship nothing forever (the
+    watermark could then never advance). A NULL watermark instead means
+    "nothing loaded yet" → full initial load.
     """
     wm = source.filter(loaded_pred).agg(F.max(cursor_col).alias("_wm"))
     return (
         source.crossJoin(F.broadcast(wm))
-        .filter(F.col(cursor_col) > F.col("_wm"))
+        .filter(F.col("_wm").isNull() | (F.col(cursor_col) > F.col("_wm")))
         .drop("_wm")
     )

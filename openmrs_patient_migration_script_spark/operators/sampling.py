@@ -63,7 +63,9 @@ def hash_split(
 ) -> DataFrame:
     """Assign every row to a named split by hash-bucket range, e.g.
     ``{"train": 900, "val": 50, "test": 50}`` (per-mille widths summing to
-    <= buckets). Content-addressed like `stratified_hash_sample`: the same
+    <= buckets; buckets beyond the widths land in an explicit "holdout"
+    split — never NULL, so a `split != 'train'` filter can't silently
+    drop them). Content-addressed like `stratified_hash_sample`: the same
     key lands in the same split on every run, any partitioning, and across
     TABLES — so features and labels computed in separate jobs can never
     leak across the train/test boundary."""
@@ -76,7 +78,7 @@ def hash_split(
         cond = (bucket >= edge) & (bucket < edge + width)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         edge += width
-    return df.withColumn("split", expr)
+    return df.withColumn("split", expr.otherwise("holdout"))
 
 
 def cap_per_group(

@@ -243,10 +243,12 @@ def etl_scd2_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     source AS (SELECT c_custkey AS client_id, c_acctbal AS acctbal FROM customer)
     SELECT coalesce(source.client_id, target.client_id) AS client_id,
-           coalesce(source.acctbal, target.acctbal) AS acctbal,
+           CASE WHEN source.client_id IS NOT NULL THEN source.acctbal
+                ELSE target.acctbal END AS acctbal,
            CASE WHEN target.client_id IS NULL THEN 'inserted'
                 WHEN source.client_id IS NULL THEN 'kept'
-                WHEN source.acctbal <> target.acctbal THEN 'updated'
+                WHEN source.acctbal IS DISTINCT FROM target.acctbal
+                  THEN 'updated'
                 ELSE 'unchanged' END AS merge_action
     FROM source FULL OUTER JOIN target ON source.client_id = target.client_id
     """,

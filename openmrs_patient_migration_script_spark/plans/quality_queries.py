@@ -145,7 +145,9 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
     FROM orders
-    WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+    WHERE (SELECT max(o_orderdate) FROM orders
+           WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') IS NULL
+       OR o_orderdate > (SELECT max(o_orderdate) FROM orders
                          WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
     """,
 )

@@ -253,10 +253,16 @@ def write_stream_idempotent(
     Spark's foreachBatch gives at-least-once delivery: after a crash
     between sink write and checkpoint commit, the SAME (batchId, data) is
     replayed. Writing each micro-batch under ``_batch_id=<id>`` and
-    skipping ids that already exist on disk makes the replay a no-op, so
-    the sink converges to exactly-once — the standard recipe when the
-    target isn't a transactional table format. (With Delta/Iceberg the
-    ``txnAppId``/``txnVersion`` options replace the directory probe.)
+    skipping ids that are already COMPLETE on disk makes the replay a
+    no-op, so the sink converges to exactly-once — the standard recipe
+    when the target isn't a transactional table format. (With
+    Delta/Iceberg the ``txnAppId``/``txnVersion`` options replace the
+    marker probe.)
+
+    Completeness means the ``_SUCCESS`` marker, not the directory: a
+    crash mid-write leaves the directory present but incomplete, and a
+    bare existence probe would freeze that half-written batch forever.
+    Incomplete directories are rewritten with mode=overwrite on replay.
 
     Returns the started StreamingQuery; callers own awaitTermination.
     """
@@ -264,8 +270,8 @@ def write_stream_idempotent(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         target = os.path.join(out_dir, f"_batch_id={batch_id}")
-        if os.path.exists(target):  # replayed batch → already durable
-            return
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch → already durable AND complete
         batch_df.write.mode("overwrite").parquet(target)
 
     writer = (

@@ -170,3 +170,14 @@ def test_temperature_resample_rebalances_toward_uniform(spark):
     # target scale: total kept within a few % of half the corpus
     total = sum(r["count"] for r in kept)
     assert 400 <= total <= 600
+
+
+def test_hash_split_remainder_goes_to_holdout_not_null(spark):
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    out = hash_split(df, "k", {"train": 500, "val": 100})  # 400 buckets spare
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert None not in counts
+    assert counts.get("holdout", 0) > 0
+    assert sum(counts.values()) == 500

@@ -161,3 +161,23 @@ def test_scd2_delta_agrees_with_merge_upsert(spark, sf_dir):
     # the source covers every key, so nothing closes in merge terms; the
     # delta's 'close' set must be empty too for this fixture
     assert not delta_by_action.get("close")
+
+
+def test_merge_upsert_null_transitions(spark):
+    """NULL↔value transitions must be 'updated' with the SOURCE value
+    winning (including explicit NULL upserts) — the null-unsafe != trap."""
+    from openmrs_patient_migration_script_spark.operators.etl import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 7.0)], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(1, 50.0), (2, None), (3, 7.0)], ["k", "v"]
+    )
+    got = {
+        r.k: (r.v, r.merge_action)
+        for r in merge_upsert(target, source, "k", ["v"]).collect()
+    }
+    assert got[1] == (50.0, "updated")  # NULL -> value
+    assert got[2] == (None, "updated")  # explicit NULL upsert wins
+    assert got[3] == (7.0, "unchanged")

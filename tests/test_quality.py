@@ -93,3 +93,17 @@ def test_incremental_extract_advances_with_watermark(spark):
     # simulate the next run: everything below 8 is now loaded
     second = incremental_extract(df, F.col("cursor") < 8, "cursor")
     assert sorted(r.id for r in second.collect()) == [8, 9]
+
+
+def test_incremental_extract_bootstraps_on_empty_loaded_slice(spark):
+    """An empty already-loaded slice means 'nothing loaded yet' — the
+    extract must ship the FULL source (NULL watermark), not zero rows."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        incremental_extract,
+    )
+
+    src = spark.createDataFrame([(1, 10), (2, 20)], ["id", "cursor"])
+    out = incremental_extract(src, F.lit(False), "cursor")
+    assert out.count() == 2

@@ -383,3 +383,28 @@ def test_stream_static_enrichment_matches_batch_and_holds_no_state(spark):
     assert got == _rows(batch, cols)
     # left-join semantics: odd user_ids enriched with NULL, not dropped
     assert any(r[2] is None for r in got)
+
+
+def test_foreachbatch_rewrites_incomplete_batch_dirs(spark, tmp_path):
+    """A batch directory without _SUCCESS is a crashed half-write — replay
+    must REWRITE it, not freeze it forever (the bare-existence-probe trap)."""
+    import os
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        write_stream_idempotent,
+    )
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # plant a half-written batch 0: directory exists, no _SUCCESS
+    half = os.path.join(out_dir, "_batch_id=0")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-stale.parquet"), "w") as f:
+        f.write("debris")
+
+    stream = read_events_stream(spark, SF).select("event_id", "user_id")
+    q = write_stream_idempotent(stream, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(half, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(half, "part-stale.parquet"))
+    n = spark.read.parquet(os.path.join(out_dir, "_batch_id=0")).count()
+    assert n == load_table(spark, SF, "events").count()
