@@ -203,3 +203,51 @@ def test_resample_ffill_matches_naive_reference(spark, ev):
             want[(k, b)] = (cur, observed)
             b += timedelta(hours=1)
     assert got == want
+
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # value
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(_merge_rows, _merge_rows)
+def test_merge_upsert_matches_naive_reference(spark, tgt, src):
+    """merge_upsert == the dict-based MERGE reference under arbitrary NULL
+    patterns: matched rows take the source value (NULLs included), and
+    provenance is keyed on null-safe difference."""
+    from openmrs_patient_migration_script_spark.operators.etl import merge_upsert
+
+    schema = "k int, v double"
+    target = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in tgt], schema
+    )
+    source = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in src], schema
+    )
+    got = {
+        r.k: (r.v, r.merge_action)
+        for r in merge_upsert(target, source, "k", ["v"]).collect()
+    }
+
+    t, s = dict(tgt), dict(src)
+    expect = {}
+    for k in set(t) | set(s):
+        if k not in t:
+            expect[k] = (s[k], "inserted")
+        elif k not in s:
+            expect[k] = (t[k], "kept")
+        elif s[k] != t[k]:  # python != is null-safe for None
+            expect[k] = (s[k], "updated")
+        else:
+            expect[k] = (s[k], "unchanged")
+    norm = lambda d: {  # noqa: E731
+        k: (None if v is None else float(v), a) for k, (v, a) in d.items()
+    }
+    assert norm(got) == norm(expect)
