@@ -458,3 +458,29 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed vector mean per label, in LONG form (label, dim,
+    centroid, n_vectors) — the k-means update step / class-centroid /
+    IVF-training primitive over an embedding column.
+
+    posexplode turns each vector into (dim, value) rows so the mean is ONE
+    partial-combinable hash agg keyed on (label, dim) — the shuffle
+    carries two longs and a double per element, never whole vectors, and
+    no executor ever holds more than its hash-map slice (element-wise
+    `F.aggregate` over collected arrays would concentrate each label's
+    vectors on one task). Long form also keeps the oracle trivial;
+    reassemble with array_agg ordered by dim where a vector shape is
+    needed.
+    """
+    return (
+        emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

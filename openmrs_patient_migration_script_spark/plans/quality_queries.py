@@ -208,3 +208,40 @@ def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_std") > 0) & (F.abs(F.col("_z")) > 1.5))
         .drop("_std", "_z")
     )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH now_ref AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type, max(ts) AS last_seen,
+           (epoch_ms(now_ts) - epoch_ms(max(ts))) // 60000 AS minutes_stale,
+           count(*) AS n_events
+    FROM events, now_ref
+    GROUP BY event_type, now_ts
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: per-slice freshness audit — how stale is each event stream
+    relative to the newest datum anywhere (the deterministic stand-in for
+    wall-clock "now", so the oracle replays exactly). Integer millisecond
+    arithmetic both sides; one partial-combined agg plus a one-row
+    broadcast, the same scalar-subquery shape as the watermark extract."""
+    e = load_table(spark, sf_dir, "events")
+    now_ref = e.agg(F.max("ts").alias("now_ts"))
+    return (
+        e.crossJoin(F.broadcast(now_ref))
+        .groupBy("event_type", "now_ts")
+        .agg(
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "last_seen",
+            (
+                (F.unix_millis("now_ts") - F.unix_millis("last_seen")) / 60000
+            ).cast("long").alias("minutes_stale"),
+            "n_events",
+        )
+    )

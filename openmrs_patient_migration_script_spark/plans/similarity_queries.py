@@ -104,3 +104,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, queries = _split(spark, sf_dir)
     return ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=8)
+
+
+@query(
+    "embed_centroids",
+    oracle="""
+    SELECT label, pos - 1 AS dim, round(avg(v), 6) AS centroid,
+           count(*) AS n_vectors
+    FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: per-label centroid of the embedding column in long form —
+    the k-means update / class-centroid / IVF-training primitive
+    (operators/similarity.py::label_centroids). posexplode + one hash agg
+    on (label, dim): the shuffle never carries whole vectors."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))

@@ -340,3 +340,49 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         chunks, ["key", "chunk_id"], "n_chunk_tokens", seq_tokens=512, n_buckets=32
     )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               AS n_tokens,
+             round(least(len(list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '')) / 100.0, 1.0)
+                   * (1.0 - round(len(list_filter(string_split(lower(text), ' '),
+                                  t -> list_contains({_SQL_STOPLIST}, t)))
+                      / len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')), 6)),
+                   6) AS quality_score
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           round(avg(quality_score), 6) AS avg_quality
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5d: per-language corpus report — doc counts, token volume, mean
+    quality — the summary table every data-mix decision starts from.
+    Stacks the row-local quality expressions onto the single scan and
+    aggregates once on lang; at 100 TB the shuffle carries five numbers
+    per language."""
+    from openmrs_patient_migration_script_spark.operators.text import quality_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
