@@ -359,3 +359,15 @@ def test_salted_join_stays_hash_join_with_salt_explosion(spark):
     assert "BroadcastNestedLoopJoin" not in ns and "CartesianProduct" not in ns, ns
     assert "Generate" in ns, ns  # per-salt replication of the small side
     assert any("HashJoin" in n or n == "SortMergeJoin" for n in ns), ns
+
+
+def test_embed_centroids_explodes_before_shuffle(spark):
+    """The vector mean must posexplode BEFORE the exchange so the shuffle
+    carries (label, dim, value) rows with map-side partial aggregation —
+    never whole embedding arrays."""
+    ns = nodes(plan_of(spark, "embed_centroids"))
+    gen = ns.index("Generate")
+    ex = ns.index("Exchange")
+    assert gen < ex, ns
+    # partial agg sits between the explode and the exchange
+    assert "HashAggregate" in ns[gen:ex], ns
