@@ -181,3 +181,33 @@ def test_merge_upsert_null_transitions(spark):
     assert got[1] == (50.0, "updated")  # NULL -> value
     assert got[2] == (None, "updated")  # explicit NULL upsert wins
     assert got[3] == (7.0, "unchanged")
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """A6/E3 are inverses: unpivoting the pivoted attribute matrix must
+    reproduce the original long-form rows exactly (NULL cells drop, which
+    is the unpivot contract)."""
+    from pyspark.sql import functions as F
+
+    long_rows = spark.createDataFrame(
+        [
+            (1, "mktsegment", "BUILDING"),
+            (1, "county", "KENYA"),
+            (2, "mktsegment", "MACHINERY"),
+            # person 2 has no county row: pivot makes a NULL cell, unpivot
+            # must drop it again
+        ],
+        ["person_id", "attribute_type", "value"],
+    )
+    wide = (
+        long_rows.groupBy("person_id")
+        .pivot("attribute_type", ["mktsegment", "county"])
+        .agg(F.first("value"))
+    )
+    back = wide.unpivot(
+        ids=["person_id"],
+        values=["mktsegment", "county"],
+        variableColumnName="attribute_type",
+        valueColumnName="value",
+    ).filter(F.col("value").isNotNull())
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, long_rows.collect()))
