@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from openmrs_patient_migration_script_spark.operators.dedup import (
     minhash_candidate_pairs,
@@ -77,13 +76,20 @@ def prepare_corpus(
         (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
 
-    # exact dedup: one row per content hash, deterministic survivor
-    w = F.row_number().over(
-        Window.partitionBy(F.md5(F.col("text"))).orderBy("key")
+    # exact dedup: one row per content hash, deterministic survivor —
+    # the same operator as the declared X1 query (dedup.py), keyed on the
+    # 32-byte content hash so the shuffle never carries the document
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        dedup_exact_keep_first,
     )
+
     survivors = (
-        enriched.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
-    ).localCheckpoint(eager=True)
+        dedup_exact_keep_first(
+            enriched.withColumn("_chash", F.md5(F.col("text"))), ["_chash"], "key"
+        )
+        .drop("_chash")
+        .localCheckpoint(eager=True)
+    )
 
     pairs = minhash_candidate_pairs(
         survivors,

@@ -22,17 +22,16 @@ from openmrs_patient_migration_script_spark.schemas import (
 )
 
 
-@lru_cache(maxsize=64)
 def parquet_ts_unit(path: str, column: str = "ts") -> str:
     """On-disk time unit ('us'/'ns') of a parquet timestamp column.
 
     Footer-only metadata probe (no data pages) on the driver, cached per
-    path — the harness has shipped `events.ts` as both TIMESTAMP(MICROS)
-    and TIMESTAMP(NANOS) across testdata regenerations, and reading one
-    as the other silently shifts every epoch by 1000x.
+    (path, mtime) — the harness has shipped `events.ts` as both
+    TIMESTAMP(MICROS) and TIMESTAMP(NANOS) across testdata regenerations,
+    and reading one as the other silently shifts every epoch by 1000x.
+    Keying the cache on the file's mtime means a rewritten file re-probes
+    instead of serving the stale unit for the process's lifetime.
     """
-    import pyarrow.parquet as pq
-
     target = path
     if os.path.isdir(path):
         names = sorted(
@@ -41,6 +40,13 @@ def parquet_ts_unit(path: str, column: str = "ts") -> str:
         if not names:
             return "us"
         target = os.path.join(path, names[0])
+    return _ts_unit_cached(target, os.path.getmtime(target), column)
+
+
+@lru_cache(maxsize=64)
+def _ts_unit_cached(target: str, _mtime: float, column: str) -> str:
+    import pyarrow.parquet as pq
+
     return pq.ParquetFile(target).schema_arrow.field(column).type.unit
 
 
