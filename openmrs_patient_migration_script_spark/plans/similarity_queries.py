@@ -129,3 +129,38 @@ def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embed_normalize",
+    oracle="""
+    SELECT vec_id, pos - 1 AS dim, round(v / sqrt(nrm), 6) AS unit_val
+    FROM (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos,
+             list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                            'sum') AS nrm
+      FROM embeddings
+    )
+    WHERE nrm > 0
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4d: L2 unit-normalization of the embedding column in long form —
+    the ingest-time precompute that turns every later cosine into a plain
+    dot product (operators/similarity.py::normalized does the same inline;
+    this is the materialized-column form). Row-local HOF arithmetic +
+    posexplode: zero shuffles; zero-norm vectors are filtered rather than
+    divided by zero."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return (
+        e.select("vec_id", F.posexplode(v).alias("dim", "v"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("v") / F.sqrt(F.col("_n")), 6).alias("unit_val"),
+        )
+    )

@@ -386,3 +386,44 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "text_topk_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT lang, token, count(*) AS cnt FROM tok WHERE token <> ''
+      GROUP BY 1, 2
+    )
+    SELECT lang, token, cnt FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, token) AS rn
+      FROM tc
+    ) WHERE rn <= 5
+    """,
+)
+def text_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5e: vocabulary head per language — top-5 tokens by frequency with
+    a deterministic (cnt DESC, token) tie-break. Token counts partial-
+    combine map-side; the per-language ranking gets WindowGroupLimit
+    pruning (each partition keeps 5 candidates per lang before the
+    exchange). The shuffle carries vocabulary rows, never documents."""
+    from openmrs_patient_migration_script_spark.operators.text import tokens
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        tc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
