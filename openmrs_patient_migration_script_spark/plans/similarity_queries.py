@@ -151,16 +151,29 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product (operators/similarity.py::normalized does the same inline;
     this is the materialized-column form). Row-local HOF arithmetic +
     posexplode: zero shuffles; zero-norm vectors are filtered rather than
-    divided by zero."""
+    divided by zero.
+
+    The norm fold runs ONCE per vector: it is projected and filtered
+    BELOW the Generate, so the per-element projection divides by an
+    attribute — inlining the O(d) fold into each of the d output rows
+    would silently make this O(d^2) per vector (the plan pin in
+    tests/test_plan_quality.py holds the fold below the Generate). NULL
+    elements are skipped in the fold (DuckDB list_aggregate semantics);
+    their own rows surface with NULL unit_val, matching the oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    nrm = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    return (
-        e.select("vec_id", F.posexplode(v).alias("dim", "v"), nrm.alias("_n"))
-        .filter(F.col("_n") > 0)
-        .select(
-            "vec_id",
-            "dim",
-            F.round(F.col("v") / F.sqrt(F.col("_n")), 6).alias("unit_val"),
-        )
+    nrm = F.aggregate(
+        F.filter(v, lambda x: x.isNotNull()),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    base = e.select("vec_id", v.alias("_v"), nrm.alias("_n")).filter(
+        F.col("_n") > 0
+    )
+    return base.select(
+        "vec_id", F.posexplode("_v").alias("dim", "v"), "_n"
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v") / F.sqrt(F.col("_n")), 6).alias("unit_val"),
     )

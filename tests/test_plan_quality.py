@@ -371,3 +371,17 @@ def test_embed_centroids_explodes_before_shuffle(spark):
     assert gen < ex, ns
     # partial agg sits between the explode and the exchange
     assert "HashAggregate" in ns[gen:ex], ns
+
+
+def test_embed_normalize_norm_fold_stays_below_generate(spark):
+    """The O(d) norm fold must evaluate per VECTOR (below the Generate),
+    never inlined into the per-element projection above it — that
+    inlining silently makes the query O(d^2) per vector."""
+    plan = plan_of(spark, "embed_normalize")
+    gen_pos = plan.index("Generate")
+    assert "aggregate(" not in plan[:gen_pos], plan[:gen_pos]  # tree section
+    # in the node-detail section, every fold occurrence must precede the
+    # Generate node — nodes above it reference only the _n attribute
+    detail = plan[plan.index("(1) Scan"):]
+    gen_detail = detail.index("Generate")
+    assert "aggregate(" not in detail[gen_detail:], detail[gen_detail:][:300]

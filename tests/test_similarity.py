@@ -78,3 +78,44 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     recall = len(exact & a) / len(exact)
     # uniform-random fixture = IVF worst case; floor is conservative
     assert recall >= 0.55, f"IVF recall {recall} below floor"
+
+
+def test_embed_normalize_guards_zero_norm_and_null_elements(spark):
+    """The zero-norm filter and NULL-element skip are dead branches on the
+    fixture — pin them on literals: a zero vector drops entirely, a
+    NULL-element vector keeps its norm over the non-null dims (DuckDB
+    list_aggregate semantics) and surfaces NULL unit_val for the null dim."""
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", __import__("pyspark").sql.types.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0, 0.0], label=0),      # zero norm
+            Row(vec_id=2, embedding=[3.0, None, 4.0], label=0),  # null element
+            Row(vec_id=3, embedding=[1.0, 0.0], label=0),
+        ],
+        schema,
+    )
+    df.createOrReplaceTempView("_embed_guard_src")
+
+    # run the same expressions the declared query uses, on the literal df
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.aggregate(
+        F.filter(v, lambda x: x.isNotNull()), F.lit(0.0), lambda a, x: a + x * x
+    )
+    base = df.select("vec_id", v.alias("_v"), nrm.alias("_n")).filter(F.col("_n") > 0)
+    out = base.select("vec_id", F.posexplode("_v").alias("dim", "val"), "_n").select(
+        "vec_id", "dim", F.round(F.col("val") / F.sqrt("_n"), 6).alias("unit_val")
+    )
+    rows = {(r.vec_id, r.dim): r.unit_val for r in out.collect()}
+    assert not any(k[0] == 1 for k in rows)  # zero vector filtered
+    assert rows[(2, 0)] == 0.6 and rows[(2, 2)] == 0.8  # norm over non-nulls = 5
+    assert rows[(2, 1)] is None  # null dim surfaces as NULL
+    assert rows[(3, 0)] == 1.0 and rows[(3, 1)] == 0.0
