@@ -196,6 +196,23 @@ def main() -> None:
             + " | ".join(f"{ts[k]:.2f}" for k in FACTORS)
             + f" | {exp:.2f} |"
         )
+    lines += [
+        "",
+        "Reading the exponents: every shape is sublinear over the span —",
+        "wall time grows slower than data while the hardware stays fixed at",
+        "local[32], because fixed per-job overhead (JVM, planning, task",
+        "launch) still amortizes. The two highest rows (fk_audit,",
+        "profile_multi_distinct) approach linear soonest: their shuffle",
+        "volume is proportional to input (join rows; per-partition distinct",
+        "values under the Expand), so data cost dominates overhead earliest.",
+        "That is the expected asymptote — on a real cluster where executors",
+        "scale WITH data, a ~1.0 exponent at fixed hardware translates to",
+        "~flat wall time; an exponent well above 1.0 here would indicate a",
+        "shape (all-pairs join, driver collect, single-partition sort) that",
+        "no amount of hardware rescues. None appears. The per-shape scale",
+        "levers (AQE skew split, HLL swap for exact distincts, salting)",
+        "are documented in the operator docstrings and SHUFFLE.md.",
+    ]
     Path("SCALING.md").write_text("\n".join(lines) + "\n")
     print("wrote SCALING.md")
 
