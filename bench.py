@@ -43,7 +43,7 @@ HEADLINE = [
     "sample_hash",
     "funnel_events",
     # composed end-to-end training-corpus pipeline (quality → langid →
-    # exact dedup → LSH near-dup clusters → split), production hash form
+    # exact dedup → LSH near-dup clusters → split), declared md5-oracle form
     "corpus_prep",
     # round-2 second wave: time series, privacy, global sort, SQL surface
     "ts_resample",

@@ -385,3 +385,45 @@ def test_embed_normalize_norm_fold_stays_below_generate(spark):
     detail = plan[plan.index("(1) Scan"):]
     gen_detail = detail.index("Generate")
     assert "aggregate(" not in detail[gen_detail:], detail[gen_detail:][:300]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Catalyst's InjectRuntimeFilter: a selective dim-side filter on a
+    shuffle join grows a bloom filter that is pushed into the FACT side's
+    scan filter — non-joining fact rows die before the shuffle, the big
+    lever when a 100 TB fact joins a filtered dim too large to broadcast.
+    Thresholds here are lowered to fire at test scale; production defaults
+    (10 GB application side) fire exactly where the shuffle is worth
+    saving. Pinned so a config/session regression (e.g. disabling AQE or
+    the bloom rule) surfaces as a test failure."""
+    from openmrs_patient_migration_script_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    cfgs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in cfgs}
+    try:
+        for k, v in cfgs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        part = load_table(spark, SF, "part").filter(F.col("p_brand") == "Brand#23")
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # the membership probe must sit on the fact side BELOW the join,
+        # i.e. inside a Filter condition, not post-join
+        probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "Condition" in probe_line or "Filter" in probe_line, probe_line
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
