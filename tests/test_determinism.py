@@ -1,0 +1,65 @@
+"""Determinism gate: every declared query must produce the SAME result
+under a different `spark.sql.shuffle.partitions` — i.e. the answer is a
+function of the data, never of the physical partitioning.
+
+This catches the class of bug the DuckDB oracle can miss: a top-k /
+row_number / dropDuplicates / first-agg with an under-specified ordering
+returns SOME correct-looking answer each run, and if the oracle run
+happened to agree once the query would still be broken on a cluster
+(where partition counts change with data volume and executor count).
+
+Float policy: aggregates are round(…, 6)-ed in-plan (plans/registry.py),
+but float addition is non-associative, so a different partial-aggregation
+tree can legitimately flip the last rounded digit. The comparison
+re-rounds floats to 3dp — anything that survives THAT differs by real
+nondeterminism, not ulps.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from openmrs_patient_migration_script_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(rows) -> list[tuple]:
+    def c(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 3)
+        if isinstance(v, list):
+            return tuple(c(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, c(x)) for k, x in v.items()))
+        if isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    return sorted(
+        (
+            tuple(c(v) for _, v in sorted(r.asDict(recursive=True).items()))
+            for r in rows
+        ),
+        key=repr,  # mixed None/str/num columns aren't mutually orderable
+    )
+
+
+def _snapshot(spark) -> dict[str, list[tuple]]:
+    return {name: _canon(fn(spark, SF).collect()) for name, fn in QUERIES.items()}
+
+
+def test_results_invariant_under_repartitioning(spark):
+    base = _snapshot(spark)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = _snapshot(spark)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    bad = [n for n in base if base[n] != alt[n]]
+    assert not bad, f"partitioning-dependent results: {bad}"
