@@ -251,3 +251,55 @@ def test_merge_upsert_matches_naive_reference(spark, tgt, src):
         k: (None if v is None else float(v), a) for k, (v, a) in d.items()
     }
     assert norm(got) == norm(expect)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Both CC paths (driver union-find AND the distributed min-label
+    loop) == a plain-Python union-find on random graphs — self-loops,
+    duplicate and reversed edges included. Cluster id = min member."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    expected = {n: roots[find(n)] for n in parent}
+
+    edges = spark.createDataFrame(edge_list, ["key_a", "key_b"])
+    local = {
+        r["node"]: r["cluster"] for r in connected_components(edges).collect()
+    }
+    assert local == expected
+    looped = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert looped == expected
