@@ -841,6 +841,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_binned",
+    oracle="""
+    SELECT s.s_suppkey,
+           count(*) AS n_close,
+           round(min(abs(c.c_acctbal - s.s_acctbal)), 2) AS min_gap
+    FROM supplier s, customer c
+    WHERE abs(c.c_acctbal - s.s_acctbal) <= 5.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7b: PURE band join (no equi key) — customers whose account balance is
+    within ±5 of each supplier's. Unlike `join_range` (which has a nationkey
+    equi predicate to hang a hash join on), the only predicate here is the
+    band, which Spark plans as a BroadcastNestedLoopJoin — O(|L|x|R|) and a
+    cartesian shuffle once neither side fits a broadcast. Runs the binned
+    rewrite (operators/joins.py::banded_join): quantize balances into
+    band-width bins, supplier explodes to its 3 overlappable bins, equi-join
+    on the bin, re-check the exact band — a hash join that scales linearly
+    and leaves skewed bins to AQE."""
+    from openmrs_patient_migration_script_spark.operators.joins import banded_join
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    pairs = banded_join(s, c, "s_acctbal", "c_acctbal", 5.0)
+    return pairs.groupBy("s_suppkey").agg(
+        F.count("*").alias("n_close"),
+        F.round(F.min(F.abs(F.col("c_acctbal") - F.col("s_acctbal"))), 2).alias(
+            "min_gap"
+        ),
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,

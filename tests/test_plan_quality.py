@@ -427,3 +427,28 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_banded_join_rewrites_nested_loop_to_hash_join(spark):
+    """join_range_binned: the only join predicate is a value band — naively a
+    BroadcastNestedLoopJoin (cartesian once nothing broadcasts). The binned
+    rewrite must plan as a hash/sort-merge equi-join on the bin key."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    # the naive form of the same query IS a nested loop — proves the rewrite
+    # is what removed it, not the data size
+    from openmrs_patient_migration_script_spark.plans import QUERIES  # noqa: F401
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, SF, "customer").select("c_acctbal")
+    import pyspark.sql.functions as F
+
+    naive = s.join(c, F.abs(c.c_acctbal - s.s_acctbal) <= 5.0)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    naive_plan = naive._jdf.queryExecution().explainString(mode)
+    assert "BroadcastNestedLoopJoin" in naive_plan

@@ -303,3 +303,30 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(edges, local_threshold=0).collect()
     }
     assert looped == expected
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-300, max_value=300), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=-300, max_value=300), min_size=1, max_size=25),
+)
+def test_banded_join_matches_nested_loop_reference(spark, lvals, rvals):
+    """banded_join (bin equi-join rewrite) == the O(n*m) nested-loop
+    reference: exactly the pairs within the band, each pair exactly once
+    (bin overlap must not duplicate, bin boundaries must not drop)."""
+    from openmrs_patient_migration_script_spark.operators.joins import banded_join
+
+    band = 40.0
+    left = spark.createDataFrame([(i, float(v)) for i, v in enumerate(lvals)], "lid int, lv double")
+    right = spark.createDataFrame([(i, float(v)) for i, v in enumerate(rvals)], "rid int, rv double")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in banded_join(left, right, "lv", "rv", band).select("lid", "rid").collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, lv in enumerate(lvals)
+        for ri, rv in enumerate(rvals)
+        if abs(lv - rv) <= band
+    )
+    assert got == want
