@@ -373,3 +373,50 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return resample_ffill(e, "user_id", "ts", "value")
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n,
+           round(avg(gap_ms / 1000.0), 2) AS avg_gap_s
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over the event log: for each consecutive
+    (prev → next) event-type pair per user, the occurrence count and mean
+    inter-event gap — the next-action model / sequence-feature shape of
+    product analytics. ONE shuffle on user_id feeds the lag window (ties
+    broken on event_id for determinism); the (5x5-bounded) transition agg
+    on top is partial-combinable, so the second exchange carries at most
+    |types|^2 rows per partition. Gaps are computed in integer epoch-millis
+    on both engines (unix_millis / epoch_ms) to dodge sub-second cast
+    drift; only the final average is floating and rounds per the policy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("gap_ms") / 1000.0), 2).alias("avg_gap_s"),
+        )
+    )

@@ -452,3 +452,13 @@ def test_banded_join_rewrites_nested_loop_to_hash_join(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     naive_plan = naive._jdf.queryExecution().explainString(mode)
     assert "BroadcastNestedLoopJoin" in naive_plan
+
+
+def test_events_transitions_window_then_bounded_agg(spark):
+    """events_transitions: one Exchange on user_id for the lag window, one
+    tiny Exchange for the (|types|^2-bounded) transition agg — partial
+    aggregation must sit below it so the second shuffle stays bounded."""
+    plan = plan_of(spark, "events_transitions")
+    n_ex = sum(1 for n in nodes(plan) if n.startswith("Exchange"))
+    assert n_ex == 2, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
