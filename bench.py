@@ -55,6 +55,10 @@ HEADLINE = [
     # round-2 fourth wave: SQL-surface depth + variant decode
     "sql_lateral_topk",
     "json_variant",
+    # round-2 fifth wave: binned pure-band join (BNL eliminated) +
+    # event-transition matrix (lag window + bounded agg)
+    "join_range_binned",
+    "events_transitions",
 ]
 
 
