@@ -420,3 +420,47 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("gap_ms") / 1000.0), 2).alias("avg_gap_s"),
         )
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users FROM p GROUP BY path
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-prefix mining: each user's first three events as an ordered
+    path string (view>click>purchase), counted across users — the common-
+    journey report / sequence-model prefix distribution. The row_number
+    predicate is pushed to a pre-shuffle WindowGroupLimit (each map task
+    forwards at most 3 rows per user before the exchange), the per-user
+    path is an ordered collect (array_sort on (rn, type) structs makes the
+    collect_list order deterministic), and the final path count is a
+    bounded partial-combinable agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 3)
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))

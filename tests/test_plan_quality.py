@@ -462,3 +462,11 @@ def test_events_transitions_window_then_bounded_agg(spark):
     n_ex = sum(1 for n in nodes(plan) if n.startswith("Exchange"))
     assert n_ex == 2, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_events_top_paths_window_group_limit(spark):
+    """events_top_paths: the rn <= 3 predicate must become a pre-shuffle
+    WindowGroupLimit so map tasks forward at most 3 rows per user into the
+    exchange — without it the full event log shuffles just to be discarded."""
+    plan = plan_of(spark, "events_top_paths")
+    assert "WindowGroupLimit" in plan
