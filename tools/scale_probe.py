@@ -97,7 +97,10 @@ def main() -> None:
         from openmrs_patient_migration_script_spark.operators.dedup import (
             minhash_candidate_pairs,
         )
-        from openmrs_patient_migration_script_spark.operators.joins import asof_join
+        from openmrs_patient_migration_script_spark.operators.joins import (
+            asof_join,
+            banded_join,
+        )
         from openmrs_patient_migration_script_spark.operators.privacy import scrub_text
         from openmrs_patient_migration_script_spark.operators.quality import (
             profile_columns,
@@ -157,6 +160,20 @@ def main() -> None:
             ),
             "pii_scrub": scrub_text(d_k),
             "corpus_prep_pipeline": lambda: prepare_corpus(d_k),
+            "banded_join (bin equi rewrite)": banded_join(
+                replicate(
+                    orders.select("o_orderkey", "o_totalprice"),
+                    ["o_totalprice"],  # shift VALUES: copies can't cross-match,
+                    k,                 # so matches (and output) stay linear in k
+                    KEY_SHIFT,
+                ),
+                replicate(
+                    li.select("l_extendedprice"), ["l_extendedprice"], k, KEY_SHIFT
+                ),
+                "o_totalprice",
+                "l_extendedprice",
+                0.05,
+            ).select("o_orderkey", "l_extendedprice"),
             "fk_audit (left join + cond agg)": referential_orphans(
                 li_k, o_k, "l_orderkey", "o_orderkey", "lineitem->orders"
             ),
