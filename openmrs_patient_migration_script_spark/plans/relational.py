@@ -1515,3 +1515,39 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
         F.round(F.max("o_totalprice"), 2).alias("top_price"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey AS v, count(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, v DESC) AS rn
+      FROM c
+    )
+    SELECT c_mktsegment, v AS mode_nation, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent nation per market segment) as
+    TWO partial-combinable hash aggregations — (group, value) counts, then
+    max_by over the (count, value) pair — with no per-group sort and no
+    window. Spark's built-in `mode()` buffers every value per group and
+    breaks ties arbitrarily; this form shuffles only distinct (group,
+    value) pairs and pins the tie deterministically to the largest value,
+    which is what lets the result hash-match a serial engine. At 100 TB
+    the first agg is the only data-sized pass; the second sees at most
+    |groups| x |distinct values| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", F.col("c_nationkey").alias("v")).agg(
+        F.count("*").alias("n")
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.max_by(F.col("v"), F.struct("n", "v")).alias("mode_nation"),
+        F.max("n").alias("mode_count"),
+    )
