@@ -478,6 +478,26 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op.subtract(f)
 
 
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3b: multiset difference (EXCEPT ALL) — keeps surplus multiplicity
+    per key instead of collapsing to a set, the form a row-conservation
+    audit needs (how many MORE 'N' lineitems than 'R' per part). Spark's
+    exceptAll plans this as a single shuffle carrying per-key counts, not
+    row pairs."""
+    l = load_table(spark, sf_dir, "lineitem")
+    n = l.filter(l.l_returnflag == "N").select("l_partkey")
+    r = l.filter(l.l_returnflag == "R").select("l_partkey")
+    return n.exceptAll(r)
+
+
 # --- §2.5 window functions ---------------------------------------------------
 
 
