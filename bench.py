@@ -59,6 +59,16 @@ HEADLINE = [
     # event-transition matrix (lag window + bounded agg)
     "join_range_binned",
     "events_transitions",
+    # round-3: the shuffle-heaviest extension shapes, previously invisible
+    # to the headline (a regression there would not have moved any number):
+    # 5-shuffle inverted-index jaccard, Expand-plan profiling, GPT-style
+    # sequence packing, multi-table LSH ANN, and the now-distributed
+    # block-grid embedding dedup
+    "dedup_ngram_jaccard",
+    "dq_profile",
+    "text_pack",
+    "sim_ann_lsh",
+    "dedup_embedding",
 ]
 
 

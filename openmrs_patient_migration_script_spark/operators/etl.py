@@ -129,46 +129,121 @@ def assign_surrogate_keys(
     — without the single-partition global window that kills parallelism at
     100 TB (SURVEY.md §4).
 
-    Strategy: range-partition on the natural key (non-overlapping ranges),
-    **localCheckpoint** the result so the partitioning is materialized
-    exactly once, count rows per partition, compute cumulative offsets
-    driver-side (one tiny row per partition), then add a partition-local
-    row_number. The result is byte-identical to the global window but every
-    stage stays parallel.
+    Strategy (r3 — no materialization): derive ~``num_partitions`` range
+    cut points of the natural key driver-side ONCE (numeric keys: a fine
+    histogram that yields cuts and exact offsets in one pass; other keys:
+    a seeded sample + counts pass) and bake them into the plan as
+    literals. The range-bucket id is then a PURE expression of the key, so
+    a task recomputation always lands every row in the same bucket no
+    matter how the cuts were obtained: cumulative per-bucket counts are
+    global-rank offsets, and a bucket-local ``row_number`` completes the
+    byte-identical global rank.
 
-    Why checkpoint rather than persist: range boundaries come from sampling,
-    so a recomputation after cache eviction could re-draw boundaries and
-    silently diverge from the driver-side offsets (duplicate/gapped ids).
-    ``localCheckpoint(eager=True)`` cuts the lineage — offsets and output are
-    guaranteed to read the same materialized partitions, and there is no
-    persist handle to leak. On a real cluster an executor loss would require
-    a re-run (or ``spark.checkpoint`` to a reliable store for long jobs) —
-    the honest trade for exactly-once id assignment.
+    r2 got the same recomputation-safety from ``repartitionByRange`` +
+    eager ``localCheckpoint`` — the boundaries there live inside a sampled
+    shuffle, so only materialization pins them. That cost a full range
+    shuffle, a checkpoint write, AND a second hash-partition exchange for
+    the window (Catalyst can't see that spark_partition_id matches the
+    window key). This path pays two light scans (cuts + counts) and ONE
+    shuffle, and survives executor loss like any pure plan. Cut quality
+    only affects balance, never correctness; heavily-skewed keys just make
+    uneven buckets (same failure mode range partitioning has).
     """
+    from pyspark.sql.types import NumericType
+
+    spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num_partitions, F.col(natural_key))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    # repartitionByRange orders partitions by key range, so cumulative
-    # counts in pid order are exactly the global rank offsets.
-    cum, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = cum
-        cum += counts[pid]
+        num_partitions = spark.sparkContext.defaultParallelism
+    key_type = df.schema[natural_key].dataType
+    if isinstance(key_type, NumericType):
+        # Numeric fast path — TWO light jobs total. Job 1: min/max. Job 2:
+        # a fine histogram (64 bins per target partition) whose bin id is a
+        # PURE expression over the min/max literals; driver-side, the
+        # histogram yields balanced coarse cuts AND exact rank offsets in
+        # the same pass (coarse buckets are unions of whole fine bins, so
+        # offsets are exact sums of fine counts — bin-edge FP quirks are
+        # harmless because the output plan evaluates the IDENTICAL
+        # expression). An approxQuantile pass + a separate counts pass
+        # measured ~2x this build cost.
+        kmin, kmax = df.agg(
+            F.min(natural_key), F.max(natural_key)
+        ).collect()[0]
+        if kmin is None or float(kmax) == float(kmin):
+            fine_expr = F.lit(0)
+        else:
+            lo, span = float(kmin), float(kmax) - float(kmin)
+            nbins = num_partitions * 64
+            fine_expr = F.least(
+                F.lit(nbins - 1),
+                F.floor(
+                    (F.col(natural_key).cast("double") - F.lit(lo))
+                    * F.lit(float(nbins))
+                    / F.lit(span * (1.0 + 1e-9))
+                ).cast("int"),
+            )
+        hist = sorted(
+            (r["_fb"], r["cnt"])
+            for r in df.groupBy(fine_expr.alias("_fb"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        total = sum(c for _, c in hist)
+        target = max(1, -(-total // num_partitions))  # ceil
+        cuts, offsets, cum, acc, pid_idx = [], {0: 0}, 0, 0, 0
+        for fb, cnt in hist:
+            if acc >= target and pid_idx < num_partitions - 1:
+                cuts.append(prev_fb)
+                pid_idx += 1
+                offsets[pid_idx] = cum
+                acc = 0
+            acc += cnt
+            cum += cnt
+            prev_fb = fb
+        if cuts:
+            pid = sum(
+                (fine_expr > F.lit(c)).cast("int") for c in cuts
+            ).alias("_pid")
+        else:
+            pid = F.lit(0).alias("_pid")
+        bucketed = df.withColumn("_pid", pid)
+    else:
+        # generic path (string keys): seeded-sample cut values, then an
+        # exact counts pass over the literal-cut buckets
+        n = df.count()
+        frac = min(1.0, (num_partitions * 1000) / n) if n else 1.0
+        sample = sorted(
+            r[0]
+            for r in df.select(natural_key).sample(frac, seed=42).collect()
+            if r[0] is not None
+        )
+        step = max(1, len(sample) // num_partitions)
+        cuts = sorted(set(sample[step::step]))
+        if cuts:
+            pid = sum(
+                (F.col(natural_key) > F.lit(c)).cast("int") for c in cuts
+            ).alias("_pid")
+        else:
+            pid = F.lit(0).alias("_pid")
+        bucketed = df.withColumn("_pid", pid)
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in bucketed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        # buckets are key ranges in _pid order, so cumulative counts in
+        # pid order are exactly the global rank offsets.
+        cum, offsets = 0, {}
+        for p in sorted(counts):
+            offsets[p] = cum
+            cum += counts[p]
+        if not offsets:
+            offsets = {0: 0}
     offset_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
         F.col("_pid"),
     )
     w = Window.partitionBy("_pid").orderBy(natural_key)
     return (
-        ranged.withColumn("_local_rn", F.row_number().over(w))
+        bucketed.withColumn("_local_rn", F.row_number().over(w))
         .withColumn(id_col, (F.lit(offset) + offset_expr + F.col("_local_rn")).cast("long"))
         .drop("_pid", "_local_rn")
     )

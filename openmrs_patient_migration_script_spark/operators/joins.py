@@ -110,8 +110,14 @@ def banded_join(
     width ``band``:
 
     - each RIGHT row lands in exactly one bin: ``floor(val / band)``;
-    - each LEFT row emits the 3 bins its band window can overlap
-      (``floor((val - band) / band)`` .. ``floor((val + band) / band)``);
+    - each LEFT row emits the 3 bins its band window can overlap:
+      ``floor(val / band) + {-1, 0, +1}``. Both sides share the SAME
+      ``floor(val / band)`` expression form on purpose — computing the
+      left window as ``floor((val ± band) / band)`` is equivalent in real
+      arithmetic but not in floats: for a band width with no exact binary
+      representation, a pair within ~1 ulp of a bin boundary could pass
+      the exact re-check yet fall outside the asymmetrically-rounded
+      window and be silently dropped;
     - equi-join on the bin, then re-check the exact band predicate.
 
     Every true pair meets in exactly one bin (the right row's), so no
@@ -126,10 +132,9 @@ def banded_join(
     if band <= 0:
         raise ValueError("band must be positive")
     w = float(band)
-    lo = F.floor((F.col(left_val) - w) / w).cast("long")
-    hi = F.floor((F.col(left_val) + w) / w).cast("long")
+    center = F.floor(F.col(left_val) / w).cast("long")
     l_binned = left.filter(F.col(left_val).isNotNull()).withColumn(
-        "_bin", F.explode(F.sequence(lo, hi))
+        "_bin", F.explode(F.sequence(center - 1, center + 1))
     )
     r_binned = right.filter(F.col(right_val).isNotNull()).withColumn(
         "_bin", F.floor(F.col(right_val) / w).cast("long")

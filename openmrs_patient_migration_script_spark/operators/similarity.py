@@ -134,6 +134,92 @@ def lsh_bucket(vec_col, num_planes: int = 8, plane_offset: int = 0):
     return bucket.cast("int")
 
 
+_SRP_WEIGHTS_CACHE: dict[tuple[int, int, int], object] = {}
+
+
+def srp_weights(spark, dim: int, num_planes: int, num_tables: int):
+    """The ±1 hyperplane matrix ((num_planes·num_tables) × dim) exactly as
+    `lsh_bucket` derives it — parity of JVM ``xxhash64(p, d)`` — computed
+    once via a tiny (p, d) grid job and returned as numpy. Equivalence
+    with the HOF form is pinned in tests (0 bucket mismatches across the
+    fixture); the matrix is plane-count-sized (KBs), safe to ship in task
+    closures — it is a MODEL constant, not data, and since xxhash64 is
+    session-independent the matrix is memoized per (dim, m, L) so repeat
+    calls (corpus + query side of the same search, re-runs in a bench
+    loop) pay zero jobs."""
+    import numpy as np
+
+    key = (dim, num_planes, num_tables)
+    if key in _SRP_WEIGHTS_CACHE:
+        return _SRP_WEIGHTS_CACHE[key]
+    total = num_planes * num_tables
+    pairs = spark.createDataFrame(
+        [(p, d) for p in range(total) for d in range(dim)], "p int, d int"
+    )
+    rows = pairs.select(
+        "p",
+        "d",
+        F.when(F.pmod(F.xxhash64("p", "d"), 2) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("w"),
+    ).collect()
+    W = np.zeros((total, dim))
+    for r in rows:
+        W[r["p"], r["d"]] = r["w"]
+    _SRP_WEIGHTS_CACHE[key] = W
+    return W
+
+
+def srp_hashed(
+    df: DataFrame,
+    key_col: str,
+    num_planes: int,
+    num_tables: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(key, _tbl, _bkt) multi-table SRP bucket rows — one numpy matmul
+    per Arrow batch against the broadcast weight matrix, replacing r2's
+    per-plane interpreted HOF fold (m·L·d lambda evals per row; measured
+    ~4x slower end-to-end on sim_ann_lsh at sf0.1). Buckets are identical
+    to `lsh_bucket`'s modulo sub-ulp projections at the sign boundary."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m, L = num_planes, num_tables
+    first = df.select(vec_col).first()
+    dim = len(first[0]) if first is not None else 1
+    W = srp_weights(df.sparkSession, dim, m, L)
+    powers = 1 << np.arange(m)
+    out_schema = StructType(
+        [
+            df.schema[key_col],
+            StructField("_tbl", IntegerType()),
+            StructField("_bkt", IntegerType()),
+        ]
+    )
+
+    def hash_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (X @ W.T) >= 0  # (n, m·L)
+            bkts = np.stack(
+                [bits[:, t * m : (t + 1) * m] @ powers for t in range(L)], axis=1
+            ).astype("int32")
+            keys = pdf[key_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    key_col: np.repeat(keys, L),
+                    "_tbl": np.tile(np.arange(L, dtype="int32"), len(keys)),
+                    "_bkt": bkts.reshape(-1),
+                }
+            )
+
+    return df.select(key_col, vec_col).mapInPandas(hash_batches, out_schema)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,47 +235,61 @@ def ann_topk_lsh(
     Standard (m, L) LSH: ``num_tables`` independent hash tables of
     ``num_planes`` hyperplanes each; a corpus vector is a candidate for a
     query if they share a bucket in ANY table (recall = 1-(1-p^m)^L where
-    p = 1 - θ/π). The corpus is hashed once into L (table, bucket) rows —
-    a narrow explode, no extra scan — and the candidate join shuffles on
+    p = 1 - θ/π). The corpus is hashed once into L (table, bucket) rows
+    (vectorized — `srp_hashed`) and the candidate join shuffles on
     (table, bucket) instead of exploding the full cross product; per-table
     candidate volume drops by ~2^m. `distinct` collapses multi-table hits
-    before the exact re-rank so each pair is scored once.
+    before the exact re-rank so each pair is scored once; the re-rank is
+    one numpy dot per Arrow batch over the joined normalized vectors
+    (r2 scored each pair with an interpreted HOF fold).
 
     Tune (m, L) to the corpus: higher similarity corpora (near-dup search)
     take larger m for sharper pruning; uniform corpora need more tables.
     """
-    def hashed(df: DataFrame, key: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(v, num_planes, plane_offset=t * num_planes).alias("bkt"),
-                )
-                for t in range(num_tables)
-            ]
-        )
-        return df.select(
-            F.col(key), F.explode(tables).alias("_tb")
-        ).select(key, F.col("_tb.tbl").alias("_tbl"), F.col("_tb.bkt").alias("_bkt"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     cand = (
-        hashed(corpus, id_col)
-        .join(F.broadcast(hashed(queries, query_id_col)), ["_tbl", "_bkt"])
+        srp_hashed(corpus, id_col, num_planes, num_tables, vec_col)
+        .join(
+            F.broadcast(
+                srp_hashed(queries, query_id_col, num_planes, num_tables, vec_col)
+            ),
+            ["_tbl", "_bkt"],
+        )
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col)
         .distinct()
     )
     c = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("_ce"))
     q = queries.select(F.col(query_id_col), normalized(F.col(vec_col)).alias("_qe"))
-    scored = (
-        cand.join(c, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(dot(F.col("_qe"), F.col("_ce")), 6).alias("cos_sim"),
-        )
+    paired = cand.join(c, id_col).join(F.broadcast(q), query_id_col)
+
+    out_schema = StructType(
+        [
+            corpus.schema[id_col],
+            queries.schema[query_id_col],
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_ce"]), dtype=np.float64)
+            b = np.array(list(pdf["_qe"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    query_id_col: pdf[query_id_col],
+                    "cos_sim": np.round(np.einsum("ij,ij->i", a, b), 6),
+                }
+            )
+
+    scored = paired.mapInPandas(rerank, out_schema).select(
+        query_id_col, id_col, "cos_sim"
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
@@ -329,6 +429,164 @@ def cosine_pairs_vectorized(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — EXACT and fully
+    distributed (the scale-safe successor to `cosine_pairs_vectorized`,
+    which collects the corpus into the task closure).
+
+    Block-grid all-pairs: each vector lands in block ``xxhash64(id) mod B``
+    and is replicated to every unordered block pair it participates in
+    (B rows per vector — shuffle volume n·B, never n²). Each of the
+    B·(B+1)/2 grid cells scores its two blocks with one numpy matmul in
+    `applyInPandas`; a pair (a, b) lives in exactly ONE cell — the
+    (blk_a, blk_b) cell — so the pair space is partitioned, not
+    deduplicated. Max task memory is 2·(n/B)·d doubles: pick B so a block
+    fits an executor; work stays Θ(n²·d) because the exact-threshold
+    semantic is inherently quadratic.
+
+    Why not LSH candidates here? Measured on the sf0.1 fixture at the
+    declared 0.4 threshold: SRP-LSH (2 planes × 16 tables) retained 98.6%
+    of all pairs as candidates (no pruning — at low thresholds random
+    hyperplanes can't separate) and still MISSED 2/920 qualifying pairs.
+    LSH pruning only wins at near-dup thresholds (~0.9+), which is what
+    `cosine_pairs_lsh` is for.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    B = n_blocks
+    base = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    # Row in block b joins grid cells {(min(b,o), max(b,o)) : o ∈ 0..B-1};
+    # array_distinct folds the (b,b) duplicate emitted at o == b.
+    cells = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(B - 1)),
+            lambda o: F.least(F.col("_blk"), o) * B + F.greatest(F.col("_blk"), o),
+        )
+    )
+    rep = base.select(id_col, "_v", "_blk", F.explode(cells).alias("_cell"))
+
+    out_schema = StructType(
+        [
+            StructField("key_a", LongType()),
+            StructField("key_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    empty = pd.DataFrame({"key_a": [], "key_b": [], "cos_sim": []})
+
+    def score_cell(key, pdf):
+        cell = int(key[0])
+        i, j = divmod(cell, B)
+        left = pdf[pdf["_blk"] == i]
+        if not len(left):
+            return empty
+        mat_l = np.array(list(left["_v"]), dtype=np.float64)
+        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        ids_l = left[id_col].to_numpy()
+        if i == j:
+            sims = np.round(mat_l @ mat_l.T, 6)
+            keep = (sims >= threshold) & (ids_l[:, None] < ids_l[None, :])
+            ai, bi = np.nonzero(keep)
+            return pd.DataFrame(
+                {"key_a": ids_l[ai], "key_b": ids_l[bi], "cos_sim": sims[ai, bi]}
+            )
+        right = pdf[pdf["_blk"] == j]
+        if not len(right):
+            return empty
+        mat_r = np.array(list(right["_v"]), dtype=np.float64)
+        mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+        ids_r = right[id_col].to_numpy()
+        sims = np.round(mat_l @ mat_r.T, 6)
+        ai, bi = np.nonzero(sims >= threshold)
+        ka, kb = ids_l[ai], ids_r[bi]
+        lo, hi = np.minimum(ka, kb), np.maximum(ka, kb)
+        return pd.DataFrame({"key_a": lo, "key_b": hi, "cos_sim": sims[ai, bi]})
+
+    return rep.groupBy("_cell").applyInPandas(score_cell, schema=out_schema)
+
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate (a < b) cosine-threshold pairs: SRP-LSH bucket
+    candidates + exact vectorized re-rank — the sub-quadratic near-dup
+    path for HIGH thresholds (~0.9+), where a qualifying pair collides per
+    hyperplane with p = 1 - θ/π ≈ 0.86 and (planes=8, tables=8) holds
+    recall ≈ 0.98 while candidate volume drops ~2^planes per table.
+
+    Shape: corpus hashed once into L (table, bucket) rows; the candidate
+    self-join shuffles on (table, bucket); `distinct` collapses multi-table
+    hits; the surviving pair list joins the normalized vectors back
+    (AQE broadcasts the corpus side when it fits) and one numpy dot per
+    Arrow batch re-ranks exactly. No driver-side collect anywhere.
+    Recall floor pinned by the planted-near-dup test
+    (tests/test_similarity.py); exact low-threshold contracts use
+    `cosine_pairs_blocked` instead (see its docstring for the measured
+    low-threshold failure mode).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    hashed = srp_hashed(corpus, id_col, num_planes, num_tables, vec_col)
+    cand = (
+        hashed.withColumnRenamed(id_col, "key_a")
+        .join(hashed.withColumnRenamed(id_col, "key_b"), ["_tbl", "_bkt"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    norm = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("_n"))
+    paired = (
+        cand.join(norm.select(F.col(id_col).alias("key_a"), F.col("_n").alias("_va")), "key_a")
+        .join(norm.select(F.col(id_col).alias("key_b"), F.col("_n").alias("_vb")), "key_b")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key_a", LongType()),
+            StructField("key_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_va"]), dtype=np.float64)
+            b = np.array(list(pdf["_vb"]), dtype=np.float64)
+            sims = np.round(np.einsum("ij,ij->i", a, b), 6)
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "key_a": pdf["key_a"].to_numpy()[keep],
+                    "key_b": pdf["key_b"].to_numpy()[keep],
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(rerank, schema=out_schema)
 
 
 def ivf_topk(

@@ -388,7 +388,7 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prev_type, event_type AS next_type,
            count(*) AS n,
-           round(avg(gap_ms / 1000.0), 2) AS avg_gap_s
+           round(sum(gap_ms) / (count(*) * 1000.0), 2) AS avg_gap_s
     FROM seq
     WHERE prev_type IS NOT NULL
     GROUP BY prev_type, next_type
@@ -403,7 +403,11 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on top is partial-combinable, so the second exchange carries at most
     |types|^2 rows per partition. Gaps are computed in integer epoch-millis
     on both engines (unix_millis / epoch_ms) to dodge sub-second cast
-    drift; only the final average is floating and rounds per the policy."""
+    drift. The mean gap aggregates the EXACT integer sum first and divides
+    once — a float avg() of per-row divisions is reassociative, so a group
+    whose mean sits on a .005 rounding boundary would flip its 2dp digit
+    with partial-agg order (reproduced at sf0.01); sum(long) is exact and
+    one division is deterministic."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -417,7 +421,9 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.col("gap_ms") / 1000.0), 2).alias("avg_gap_s"),
+            F.round(F.sum("gap_ms") / (F.count("*") * F.lit(1000.0)), 2).alias(
+                "avg_gap_s"
+            ),
         )
     )
 

@@ -261,15 +261,21 @@ _EMB_DUP_THRESHOLD = 0.4
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2d: embedding-cosine near-duplicate pairs — semantic dedup, the
-    last of the builder brief's dedup family. Vectorized all-pairs (numpy
-    matmul per Arrow batch, operators/similarity.py::cosine_pairs_vectorized)
-    since the corpus here is vector-batch-sized; the 100 TB path generates
-    candidates from the multi-table LSH buckets instead of the cross
-    product — same bound-the-quadratic design as every other dedup
-    variant."""
+    last of the builder brief's dedup family. EXACT and fully distributed
+    via the block-grid all-pairs join (operators/similarity.py::
+    cosine_pairs_blocked): vectors shuffle n·B rows into a B×B grid of
+    block-pair cells, each cell scores one numpy matmul, and a pair lives
+    in exactly one cell — no driver-side corpus collect anywhere (r2's
+    declared path shipped the collected corpus matrix in every task
+    closure; kept as `cosine_pairs_vectorized`, the small-batch reference
+    the equivalence test runs against). At the declared low threshold LSH
+    candidates are measurably useless (98.6% of pairs survive as
+    candidates at sf0.1 AND 2/920 true pairs are missed); the
+    sub-quadratic high-threshold near-dup path is
+    `cosine_pairs_lsh` with its recall test."""
     from openmrs_patient_migration_script_spark.operators.similarity import (
-        cosine_pairs_vectorized,
+        cosine_pairs_blocked,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_vectorized(e, threshold=_EMB_DUP_THRESHOLD)
+    return cosine_pairs_blocked(e, threshold=_EMB_DUP_THRESHOLD)

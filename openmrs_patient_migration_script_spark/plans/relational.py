@@ -1384,16 +1384,21 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4)
     — each region's nation names joined in deterministic order. Listagg
     buffers and sorts the whole group, so it belongs ONLY on
-    bounded-cardinality groups like this dimension rollup; for unbounded
-    groups the engine pattern is top-k first (O2/O3), then concat the
-    bounded survivors."""
+    bounded-cardinality groups like this dimension rollup; r3 makes that
+    contract ENFORCED, not advisory: the bounded form
+    (operators/aggregates.py::listagg_bounded) carries an in-plan
+    assert_true on the group size inside the same hash aggregate, so an
+    unbounded group fails loud instead of OOMing a task. Unbounded groups
+    go top-k first (O2/O3), then concat the bounded survivors."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        listagg_bounded,
+    )
+
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return j.groupBy("r_name").agg(
-        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
-            "nations"
-        )
+    return listagg_bounded(
+        j, ["r_name"], "n_name", sep=",", max_group_size=10_000, out_col="nations"
     )
 
 

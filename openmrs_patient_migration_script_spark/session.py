@@ -18,6 +18,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def merged_submit_args(mem: str, existing: str | None) -> str:
+    """PYSPARK_SUBMIT_ARGS value honoring both the wrapper and
+    SPARK_DRIVER_MEM: keep a pre-set value verbatim when it already pins
+    --driver-memory, otherwise prepend ours (r2's setdefault silently
+    ignored SPARK_DRIVER_MEM under any wrapper that pre-set the var)."""
+    if existing is None:
+        return f"--driver-memory {mem} pyspark-shell"
+    if "--driver-memory" in existing:
+        return existing
+    return f"--driver-memory {mem} {existing}"
+
+
 def get_spark(
     app_name: str = "openmrs-spark-engine",
     master: str | None = None,
@@ -39,7 +51,9 @@ def get_spark(
     # is too late once getOrCreate has started the gateway. Route it through
     # PYSPARK_SUBMIT_ARGS, which the Python gateway reads at JVM launch.
     mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
-    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", f"--driver-memory {mem} pyspark-shell")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = merged_submit_args(
+        mem, os.environ.get("PYSPARK_SUBMIT_ARGS")
+    )
     if shuffle_partitions is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus_env) if cpus_env else 32

@@ -330,3 +330,27 @@ def test_banded_join_matches_nested_loop_reference(spark, lvals, rvals):
         if abs(lv - rv) <= band
     )
     assert got == want
+
+
+def test_listagg_bounded_fails_loud_on_oversized_group(spark):
+    """The A10 group-size contract is enforced in-plan: a group past
+    max_group_size raises (assert_true) instead of silently buffering,
+    and in-bound groups aggregate normally with deterministic order."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        listagg_bounded,
+    )
+
+    rows = [("small", f"v{i:02d}") for i in range(3)] + [
+        ("big", f"w{i:03d}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+
+    ok = listagg_bounded(df, ["grp"], "val", max_group_size=100)
+    got = {r.grp: r.agg_list for r in ok.collect()}
+    assert got["small"] == "v00,v01,v02"
+    assert got["big"].startswith("w000,w001")
+
+    with pytest.raises(Exception, match="listagg group big has 50"):
+        listagg_bounded(df, ["grp"], "val", max_group_size=10).collect()

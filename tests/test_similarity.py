@@ -119,3 +119,105 @@ def test_embed_normalize_guards_zero_norm_and_null_elements(spark):
     assert rows[(2, 0)] == 0.6 and rows[(2, 2)] == 0.8  # norm over non-nulls = 5
     assert rows[(2, 1)] is None  # null dim surfaces as NULL
     assert rows[(3, 0)] == 1.0 and rows[(3, 1)] == 0.0
+
+
+def test_cosine_pairs_blocked_matches_collect_reference(spark):
+    """The distributed block-grid all-pairs path must reproduce the
+    collect-based reference (`cosine_pairs_vectorized`) bit-for-bit —
+    same pairs, same 6dp similarities — including across block counts
+    (a pair must land in exactly ONE grid cell, any B)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_vectorized,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ref = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_vectorized(emb, threshold=0.4).collect()
+    }
+    assert ref, "fixture should contain qualifying pairs at 0.4"
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.key_a, r.key_b): r.cos_sim
+            for r in cosine_pairs_blocked(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == ref, f"block-grid mismatch at B={n_blocks}"
+
+
+def test_cosine_pairs_lsh_planted_near_dups(spark):
+    """High-threshold near-dup recall: plant exact perturbation twins of
+    existing vectors (cos ≈ 0.999) and require the LSH candidate path to
+    recover every planted pair at (8 planes, 8 tables) — the parameter
+    regime where bucketing actually prunes (~2^8 per table)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select("vec_id", "embedding").limit(40).collect()
+    planted, twins = [], []
+    for r in base:
+        twin_id = r.vec_id + 1_000_000
+        vec = [float(x) for x in r.embedding]
+        twin = vec[:]
+        twin[0] += 0.01  # tiny perturbation: cos ≈ 0.999+
+        planted.append((r.vec_id, vec))
+        planted.append((twin_id, twin))
+        twins.append((min(r.vec_id, twin_id), max(r.vec_id, twin_id)))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(planted, schema)
+    out = cosine_pairs_lsh(
+        df, threshold=0.95, num_planes=8, num_tables=8
+    ).collect()
+    found = {(r.key_a, r.key_b) for r in out}
+    missed = set(twins) - found
+    assert not missed, f"LSH missed planted near-dup pairs: {missed}"
+    for r in out:
+        assert r.cos_sim >= 0.95
+
+
+def test_srp_hashed_matches_hof_lsh_bucket(spark):
+    """The vectorized SRP hasher (numpy matmul against the JVM-derived
+    weight matrix) must produce the same (table, bucket) assignments as
+    the HOF `lsh_bucket` form it replaced — the weights come from the
+    same xxhash64(p, d) parity, so any drift is a real bug (sub-ulp sign
+    flips at proj == 0 excepted; none occur on this fixture)."""
+    from pyspark.sql import functions as F2
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        _as_double,
+        lsh_bucket,
+        srp_hashed,
+    )
+
+    m, L = 3, 4
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = _as_double(F2.col("embedding"))
+    hof = emb.select(
+        "vec_id",
+        *[lsh_bucket(v, m, plane_offset=t * m).alias(f"b{t}") for t in range(L)],
+    ).collect()
+    want = {
+        (r.vec_id, t, r[f"b{t}"]) for r in hof for t in range(L)
+    }
+    got = {
+        (r.vec_id, r._tbl, r._bkt)
+        for r in srp_hashed(emb, "vec_id", m, L).collect()
+    }
+    assert got == want

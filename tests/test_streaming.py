@@ -207,6 +207,11 @@ def test_tws_stateful_totals_match_batch(spark):
     TWS's state protocol needs google.protobuf, which this environment
     does not ship — skip (not fail) where absent; applyInPandasWithState
     (ST5) remains the fully-tested stateful path."""
+    # the API itself must exist on this build — only the protobuf dep may
+    # skip; an API removal should FAIL, not silently skip
+    from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
+
+    assert hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas")
     try:
         import google.protobuf  # noqa: F401
     except ImportError:
