@@ -9,22 +9,23 @@ partition), row-explosion (frame sampling yields multiple output rows per
 input row), and the partitioning story (media rows are processed where
 they sit; no shuffle is introduced by any transform in this module).
 
-What is STUBBED — clearly: the actual codec work. Image/audio libraries
-(PIL, librosa, ffmpeg) are not in this environment, so ``decode_media``
-raises ``NotImplementedError`` on the real path and every feature
-extractor below uses :func:`fake_decode` — a DETERMINISTIC fake that
-derives "decoded" properties from the md5 of the payload bytes. That
-choice is what makes the Pandas-UDF path hash-checkable against a DuckDB
-oracle (md5 is pure SQL), i.e. the plumbing is verified end-to-end even
-though the codec is fake. Swapping in a real decoder only changes the
-body of ``fake_decode``'s callers, not the Spark plan.
+Codecs (r3): ``decode_media`` REALLY decodes the formats the standard
+library + numpy can handle — RIFF/WAV PCM (8/16-bit) and uncompressed
+24/32-bpp BMP — and raises ``NotImplementedError`` naming the format for
+containers that genuinely need codec libraries (JPEG/PNG/MP3/MP4; PIL,
+librosa and ffmpeg are not in this environment). The DECLARED queries
+keep :func:`fake_decode` — a DETERMINISTIC fake deriving "decoded"
+properties from the md5 of the payload bytes — because md5 is pure SQL,
+which makes the Pandas-UDF path hash-checkable against the DuckDB
+oracle. Every extractor takes ``decoder=``: pass ``decode_media`` for
+real payloads; the Spark plan is identical either way (tested both ways
+in tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
-from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,13 +38,86 @@ from pyspark.sql.types import (
 )
 
 
-def decode_media(content: bytes, media_type: str) -> Any:
-    """The real decode hook. Not implementable in this environment (no
-    codec libraries are installed); kept as the single swap-in point."""
+def decode_media(content: bytes, media_type: str = "") -> dict:
+    """The real decode hook — the single swap-in point for codecs.
+
+    Formats decodable with the standard library + numpy are REAL (r3):
+    - WAV / RIFF PCM (8/16-bit) via the stdlib ``wave`` module:
+      sample_rate, n_channels, n_samples, duration_s, rms_db;
+    - uncompressed 24/32-bpp BMP via header parsing: width, height,
+      mean_intensity.
+    Container formats that genuinely need codec libraries (JPEG, PNG,
+    MP3, MP4 — PIL/librosa/ffmpeg are not installed here) still raise
+    ``NotImplementedError`` with the format named. Detection prefers
+    magic bytes over the declared ``media_type`` so a mislabeled payload
+    fails loud instead of mis-decoding.
+    """
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     raise NotImplementedError(
-        "codec libraries (PIL/librosa/ffmpeg) are not available in this "
-        "environment; feature extractors use fake_decode() instead"
+        f"no stdlib decoder for this payload (media_type={media_type!r}, "
+        f"magic={content[:4]!r}); JPEG/PNG/MP3/MP4 need PIL/librosa/ffmpeg, "
+        "which are not available in this environment"
     )
+
+
+def _decode_wav(content: bytes) -> dict:
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        n_channels = w.getnchannels()
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM WAV")
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    return {
+        "sample_rate": sr,
+        "n_channels": n_channels,
+        "n_samples": n_frames * n_channels,
+        "duration_s": n_frames // sr if sr else 0,
+        "rms_db": round(20.0 * math.log10(rms), 6) if rms > 0 else -120.0,
+    }
+
+
+def _decode_bmp(content: bytes) -> dict:
+    import numpy as np
+
+    data_offset = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height_raw = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bpp BMP (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    height = abs(height_raw)
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    px = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * bytes_pp]
+    if bpp == 32:  # drop the alpha channel from the intensity mean
+        px = px.reshape(height, width, 4)[:, :, :3]
+    return {
+        "width": width,
+        "height": height,
+        "mean_intensity": round(float(px.mean()) / 255.0, 6),
+    }
 
 
 def fake_decode(content: bytes) -> dict:
@@ -89,17 +163,20 @@ _IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def image_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     """Per-image feature extraction as an Arrow-batched ``mapInPandas``:
     the UDF sees an ITERATOR of record batches (bounded memory per task
     regardless of partition size) and yields one feature row per media
-    row. No shuffle — features are computed where the bytes live."""
+    row. No shuffle — features are computed where the bytes live.
+    ``decoder`` defaults to the oracle-checkable fake; pass
+    :func:`decode_media` for real payloads (WAV/BMP decode with stdlib,
+    tested; codec-library formats raise)."""
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            feats = [fake_decode(bytes(c)) for c in pdf["content"]]
+            feats = [decoder(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -191,7 +268,7 @@ _AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     """Per-clip audio feature extraction — same Arrow-batched
     ``mapInPandas`` contract as ``image_features`` (iterator in/out,
     bounded task memory, zero shuffle); a real path would swap
@@ -201,7 +278,7 @@ def audio_features(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            feats = [fake_decode(bytes(c)) for c in pdf["content"]]
+            feats = [decoder(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -210,7 +287,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                     "n_channels": [f["n_channels"] for f in feats],
                     "duration_s": [f["duration_s"] for f in feats],
                     "n_samples": [
-                        f["sample_rate"] * f["duration_s"] * f["n_channels"]
+                        f.get(
+                            "n_samples",
+                            f["sample_rate"] * f["duration_s"] * f["n_channels"],
+                        )
                         for f in feats
                     ],
                     "rms_db": [f["rms_db"] for f in feats],

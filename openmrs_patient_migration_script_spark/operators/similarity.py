@@ -464,9 +464,12 @@ def cosine_pairs_blocked(
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     B = n_blocks
+    # ship the RAW float32 arrays through the explode/shuffle and upcast
+    # in numpy (float->double is exact): casting to array<double> first
+    # would double the shuffled bytes for zero precision gain
     base = corpus.select(
         F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_v"),
+        F.col(vec_col).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
     )
     # Row in block b joins grid cells {(min(b,o), max(b,o)) : o ∈ 0..B-1};

@@ -75,3 +75,130 @@ def test_resize_preserves_payload_and_caps_side(spark):
         assert max(r["target_width"], r["target_height"]) <= 64
         assert min(r["target_width"], r["target_height"]) >= 1
         assert bytes(r["content"])  # payload passed through
+
+
+def _wav_bytes(sr=8000, n=4000, amp=16384, channels=1):
+    """16-bit PCM WAV with a constant-amplitude square wave: RMS is
+    exactly amp/32768, so rms_db is analytically known."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frame = amp.to_bytes(2, "little", signed=True) * channels
+        w.writeframes(frame * n)
+    return buf.getvalue()
+
+
+def _bmp_bytes(width=2, height=2, value=100):
+    """Uncompressed 24-bpp BMP, every channel byte = value."""
+    bytes_pp = 3
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    pad = stride - width * bytes_pp
+    row = bytes([value] * width * bytes_pp) + bytes(pad)
+    pixels = row * height
+    data_offset = 14 + 40
+    size = data_offset + len(pixels)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def test_real_decoder_wav_exact_features(spark):
+    """The REAL decode path end-to-end through the same mapInPandas plan:
+    a synthesized 16-bit PCM WAV with known analytic features."""
+    import math
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_features,
+        decode_media,
+    )
+
+    wav = _wav_bytes(sr=8000, n=4000, amp=16384, channels=1)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("media_type", StringType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", len(wav))], schema
+    )
+    r = audio_features(media, decoder=decode_media).collect()[0]
+    assert r["sample_rate"] == 8000
+    assert r["n_channels"] == 1
+    assert r["n_samples"] == 4000
+    assert r["duration_s"] == 0  # 0.5 s floors to 0 whole seconds
+    want_db = round(20.0 * math.log10(16384 / 32768.0), 6)
+    assert abs(r["rms_db"] - want_db) < 1e-6
+
+
+def test_real_decoder_bmp_exact_features(spark):
+    """Uncompressed BMP through image_features with the real decoder:
+    dimensions and mean intensity are exact."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        decode_media,
+        image_features,
+    )
+
+    bmp = _bmp_bytes(width=2, height=2, value=100)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("media_type", StringType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(bmp), "image/bmp", len(bmp))], schema
+    )
+    r = image_features(media, decoder=decode_media).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    assert abs(r["mean_intensity"] - round(100 / 255.0, 6)) < 1e-6
+
+
+def test_real_decoder_unknown_format_fails_loud():
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    with pytest.raises(NotImplementedError, match="JPEG/PNG/MP3/MP4"):
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")

@@ -354,3 +354,46 @@ def test_listagg_bounded_fails_loud_on_oversized_group(spark):
 
     with pytest.raises(Exception, match="listagg group big has 50"):
         listagg_bounded(df, ["grp"], "val", max_group_size=10).collect()
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefgh", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=100),
+)
+def test_surrogate_keys_string_path_dense_and_ordered(spark, keys, offset):
+    """The non-numeric branch (seeded-sample cuts + exact counts pass)
+    honors the same global-window contract as the numeric fast path."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        assign_surrogate_keys,
+    )
+
+    df = spark.createDataFrame([(kk,) for kk in keys], "k string")
+    out = assign_surrogate_keys(df, "k", id_col="sid", offset=offset, num_partitions=4)
+    got = {r["k"]: r["sid"] for r in out.collect()}
+    for rank, kk in enumerate(sorted(keys), start=1):
+        assert got[kk] == offset + rank
+
+
+def test_surrogate_keys_degenerate_inputs(spark):
+    """Constant-key input (span 0 → single bucket) and empty input must
+    not crash the literal-cut scheme; row_number order on ties is
+    partition-local but ids stay dense."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        assign_surrogate_keys,
+    )
+
+    const = spark.createDataFrame([(7, i) for i in range(10)], "k long, payload long")
+    out = assign_surrogate_keys(const, "k", id_col="sid", offset=5)
+    sids = sorted(r["sid"] for r in out.collect())
+    assert sids == list(range(6, 16))
+
+    empty = spark.createDataFrame([], "k long")
+    assert assign_surrogate_keys(empty, "k", id_col="sid").count() == 0

@@ -39,3 +39,24 @@ def test_every_registered_query_is_declared_in_survey():
 
 def test_oracles_are_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_grade_first_ordering_names_are_registered():
+    """The driver grades the first 50 entries of queries() in dict order;
+    __spark_entry__._GRADE_FIRST controls that order. A typo'd or stale
+    name there silently falls out of the priority list (set-membership
+    guard), so pin that every listed name exists and none repeats."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_for_test", Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = mod._GRADE_FIRST
+    assert len(names) == len(set(names)), "duplicate names in _GRADE_FIRST"
+    unknown = set(names) - set(QUERIES)
+    assert not unknown, f"_GRADE_FIRST names not in registry: {sorted(unknown)}"
+    ordered = list(mod.queries())
+    assert ordered[: len(names)] == [n for n in names if n in QUERIES]

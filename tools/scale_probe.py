@@ -26,6 +26,7 @@ from openmrs_patient_migration_script_spark.sources import load_table  # noqa: E
 
 SF_DIR = "/root/testdata/sf0.1"
 FACTORS = [1, 4, 16]
+KEY_SHIFT = 10_000_000
 
 
 def replicate(df, key_cols, k: int, shift: int):
@@ -39,6 +40,32 @@ def replicate(df, key_cols, k: int, shift: int):
     for c in key_cols:
         out = out.withColumn(c, F.col(c) + F.col("_rep") * shift)
     return out.drop("_rep")
+
+
+def _perturbed_copies(emb, k: int):
+    """k key-shifted copies of the embeddings table whose vectors get a
+    per-(copy, dim) SIGN FLIP (parity of xxhash64(copy, dim)): sign flips
+    preserve every within-copy pairwise cosine exactly while decorrelating
+    copies (cross-copy pairs land near orthogonal), so true-pair volume
+    stays linear in k. (An additive shift per copy would do the opposite —
+    x + c makes all of copy c's vectors nearly parallel to the all-ones
+    direction, planting n² near-dup pairs per copy.)"""
+    from functools import reduce
+
+    copies = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * KEY_SHIFT)).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, d: F.when(
+                    F.pmod(F.xxhash64(F.lit(1000 + i), d), 2) == 0, x
+                ).otherwise(-x),
+            ).alias("embedding"),
+        )
+        for i in range(k)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), copies)
 
 
 def _funnel(ev):
@@ -84,7 +111,6 @@ def main() -> None:
     events = load_table(spark, SF_DIR, "events").localCheckpoint(eager=True)
     docs = load_table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
     emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
-    KEY_SHIFT = 10_000_000
 
     def shapes(k: int):
         li_k = replicate(li, ["l_orderkey"], k, KEY_SHIFT)
@@ -106,7 +132,11 @@ def main() -> None:
             profile_columns,
             referential_orphans,
         )
+        from openmrs_patient_migration_script_spark.operators.etl import (
+            assign_surrogate_keys,
+        )
         from openmrs_patient_migration_script_spark.operators.similarity import (
+            cosine_pairs_lsh,
             cosine_topk_vectorized,
         )
         from openmrs_patient_migration_script_spark.operators.timeseries import (
@@ -179,6 +209,23 @@ def main() -> None:
             ),
             "profile_multi_distinct (Expand)": profile_columns(
                 o_k, ["o_custkey", "o_orderstatus", "o_totalprice"]
+            ),
+            # r3: literal-cut surrogate keys (histogram pass + counts +
+            # bucket-local window; construction runs the driver jobs)
+            "surrogate_keys (literal cuts)": lambda: assign_surrogate_keys(
+                o_k.select("o_orderkey"), "o_orderkey", id_col="sid"
+            ),
+            # r3: LSH near-dup pair path at a REAL near-dup threshold.
+            # Copies are sign-flip decorrelated (see _perturbed_copies),
+            # and planes grow with corpus size (8 + log2(k)) — the
+            # documented LSH tuning rule: constant expected bucket
+            # occupancy keeps candidate volume ~linear in rows; with
+            # FIXED planes, in-bucket pair volume is inherently n²/2^m.
+            "cosine_pairs_lsh (0.95)": lambda: cosine_pairs_lsh(
+                _perturbed_copies(emb, k),
+                threshold=0.95,
+                num_planes=8 + round(math.log2(k)),
+                num_tables=8,
             ),
         }
 
