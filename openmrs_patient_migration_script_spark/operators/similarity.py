@@ -601,14 +601,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids=None,
 ) -> DataFrame:
     """ANN scale path #2: IVF (inverted-file) top-k — the cell-pruned
     counterpart of `ann_topk_lsh`.
 
     1. Coarse quantizer: ``n_cells`` deterministic seed centroids — the
        corpus rows with the smallest md5-bucket of their id (content-
-       addressed, so every run/cluster picks the same seeds; a k-means
-       refinement would slot in here without changing the plan shape).
+       addressed, so every run/cluster picks the same seeds) — or a
+       TRAINED quantizer via ``centroids=kmeans_fit(corpus, ...)`` (r3:
+       the distributed spherical-Lloyd trainer; same plan shape either
+       way).
     2. Assignment: every corpus vector goes to its nearest centroid cell —
        one numpy argmax per Arrow batch, a narrow mapInPandas projection.
     3. Probing: each query searches only its ``nprobe`` nearest cells; the
@@ -636,15 +639,20 @@ def ivf_topk(
 
     from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
 
-    seeds = (
-        corpus.select(
-            id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+    if centroids is not None:
+        # trained quantizer (kmeans_fit) — n_cells comes from the model
+        cent = np.array(centroids, dtype=np.float64)
+        n_cells = len(cent)
+    else:
+        seeds = (
+            corpus.select(
+                id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+            )
+            .orderBy("_b", id_col)
+            .limit(n_cells)
+            .collect()
         )
-        .orderBy("_b", id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+        cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
     q_rows = queries.select(query_id_col, vec_col).collect()
@@ -719,6 +727,117 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed spherical k-means (Lloyd) refinement — the IVF coarse-
+    quantizer trainer `ivf_topk` points at. Returns the centroid matrix
+    as a list of lists (n_cells × dim), ready to pass to
+    ``ivf_topk(centroids=...)``.
+
+    Per iteration, ONE job: an Arrow-batched ``mapInPandas`` assigns each
+    batch to its nearest centroid (numpy argmax against the closure-shipped
+    centroid matrix — a model constant, KBs) and emits map-side PARTIAL
+    sums in long form — (cell, dim, partial_sum, partial_count), at most
+    n_cells × dim rows per batch regardless of batch size — then a tiny
+    hash agg reduces partials and the driver renormalizes (spherical
+    update: centroids live on the unit sphere because downstream scoring
+    is cosine). The shuffle therefore carries centroid-sized partials,
+    never vectors: the same bounded-state shape as a partial-combinable
+    aggregate. Empty cells keep their previous centroid.
+
+    Init = the same deterministic content-addressed seeds `ivf_topk`
+    uses, so an untrained call and a 0-iteration fit agree. Float partial
+    sums reassociate across partitionings, so convergence (pinned by
+    test: the mean best-cosine objective is non-decreasing) rather than
+    bit-identity is the contract — the standard k-means determinism story.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    seeds = (
+        corpus.select(
+            id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+        )
+        .orderBy("_b", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    dim = cent.shape[1]
+
+    partial_schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("dim", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    vecs = corpus.select(vec_col)
+
+    for _ in range(n_iter):
+        C = cent  # bind the current matrix into the task closure
+
+        def partials(batches):
+            for pdf in batches:
+                X = np.array(list(pdf[vec_col]), dtype=np.float64)
+                if not len(X):
+                    continue
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                cells = np.argmax(Xn @ C.T, axis=1)
+                out_cell, out_dim, out_s, out_n = [], [], [], []
+                for c in np.unique(cells):
+                    sel = Xn[cells == c]
+                    out_cell.append(np.full(dim, c, dtype="int32"))
+                    out_dim.append(np.arange(dim, dtype="int32"))
+                    out_s.append(sel.sum(axis=0))
+                    out_n.append(np.full(dim, len(sel), dtype="int64"))
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(out_cell),
+                        "dim": np.concatenate(out_dim),
+                        "s": np.concatenate(out_s),
+                        "cnt": np.concatenate(out_n),
+                    }
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, partial_schema)
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells)
+        for r in agg:
+            sums[r["cell"], r["dim"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        for c in range(n_cells):
+            if counts[c] > 0:
+                v = sums[c]
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    new_cent[c] = v / nrm
+        cent = new_cent
+    return [[float(x) for x in row] for row in cent]
 
 
 def label_centroids(

@@ -221,3 +221,55 @@ def test_srp_hashed_matches_hof_lsh_bucket(spark):
         for r in srp_hashed(emb, "vec_id", m, L).collect()
     }
     assert got == want
+
+
+def test_kmeans_fit_improves_objective_and_feeds_ivf(spark):
+    """Distributed spherical k-means: (a) a 0-iteration fit returns the
+    same deterministic seeds ivf_topk uses; (b) the mean best-cosine
+    objective is non-decreasing over iterations (Lloyd's guarantee);
+    (c) trained centroids plug into ivf_topk and keep recall at or above
+    the untrained quantizer on the same queries."""
+    import numpy as np
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb, queries = _split(spark)
+
+    def objective(cent):
+        C = np.array(cent, dtype=np.float64)
+        X = np.array(
+            [r.embedding for r in emb.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        return float(np.max(Xn @ C.T, axis=1).mean())
+
+    c0 = kmeans_fit(emb, n_cells=8, n_iter=0)
+    c2 = kmeans_fit(emb, n_cells=8, n_iter=2)
+    c5 = kmeans_fit(emb, n_cells=8, n_iter=5)
+    assert len(c0) == 8 and len(c0[0]) == 64
+    o0, o2, o5 = objective(c0), objective(c2), objective(c5)
+    assert o2 >= o0 - 1e-9, f"objective regressed: {o0} -> {o2}"
+    assert o5 >= o2 - 1e-9, f"objective regressed: {o2} -> {o5}"
+    assert o5 > o0, "training never improved the quantizer"
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    untrained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    trained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, nprobe=4, centroids=c5).collect()
+    }
+    r_untrained = len(exact & untrained) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    # trained coarse quantizer must not hurt recall (usually helps:
+    # balanced cells make nprobe cover more true neighbors)
+    assert r_trained >= r_untrained - 0.05, (r_untrained, r_trained)
