@@ -81,15 +81,45 @@ _GRADE_FIRST = [
 ]
 
 
+def _graded_names() -> set[str]:
+    """Names with a fully-green entry in ANY CORRECTNESS_r*.json on disk —
+    the self-maintaining half of the rotation: each round the driver
+    writes a new file, so whatever it graded moves to the back and the
+    never-graded remainder surfaces automatically."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = Path(__file__).resolve().parent
+    for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        try:
+            data = json.loads(Path(p).read_text())
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") is not False
+            ):
+                seen.add(name)
+    return seen
+
+
 def _ordered(names: list[str]) -> list[str]:
-    known = set(names)
-    first = [n for n in _GRADE_FIRST if n in known]
-    return first + [n for n in names if n not in set(first)]
+    graded = _graded_names()
+    prio = {n: i for i, n in enumerate(_GRADE_FIRST)}
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names, key=lambda n: (n in graded, prio.get(n, len(prio)), pos[n])
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    driver-ungraded queries are graded before already-graded ones."""
+    queries with no green CORRECTNESS entry in any prior round grade
+    first (within each group, `_GRADE_FIRST` then registry order)."""
     return {n: QUERIES[n] for n in _ordered(list(QUERIES))}
 
 

@@ -43,9 +43,10 @@ def test_oracles_are_subset_of_queries():
 
 def test_grade_first_ordering_names_are_registered():
     """The driver grades the first 50 entries of queries() in dict order;
-    __spark_entry__._GRADE_FIRST controls that order. A typo'd or stale
-    name there silently falls out of the priority list (set-membership
-    guard), so pin that every listed name exists and none repeats."""
+    ordering = never-driver-graded first (per CORRECTNESS_r*.json on
+    disk), with _GRADE_FIRST as the within-group priority. Pin that
+    every priority name exists, none repeats, and every query lacking a
+    green CORRECTNESS entry precedes every query that has one."""
     import importlib.util
     from pathlib import Path
 
@@ -59,4 +60,7 @@ def test_grade_first_ordering_names_are_registered():
     unknown = set(names) - set(QUERIES)
     assert not unknown, f"_GRADE_FIRST names not in registry: {sorted(unknown)}"
     ordered = list(mod.queries())
-    assert ordered[: len(names)] == [n for n in names if n in QUERIES]
+    assert set(ordered) == set(QUERIES)
+    graded = mod._graded_names()
+    flags = [n in graded for n in ordered]
+    assert flags == sorted(flags), "a graded query precedes an ungraded one"
