@@ -470,3 +470,23 @@ def test_events_top_paths_window_group_limit(spark):
     exchange — without it the full event log shuffles just to be discarded."""
     plan = plan_of(spark, "events_top_paths")
     assert "WindowGroupLimit" in plan
+
+
+def test_surrogate_keys_one_shuffle_no_checkpoint(spark):
+    """r3 literal-cut surrogate keys: the ONLY Exchange is the bucket
+    window's hash partitioning — no range-repartition shuffle and no
+    localCheckpoint boundary (`Scan ExistingRDD`) may reappear. The r2
+    design paid all three."""
+    ns = nodes(plan_of(spark, "etl_surrogate_keys"))
+    assert ns.count("Exchange") == 1, ns
+    assert "ScanExistingRDD" not in [n.replace(" ", "") for n in ns], ns
+
+
+def test_dedup_embedding_single_grid_shuffle(spark):
+    """Block-grid all-pairs: one Exchange (the grid-cell grouping) into
+    one grouped-map Pandas stage; any second Exchange or a MapInPandas
+    over a collected closure is a regression toward r2's driver-side
+    corpus collect."""
+    ns = nodes(plan_of(spark, "dedup_embedding"))
+    assert ns.count("Exchange") == 1, ns
+    assert any("FlatMapGroupsInPandas" in n for n in ns), ns
