@@ -68,3 +68,55 @@ def write_json(df: DataFrame, path: str, partition_by: list[str] | None = None) 
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.mode("overwrite").json(path)
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Real media ingestion: Spark's built-in ``binaryFile`` source scans a
+    directory of files into the engine's media-table schema (media_id,
+    content, media_type, n_bytes, path) — the on-ramp from files on
+    disk/object storage to operators/multimodal.py (pass
+    ``decoder=decode_media`` there for the real WAV/BMP decode).
+
+    - ``media_id`` is ``xxhash64(path)`` — content-addressed by LOCATION,
+      deterministic across runs and partitionings (no zipWithIndex);
+    - ``media_type`` comes from the file extension (lowercased), a hint
+      only — decoders sniff magic bytes and fail loud on mismatch;
+    - ``max_bytes`` filters oversized payloads BEFORE they are read into
+      task memory (binaryFile loads each file whole into one row — the
+      documented constraint; video-scale blobs belong in chunked stores).
+      Pushed down via the source's own ``pathGlobFilter``/length column.
+
+    binaryFile splits files across tasks by file boundary, so media rows
+    are born partitioned by file — the same no-shuffle story as
+    make_media_table.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    media_type = (
+        F.when(ext == "wav", F.lit("audio/wav"))
+        .when(ext == "bmp", F.lit("image/bmp"))
+        .when(ext.isin("jpg", "jpeg"), F.lit("image/jpeg"))
+        .when(ext == "png", F.lit("image/png"))
+        .when(ext == "mp3", F.lit("audio/mpeg"))
+        .when(ext == "mp4", F.lit("video/mp4"))
+        .otherwise(F.concat(F.lit("application/"), ext))
+    )
+    return df.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content"),
+        media_type.alias("media_type"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("path"),
+    )

@@ -202,3 +202,41 @@ def test_real_decoder_unknown_format_fails_loud():
 
     with pytest.raises(NotImplementedError, match="JPEG/PNG/MP3/MP4"):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+
+
+def test_read_media_dir_end_to_end_real_decode(spark, tmp_path):
+    """Files on disk → binaryFile scan → media schema → REAL decode:
+    a WAV and a BMP written to a directory come back with exact features,
+    and the byte-size filter drops oversized payloads before decode."""
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_features,
+        decode_media,
+        image_features,
+    )
+    from openmrs_patient_migration_script_spark.sources.files import read_media_dir
+
+    wav = _wav_bytes(sr=8000, n=4000, amp=16384, channels=1)
+    bmp = _bmp_bytes(width=2, height=2, value=100)
+    (tmp_path / "clip.wav").write_bytes(wav)
+    (tmp_path / "pic.bmp").write_bytes(bmp)
+    (tmp_path / "huge.bin").write_bytes(b"x" * 65536)
+
+    media = read_media_dir(spark, str(tmp_path), max_bytes=16384)
+    rows = {r["media_type"]: r for r in media.collect()}
+    assert set(rows) == {"audio/wav", "image/bmp"}  # huge.bin filtered
+    assert rows["audio/wav"]["n_bytes"] == len(wav)
+
+    audio = audio_features(
+        media.filter("media_type = 'audio/wav'"), decoder=decode_media
+    ).collect()[0]
+    assert (audio["sample_rate"], audio["n_samples"]) == (8000, 4000)
+
+    image = image_features(
+        media.filter("media_type = 'image/bmp'"), decoder=decode_media
+    ).collect()[0]
+    assert (image["width"], image["height"]) == (2, 2)
+    assert abs(image["mean_intensity"] - round(100 / 255.0, 6)) < 1e-6
+
+    # deterministic ids: re-reading the same directory yields the same ids
+    again = {r["media_id"] for r in read_media_dir(spark, str(tmp_path), max_bytes=16384).collect()}
+    assert again == {r["media_id"] for r in rows.values()}
