@@ -120,3 +120,46 @@ def read_media_dir(
         F.col("length").cast("int").alias("n_bytes"),
         F.col("path"),
     )
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    whole_files: bool = False,
+) -> DataFrame:
+    """Raw-text corpus ingestion — the documents-table on-ramp for a tree
+    of ``.txt``/``.md``/line-delimited files, built on the ``text`` source.
+
+    Two modes:
+    - line mode (default): one row per line — the shape of one-document-
+      per-line corpus dumps. ``doc_id = xxhash64(path, text)``: content-
+      addressed and deterministic under any partitioning (no
+      zipWithIndex/monotonically_increasing_id, both of which renumber on
+      re-runs). Byte-identical duplicate lines of the SAME file collapse
+      to one id — for training corpora that is exact-dedup-at-ingest;
+      callers who need multiplicity count rows per id before dropping.
+    - whole-file mode (``wholetext``): one row per file, ``doc_id =
+      xxhash64(path)`` — for document-per-file layouts; each file must
+      fit in one task's memory (same constraint as binaryFile).
+
+    Rows are born partitioned by file split; zero shuffles. Downstream:
+    operators/text.py (quality, langid, tokens) and
+    operators/corpus.py::prepare_corpus consume this schema directly.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if whole_files:
+        df = reader.text(path, wholetext=True)
+        doc_id = F.xxhash64(F.input_file_name())
+    else:
+        df = reader.text(path)
+        doc_id = F.xxhash64(F.input_file_name(), F.col("value"))
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.col("value").alias("text"),
+        F.input_file_name().alias("path"),
+    )

@@ -136,3 +136,35 @@ class TestPythonDataSource:
     def test_zero_rows_yields_empty_frame(self, spark):
         df = self._read(spark, rows=0, parts=4)
         assert df.count() == 0
+
+
+def test_read_text_corpus_line_and_wholefile_modes(spark, tmp_path):
+    """Raw text ingestion: line mode yields one row per line with
+    content-addressed ids stable across re-reads; whole-file mode yields
+    one row per file; glob filters; duplicate lines within a file
+    collapse to one id (exact-dedup-at-ingest, documented)."""
+    from openmrs_patient_migration_script_spark.sources.files import (
+        read_text_corpus,
+    )
+
+    (tmp_path / "a.txt").write_text("alpha doc\nbeta doc\nalpha doc\n")
+    (tmp_path / "b.txt").write_text("gamma doc\n")
+    (tmp_path / "skip.log").write_text("not a doc\n")
+
+    lines = read_text_corpus(spark, str(tmp_path), glob="*.txt")
+    rows = lines.collect()
+    assert {r.text for r in rows} == {"alpha doc", "beta doc", "gamma doc"}
+    assert len(rows) == 4  # the duplicate alpha line is two ROWS, one id
+    ids = {r.text: set() for r in rows}
+    for r in rows:
+        ids[r.text].add(r.doc_id)
+    assert all(len(s) == 1 for s in ids.values())
+    again = {(r.doc_id, r.text) for r in read_text_corpus(spark, str(tmp_path), glob="*.txt").collect()}
+    assert again == {(r.doc_id, r.text) for r in rows}
+
+    whole = read_text_corpus(spark, str(tmp_path), glob="*.txt", whole_files=True)
+    wrows = whole.collect()
+    assert len(wrows) == 2
+    by_file = {r.path.rsplit("/", 1)[-1]: r.text for r in wrows}
+    assert by_file["a.txt"] == "alpha doc\nbeta doc\nalpha doc\n"
+    assert by_file["b.txt"].startswith("gamma doc")
