@@ -13,9 +13,11 @@ over DataFrame ops, with the two patterns iterative Spark lives or dies by:
 
 Min-label propagation converges in O(graph diameter) iterations — fine
 for dedup graphs (dense little clusters, tiny diameter). For web-scale
-graphs with long chains, the Small-Star/Large-Star alternating algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
-the rounds; same DataFrame skeleton, different message rule.
+graphs with long chains, `connected_components_star` (r3) implements the
+Small-Star/Large-Star alternating algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond"): O(log n) rounds on any topology,
+property-tested against union-find including a 400-node path the
+min-label round budget cannot cover.
 """
 
 from __future__ import annotations
@@ -93,10 +95,108 @@ def connected_components(
         # keep several "representatives" of one duplicate cluster)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or switch "
-            "to Small-Star/Large-Star for high-diameter graphs"
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star (O(log n) rounds) for "
+            "high-diameter graphs"
         )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via the alternating Large-Star / Small-Star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the high-diameter path `connected_components`' docstring
+    points at: min-label propagation needs O(diameter) rounds (a
+    400-node chain = 400 rounds), star contraction converges in
+    O(log n) rounds on ANY topology.
+
+    Large-star: every node links its LARGER neighbors to the minimum of
+    its closed neighborhood; small-star: every node links its
+    smaller-or-equal neighbors (and itself) to that minimum. Each round
+    is two groupBy-min shuffles over the edge list; at convergence the
+    edge set is a union of stars centered at component minima, read off
+    directly as (node, cluster) labels. Same contract as
+    `connected_components`: cluster id = min member key; property-tested
+    against union-find, plus the long-chain case the min-label loop's
+    round budget cannot cover.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_link = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            nbr.unionByName(self_link)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            "(O(log n) expected — check for edge-set oscillation)"
+        )
+    # at convergence e is star edges (node -> component min); nodes that
+    # ARE their component's min have no outgoing edge — label them as
+    # their own cluster via the node universe captured up front
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+    centers = all_nodes.join(
+        labels.select(F.col("node")), "node", "left_anti"
+    ).withColumn("cluster", F.col("node"))
+    return labels.unionByName(centers)
 
 
 def _local_components(sym: DataFrame) -> DataFrame:

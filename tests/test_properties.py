@@ -397,3 +397,105 @@ def test_surrogate_keys_degenerate_inputs(spark):
 
     empty = spark.createDataFrame([], "k long")
     assert assign_surrogate_keys(empty, "k", id_col="sid").count() == 0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+)
+def test_banded_join_fractional_band_matches_reference(spark, lticks, rticks):
+    """The ADVICE scenario: band width 0.05 has no exact binary
+    representation, and values sit ON bin boundaries (multiples of 0.05).
+    The symmetric bin form (floor(val/band) ± 1) must not drop any pair
+    the exact |l-r| <= band re-check accepts."""
+    from openmrs_patient_migration_script_spark.operators.joins import banded_join
+
+    band = 0.05
+    lvals = [round(t * 0.05, 2) for t in lticks]
+    rvals = [round(t * 0.05, 2) for t in rticks]
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lvals)], "lid int, lv double"
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rvals)], "rid int, rv double"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in banded_join(left, right, "lv", "rv", band)
+        .select("lid", "rid")
+        .collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, lv in enumerate(lvals)
+        for ri, rv in enumerate(rvals)
+        if abs(lv - rv) <= band
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_components_match_union_find(spark, edge_list):
+    """Alternating Large-Star/Small-Star == plain union-find on random
+    graphs (same min-member cluster-id contract as the min-label loop)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edge_list if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    roots = {}
+    for n in list(parent):
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    got = {r.node: r.cluster for r in connected_components_star(df).collect()}
+    assert got == want
+
+
+def test_star_components_long_chain_converges_fast(spark):
+    """A 400-node path graph: min-label needs 400 rounds (its default
+    budget raises), star contraction converges in O(log n) — this is the
+    high-diameter case graph.py routes to this variant."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "key_a long, key_b long"
+    )
+    got = {r.node: r.cluster for r in connected_components_star(df, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(n)}
