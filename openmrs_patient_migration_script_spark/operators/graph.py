@@ -33,6 +33,7 @@ def connected_components(
     dst: str = "key_b",
     max_iter: int = 25,
     local_threshold: int = 1_000_000,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Cluster id (= min member key) per node of the undirected pair graph.
 
@@ -52,12 +53,19 @@ def connected_components(
     paths are live, chosen per job by the observed edge count. Pass
     ``local_threshold=0`` to force the loop (tests pin both paths agree).
     """
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     if local_threshold and sym.count() <= local_threshold:
         return _local_components(sym)
+    if algorithm == "star":
+        # O(log n)-round star contraction for high-diameter graphs; the
+        # min-label loop below is cheaper per round on the small-diameter
+        # cluster graphs dedup produces
+        return connected_components_star(edges, src, dst, max_iter=max_iter)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
