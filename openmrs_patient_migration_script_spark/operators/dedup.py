@@ -247,13 +247,23 @@ def ngram_jaccard_pairs(
     index, which four plan branches consume (sizes, doc-freq, both join
     sides) — without it the shingle explode runs four times.
     """
+    # per-doc distinct-shingle counts are ROW-LOCAL (size of the distinct
+    # shingle array) — computing them as a groupBy over the exploded index
+    # (as r2 did) pays a full shuffle + hash agg for numbers every row
+    # already knows; the recomputed shingle HOF is cheaper than the
+    # exchange and drops one consumer off the checkpointed index
+    sizes = df.select(
+        F.col(key_col).alias("key"),
+        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
+            "n_sh"
+        ),
+    )
     sh = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (
