@@ -173,12 +173,15 @@ def assign_surrogate_keys(
         else:
             lo, span = float(kmin), float(kmax) - float(kmin)
             nbins = num_partitions * 64
+            # divide by span BEFORE scaling: the normalized position is in
+            # [0, 1], so the expression cannot overflow even for keys near
+            # the double range (value * nbins first could hit inf)
             fine_expr = F.least(
                 F.lit(nbins - 1),
                 F.floor(
                     (F.col(natural_key).cast("double") - F.lit(lo))
-                    * F.lit(float(nbins))
                     / F.lit(span * (1.0 + 1e-9))
+                    * F.lit(float(nbins))
                 ).cast("int"),
             )
         hist = sorted(

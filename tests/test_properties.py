@@ -398,6 +398,14 @@ def test_surrogate_keys_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "k long")
     assert assign_surrogate_keys(empty, "k", id_col="sid").count() == 0
 
+    # extreme-magnitude double keys: the normalized-position form of the
+    # fine-bin expression must not overflow to inf
+    extreme = spark.createDataFrame(
+        [(-1e308,), (0.0,), (1e308,), (1e300,)], "k double"
+    )
+    got = {r["k"]: r["sid"] for r in assign_surrogate_keys(extreme, "k", id_col="sid").collect()}
+    assert got == {-1e308: 1, 0.0: 2, 1e300: 3, 1e308: 4}
+
 
 @settings(**SETTINGS)
 @given(
