@@ -1,4 +1,14 @@
-"""Mergeable-sketch rollups — incremental distinct counts at 100 TB.
+"""Mergeable-sketch rollups — incremental distinct counts, quantiles and
+set algebra at 100 TB.
+
+Three sketch families (all Apache DataSketches JVM built-ins in Spark 4,
+all persisted as ordinary binary columns):
+- HLL: per-slice distinct counts, union-mergeable to any coarser slice;
+- KLL (r3): per-slice quantile sketches — p50/p95/p99 over any date
+  range without a re-scan; rank-error bounded, merge-order randomized
+  (compaction), so the contract is rank accuracy, not bit identity;
+- Theta (r3): distinct counts WITH set algebra — union, intersection,
+  difference — the audience-overlap questions HLL cannot answer.
 
 ``agg_distinct``'s exact two-phase distinct re-scans the fact table for
 every (slice, window) asked. The scale pattern is to pre-aggregate each
@@ -62,3 +72,100 @@ def rollup_sketches(
             F.hll_sketch_estimate("merged").cast("long").alias("distinct_estimate"),
         )
     )
+
+
+def quantile_sketch_slices(
+    df: DataFrame,
+    slice_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """One KLL quantile sketch per slice: (slice_cols..., q_sketch) —
+    the quantile counterpart of :func:`sketch_slices` (Spark 4.1 ships
+    the DataSketches KLL family as JVM built-ins).
+
+    ``k=200`` ⇒ ~1.65% rank error in a few KB per sketch. The value
+    column is cast to double (one typed family keeps the module simple —
+    bigint/float variants exist if exact integer semantics matter).
+    Partial-combinable hash agg: the shuffle carries sketch state, not
+    raw values, and the sketch column parquet-roundtrips like any binary.
+    """
+    return df.groupBy(*slice_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("q_sketch")
+    )
+
+
+def rollup_quantiles(
+    sketches: DataFrame,
+    keep_cols: list[str],
+    quantiles: list[float],
+    sketch_col: str = "q_sketch",
+) -> DataFrame:
+    """Merge pre-built KLL sketches to a coarser slice and read off
+    quantiles: (keep_cols..., q_<p> per requested p). Never touches raw
+    data — the 100 TB pattern for "p50/p95/p99 latency over any date
+    range" without a re-scan. Rank error is the sketch's (~1.65% at
+    k=200): pinned against exact percentiles in tests."""
+    merged = sketches.groupBy(*keep_cols).agg(
+        F.kll_merge_agg_double(F.col(sketch_col)).alias("merged")
+    )
+    return merged.select(
+        *keep_cols,
+        *[
+            F.kll_sketch_get_quantile_double("merged", F.lit(p)).alias(
+                f"q_{str(p).replace('.', '_')}"
+            )
+            for p in quantiles
+        ],
+    )
+
+
+def theta_sketch_slices(
+    df: DataFrame,
+    slice_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One theta sketch per slice: (slice_cols..., t_sketch). Theta
+    sketches estimate distinct counts like HLL but additionally support
+    set INTERSECTION and DIFFERENCE — the audience-overlap questions
+    ("users active in BOTH segments") HLL cannot answer."""
+    return df.groupBy(*slice_cols).agg(
+        F.theta_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("t_sketch")
+    )
+
+
+def theta_overlap(
+    sketches: DataFrame,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    sketch_col: str = "t_sketch",
+) -> dict:
+    """Distinct-count algebra over two pre-built slice sketches:
+    |A|, |B|, |A ∪ B|, |A ∩ B|, |A \\ B| — each read from sketch state,
+    no raw-data pass. Returns a plain dict of long estimates."""
+    a = sketches.filter(F.col(slice_col) == slice_a).select(
+        F.col(sketch_col).alias("a")
+    )
+    b = sketches.filter(F.col(slice_col) == slice_b).select(
+        F.col(sketch_col).alias("b")
+    )
+    row = (
+        a.crossJoin(b)
+        .select(
+            F.theta_sketch_estimate("a").alias("n_a"),
+            F.theta_sketch_estimate("b").alias("n_b"),
+            F.theta_sketch_estimate(F.theta_union("a", "b")).alias("n_union"),
+            F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias(
+                "n_intersection"
+            ),
+            F.theta_sketch_estimate(F.theta_difference("a", "b")).alias(
+                "n_difference"
+            ),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k]) for k in row.asDict()}

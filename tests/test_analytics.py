@@ -181,3 +181,84 @@ def test_hash_split_remainder_goes_to_holdout_not_null(spark):
     assert None not in counts
     assert counts.get("holdout", 0) > 0
     assert sum(counts.values()) == 500
+
+
+def test_kll_quantile_rollup_bounds_rank_error_and_roundtrips(spark, sf_dir):
+    """Per-slice KLL sketches merged to a coarser slice must produce
+    quantiles whose RANK (position in the exact sorted data) is within
+    the k=200 sketch's rank-error bound of the requested rank — KLL
+    guarantees rank accuracy, not value accuracy. Sketches must survive
+    a parquet roundtrip (the persist-then-merge pattern)."""
+    import tempfile
+
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        quantile_sketch_slices,
+        rollup_quantiles,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_slice = quantile_sketch_slices(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice"
+    )
+    rolled = rollup_quantiles(per_slice, ["l_returnflag"], [0.5, 0.95])
+
+    vals_by_flag = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        vals_by_flag.setdefault(r["l_returnflag"], []).append(
+            float(r["l_extendedprice"])
+        )
+    rows = rolled.collect()
+    assert len(rows) >= 2
+    import bisect
+
+    for r in rows:
+        vals = sorted(vals_by_flag[r["l_returnflag"]])
+        n = len(vals)
+        for p, col in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
+            got = r[col]
+            rank = bisect.bisect_right(vals, got) / n
+            assert abs(rank - p) <= 0.05, (r["l_returnflag"], p, got, rank)
+
+    # roundtripped sketches must still answer within the rank bound —
+    # NOT bit-identically: KLL compaction is randomized, so a re-merge
+    # after the roundtrip may legally pick different retained values
+    with tempfile.TemporaryDirectory() as d:
+        per_slice.write.mode("overwrite").parquet(d)
+        reread = rollup_quantiles(
+            spark.read.parquet(d), ["l_returnflag"], [0.5, 0.95]
+        ).collect()
+        for r in reread:
+            vals = sorted(vals_by_flag[r["l_returnflag"]])
+            n = len(vals)
+            for p, col in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
+                rank = bisect.bisect_right(vals, r[col]) / n
+                assert abs(rank - p) <= 0.05, (r["l_returnflag"], p, rank)
+
+
+def test_theta_sketch_set_algebra(spark, sf_dir):
+    """Theta sketches answer the audience-overlap algebra HLL cannot:
+    |A|, |B|, union, intersection, difference — checked against exact
+    set arithmetic on the fixture (user ids per event type)."""
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        theta_overlap,
+        theta_sketch_slices,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = theta_sketch_slices(ev, ["event_type"], "user_id")
+    got = theta_overlap(sk, "event_type", "view", "purchase")
+
+    rows = ev.select("event_type", "user_id").collect()
+    A = {r["user_id"] for r in rows if r["event_type"] == "view"}
+    B = {r["user_id"] for r in rows if r["event_type"] == "purchase"}
+    want = {
+        "n_a": len(A),
+        "n_b": len(B),
+        "n_union": len(A | B),
+        "n_intersection": len(A & B),
+        "n_difference": len(A - B),
+    }
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(2, 0.05 * exact), (k, got[k], exact)
