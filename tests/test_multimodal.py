@@ -240,3 +240,15 @@ def test_read_media_dir_end_to_end_real_decode(spark, tmp_path):
     # deterministic ids: re-reading the same directory yields the same ids
     again = {r["media_id"] for r in read_media_dir(spark, str(tmp_path), max_bytes=16384).collect()}
     assert again == {r["media_id"] for r in rows.values()}
+
+
+def test_read_media_dir_length_filter_is_pushed_down(spark, tmp_path):
+    """The byte-size cap must reach the binaryFile scan as a pushed
+    filter (oversized files are skipped without reading content) — a
+    plain post-scan Filter would still load every payload into memory."""
+    from openmrs_patient_migration_script_spark.sources.files import read_media_dir
+
+    (tmp_path / "x.bmp").write_bytes(b"BM" + b"\0" * 100)
+    df = read_media_dir(spark, str(tmp_path), max_bytes=1024)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(length,1024)" in plan, plan
