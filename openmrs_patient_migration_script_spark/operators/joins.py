@@ -143,3 +143,83 @@ def banded_join(
         F.abs(F.col(left_val) - F.col(right_val)) <= w
     )
     return joined.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+    on: list[str] | None = None,
+    max_bins_per_row: int = 64,
+) -> DataFrame:
+    """Interval × interval overlap join — pairs whose ``[start, end]``
+    ranges intersect (``l_start <= r_end AND r_start <= l_end``),
+    optionally restricted to equal ``on`` keys — as a bin equi-join.
+
+    Spark plans a bare overlap predicate as a BroadcastNestedLoopJoin
+    (O(|L| × |R|) comparisons). The scale rewrite generalizes
+    :func:`banded_join` from points-in-a-band to intervals: quantize the
+    axis into bins of ``bin_width``, explode EACH side over the bins its
+    interval spans (``floor(start/w) .. floor(end/w)``, both sides using
+    the same ``floor(x/w)`` expression form — see banded_join's FP note),
+    equi-join on ``(on..., bin)``, re-check the exact overlap predicate.
+
+    Overlapping pairs would meet in every shared bin; instead of a
+    distinct pass over the (wide) join output, each pair is kept only in
+    its CANONICAL bin — the bin of ``greatest(l_start, r_start)``, the
+    overlap's left edge, which both rows span by construction — so every
+    true pair survives exactly once and the plan needs no dedup shuffle.
+
+    Cost: shuffle O(Σ spans/width) rows; ``max_bins_per_row`` is the
+    in-plan guard (``assert_true``) against a runaway interval exploding
+    the build side — the same fail-loud contract as ``ts_resample``'s
+    span assert. Rows with NULL endpoints drop out (the SQL overlap
+    predicate is NULL-rejecting). Hot bins are ordinary join skew (AQE).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = float(bin_width)
+    on = on or []
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = F.floor(F.col(start) / w).cast("long")
+        hi = F.floor(F.col(end) / w).cast("long")
+        guard = F.assert_true(
+            hi - lo < max_bins_per_row,
+            F.concat(
+                F.lit(f"interval spans >= {max_bins_per_row} bins of {w}: "),
+                F.col(start).cast("string"),
+                F.lit(" .. "),
+                F.col(end).cast("string"),
+            ),
+        )
+        # .where(assert_true(...).isNull()) keeps every row (assert_true is
+        # NULL on success) while forcing the guard's evaluation — a dropped
+        # helper column would be pruned out of the plan, guard and all
+        return (
+            df.filter(F.col(start).isNotNull() & F.col(end).isNotNull())
+            .filter(F.col(start) <= F.col(end))
+            .where(guard.isNull())
+            .withColumn("_bin", F.explode(F.sequence(lo, hi)))
+        )
+
+    l_b = binned(left, left_start, left_end)
+    r_b = binned(right, right_start, right_end)
+    joined = (
+        l_b.join(r_b, on + ["_bin"])
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .filter(
+            F.col("_bin")
+            == F.floor(F.greatest(F.col(left_start), F.col(right_start)) / w).cast(
+                "long"
+            )
+        )
+    )
+    return joined.drop("_bin")

@@ -840,6 +840,65 @@ def kmeans_fit(
     return [[float(x) for x in row] for row in cent]
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine:
+    (id_col, cell, cos) — the inference half of :func:`kmeans_fit` and
+    the persisted-assignment step of a real IVF index (cell becomes the
+    partition column at 100 TB).
+
+    One Arrow-batched ``mapInPandas`` projection: the centroid matrix is
+    a model constant (KBs) shipped in the task closure, each batch does a
+    single numpy matmul + argmax, and the output is a narrow (id, cell,
+    cos) triple — no shuffle at all; whatever consumes the assignment
+    pays its own aggregation. Ties break on the lowest cell index
+    (np.argmax), deterministic for a fixed model.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.array(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    id_field = corpus.schema[id_col]
+
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType),
+            StructField("cell", IntegerType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if not len(X):
+                continue
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            S = (X / nrm) @ C.T
+            cells = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": cells.astype("int32"),
+                    "cos": S[np.arange(len(S)), cells],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def label_centroids(
     emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

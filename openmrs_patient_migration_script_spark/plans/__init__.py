@@ -19,6 +19,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     corpus_queries,
     privacy_queries,
     quality_queries,
+    sketch_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -243,6 +243,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "graph_components_star",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    """,
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9b: the same pair graph as `dedup_clusters`, labeled by the
+    alternating Small-Star/Large-Star contraction
+    (operators/graph.py::connected_components_star — Kiveris et al.):
+    O(log n) rounds on ANY topology, vs the min-label loop's O(diameter).
+    Declared separately so the high-diameter algorithm is itself
+    oracle-graded (identical transitive-closure oracle — the two
+    algorithms must agree on every cluster label), not just
+    property-tested. At 100 TB this is the path for web-scale link graphs
+    where chain diameters defeat a round-per-hop loop."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    return connected_components_star(pairs)
+
+
 _EMB_DUP_THRESHOLD = 0.4
 
 

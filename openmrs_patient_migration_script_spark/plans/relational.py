@@ -895,6 +895,74 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS s,
+             date_diff('day', DATE '1990-01-01', o_orderdate::DATE) + 14 AS e
+      FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_days
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: interval × interval overlap join — same-customer orders whose
+    14-day fulfilment windows intersect ("order bursts"), with the overlap
+    length. The bare overlap predicate would plan as a nested loop; the
+    binned rewrite (operators/joins.py::interval_overlap_join) explodes
+    each interval over the bins it spans (2 here: span = bin width),
+    hash-joins on (custkey, bin), and keeps each pair only in its
+    canonical bin — the overlap's left edge — so no dedup pass exists in
+    the plan. The generalization of `join_range_binned` from points to
+    intervals; time-range joins (sessions × incidents, visits × stays)
+    are this exact shape."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = o.select(
+        "o_custkey",
+        "o_orderkey",
+        days.cast("long").alias("s"),
+        (days + 14).cast("long").alias("e"),
+    )
+    a = w.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = w.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", bin_width=14.0, on=["o_custkey"]
+    ).filter(F.col("okey_a") < F.col("okey_b"))
+    return pairs.select(
+        "o_custkey",
+        "okey_a",
+        "okey_b",
+        (
+            F.least(F.col("e_a"), F.col("e_b"))
+            - F.greatest(F.col("s_a"), F.col("s_b"))
+        ).alias("overlap_days"),
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,

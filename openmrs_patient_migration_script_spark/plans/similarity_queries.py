@@ -177,3 +177,35 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round(F.col("v") / F.sqrt(F.col("_n")), 6).alias("unit_val"),
     )
+
+
+@query("cluster_kmeans")  # iterative trainer — rows-only by contract
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4e: distributed spherical k-means — train the IVF coarse
+    quantizer (operators/similarity.py::kmeans_fit: per-iteration shuffle
+    carries only n_cells×dim partial sums, never vectors), then assign
+    every vector to its nearest trained centroid (kmeans_assign: one
+    matmul per Arrow batch, zero shuffles) and report per-cell membership
+    counts plus the mean within-cell cosine. Iterative algorithm → no SQL
+    oracle (rows-only check); the training contract (objective
+    non-decreasing, assignment recall vs seeds) is pinned in
+    tests/test_similarity.py, and cluster SIZES are integers so the
+    determinism gate holds across partitionings (float partials move
+    centroids by ulps — never enough to flip an assignment at fixture
+    separation)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(e, n_cells=8, n_iter=3)
+    assigned = kmeans_assign(e, cent)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos"), 3).alias("avg_cos"),
+        )
+        .orderBy("cell")
+    )

@@ -1,0 +1,132 @@
+"""Declared mergeable-summary queries (SURVEY.md §2.4 A3/A12) — the
+incremental-analytics surface: pre-aggregate narrow slices ONCE into
+mergeable state (sketches or bitmaps), answer any coarser slice by
+merging state, never re-scanning raw data. At 100 TB this is the
+difference between "distinct users over any date range" being a
+milliseconds merge and a full table pass.
+
+Oracle story: each declared form is configured so its summary state stays
+in EXACT mode at harness scale — theta sketches keep the raw hash set
+until 2^lg_k entries, KLL keeps every value until ~k retained items, and
+bitmaps are exact always — so the rollup hash-matches a plain
+COUNT(DISTINCT) / quantile_disc oracle bit-for-bit. Production swaps the
+same plans to estimating configurations (documented per operator); the
+declared-exact trick is the same one dedup_minhash uses (md5-declared
+form → exact oracle, xxhash64 default for scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.operators.sketches import (
+    bitmap_slices,
+    quantile_sketch_slices,
+    rollup_bitmap_distinct,
+    rollup_quantiles,
+    rollup_theta,
+    theta_algebra,
+    theta_sketch_slices,
+)
+from openmrs_patient_migration_script_spark.plans.registry import query
+from openmrs_patient_migration_script_spark.sources import load_table
+
+
+@query(
+    "sketch_distinct_rollup",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_estimate
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scale path: per-(priority, status) theta sketches → union-merged
+    to per-priority distinct buyers (operators/sketches.py). The merge
+    step touches ONLY sketch state — the point of the pattern: the fine
+    slices are computed once, every coarser question is a KB-sized merge.
+    lg_k=16 keeps theta in exact mode through sf0.1 (~15k distinct keys
+    per slice vs 65536 exact-mode capacity), so the rollup equals
+    COUNT(DISTINCT) bit-for-bit; production at 100 TB drops lg_k to 12
+    (~1.6% RSE in ~4 KB) and the plan is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    fine = theta_sketch_slices(
+        o, ["o_orderpriority", "o_orderstatus"], "o_custkey", lg_k=16
+    )
+    return rollup_theta(fine, ["o_orderpriority"], lg_k=16)
+
+
+@query(
+    "sketch_quantile_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice::DOUBLE, 0.5)  AS p50,
+           quantile_disc(o_totalprice::DOUBLE, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-(priority, status) KLL quantile sketches → merged to
+    per-priority p50/p95 order values (operators/sketches.py) — the
+    "p95 latency over any date range without a re-scan" pattern. k=32768
+    keeps KLL uncompacted through sf0.1 (~30k values per merged slice),
+    where an uncompacted sketch's quantile IS the exact order statistic
+    (= DuckDB quantile_disc); production uses k=200 (~1.65% rank error in
+    a few KB) on the identical plan."""
+    o = load_table(spark, sf_dir, "orders")
+    fine = quantile_sketch_slices(
+        o, ["o_orderpriority", "o_orderstatus"], "o_totalprice", k=32768
+    )
+    rolled = rollup_quantiles(fine, ["o_orderpriority"], [0.5, 0.95])
+    return rolled.select(
+        "o_orderpriority",
+        F.col("q_0_5").alias("p50"),
+        F.col("q_0_95").alias("p95"),
+    )
+
+
+@query(
+    "sketch_theta_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      (SELECT count(*) FROM a) AS n_a,
+      (SELECT count(*) FROM b) AS n_b,
+      (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union,
+      (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS n_intersection,
+      (SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS n_difference
+    """,
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: distinct-count SET ALGEBRA from sketch state — |viewers|,
+    |purchasers|, union, intersection, difference — the audience-overlap
+    question HLL cannot answer (union-only) and exact two-sided distinct
+    would re-scan for. Both per-segment sketches are built in one pass;
+    the algebra runs on two single sketches (a one-row × one-row
+    broadcast). Exact at harness cardinalities (theta exact mode);
+    production keeps the plan with error bounds from the sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = theta_sketch_slices(ev, ["event_type"], "user_id", lg_k=16)
+    return theta_algebra(sk, "event_type", "view", "purchase", lg_k=16)
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_exact
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: EXACT mergeable distinct via Spark 4's bitmap functions (the
+    Doris/StarRocks pattern) — per-(priority, status, bucket) bitmaps,
+    bucket-wise OR up to priority, popcount-sum. Unlike the sketch
+    rollups this is exact at ANY scale: the state is O(key-range/32768)
+    4 KB bitmaps per slice rather than a fixed-size estimator — the right
+    trade for dense surrogate-id audits (migration reconciliation), and
+    the OR-merge is idempotent so overlapping finer slices can never
+    double-count. Still one shuffle of bitmap state, never raw values."""
+    o = load_table(spark, sf_dir, "orders")
+    b = bitmap_slices(o, ["o_orderpriority", "o_orderstatus"], "o_custkey")
+    return rollup_bitmap_distinct(b, ["o_orderpriority"])

@@ -262,3 +262,61 @@ def test_theta_sketch_set_algebra(spark, sf_dir):
     }
     for k, exact in want.items():
         assert abs(got[k] - exact) <= max(2, 0.05 * exact), (k, got[k], exact)
+
+
+def test_theta_rollup_union_preserves_resolution(spark):
+    """Regression for the union-gadget downsampling trap: merging
+    exact-mode lg_k=16 theta sketches through a DEFAULT-sized union
+    (lg_k=12) silently samples 20k distinct keys back to ~4096 entries.
+    rollup_theta must size the union to the input sketches' lg_k so the
+    rolled-up count stays exact below 2^16; the bitmap rollup must be
+    exact at ANY cardinality by construction."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        bitmap_slices,
+        rollup_bitmap_distinct,
+        rollup_theta,
+        theta_sketch_slices,
+    )
+
+    n = 20_000  # > 2^12 union default, < 2^16 sketch capacity
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("fine"),
+        F.lit("all").alias("coarse"),
+        F.col("id").alias("k"),
+    )
+    fine = theta_sketch_slices(df, ["coarse", "fine"], "k", lg_k=16)
+    rolled = rollup_theta(fine, ["coarse"], lg_k=16).collect()
+    assert rolled[0]["distinct_estimate"] == n
+
+    bm = bitmap_slices(df, ["coarse", "fine"], "k")
+    exact = rollup_bitmap_distinct(bm, ["coarse"]).collect()
+    assert exact[0]["distinct_exact"] == n
+
+
+def test_kll_rollup_merge_stays_exact_below_capacity(spark):
+    """Merging uncompacted KLL sketches whose combined size stays below k
+    yields EXACT order statistics (the declared sketch_quantile_rollup
+    contract at harness scale): p50/p95 equal the sorted-list answers."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        quantile_sketch_slices,
+        rollup_quantiles,
+    )
+
+    vals = [float(v) for v in range(1, 1202)]  # 1..1201
+    df = spark.createDataFrame(
+        [(i % 3, v) for i, v in enumerate(vals)], "fine int, v double"
+    ).withColumn("coarse", F.lit(0))
+    fine = quantile_sketch_slices(df, ["coarse", "fine"], "v", k=4096)
+    out = rollup_quantiles(fine, ["coarse"], [0.5, 0.95]).collect()[0]
+    s = sorted(vals)
+    import math
+
+    def disc(q):  # smallest item whose inclusive rank >= q*n
+        return s[max(0, math.ceil(q * len(s)) - 1)]
+
+    assert out["q_0_5"] == disc(0.5)
+    assert out["q_0_95"] == disc(0.95)

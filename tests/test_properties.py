@@ -507,3 +507,94 @@ def test_star_components_long_chain_converges_fast(spark):
     )
     got = {r.node: r.cluster for r in connected_components_star(df, max_iter=12).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # equi key
+        st.integers(min_value=0, max_value=200),   # start
+        st.integers(min_value=0, max_value=40),    # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(_intervals, _intervals)
+def test_interval_overlap_join_matches_nested_loop(spark, lint, rint):
+    """interval_overlap_join (binned rewrite + canonical-bin dedup) == the
+    O(n*m) nested-loop reference: exactly the overlapping same-key pairs,
+    each pair exactly once — bin spanning must not duplicate a pair that
+    shares several bins, and boundary-touching intervals must not drop."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, k, float(s), float(s + ln)) for i, (k, s, ln) in enumerate(lint)],
+        "lid int, k int, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(i, k, float(s), float(s + ln)) for i, (k, s, ln) in enumerate(rint)],
+        "rid int, k int, rs double, re double",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_width=17.0, on=["k"]
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls, ll) in enumerate(lint)
+        for ri, (rk, rs, rl) in enumerate(rint)
+        if lk == rk and ls <= rs + rl and rs <= ls + ll
+    )
+    assert got == want
+
+
+def test_interval_overlap_join_guards_runaway_spans(spark):
+    """The max_bins_per_row contract is enforced in-plan: an interval
+    spanning too many bins raises (assert_true) instead of silently
+    exploding the build side."""
+    import pytest
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0.0, 1000.0)], "lid int, ls double, le double")
+    right = spark.createDataFrame([(1, 5.0, 6.0)], "rid int, rs double, re double")
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10.0, max_bins_per_row=8
+    )
+    with pytest.raises(Exception, match="bins"):
+        out.collect()
+
+
+def test_kmeans_assign_matches_numpy_argmax(spark):
+    """kmeans_assign (Arrow-batched matmul projection) == brute-force
+    numpy cosine argmax per vector, including the lowest-cell tiebreak."""
+    import numpy as np
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 8).astype(float)
+    C = rng.randn(4, 8).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in kmeans_assign(corpus, [[float(x) for x in c] for c in C]).collect()
+    }
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = np.argmax(Xn @ Cn.T, axis=1)
+    assert got == {i: int(want[i]) for i in range(len(X))}
