@@ -69,6 +69,10 @@ HEADLINE = [
     "text_pack",
     "sim_ann_lsh",
     "dedup_embedding",
+    # round-3 second wave: iterative star-contraction components (the
+    # multi-round shuffle loop) and the binned interval-overlap join
+    "graph_components_star",
+    "join_interval_overlap",
 ]
 
 

@@ -490,3 +490,42 @@ def test_dedup_embedding_single_grid_shuffle(spark):
     ns = nodes(plan_of(spark, "dedup_embedding"))
     assert ns.count("Exchange") == 1, ns
     assert any("FlatMapGroupsInPandas" in n for n in ns), ns
+
+
+def test_interval_overlap_join_is_hash_join_not_nested_loop(spark):
+    """join_interval_overlap: the only join predicate users wrote is an
+    interval overlap — naively a BroadcastNestedLoopJoin. The binned
+    rewrite must plan as an equi-join on (key, bin); the canonical-bin
+    filter must not reintroduce a dedup Exchange (no extra aggregate over
+    the join output)."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    # pair-level output: no aggregate node at all (dedup-free by design)
+    assert not any("Aggregate" in n for n in nodes(plan)), nodes(plan)
+
+
+def test_bitmap_distinct_avoids_expand(spark):
+    """agg_bitmap_distinct: exact distinct WITHOUT the Expand plan exact
+    multi-count-distinct pays (dq_profile's documented cost) — bucketed
+    bitmaps aggregate in bounded state; only bitmap/popcount aggregates
+    and their exchanges may appear."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    ns = nodes(plan)
+    assert "Expand" not in ns, ns
+    assert ns.count("Exchange") <= 3, ns
+
+
+def test_sketch_rollups_shuffle_sketch_state_only(spark):
+    """sketch_distinct_rollup / sketch_quantile_rollup: two sketch-state
+    exchanges (fine slices, then the merge) and nothing else — no raw-value
+    shuffle, no sort-based fallback; the merge step must consume the
+    sketch column, not re-scan raw data (exactly one table scan)."""
+    for name in ("sketch_distinct_rollup", "sketch_quantile_rollup"):
+        ns = nodes(plan_of(spark, name))
+        assert ns.count("Exchange") == 2, (name, ns)
+        assert ns.count("Scan") == 1, (name, ns)
+        assert "SortAggregate" not in ns, (name, ns)
