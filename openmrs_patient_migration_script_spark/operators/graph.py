@@ -207,6 +207,52 @@ def connected_components_star(
     return labels.unionByName(centers)
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Global triangle count of the undirected pair graph, as a one-row
+    (n_triangles) DataFrame — the density probe of a dedup candidate
+    graph (triangle-rich blocks = near-clique duplicate groups that
+    cluster cleanly; triangle-free sprawl = chained false positives).
+
+    Plan: the standard two-join MapReduce counting scheme, with the
+    degree orientation that makes it scale — every edge is oriented from
+    its lower-(degree, id) endpoint to the higher, so each node's
+    out-neighborhood is O(sqrt(|E|)) on any graph (arboricity bound) and
+    the wedge join's fan-out is bounded by that, not by the hottest
+    node's full degree. Wedges (u→v→w) equi-join back to oriented edges
+    (u→w); each triangle has exactly one orientation-consistent wedge, so
+    the count needs no dedup. Two shuffle joins + one global count; the
+    degree prepass is one groupBy.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    oriented = (
+        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
+    closed = wedges.join(
+        oriented.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
 def _local_components(sym: DataFrame) -> DataFrame:
     """Driver-side union-find over a collected (already symmetrized) edge
     list. Labels match the distributed loop exactly: cluster = min member.

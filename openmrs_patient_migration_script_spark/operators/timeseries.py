@@ -80,3 +80,82 @@ def resample_ffill(
     return per_key.select("key", F.explode(filled).alias("g")).select(
         "key", "g.bucket", "g.value_sum", "g.observed"
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the linear
+    recurrence ``s_i = alpha*v_i + (1-alpha)*s_{i-1}`` (seeded
+    ``s_0 = v_0``) no SQL window frame can express: every output depends
+    on the ENTIRE prefix, so a frame-agg re-derivation is either O(n²)
+    (per-row prefix folds) or numerically explosive (the closed form
+    divides by ``(1-alpha)^i``). Returns (key, order_cols..., ewma).
+
+    Plan: ONE shuffle gathers each key's sorted (order, value) array,
+    then a single `F.aggregate` fold walks it sequentially — O(n) per
+    key, deterministic order (the fold IS the recurrence, so results are
+    bit-stable across partitionings, unlike reassociative float sums) —
+    and posexplode restores rows. The whole-group buffer makes this the
+    bounded-group shape (`agg_listagg`'s contract): ``max_group_size``
+    fails loudly in-plan via the same assert_true guard. Unbounded keys
+    at 100 TB re-chunk by (key, epoch) with carried seeds — documented,
+    not implemented.
+    """
+    seq = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    per_key = df.groupBy(F.col(key_col)).agg(seq.alias("seq"))
+    guard = F.assert_true(
+        F.size("seq") <= max_group_size,
+        F.concat(
+            F.lit("ewma group for key "),
+            F.col(key_col).cast("string"),
+            F.lit(" has "),
+            F.size("seq").cast("string"),
+            F.lit(f" rows (> {max_group_size})"),
+        ),
+    )
+    per_key = per_key.where(guard.isNull())
+    # sequential fold: accumulator = (emitted smoothed values, prev state);
+    # the first element seeds the recurrence with its raw value
+    a = float(alpha)
+    folded = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.array().cast("array<double>").alias("arr"),
+            F.lit(None).cast("double").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.when(acc["prev"].isNull(), x[value_col]).otherwise(
+                        F.lit(a) * x[value_col] + F.lit(1.0 - a) * acc["prev"]
+                    )
+                ),
+            ).alias("arr"),
+            F.when(acc["prev"].isNull(), x[value_col])
+            .otherwise(F.lit(a) * x[value_col] + F.lit(1.0 - a) * acc["prev"])
+            .alias("prev"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    out = per_key.select(
+        key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
+    )
+    # NO round(): the sequential fold is order-deterministic, so the raw
+    # doubles are bit-identical across engines/partitionings — while the
+    # halving recurrence lands on exact .5-at-6dp boundaries where Spark's
+    # BigDecimal HALF_UP and DuckDB's scaled-nearbyint round() disagree
+    # (measured: a clean 1e-6 artifact). Exact compare beats rounding here.
+    return out.select(
+        key_col,
+        *[F.col(f"z.seq.{c}").alias(c) for c in order_cols],
+        F.col("z.1").alias("ewma"),
+    )

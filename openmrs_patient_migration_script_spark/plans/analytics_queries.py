@@ -470,3 +470,41 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, value::DOUBLE AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, v AS s FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn, 0.5 * o.v + 0.5 * r.s
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, s AS ewma FROM rec
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15c: exponentially weighted moving average of event values per
+    user (alpha=0.5, seeded at the first observation) — the smoothing
+    recurrence no SQL window frame expresses, run as ONE key-shuffle plus
+    a sequential in-row fold (operators/timeseries.py::ewma). The fold IS
+    the recurrence, so both engines execute the identical IEEE operation
+    sequence and the comparison is exact — no reassociative float-sum
+    caveat (contrast the round() policy on SUM/AVG aggregates). The
+    oracle replays the same recurrence as a DuckDB recursive CTE stepping
+    row_number chains per user; bounded-group contract enforced in-plan
+    (assert_true), the `agg_listagg` shape."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import ewma
+
+    e = load_table(spark, sf_dir, "events")
+    out = ewma(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.5, max_group_size=100_000
+    )
+    return out.select("user_id", "event_id", "ewma")

@@ -287,6 +287,111 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    )
+    SELECT count(*) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.key_a = e1.key_b
+    JOIN pairs e3 ON e3.key_a = e1.key_a AND e3.key_b = e2.key_b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9c: triangle count of the fuzzy-pair graph — the density probe of
+    a dedup candidate graph (near-clique duplicate groups are
+    triangle-rich; chained false positives are triangle-free). Runs the
+    degree-oriented two-join counting scheme
+    (operators/graph.py::triangle_count): every edge oriented toward its
+    higher-(degree, id) endpoint bounds each wedge fan-out by
+    O(sqrt(|E|)) — the arboricity bound — so one hot node cannot own the
+    job; the oracle is the naive ordered three-way self-join, which
+    counts each triangle once by key order instead."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(dedup_fuzzy(spark, sf_dir))
+
+
+@query(
+    "etl_golden_record",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    clusters AS (
+      SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT cl.cluster, cl.node, c.c_acctbal
+      FROM clusters cl JOIN customer c ON c.c_custkey = cl.node
+    )
+    SELECT cluster, node AS survivor_key,
+           round(c_acctbal, 2) AS survivor_bal, n_members
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY c_acctbal DESC, node ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+      FROM members
+    ) WHERE rn = 1
+    """,
+)
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: survivorship — the step after dedup clustering that MDM
+    pipelines actually ship: per duplicate cluster, elect ONE golden
+    record (here: highest account balance, ties to the lowest key) and
+    report the membership it supersedes. Survivor election is a
+    REDUCTION (`max_by` over a (balance, -key) struct — one
+    partial-combinable hash agg), not a per-cluster sort: the oracle's
+    row_number()==1 window form shuffles and sorts every member row,
+    while max_by carries a single (value, arg) pair per cluster through
+    map-side combine — the A9 arg-extrema shape applied to the X9
+    cluster output."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    labels = connected_components(pairs)
+    c = load_table(spark, sf_dir, "customer")
+    members = labels.join(c, labels["node"] == c["c_custkey"])
+    return members.groupBy("cluster").agg(
+        F.max_by(
+            F.col("node"), F.struct(F.col("c_acctbal"), (-F.col("node")).alias("nk"))
+        ).alias("survivor_key"),
+        F.round(F.max("c_acctbal"), 2).alias("survivor_bal"),
+        F.count("*").alias("n_members"),
+    )
+
+
 _EMB_DUP_THRESHOLD = 0.4
 
 

@@ -598,3 +598,90 @@ def test_kmeans_assign_matches_numpy_argmax(spark):
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     want = np.argmax(Xn @ Cn.T, axis=1)
     assert got == {i: int(want[i]) for i in range(len(X))}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edge_list):
+    """Degree-oriented two-join triangle counting == brute-force
+    enumeration over all node triples on random graphs (self-loops and
+    duplicate/reversed edges must not distort the count)."""
+    from itertools import combinations
+
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "key_a int, key_b int"
+    )
+    got = triangle_count(edges).collect()[0]["n_triangles"]
+    adj = set()
+    nodes_ = set()
+    for a, b in edge_list:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+            nodes_.update((a, b))
+    want = sum(
+        1
+        for x, y, z in combinations(sorted(nodes_), 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ewma_matches_python_fold(spark, rows):
+    """ewma (one shuffle + sequential array fold) == the plain Python
+    recurrence, bit-for-bit — the fold must preserve order (sorted by the
+    order columns) and seed at each key's first value."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(rows)],
+        "k int, ord long, v double",
+    )
+    got = {
+        (r.k, r.ord): r.ewma
+        for r in ewma(df, "k", ["ord"], "v", alpha=0.5).collect()
+    }
+    want = {}
+    state: dict = {}
+    for i, (k, v) in enumerate(rows):
+        v = float(v)
+        s = v if k not in state else 0.5 * v + 0.5 * state[k]
+        state[k] = s
+        want[(k, i)] = s
+    assert got == want
+
+
+def test_ewma_guards_oversized_groups(spark):
+    """The ewma bounded-group contract fails loudly in-plan (assert_true)
+    instead of buffering an unbounded key."""
+    import pytest
+    from openmrs_patient_migration_script_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(20)], "k int, ord long, v double"
+    )
+    with pytest.raises(Exception, match="rows"):
+        ewma(df, "k", ["ord"], "v", max_group_size=10).collect()
