@@ -293,6 +293,79 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_pairs(
+    fps: DataFrame,
+    key_col: str = "key",
+    fp_col: str = "simhash",
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints: (key_a, key_b,
+    hamming) for every pair within ``max_hamming`` bits — the SEARCH half
+    of the SimHash scheme (the `simhash` operator only fingerprints).
+
+    Pigeonhole banding (Manku et al.'s web-dedup rotation trick, in band
+    form): split the fingerprint into ``max_hamming + 1`` bit-bands — a
+    pair differing in <= max_hamming bits can touch at most max_hamming
+    bands, so AT LEAST ONE band matches exactly. Candidates are an
+    equi-join on (band_idx, band_value); the all-pairs O(n²) comparison
+    never exists. Each surviving pair re-checks the EXACT Hamming
+    distance (bit_count of XOR, row-local), and multi-band collisions
+    dedup WITHOUT a shuffle: both fingerprints are in the row, so each
+    pair keeps only the join row whose band_idx equals its first agreeing
+    band — the same canonical-witness trick as interval_overlap_join's
+    canonical bin.
+
+    Scale: band width = bits/(max_hamming+1) sets bucket cardinality
+    (2^width); 60-bit fingerprints at h=3 give 15-bit bands (32k buckets)
+    — hot buckets are ordinary join skew (AQE). 32-bit fingerprints leave
+    8-bit bands that bucket too coarsely at corpus scale; prefer >= 60
+    bits for production (the md5-declared 60-bit form is exactly
+    oracle-reproducible, so nothing is lost going wide)."""
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(f"bits ({bits}) must divide into {n_bands} equal bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    def band(col, i: int):
+        return F.shiftright(col, i * width).bitwiseAND(F.lit(mask).cast("long"))
+
+    def side(tag: str) -> DataFrame:
+        exploded = fps.select(
+            F.col(key_col).alias(f"key_{tag}"),
+            F.col(fp_col).alias(f"fp_{tag}"),
+            F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias(
+                "band_idx"
+            ),
+        )
+        # SQL shiftright: the Python wrapper only takes a literal shift,
+        # but the SQL form accepts any int expression
+        return exploded.withColumn(
+            "band_val",
+            F.expr(f"shiftright(fp_{tag}, band_idx * {width}) & {mask}"),
+        )
+
+    a, b = side("a"), side("b")
+    joined = a.join(b, ["band_idx", "band_val"]).filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    # first agreeing band, computed row-locally from the two fingerprints
+    agree = F.array(
+        *[
+            band(F.col("fp_a"), i) == band(F.col("fp_b"), i)
+            for i in range(n_bands)
+        ]
+    )
+    first_agree = F.array_position(agree, F.lit(True)) - 1
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        joined.filter(F.col("band_idx") == first_agree)
+        .filter(ham <= max_hamming)
+        .select("key_a", "key_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def simhash(
     df: DataFrame, key_col: str, text_col: str, bits: int = 32, hash_fn=None
 ) -> DataFrame:

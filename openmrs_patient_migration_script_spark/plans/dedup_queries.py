@@ -203,6 +203,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h & ((1::BIGINT) << b)) != 0 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN ((1::BIGINT) << b) ELSE 0 END)
+                          AS BIGINT) AS f
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           bit_count(xor(a.f, b.f)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2c-search: SimHash near-dup PAIRS within Hamming distance 3 —
+    the banded candidate search that completes the fingerprint-only
+    `dedup_simhash` (operators/dedup.py::simhash_pairs). 60-bit
+    fingerprints split into 4 bands of 15 bits: a <=3-bit difference
+    leaves at least one band identical (pigeonhole), so candidates are an
+    equi-join on (band_idx, band_value) and the O(n²) comparison never
+    runs; exact bit_count re-check and first-agreeing-band dedup are both
+    row-local. The md5-declared 60-bit form is what production would use
+    anyway (wide fingerprints = fine-grained bands) — here it also makes
+    the brute-force DuckDB oracle exact."""
+    from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    fps = simhash(d, "doc_id", "text", bits=60, hash_fn=md5_60)
+    return simhash_pairs(fps, bits=60, max_hamming=3)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE named AS (

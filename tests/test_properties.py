@@ -685,3 +685,42 @@ def test_ewma_guards_oversized_groups(spark):
     )
     with pytest.raises(Exception, match="rows"):
         ewma(df, "k", ["ord"], "v", max_group_size=10).collect()
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 60) - 1),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_simhash_pairs_match_brute_force(spark, fps, data):
+    """Banded simhash_pairs == brute-force Hamming enumeration — the
+    pigeonhole bands must not drop a <=h pair, and multi-band collisions
+    must not duplicate one. Half the fingerprints are replaced by small
+    perturbations of others so near pairs actually exist."""
+    from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
+
+    # plant near-dups: flip up to 3 random bits of an earlier fingerprint
+    planted = list(fps)
+    for i in range(1, len(planted), 2):
+        basis = planted[i - 1]
+        for _ in range(data.draw(st.integers(min_value=0, max_value=3))):
+            basis ^= 1 << data.draw(st.integers(min_value=0, max_value=59))
+        planted[i] = basis
+    rows = list(enumerate(planted))
+    df = spark.createDataFrame(rows, "key long, simhash long")
+    got = sorted(
+        (r.key_a, r.key_b, r.hamming)
+        for r in simhash_pairs(df, bits=60, max_hamming=3).collect()
+    )
+    want = sorted(
+        (i, j, bin(a ^ b).count("1"))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and bin(a ^ b).count("1") <= 3
+    )
+    assert got == want
