@@ -326,11 +326,6 @@ def cosine_topk_vectorized(
     """
     import numpy as np
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[query_id_col] for r in q_rows])
-    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -345,6 +340,15 @@ def cosine_topk_vectorized(
             StructField("cos_sim", DoubleType()),
         ]
     )
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        # no query vectors -> no results; an empty typed frame keeps the
+        # schema contract without tripping numpy on a 0-row matrix
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
     def score(batches):
         import pandas as pd
@@ -652,6 +656,11 @@ def ivf_topk(
             .limit(n_cells)
             .collect()
         )
+        if not seeds:
+            raise ValueError(
+                "ivf_topk: empty corpus — the IVF coarse quantizer cannot "
+                "seed centroids from zero vectors"
+            )
         cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
@@ -778,6 +787,10 @@ def kmeans_fit(
         .limit(n_cells)
         .collect()
     )
+    if not seeds:
+        raise ValueError(
+            "kmeans_fit: empty corpus — cannot seed centroids from zero vectors"
+        )
     cent = np.array([r[vec_col] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
     dim = cent.shape[1]

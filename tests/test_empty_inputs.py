@@ -1,0 +1,58 @@
+"""Empty-input robustness: every declared query must behave sanely when
+all tables exist but hold ZERO rows — the state every 100 TB pipeline
+passes through (first deploy, an empty date partition, a filter that
+matched nothing upstream).
+
+Contract: a query either returns an empty (or legitimately non-empty,
+e.g. a zero-count report row) DataFrame, or raises a CLEAR, documented
+ValueError from the operator's own precondition (model-training paths
+that cannot seed from an empty corpus). What is NOT acceptable is a
+cryptic numpy/py4j crash from deep inside a task — that is the failure
+mode this suite exists to catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openmrs_patient_migration_script_spark.plans import QUERIES
+from openmrs_patient_migration_script_spark.sources import load_table
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Operators whose contract REQUIRES data (they train/seed a model from the
+# corpus): an empty input must raise a clear ValueError, not return junk.
+NEEDS_DATA = {
+    "cluster_kmeans",  # k-means cannot seed centroids from nothing
+    "sim_ann_ivf",  # IVF coarse quantizer seeds from the corpus
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        df.limit(0).write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    if name in NEEDS_DATA:
+        with pytest.raises(ValueError, match="empty"):
+            QUERIES[name](spark, empty_sf_dir).collect()
+        return
+    rows = QUERIES[name](spark, empty_sf_dir).collect()
+    assert isinstance(rows, list)

@@ -104,12 +104,124 @@ def timed(df) -> float:
     return time.time() - t0
 
 
+def _interval_shape(o_k):
+    """Same-customer overlapping 14-day order windows (join_interval_overlap
+    declared shape) on the replicated orders."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = o_k.select(
+        "o_custkey",
+        "o_orderkey",
+        days.cast("long").alias("s"),
+        (days + 14).cast("long").alias("e"),
+    )
+    a = w.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = w.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", bin_width=14.0, on=["o_custkey"]
+    ).filter(F.col("okey_a") < F.col("okey_b"))
+
+
+def _simhash_pairs_shape(docs, k: int):
+    """Banded Hamming pair search over k XOR-masked fingerprint copies.
+    Base fingerprints are computed ONCE per factor (constant cost); each
+    copy XORs a fixed random 60-bit mask — XOR preserves within-copy
+    Hamming distances exactly and randomizes cross-copy distances (~30
+    bits), so the true-pair volume stays linear in k."""
+    import random
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    fps = simhash(docs, "doc_id", "text", bits=60).localCheckpoint(eager=True)
+    rng = random.Random(42)
+    masks = [0] + [rng.getrandbits(60) for _ in range(k - 1)]
+    copies = [
+        fps.select(
+            (F.col("key") + F.lit(i * KEY_SHIFT)).alias("key"),
+            F.col("simhash").bitwiseXOR(F.lit(m).cast("long")).alias("simhash"),
+        )
+        for i, m in enumerate(masks)
+    ]
+    fps_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return simhash_pairs(fps_k, bits=60, max_hamming=3)
+
+
+def _ewma_shape(ev_k):
+    from openmrs_patient_migration_script_spark.operators.timeseries import ewma
+
+    return ewma(ev_k, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+
+
+def _bitmap_shape(o_k):
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        bitmap_slices,
+        rollup_bitmap_distinct,
+    )
+
+    b = bitmap_slices(o_k, ["o_orderpriority", "o_orderstatus"], "o_custkey")
+    return rollup_bitmap_distinct(b, ["o_orderpriority"])
+
+
+def _fuzzy_edges(c_k):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fuzzy_dedup_pairs,
+    )
+
+    named = c_k.select(
+        F.col("c_custkey").alias("key"),
+        F.translate(
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+            "0123456789",
+            "abcdefghij",
+        ).alias("name"),
+    )
+    return fuzzy_dedup_pairs(
+        named, "key", "name", [F.substring("name", 1, 7)], max_distance=1
+    )
+
+
+def _triangles_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(_fuzzy_edges(c_k))
+
+
+def _star_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    return connected_components_star(_fuzzy_edges(c_k))
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
     orders = load_table(spark, SF_DIR, "orders").localCheckpoint(eager=True)
     events = load_table(spark, SF_DIR, "events").localCheckpoint(eager=True)
     docs = load_table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    customer = load_table(spark, SF_DIR, "customer").localCheckpoint(eager=True)
     emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
 
     def shapes(k: int):
@@ -117,6 +229,7 @@ def main() -> None:
         o_k = replicate(orders, ["o_orderkey", "o_custkey"], k, KEY_SHIFT)
         ev_k = replicate(events, ["event_id", "user_id"], k, KEY_SHIFT)
         d_k = replicate(docs, ["doc_id"], k, KEY_SHIFT)
+        c_k = replicate(customer, ["c_custkey"], k, KEY_SHIFT)
         from openmrs_patient_migration_script_spark.operators.corpus import (
             prepare_corpus,
         )
@@ -227,6 +340,23 @@ def main() -> None:
                 num_planes=8 + round(math.log2(k)),
                 num_tables=8,
             ),
+            # r3 second wave ------------------------------------------------
+            # interval-overlap join: order windows per customer; custkey
+            # shift keeps matches within copies => linear output
+            "interval_overlap_join": _interval_shape(o_k),
+            # banded simhash pair search: base fingerprints computed once
+            # (constant cost), copies XOR-masked — XOR preserves every
+            # within-copy Hamming distance and randomizes cross-copy ones,
+            # so true-pair volume stays linear in k
+            "simhash_banded_pairs": lambda: _simhash_pairs_shape(docs, k),
+            # EWMA fold: one key shuffle + sequential array fold per key
+            "ewma_fold": _ewma_shape(ev_k),
+            # exact bitmap distinct rollup: bucketed bitmap state
+            "bitmap_distinct_rollup": _bitmap_shape(o_k),
+            # degree-oriented triangle count over the fuzzy pair graph
+            "triangle_count": lambda: _triangles_shape(c_k),
+            # Small-Star/Large-Star components (iterative; rounds ~O(log n))
+            "components_star": lambda: _star_shape(c_k),
         }
 
     results: dict[str, dict[int, float]] = {}
@@ -265,10 +395,11 @@ def main() -> None:
         "Reading the exponents: every shape is sublinear over the span —",
         "wall time grows slower than data while the hardware stays fixed at",
         "local[32], because fixed per-job overhead (JVM, planning, task",
-        "launch) still amortizes. The two highest rows (fk_audit,",
-        "profile_multi_distinct) approach linear soonest: their shuffle",
-        "volume is proportional to input (join rows; per-partition distinct",
-        "values under the Expand), so data cost dominates overhead earliest.",
+        "launch) still amortizes. The highest rows (fk_audit,",
+        "profile_multi_distinct, triangle_count) approach linear soonest:",
+        "their shuffle volume is proportional to input (join rows;",
+        "per-partition distinct values under the Expand; wedge rows), so",
+        "data cost dominates overhead earliest.",
         "That is the expected asymptote — on a real cluster where executors",
         "scale WITH data, a ~1.0 exponent at fixed hardware translates to",
         "~flat wall time; an exponent well above 1.0 here would indicate a",
