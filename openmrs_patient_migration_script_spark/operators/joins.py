@@ -145,6 +145,61 @@ def banded_join(
     return joined.drop("_bin")
 
 
+def grid_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_xy: tuple[str, str],
+    right_xy: tuple[str, str],
+    radius: float,
+) -> DataFrame:
+    """2D Euclidean distance join — pairs with
+    ``sqrt((lx-rx)² + (ly-ry)²) <= radius`` — as a grid-cell equi-join:
+    the spatial member of the binned-join family (banded_join = 1D
+    points, interval_overlap_join = 1D ranges, this = 2D points; the
+    geo/embedding-scatter "what's near each point" shape).
+
+    Cells are radius-sized squares. Each RIGHT point lands in exactly one
+    cell ``(floor(x/r), floor(y/r))``; each LEFT point emits the 3×3
+    block of cells its radius disc can reach (both sides share the same
+    ``floor(v/r)`` expression form — banded_join's FP note). True pairs
+    meet exactly once (in the right point's home cell), so no dedup pass
+    exists; the exact distance re-check is row-local. Shuffle O(9|L| +
+    |R|); dense cells are ordinary join skew (AQE). NULL coordinates drop
+    out (the SQL distance predicate is NULL-rejecting).
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    r = float(radius)
+    lx, ly = left_xy
+    rx, ry = right_xy
+
+    cell = lambda v: F.floor(F.col(v) / r).cast("long")  # noqa: E731
+    offsets = F.expr("sequence(-1, 1)")
+    l_binned = (
+        left.filter(F.col(lx).isNotNull() & F.col(ly).isNotNull())
+        .withColumn("_dx", F.explode(offsets))
+        .withColumn("_dy", F.explode(offsets))
+        .select(
+            "*",
+            (cell(lx) + F.col("_dx")).alias("_cx"),
+            (cell(ly) + F.col("_dy")).alias("_cy"),
+        )
+        .drop("_dx", "_dy")
+    )
+    r_binned = right.filter(
+        F.col(rx).isNotNull() & F.col(ry).isNotNull()
+    ).select("*", cell(rx).alias("_cx"), cell(ry).alias("_cy"))
+    # dx*dx rather than pow(dx, 2): exactly rounded in every engine,
+    # keeping the re-check predicate reproducible bit-for-bit
+    _dx, _dy = F.col(lx) - F.col(rx), F.col(ly) - F.col(ry)
+    dist = F.sqrt(_dx * _dx + _dy * _dy)
+    return (
+        l_binned.join(r_binned, ["_cx", "_cy"])
+        .filter(dist <= r)
+        .drop("_cx", "_cy")
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

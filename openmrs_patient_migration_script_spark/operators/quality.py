@@ -163,3 +163,53 @@ def incremental_extract(
         .filter(F.col("_wm").isNull() | (F.col(cursor_col) > F.col("_wm")))
         .drop("_wm")
     )
+
+
+def distribution_psi(
+    df: DataFrame,
+    value_col: str,
+    ref_pred: Column,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Population Stability Index between two slices of one table — the
+    distribution-drift monitor (did this feature's histogram move between
+    the reference period and now?). Returns one row per occupied bin:
+    (bin, c_ref, c_cur, psi_term); PSI = sum(psi_term), with the usual
+    reading (<0.1 stable, 0.1-0.25 drifting, >0.25 shifted).
+
+    One conditional-aggregation pass computes both periods' bin counts
+    (the A8 FILTER shape — no second scan for the second period); bin
+    proportions are Laplace-smoothed by +0.5 per bin over a fixed
+    ``n_bins + 2`` denominator (underflow + overflow bins) so empty bins
+    never hit ln(0) and the smoothing is identical however many bins are
+    occupied. Totals come back as a one-row broadcast (the
+    scalar-subquery shape `dq_freshness` uses); the PSI term itself is
+    row-local arithmetic over the tiny aggregated frame."""
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(-1)
+        ),
+        F.lit(n_bins).cast("long"),
+    )
+    binned = df.select(bin_col.alias("bin"), ref_pred.alias("is_ref"))
+    g = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    totals = g.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    denom_bins = float(n_bins + 2)
+    p = (F.col("c_ref") + 0.5) / (F.col("t_ref") + 0.5 * denom_bins)
+    q = (F.col("c_cur") + 0.5) / (F.col("t_cur") + 0.5 * denom_bins)
+    return (
+        g.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

@@ -508,3 +508,108 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", ["ts", "event_id"], "value", alpha=0.5, max_group_size=100_000
     )
     return out.select("user_id", "event_id", "ewma")
+
+
+@query(
+    "affinity_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def affinity_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: market-basket pair co-occurrence (the frequent-itemset /
+    "bought together" recommendation primitive): parts sharing an order,
+    counted across orders, kept above a support floor. The self-join
+    shuffles on the BASKET key, so the quadratic blow-up is bounded by
+    the largest basket, not the table — and that bound is enforced
+    in-plan: a window count over the same orderkey partitioning (no extra
+    Exchange) feeds an assert_true, so a degenerate mega-basket fails
+    loudly instead of emitting |B|² pairs from one task. The same
+    contract shape as `agg_listagg`/`ts_ewma`, applied to a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey")
+    guard = F.assert_true(
+        F.col("_n") <= 10_000,
+        F.concat(
+            F.lit("basket "),
+            F.col("l_orderkey").cast("string"),
+            F.lit(" exceeds 10000 items — pair explosion"),
+        ),
+    )
+    items = (
+        items.withColumn("_n", F.count("*").over(w))
+        .where(guard.isNull())
+        .drop("_n")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             avg(value::DOUBLE) AS m,
+             var_samp(value::DOUBLE) AS s2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 4) AS t_stat
+    FROM arms a, arms b
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: Welch two-sample t statistic between event segments — the
+    experimentation readout (unequal variances, unequal n). One
+    conditional-aggregation pass computes both arms' (n, mean, variance)
+    moments (partial-combinable; the A8/F3 shape), then the statistic is
+    one row-local expression over the two-row result — no second scan, no
+    per-row Python. The p-value lookup is a driver-side special function
+    (documented, not a data-plane op). Floats are rounded per the
+    registry policy: means/variances come from reassociative sums."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.col("value").cast("double")).alias("m"),
+            F.var_samp(F.col("value").cast("double")).alias("s2"),
+        )
+    )
+    a = arms.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("s2").alias("s2_a")
+    )
+    b = arms.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("s2").alias("s2_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )

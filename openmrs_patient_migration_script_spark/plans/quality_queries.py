@@ -245,3 +245,53 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 60000.0) AS BIGINT),
+                            -1), 10) AS bin,
+             o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+      FROM orders
+    ),
+    g AS (
+      SELECT bin,
+             count(*) FILTER (WHERE is_ref) AS c_ref,
+             count(*) FILTER (WHERE NOT is_ref) AS c_cur
+      FROM binned GROUP BY bin
+    ),
+    t AS (SELECT sum(c_ref) AS t_ref, sum(c_cur) AS t_cur FROM g)
+    SELECT bin, c_ref, c_cur,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM (
+      SELECT bin, c_ref, c_cur,
+             (c_ref + 0.5) / (t_ref + 0.5 * 12) AS p,
+             (c_cur + 0.5) / (t_cur + 0.5 * 12) AS q
+      FROM g, t
+    )
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: distribution-drift audit — Population Stability Index of the
+    order-value histogram, pre-1998 reference vs the rest
+    (operators/quality.py::distribution_psi). Both periods' bin counts
+    come from ONE conditional-aggregation scan (the E9/A8 FILTER shape);
+    totals broadcast back as a one-row frame (the dq_freshness
+    scalar-subquery shape); the smoothed PSI term is row-local arithmetic
+    over <= n_bins+2 aggregated rows. The drift monitor a 100 TB daily
+    pipeline runs on every numeric feature."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        distribution_psi,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return distribution_psi(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        lo=0.0,
+        width=60000.0,
+        n_bins=10,
+    )

@@ -963,6 +963,62 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_spatial_grid",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+    FROM p a JOIN p b
+      ON a.vec_id < b.vec_id
+     AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.02
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: 2D Euclidean distance self-join — all point pairs within
+    radius 0.02 in the first two embedding dimensions (the geo /
+    scatter-plot "nearby points" shape). The bare distance predicate
+    would plan as a nested loop; the grid rewrite
+    (operators/joins.py::grid_distance_join) bins points into
+    radius-sized cells, explodes one side over the 3×3 reachable block,
+    hash-joins on the cell, and re-checks the exact distance row-locally
+    — each true pair meets exactly once in the right point's home cell.
+    Distances are emitted RAW: sqrt is correctly rounded in both engines,
+    so the comparison is exact without a rounding step."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    a = pts.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = grid_distance_join(a, b, ("xa", "ya"), ("xb", "yb"), radius=0.02)
+    # dx*dx, not pow(dx, 2): multiplication is exactly rounded in both
+    # engines, Math.pow vs ^ is not (measured 1.7e-18 drift)
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,

@@ -724,3 +724,57 @@ def test_simhash_pairs_match_brute_force(spark, fps, data):
         if i < j and bin(a ^ b).count("1") <= 3
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_grid_distance_join_matches_nested_loop(spark, lpts, rpts):
+    """grid_distance_join (3x3 cell equi-join) == the O(n*m) nested-loop
+    reference: exactly the pairs within the radius, each exactly once —
+    the neighbor-cell explode must cover boundary-touching pairs without
+    duplicating pairs that straddle several cells."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        grid_distance_join,
+    )
+
+    radius = 7.0
+    left = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(lpts)],
+        "lid int, lx double, ly double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rpts)],
+        "rid int, rx double, ry double",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in grid_distance_join(
+            left, right, ("lx", "ly"), ("rx", "ry"), radius
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (ax, ay) in enumerate(lpts)
+        for ri, (bx, by) in enumerate(rpts)
+        if ((ax - bx) ** 2 + (ay - by) ** 2) ** 0.5 <= radius
+    )
+    assert got == want
