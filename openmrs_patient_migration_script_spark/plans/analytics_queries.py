@@ -534,27 +534,41 @@ def affinity_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudly instead of emitting |B|² pairs from one task. The same
     contract shape as `agg_listagg`/`ts_ewma`, applied to a join."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey")
+    # ONE shuffle gathers each basket's distinct sorted item array
+    # (collect_set dedups in-agg); the mega-basket guard is then a
+    # row-local size check, and the pair explosion is a row-local HOF
+    # over the (guard-bounded) array — the self-join form pays three
+    # more Exchanges (distinct agg keyed (basket, item) + a window
+    # repartition) for the same pairs
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
     guard = F.assert_true(
-        F.col("_n") <= 10_000,
+        F.size("parts") <= 10_000,
         F.concat(
             F.lit("basket "),
             F.col("l_orderkey").cast("string"),
             F.lit(" exceeds 10000 items — pair explosion"),
         ),
     )
-    items = (
-        items.withColumn("_n", F.count("*").over(w))
-        .where(guard.isNull())
-        .drop("_n")
+    pairs = (
+        baskets.where(guard.isNull())
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(parts, (a, i) ->
+                      transform(slice(parts, i + 2, size(parts) - i - 1),
+                                b -> struct(a AS part_a, b AS part_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
     )

@@ -529,3 +529,41 @@ def test_sketch_rollups_shuffle_sketch_state_only(spark):
         assert ns.count("Exchange") == 2, (name, ns)
         assert ns.count("Scan") == 1, (name, ns)
         assert "SortAggregate" not in ns, (name, ns)
+
+
+def test_spatial_grid_join_is_hash_join_not_nested_loop(spark):
+    """join_spatial_grid: a bare 2D distance predicate would plan as a
+    nested loop; the grid-cell rewrite must stay an equi-join."""
+    plan = plan_of(spark, "join_spatial_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_basket_pairs_two_exchanges(spark):
+    """affinity_basket_pairs: one Exchange gathers baskets, one reduces
+    pair counts — the self-join form's extra distinct/window Exchanges
+    (5 total) must not creep back; no window node at all (the basket
+    guard is a row-local size check on the gathered array)."""
+    ns = nodes(plan_of(spark, "affinity_basket_pairs"))
+    assert ns.count("Exchange") == 2, ns
+    assert "Window" not in ns, ns
+
+
+def test_ewma_single_exchange_fold(spark):
+    """ts_ewma: ONE Exchange (the per-key gather) and a row-local fold —
+    any second shuffle or a Python stage is a regression."""
+    ns = nodes(plan_of(spark, "ts_ewma"))
+    assert ns.count("Exchange") == 1, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
+
+
+def test_golden_record_is_reduction_not_window(spark):
+    """etl_golden_record: survivor election must stay a max_by REDUCTION
+    (partial-combinable aggregate) — a Window/row_number form would sort
+    every cluster member through a per-cluster window."""
+    ns = nodes(plan_of(spark, "etl_golden_record"))
+    assert "Window" not in ns, ns
+    assert any("Aggregate" in n for n in ns), ns
