@@ -31,7 +31,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _GENDERS = ("F", "M")
 _FIRST = ("Alice", "Brian", "Chiku", "Daudi", "Esther", "Frank", "Grace", "Hawa")
@@ -88,6 +93,53 @@ class _EnrollmentReader(DataSourceReader):
             yield enrollment_row(client_id)
 
 
+class _EnrollmentStreamReader(DataSourceStreamReader):
+    """The same legacy extract as a CHANGE FEED (CDC-lite): each
+    micro-batch ships the client ids that 'arrived' since the last batch,
+    advancing ``rowsPerBatch`` ids per poll up to ``rows``.
+
+    This is the full ``DataSourceStreamReader`` (not
+    ``SimpleDataSourceStreamReader``, which reads on the DRIVER — a
+    scale-killer for a real feed): ``partitions(start, end)`` splits each
+    batch's id range so EXECUTORS pull their slices in parallel, the same
+    fan-out as the batch reader. Offsets are plain dicts (JSON in the
+    checkpoint), so exactly-once restart/recovery is Spark's standard
+    offset-log replay — ``commit`` is a no-op because the source is
+    replayable by id range (the Kafka model, not the receiver model).
+    """
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.num_partitions = int(options.get("numPartitions", 4))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        # the feed "grows" rowsPerBatch ids per poll until exhausted;
+        # deterministic, so tests can drain it to a known final state
+        self._cursor = getattr(self, "_cursor", 0)
+        self._cursor = min(self._cursor + self.rows_per_batch, self.rows)
+        return {"id": self._cursor}
+
+    def partitions(self, start: dict, end: dict) -> list[_IdRange]:
+        lo, hi = int(start["id"]), int(end["id"])
+        if hi <= lo:
+            return [_IdRange(lo, lo)]
+        n = max(1, self.num_partitions)
+        step = -(-(hi - lo) // n)
+        return [_IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        for client_id in range(partition.start, partition.end):
+            yield enrollment_row(client_id)
+
+    def commit(self, end: dict) -> None:
+        # replayable source: nothing to acknowledge upstream
+        pass
+
+
 class LegacyEnrollmentDataSource(DataSource):
     """`format("legacy_enrollment")` — see module docstring."""
 
@@ -103,3 +155,6 @@ class LegacyEnrollmentDataSource(DataSource):
 
     def reader(self, schema) -> _EnrollmentReader:
         return _EnrollmentReader(self.options)
+
+    def streamReader(self, schema) -> _EnrollmentStreamReader:
+        return _EnrollmentStreamReader(self.options)
