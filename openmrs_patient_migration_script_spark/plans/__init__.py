@@ -20,6 +20,7 @@ from openmrs_patient_migration_script_spark.plans import (  # noqa: E402,F401
     privacy_queries,
     quality_queries,
     sketch_queries,
+    source_queries,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]
