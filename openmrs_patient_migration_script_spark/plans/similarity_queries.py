@@ -209,3 +209,62 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _fixed_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic decimal-exact centroid literals (3dp) — the same
+    values are embedded in the Spark call AND the oracle SQL text, so
+    both engines score against bit-identical model constants."""
+    import hashlib
+
+    out = []
+    for c in range(k):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"cent:{c}:{d}".encode()).hexdigest()[:6], 16)
+            row.append(round((h % 2000 - 1000) / 1000.0, 3))
+        out.append(row)
+    return out
+
+
+_CENTROIDS = _fixed_centroids()
+_CENT_VALUES = ", ".join(
+    f"({i}, [" + ", ".join(str(v) for v in c) + "]::DOUBLE[])"
+    for i, c in enumerate(_CENTROIDS)
+)
+
+
+@query(
+    "cluster_assign",
+    oracle=f"""
+    WITH c AS (SELECT * FROM (VALUES {_CENT_VALUES}) AS t(cell, v)),
+    s AS (
+      SELECT e.vec_id, c.cell,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.v) AS cos
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cell, round(cos, 6) AS cos FROM (
+      SELECT vec_id, cell, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4f: nearest-centroid assignment against a FIXED model — the
+    inference half of k-means, hash-checked (the trainer `cluster_kmeans`
+    stays rows-only because training is iterative). One numpy matmul per
+    Arrow batch (operators/similarity.py::kmeans_assign), zero shuffles;
+    the oracle scores the same decimal-exact centroid literals via
+    list_cosine_similarity and replays argmax's first-max tiebreak as
+    (cos DESC, cell ASC). numpy's blocked dot and DuckDB's sequential
+    fold agree to 6dp rounding at 64 dims (measured exact on the
+    fixture)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(e, _CENTROIDS)
+    return out.select("vec_id", "cell", F.round("cos", 6).alias("cos"))
