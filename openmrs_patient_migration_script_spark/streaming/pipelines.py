@@ -281,3 +281,64 @@ def write_stream_idempotent(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_EWMA_STATE = StructType([StructField("ewma", DoubleType())])
+_EWMA_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def stateful_user_ewma(
+    events: DataFrame, alpha: float = 0.5, watermark: str = WATERMARK
+) -> DataFrame:
+    """ST5b: ORDER-SENSITIVE stateful recurrence — per-user EWMA carried
+    across micro-batches in GroupState (the streaming twin of the batch
+    `ts_ewma` fold, operators/timeseries.py::ewma).
+
+    The running-total ST5 shape is order-free (sums commute); a
+    recurrence is not — each batch's group rows are sorted by
+    (ts, event_id) before the fold, and the carried state is just the
+    last smoothed value (one double per key: bounded state however long
+    the stream runs). Emits one row per EVENT (the smoothed series, not
+    a per-key summary). The fold itself is a Python loop over the numpy
+    arrays of one group-batch — inherently sequential math, bounded by
+    the batch, never the stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ids = batch["event_id"].to_numpy()
+        vals = batch["value"].to_numpy(dtype=float)
+        out = []
+        for v in vals:
+            prev = v if prev is None else a * v + (1.0 - a) * prev
+            out.append(prev)
+        state.update((float(prev),))
+        yield pd.DataFrame(
+            {"user_id": key[0], "event_id": ids, "ewma": out}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -413,3 +413,66 @@ def test_foreachbatch_rewrites_incomplete_batch_dirs(spark, tmp_path):
     assert not os.path.exists(os.path.join(half, "part-stale.parquet"))
     n = spark.read.parquet(os.path.join(out_dir, "_batch_id=0")).count()
     assert n == load_table(spark, SF, "events").count()
+
+
+def test_stateful_ewma_carries_recurrence_across_batches(spark, tmp_path):
+    """ST5b: the EWMA recurrence must CONTINUE across micro-batches from
+    GroupState — two pinned batches (each user's earlier events, then the
+    rest) must reproduce the batch fold over the union exactly. A
+    state-reset bug would restart every user's series at batch 1 and
+    diverge on the later events."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.timeseries import ewma
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stateful_user_ewma,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = [
+        (u, u * 100 + i, datetime(2024, 1, 1, 8 + i), float((u * 7 + i * 3) % 13) + 0.25)
+        for u in range(3)
+        for i in range(8)
+    ]
+    # batch 0 = each user's first 4 events, batch 1 = the rest (ts order
+    # respected across batches, so the union fold is well-defined)
+    early = [r for r in rows if r[1] % 100 < 4]
+    late = [r for r in rows if r[1] % 100 >= 4]
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([early, late]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):  # file source orders batches by mtime
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    stream = stateful_user_ewma(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    name = _run_to_memory(stream, "update")
+    got = {
+        (r.user_id, r.event_id): r.ewma for r in spark.table(name).collect()
+    }
+    batch = ewma(
+        spark.createDataFrame(rows, schema), "user_id", ["ts", "event_id"], "value"
+    )
+    want = {(r.user_id, r.event_id): r.ewma for r in batch.collect()}
+    assert got == want  # bit-exact: same fold, same order
+    assert len(got) == len(rows)
