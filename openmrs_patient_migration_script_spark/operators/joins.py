@@ -36,14 +36,23 @@ def asof_join(
     right_payload: list[str],
     right_id: str | None = None,
     payload_prefix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row per key at-or-before each left row.
+    """Left as-of join: the latest right row per key at-or-before each
+    left row (``direction="backward"``, the default), or the EARLIEST
+    right row at-or-after it (``direction="forward"`` — "what happened
+    next": view→conversion attribution, order→first shipment).
 
-    Left rows with no prior right row survive with null payload (left-join
-    semantics). Ties on the right timestamp break on descending
-    ``right_id`` (the later-inserted row wins), matching the
-    ``row_number() OVER (ORDER BY ts DESC, id DESC) = 1`` oracle form.
+    Left rows with no matching right row survive with null payload
+    (left-join semantics). Tie policy on equal timestamps matches the
+    window-oracle forms: backward breaks on DESCENDING ``right_id`` (the
+    later-inserted row wins; ``ORDER BY ts DESC, id DESC``), forward on
+    ASCENDING (``ORDER BY ts ASC, id ASC``). Forward is the same
+    union + single-shuffle carry plan traversed in reverse time order —
+    no second code path, no extra shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_id is not None and right_id not in right_payload:
         raise ValueError("right_id must be one of right_payload")
     carried = [payload_prefix + c for c in right_payload]
@@ -73,10 +82,23 @@ def asof_join(
     cols = on + ["_ts", "_side"] + [c for c in left.columns if c not in on] + carried
     unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
 
-    # right rows (side=0) sort before left rows (side=1) at equal ts → '<='
-    sort_cols = [F.col("_ts"), F.col("_side")] + (
-        [] if right_id is None else [F.col(payload_prefix + right_id)]
-    )
+    # right rows (side=0) sort before left rows (side=1) at equal ts →
+    # '<=' / '>=' inclusivity; forward traverses time in reverse so the
+    # same carry-forward picks the nearest FUTURE right row, and the
+    # right_id tiebreak flips so the last-carried row matches the
+    # ascending-oracle convention
+    if direction == "backward":
+        sort_cols = [F.col("_ts"), F.col("_side")] + (
+            [] if right_id is None else [F.col(payload_prefix + right_id)]
+        )
+    else:
+        # desc_nulls_first: a NULL left timestamp must sort BEFORE every
+        # right row so it carries nothing (ts >= NULL matches nothing) —
+        # plain desc puts nulls last, where they would absorb the
+        # smallest right row's payload
+        sort_cols = [F.col("_ts").desc_nulls_first(), F.col("_side")] + (
+            [] if right_id is None else [F.col(payload_prefix + right_id).desc()]
+        )
     w = (
         Window.partitionBy(*on)
         .orderBy(*sort_cols)

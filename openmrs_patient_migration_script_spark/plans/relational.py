@@ -861,6 +861,64 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT view_id, user_id, view_ts, purchase_id, purchase_ts, purchase_value
+    FROM (
+      SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             p.value AS purchase_value,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8b: FORWARD as-of join — for each view, the next purchase of the
+    same user at-or-after it ("did this impression convert, and to
+    what?"). Same union + single-shuffle carry plan as `join_asof`,
+    traversed in reverse time order (operators/joins.py::asof_join
+    direction="forward"); the oracle is the pair-materializing
+    row_number form ordered ASC."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        right_payload=["purchase_id", "purchase_ts", "purchase_value"],
+        right_id="purchase_id",
+        direction="forward",
+    )
+    return out.select(
+        "view_id", "user_id", "view_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+
+
+@query(
     "join_range_binned",
     oracle="""
     SELECT s.s_suppkey,

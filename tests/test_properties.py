@@ -64,6 +64,25 @@ def test_asof_join_matches_naive_reference(spark, ev):
         want = max(cands)[1] if cands else None
         assert got[pid] == want, (pid, got[pid], want)
 
+    # forward direction: earliest quote at-or-after, ties to the SMALLEST id
+    fwd = {
+        r["probe_id"]: r["quote_id"]
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="probe_ts",
+            right_ts="quote_ts",
+            right_payload=["quote_id", "quote_ts"],
+            right_id="quote_id",
+            direction="forward",
+        ).collect()
+    }
+    for pid, pu, pts in probes:
+        cands = [(ts, qid) for qid, qu, ts in quotes if qu == pu and ts >= pts]
+        want = min(cands)[1] if cands else None
+        assert fwd[pid] == want, (pid, fwd[pid], want)
+
 
 @settings(**SETTINGS)
 @given(
