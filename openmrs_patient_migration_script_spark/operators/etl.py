@@ -405,3 +405,63 @@ def merge_upsert(
         ],
         action.alias("merge_action"),
     )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Apply a change feed with INSERT/UPDATE/DELETE semantics — the full
+    CDC shape `merge_upsert` (upsert-only) does not cover.
+
+    Per key, only the LATEST change by ``seq_cols`` wins (arg-extrema
+    reduction — `max_by` over the sequence struct, one partial-combinable
+    hash agg; no per-key window sort), then one full-outer join applies
+    it: delete removes the target row, update/insert replace-or-add the
+    payload, target keys with no change pass through. An 'insert' for an
+    existing key and an 'update' for an absent key both resolve to the
+    surviving payload (idempotent replay semantics — CDC feeds re-deliver;
+    the op labels intent, the key decides the outcome). Emits
+    `cdc_action` provenance (inserted/updated/deleted→absent rows are
+    dropped/kept).
+
+    Same co-partitioned join shape as `merge_upsert`/SCD2 — on a table
+    format (Delta/Iceberg) the rewrite becomes merge-on-read, the plan
+    does not change.
+    """
+    latest = changes.groupBy(F.col(key).alias("_ck")).agg(
+        F.max_by(
+            F.struct(
+                F.col(op_col).alias("_op"),
+                *[F.col(c).alias(f"_c_{c}") for c in payload_cols],
+            ),
+            F.struct(*[F.col(c) for c in seq_cols]),
+        ).alias("_ch")
+    )
+    t = target.select(
+        F.col(key).alias("_tk"),
+        *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+    )
+    j = t.join(latest, t["_tk"] == latest["_ck"], "full_outer")
+    op = F.col("_ch._op")
+    out = j.select(
+        F.coalesce(F.col("_tk"), F.col("_ck")).alias(key),
+        *[
+            F.when(op.isNull() | (op == "delete"), F.col(f"_t_{c}"))
+            .otherwise(F.col(f"_ch._c_{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
+        F.when(op.isNull(), F.lit("kept"))
+        .when(op == "delete", F.lit("deleted"))
+        .when(F.col("_tk").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("cdc_action"),
+    )
+    # deletes for existing keys drop the row; deletes for absent keys are
+    # no-ops (nothing to delete) — both vanish here
+    return out.filter(F.col("cdc_action") != "deleted")

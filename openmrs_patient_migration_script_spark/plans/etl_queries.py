@@ -272,3 +272,71 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("client_id"), F.col("c_acctbal").alias("acctbal")
     )
     return merge_upsert(target, source, "client_id", ["acctbal"])
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey AS ck, op, new_bal FROM (
+        SELECT o_custkey,
+               CASE o_orderstatus WHEN 'O' THEN 'update'
+                                  WHEN 'F' THEN 'insert'
+                                  ELSE 'delete' END AS op,
+               round(o_totalprice, 2) AS new_bal,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT client_id, acctbal, cdc_action FROM (
+      SELECT coalesce(c.c_custkey, l.ck) AS client_id,
+             CASE WHEN l.op IS NULL OR l.op = 'delete'
+                  THEN round(c.c_acctbal, 2) ELSE l.new_bal END AS acctbal,
+             CASE WHEN l.op IS NULL THEN 'kept'
+                  WHEN l.op = 'delete' THEN 'deleted'
+                  WHEN c.c_custkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS cdc_action
+      FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.ck
+    ) WHERE cdc_action != 'deleted'
+    """,
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: full CDC apply — a change feed with INSERT/UPDATE/DELETE ops
+    (synthesized from orders: each customer's LATEST order by
+    (date, orderkey) maps status O/F/P to update/insert/delete of the
+    account balance) applied over the customer dimension
+    (operators/etl.py::apply_cdc). Last-change-wins is an arg-extrema
+    REDUCTION (`max_by` on the sequence struct — no per-key window sort),
+    the apply is one co-partitioned full-outer join, deletes drop rows,
+    and idempotent-replay semantics resolve mislabeled ops by key
+    presence. The delete/op surface `etl_merge_upsert` (upsert-only)
+    does not cover."""
+    from openmrs_patient_migration_script_spark.operators.etl import apply_cdc
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    target = c.select(
+        F.col("c_custkey").alias("client_id"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    changes = o.select(
+        F.col("o_custkey").alias("client_id"),
+        F.when(F.col("o_orderstatus") == "O", "update")
+        .when(F.col("o_orderstatus") == "F", "insert")
+        .otherwise("delete")
+        .alias("op"),
+        F.round("o_totalprice", 2).alias("acctbal"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    out = apply_cdc(
+        target,
+        changes,
+        key="client_id",
+        seq_cols=["o_orderdate", "o_orderkey"],
+        op_col="op",
+        payload_cols=["acctbal"],
+    )
+    return out.select("client_id", "acctbal", "cdc_action")

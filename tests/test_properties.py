@@ -797,3 +797,51 @@ def test_grid_distance_join_matches_nested_loop(spark, lpts, rpts):
         if ((ax - bx) ** 2 + (ay - by) ** 2) ** 0.5 <= radius
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)), max_size=12),
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),                    # key
+            st.integers(0, 20),                   # seq
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(0, 100),                  # new value
+        ),
+        max_size=20,
+    ),
+)
+def test_apply_cdc_matches_naive_reference(spark, tgt, chg):
+    """apply_cdc == the naive replay: last change per key by sequence
+    wins; delete drops, insert/update set the value regardless of prior
+    presence (idempotent replay), untouched keys survive."""
+    from openmrs_patient_migration_script_spark.operators.etl import apply_cdc
+
+    tgt = list({k: (k, v) for k, v in tgt}.values())  # unique keys
+    target = spark.createDataFrame(tgt or [(999, 0)], "k long, val long")
+    changes = spark.createDataFrame(
+        [(k, s, i, op, v) for i, (k, s, op, v) in enumerate(chg)] or
+        [(998, 0, 0, "delete", 0)],
+        "k long, seq long, tie long, op string, val long",
+    )
+    got = {
+        r.k: (r.val, r.cdc_action)
+        for r in apply_cdc(
+            target, changes, "k", ["seq", "tie"], "op", ["val"]
+        ).collect()
+    }
+    state = {k: v for k, v in (tgt or [(999, 0)])}
+    last: dict = {}
+    for i, (k, s, op, v) in enumerate(chg or []):
+        if k not in last or (s, i) > last[k][0]:
+            last[k] = ((s, i), op, v)
+    want = {}
+    for k, v in state.items():
+        if k not in last:
+            want[k] = (v, "kept")
+    for k, (_, op, v) in last.items():
+        if op == "delete":
+            continue
+        want[k] = (v, "updated" if k in state else "inserted")
+    assert got == want
