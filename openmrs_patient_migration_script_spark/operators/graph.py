@@ -139,11 +139,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the node universe only matters for the final center labels; derive
+    # it LAZILY off the already-checkpointed initial edge set — a second
+    # eager checkpoint here paid a whole extra job per call for a frame
+    # read exactly once
+    e0 = e
     all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def signature(df: DataFrame) -> tuple:
@@ -161,6 +165,10 @@ def connected_components_star(
             sym.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("m"))
         )
+        # the distinct earns its Exchange: on clique-heavy dedup graphs
+        # large_star emits ~deg(v) copies of each (v, m) edge, so deduping
+        # HERE shrinks small_star's input by ~the average degree (measured
+        # slower without it despite the saved shuffle)
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
