@@ -567,3 +567,37 @@ def test_golden_record_is_reduction_not_window(spark):
     ns = nodes(plan_of(spark, "etl_golden_record"))
     assert "Window" not in ns, ns
     assert any("Aggregate" in n for n in ns), ns
+
+
+def test_cdc_apply_is_reduction_plus_one_join(spark):
+    """etl_cdc_apply: last-change-wins must stay a max_by REDUCTION (no
+    per-key Window sort) and the apply exactly one join — two Exchanges
+    total (change reduce + co-partitioned full outer)."""
+    ns = nodes(plan_of(spark, "etl_cdc_apply"))
+    assert "Window" not in ns, ns
+    assert ns.count("Exchange") == 2, ns
+
+
+def test_asof_forward_single_shuffle_carry(spark):
+    """join_asof_forward: the reverse-order carry must keep the one-
+    Exchange union+window shape — a pair-materializing range join would
+    add a second Exchange and a Join node."""
+    ns = nodes(plan_of(spark, "join_asof_forward"))
+    assert ns.count("Exchange") == 1, ns
+    assert ns.count("Window") == 1, ns
+    assert not any("Join" in n for n in ns), ns
+
+
+def test_custom_source_scan_is_shuffle_free(spark):
+    """source_custom_extract: a connector read is a BatchScan + Project —
+    any Exchange means the read path grew a shuffle it never needs."""
+    ns = nodes(plan_of(spark, "source_custom_extract"))
+    assert ns.count("Exchange") == 0, ns
+
+
+def test_cluster_assign_zero_shuffle_projection(spark):
+    """cluster_assign: model inference is a MapInPandas projection over
+    the scan — zero Exchanges; aggregation belongs to consumers."""
+    ns = nodes(plan_of(spark, "cluster_assign"))
+    assert ns.count("Exchange") == 0, ns
+    assert any("MapInPandas" in n for n in ns), ns
