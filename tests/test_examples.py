@@ -37,3 +37,12 @@ def test_quality_audit():
     assert "audit: CLEAN" in stdout  # fixtures have no orphans
     assert "acctbal_nonnegative" in stdout
     assert "incremental plan:" in stdout
+
+
+def test_incremental_sync():
+    stdout = _run("incremental_sync.py")
+    assert "watermark extract:" in stdout
+    assert "change detection" in stdout
+    assert "surviving rows:" in stdout
+    assert "duplicate clusters ->" in stdout
+    assert "sync: DONE" in stdout
