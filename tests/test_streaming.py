@@ -476,3 +476,35 @@ def test_stateful_ewma_carries_recurrence_across_batches(spark, tmp_path):
     want = {(r.user_id, r.event_id): r.ewma for r in batch.collect()}
     assert got == want  # bit-exact: same fold, same order
     assert len(got) == len(rows)
+
+
+def test_stateful_pipeline_on_rocksdb_state_store(spark, tmp_path):
+    """State-backend portability: the GroupState pipeline must run
+    unchanged on the RocksDB state store provider — the backend a real
+    cluster uses once per-key state exceeds executor heap (the default
+    HDFSBackedStateStoreProvider keeps every version in memory). Conf is
+    read at query start, so it scopes to this test and restores after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_user_totals(read_events_stream(spark, SF))
+        name = _run_to_memory(stream, "update")
+        out = spark.table(name)
+        batch = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got = {r["user_id"]: r["n_events"] for r in out.collect()}
+        want = {r["user_id"]: r["n_events"] for r in batch.collect()}
+        assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
