@@ -110,18 +110,22 @@ class _EnrollmentStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
-        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
         self.num_partitions = int(options.get("numPartitions", 4))
 
     def initialOffset(self) -> dict:
         return {"id": 0}
 
     def latestOffset(self) -> dict:
-        # the feed "grows" rowsPerBatch ids per poll until exhausted;
-        # deterministic, so tests can drain it to a known final state
-        self._cursor = getattr(self, "_cursor", 0)
-        self._cursor = min(self._cursor + self.rows_per_batch, self.rows)
-        return {"id": self._cursor}
+        # latestOffset must be RESTART-MONOTONE: a real feed reads its
+        # high-water mark from the external system (Kafka end offsets),
+        # so a restarted reader never reports less than the checkpoint's
+        # committed offset. A per-instance "grow by N per poll" cursor
+        # violates that (a fresh reader restarts below the checkpoint and
+        # Spark replays ranges → duplicates — observed and removed); the
+        # deterministic emulation therefore reports the feed's full
+        # extent, and batch sizing stays the engine's concern, not the
+        # source's.
+        return {"id": self.rows}
 
     def partitions(self, start: dict, end: dict) -> list[_IdRange]:
         lo, hi = int(start["id"]), int(end["id"])

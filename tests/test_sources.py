@@ -187,7 +187,6 @@ class TestCustomStreamingSource:
         q = (
             spark.readStream.format("legacy_enrollment")
             .option("rows", 300)
-            .option("rowsPerBatch", 120)
             .option("numPartitions", 3)
             .load()
             .writeStream.format("memory")
@@ -217,3 +216,45 @@ class TestCustomStreamingSource:
         )
         assert streamed.exceptAll(batch).count() == 0
         assert batch.exceptAll(streamed).count() == 0
+
+    def test_restart_from_checkpoint_is_exactly_once(self, spark, tmp_path):
+        """Kill the stream, restart from the same checkpoint: the offset
+        log must resume the feed without duplicating or dropping a row
+        (replayable-by-range + restart-monotone latestOffset — a reader
+        whose offset regresses below the checkpoint replays ranges, the
+        bug this test pins out)."""
+        import time
+
+        from openmrs_patient_migration_script_spark.sources.custom import (
+            LegacyEnrollmentDataSource,
+        )
+
+        spark.dataSource.register(LegacyEnrollmentDataSource)
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def start():
+            return (
+                spark.readStream.format("legacy_enrollment")
+                .option("rows", 400)
+                .option("numPartitions", 3)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        q.awaitTermination(120)
+        n_first = spark.read.parquet(sink).count()
+        # restart against the same checkpoint: nothing new to ship
+        q2 = start()
+        q2.awaitTermination(120)
+        time.sleep(0.5)
+        out = spark.read.parquet(sink)
+        assert n_first == 400
+        assert out.count() == 400
+        assert out.select("client_id").distinct().count() == 400
