@@ -137,7 +137,9 @@ def lsh_bucket(vec_col, num_planes: int = 8, plane_offset: int = 0):
 _SRP_WEIGHTS_CACHE: dict[tuple[int, int, int], object] = {}
 
 
-def srp_weights(spark, dim: int, num_planes: int, num_tables: int):
+def srp_weights(
+    spark, dim: int, num_planes: int, num_tables: int, hash_mode: str = "xxhash64"
+):
     """The ±1 hyperplane matrix ((num_planes·num_tables) × dim) exactly as
     `lsh_bucket` derives it — parity of JVM ``xxhash64(p, d)`` — computed
     once via a tiny (p, d) grid job and returned as numpy. Equivalence
@@ -146,13 +148,39 @@ def srp_weights(spark, dim: int, num_planes: int, num_tables: int):
     closures — it is a MODEL constant, not data, and since xxhash64 is
     session-independent the matrix is memoized per (dim, m, L) so repeat
     calls (corpus + query side of the same search, re-runs in a bench
-    loop) pay zero jobs."""
+    loop) pay zero jobs.
+
+    ``hash_mode="md5"`` derives the signs from ``md5(f"{p}:{d}")`` parity
+    instead — the declared-form trick (dedup_minhash's): DuckDB can
+    rebuild the identical matrix in pure SQL, upgrading the LSH ANN
+    oracle from rows-only to exact. Same statistics (one unbiased bit per
+    plane element), just a hash DuckDB ships."""
     import numpy as np
 
-    key = (dim, num_planes, num_tables)
+    key = (dim, num_planes, num_tables, hash_mode)
     if key in _SRP_WEIGHTS_CACHE:
         return _SRP_WEIGHTS_CACHE[key]
     total = num_planes * num_tables
+    if hash_mode == "md5":
+        import hashlib
+
+        W = np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                    for d in range(dim)
+                ]
+                for p in range(total)
+            ]
+        )
+        _SRP_WEIGHTS_CACHE[key] = W
+        return W
     pairs = spark.createDataFrame(
         [(p, d) for p in range(total) for d in range(dim)], "p int, d int"
     )
@@ -176,6 +204,7 @@ def srp_hashed(
     num_planes: int,
     num_tables: int,
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(key, _tbl, _bkt) multi-table SRP bucket rows — one numpy matmul
     per Arrow batch against the broadcast weight matrix, replacing r2's
@@ -189,7 +218,7 @@ def srp_hashed(
     m, L = num_planes, num_tables
     first = df.select(vec_col).first()
     dim = len(first[0]) if first is not None else 1
-    W = srp_weights(df.sparkSession, dim, m, L)
+    W = srp_weights(df.sparkSession, dim, m, L, hash_mode)
     powers = 1 << np.arange(m)
     out_schema = StructType(
         [
@@ -229,6 +258,7 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """ANN top-k: multi-table LSH bucket join + exact cosine re-rank.
 
@@ -251,10 +281,12 @@ def ann_topk_lsh(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     cand = (
-        srp_hashed(corpus, id_col, num_planes, num_tables, vec_col)
+        srp_hashed(corpus, id_col, num_planes, num_tables, vec_col, hash_mode)
         .join(
             F.broadcast(
-                srp_hashed(queries, query_id_col, num_planes, num_tables, vec_col)
+                srp_hashed(
+                    queries, query_id_col, num_planes, num_tables, vec_col, hash_mode
+                )
             ),
             ["_tbl", "_bkt"],
         )

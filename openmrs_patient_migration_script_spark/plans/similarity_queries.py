@@ -68,13 +68,63 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_vectorized(emb, queries, k=_K)
 
 
-@query("sim_ann_lsh")  # approximate → rows-only; recall tested vs exact
+_LSH_M, _LSH_L = 3, 8
+
+
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {_LSH_M * _LSH_L - 1})) AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+      FROM vec, planes pl GROUP BY vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_LSH_M} AS tbl,
+             sum(((s >= 0)::INT) << (p % {_LSH_M})) AS bkt
+      FROM dots GROUP BY vec_id, p // {_LSH_M}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+      FROM buckets q JOIN buckets b USING (tbl, bkt)
+      WHERE q.vec_id % 50 = 0 AND b.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec qv ON qv.vec_id = c.query_id
+      JOIN vec cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table sign-random-projection LSH + exact
-    re-rank within buckets. (3 planes, 8 tables) measures 0.88 recall vs
-    the exact baseline on the harness corpus (tests/test_similarity.py)."""
+    re-rank within buckets ((3 planes, 8 tables); recall vs the exact
+    baseline pinned in tests/test_similarity.py). r3: the declared form
+    derives its ±1 planes from md5 parity (`srp_weights` hash_mode) so
+    the ENTIRE approximate pipeline — plane matrix, bucket bits,
+    multi-table candidate union, re-rank, top-k — is replayed by the
+    DuckDB oracle and hash-checked exactly; the approximation is in WHAT
+    the query promises (candidates within shared buckets), not in
+    run-to-run wobble. xxhash64 planes stay the production default
+    (cheaper, JVM-side)."""
     emb, queries = _split(spark, sf_dir)
-    return ann_topk_lsh(emb, queries, k=_K, num_planes=3, num_tables=8)
+    return ann_topk_lsh(
+        emb, queries, k=_K, num_planes=_LSH_M, num_tables=_LSH_L, hash_mode="md5"
+    )
 
 
 # same oracle as sim_cosine_topk: both implementations must produce
@@ -90,7 +140,63 @@ def sim_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=_K)
 
 
-@query("sim_ann_ivf")  # approximate (cell pruning) → rows-only; recall tested vs exact
+_IVF_CELLS, _IVF_NPROBE = 16, 8
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id, v, rn - 1 AS cell FROM (
+        SELECT vec_id, v,
+               row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000, vec_id
+               ) AS rn
+        FROM vec
+      ) WHERE rn <= {_IVF_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.v) DESC, s.cell
+               ) AS rn
+        FROM vec c CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, s.v) DESC, s.cell
+               ) AS rn
+        FROM vec q CROSS JOIN seeds s
+        WHERE q.vec_id % 50 = 0
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec qv ON qv.vec_id = c.query_id
+      JOIN vec cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path #2: IVF — deterministic hash-seeded coarse centroids,
     cell assignment per Arrow batch, nprobe-cell probing (broadcast probe
@@ -99,11 +205,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_similarity.py. NB the harness embeddings are
     ~uniform random — the IVF worst case (neighbors spread evenly over
     cells), hence nprobe=8 of 16; clustered real corpora reach high
-    recall at much smaller scan fractions."""
+    recall at much smaller scan fractions. r3: every stage is
+    SQL-replayable — seeds are md5-bucket order (the same hash_bucket
+    rule the oracles already share), assignment/probing are
+    cosine-argmax windows (cosine is scale-invariant, so the oracle skips
+    the normalization numpy needs), re-rank is the shared rounded-cosine
+    convention — upgrading this path from rows-only to hash-checked;
+    the approximation lives in the nprobe contract, not in wobble."""
     from openmrs_patient_migration_script_spark.operators.similarity import ivf_topk
 
     emb, queries = _split(spark, sf_dir)
-    return ivf_topk(emb, queries, k=_K, n_cells=16, nprobe=8)
+    return ivf_topk(emb, queries, k=_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
 
 
 @query(
