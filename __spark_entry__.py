@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; rows-only
-    operators (non-SQL-expressible) are intentionally absent."""
+    """DuckDB-equivalent SQL for every declared query — as of round 3
+    that is ALL of them (even the approximate ANN paths and the iterative
+    k-means trainer, via content-addressed randomness the oracle can
+    replay); an absent entry would signal a genuinely rows-only op."""
     return dict(ORACLES)
