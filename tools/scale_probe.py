@@ -165,6 +165,31 @@ def _simhash_pairs_shape(docs, k: int):
     return simhash_pairs(fps_k, bits=60, max_hamming=3)
 
 
+def _jaccard_shape(docs, k: int):
+    """Inverted-index n-gram Jaccard at k copies. Key-shifting doc_ids is
+    NOT enough here: copies sharing their shingle text would meet in the
+    shingle join and candidate volume would grow k² (every cross-copy
+    pair is a perfect near-dup). Each copy therefore suffixes its tokens
+    with the copy tag — every shingle becomes copy-local, so true-pair
+    volume stays linear while shingle cardinality scales with rows (the
+    honest growth mode for a corpus that grows by NEW documents)."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return ngram_jaccard_pairs(d_k, "doc_id", "text", min_shared=2, max_df=50)
+
+
 def _ewma_shape(ev_k):
     from openmrs_patient_migration_script_spark.operators.timeseries import ewma
 
@@ -353,6 +378,9 @@ def main() -> None:
             "ewma_fold": _ewma_shape(ev_k),
             # exact bitmap distinct rollup: bucketed bitmap state
             "bitmap_distinct_rollup": _bitmap_shape(o_k),
+            # inverted-index jaccard (the shuffle-heaviest headline query);
+            # copy-tagged tokens keep cross-copy shingles disjoint
+            "ngram_jaccard": lambda: _jaccard_shape(docs, k),
             # degree-oriented triangle count over the fuzzy pair graph
             "triangle_count": lambda: _triangles_shape(c_k),
             # Small-Star/Large-Star components (iterative; rounds ~O(log n))
