@@ -269,6 +269,152 @@ def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram PMI collocation mining — the word2phrase-style phrase-detection
+    pass of a training-corpus pipeline (merge "new york"-like pairs before
+    tokenizer training).
+
+    pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p(ab) = c_ab / B and
+    p(x) = c_x / T, where T = total tokens, B = total bigrams.
+
+    Plan shape, chosen for 100 TB:
+
+    - bigrams materialize row-locally (zip_with against the left-shifted
+      token array, like ``ngram_counts`` — no positional self-join);
+    - TWO hash aggregations whose shuffles carry only the (bi)gram
+      vocabulary (map-side partial combine), never the corpus;
+    - the scalar totals T and B derive from those SMALL count tables
+      (one extra pass over ~vocab-sized data), then broadcast via
+      crossJoin;
+    - unigram counts broadcast back onto the bigram table twice — the
+      bigram table itself never reshuffles.
+
+    Determinism: pmi is a fixed row-local double expression over exact
+    long counts (single division chain, no reassociative float agg), so
+    the 6dp rounding is partition-order independent.
+
+    ``min_count`` drops the long noise tail BEFORE the unigram joins —
+    at corpus scale the surviving bigram vocabulary is what a phrase
+    merger would actually consume.
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, sz),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bigrams = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bcounts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    ucounts = df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c")
+    )
+    totals = ucounts.agg(F.sum("c").alias("t_tokens")).crossJoin(
+        bcounts.agg(F.sum("c_ab").alias("t_bigrams"))
+    )
+    ua = ucounts.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    ub = ucounts.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bcounts.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_bigrams"))
+                    / (
+                        (F.col("c_a") / F.col("t_tokens"))
+                        * (F.col("c_b") / F.col("t_tokens"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed query-term set — the
+    lexical-retrieval scorer (Robertson/Lucene form, idf = ln(1 + (N-df+0.5)
+    /(df+0.5))) that complements the embedding similarity surface.
+
+    Plan shape, chosen for 100 TB:
+
+    - doc length is a zero-shuffle scan projection (``size(tokens)``);
+      N and avgdl reduce from it to one broadcast scalar row, with avgdl
+      computed as exact-long ``sum(dl)/N`` in ONE division (a float
+      ``avg()`` would be partial-order dependent in final ulps);
+    - term frequencies aggregate AFTER filtering tokens to the query
+      vocabulary — the tf shuffle carries only |Q| terms' postings, not
+      the corpus token stream — and the doc length rides THROUGH that
+      aggregation (max of a per-key-constant), so no tf⋈dl doc-keyed
+      big-big join exists in the plan;
+    - per-term doc frequencies reduce to |Q| rows and broadcast back.
+
+    Determinism: each per-term score is a fixed row-local expression
+    rounded to 6dp BEFORE the per-doc sum; sums of 6dp multiples sit at
+    rounding-interval centers, so the final 6dp round is immune to
+    float-add reassociation across partitions.
+    """
+    toks = tokens(F.col(text_col))
+    dl = df.select(F.col(key_col), F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        df.select(
+            F.col(key_col),
+            F.size(toks).alias("dl"),
+            F.explode(F.filter(toks, lambda t: F.array_contains(terms, t))).alias(
+                "tok"
+            ),
+        )
+        .groupBy(key_col, "tok")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(key_col), F.round(idf * norm_tf, 6).alias("term_score"))
+    )
+    return scored.groupBy(key_col).agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -427,3 +427,91 @@ def text_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 5)
         .drop("_rn")
     )
+
+
+_BM25_TERMS = ["data", "fast", "hash", "stream"]
+_BM25_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "text_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+    bi AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni)::DOUBLE AS t_tokens,
+             (SELECT sum(c_ab) FROM bi)::DOUBLE AS t_bigrams
+    )
+    SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           round(ln((c_ab / t_bigrams) /
+                    ((ua.c / t_tokens) * (ub.c / t_tokens))), 6) AS pmi
+    FROM bi JOIN uni ua ON ua.tok = bi.w1
+            JOIN uni ub ON ub.tok = bi.w2, tot
+    WHERE c_ab >= 5
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5f: bigram PMI collocation mining (word2phrase-style phrase
+    detection before tokenizer training) —
+    operators/text.py::pmi_collocations. The oracle needs a positional
+    self-join; the Spark plan builds bigram pairs row-locally and
+    shuffles only the two count vocabularies, broadcasting unigram
+    counts and the scalar totals back onto the bigram table."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents
+    ),
+    t AS (
+      SELECT doc_id, len(list_filter(arr, x -> x <> '')) AS dl,
+             unnest(list_filter(arr, x -> x IN ({_BM25_SQL_TERMS}))) AS tok
+      FROM arrs
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             sum(len(list_filter(arr, x -> x <> '')))::DOUBLE / count(*) AS avgdl
+      FROM arrs
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+      FROM t GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             round(ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS s
+      FROM tf JOIN dfq USING (tok), stats
+    )
+    SELECT doc_id, count(*) AS n_terms, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5g: BM25 lexical relevance of every document to a fixed query-term
+    set — operators/text.py::bm25_scores (Lucene idf form, k1=1.2,
+    b=0.75). Doc length rides through the term-filtered tf aggregation
+    (no doc-keyed big-big join); doc frequencies and the (N, avgdl)
+    scalar row broadcast. Per-term scores round to 6dp BEFORE the
+    per-doc sum so the final round is reassociation-immune."""
+    from openmrs_patient_migration_script_spark.operators.text import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
