@@ -54,3 +54,62 @@ def listagg_bounded(
         ),
     )
     return agged.where(guard.isNull()).drop("_grp_n")
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group simple linear regression (the `regr_slope`/`regr_intercept`
+    family) as ONE partial-combinable hash aggregation over exact
+    sufficient statistics.
+
+    ``x`` must be an integer-valued column (e.g. days since an epoch) and
+    ``y`` an exact DECIMAL, so the five carried statistics —
+    n, Σx, Σx², Σy, Σxy — aggregate in long/decimal arithmetic with NO
+    reassociative float summation anywhere: the closed forms
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+
+    evaluate row-locally on doubles cast from those exact sums, making the
+    6dp rounding fully partition-order independent (a float `avg`/`covar`
+    pipeline would be ulp-nondeterministic across partial-agg orders).
+
+    Scale shape: one shuffle keyed on the group columns carrying five
+    numbers per group — the same cost as any A2 hash aggregate; skewed
+    group keys are ordinary agg skew (AQE). Bounds: the decimal Σxy stays
+    exact while |Σxy| < 10^36 (decimal(38,2)); the double casts are exact
+    while n, Σx, Σx² < 2^53 — far beyond any per-group cardinality a
+    regression over business keys sees.
+
+    Groups with n < 2 or zero x-variance (all x equal → denominator
+    exactly 0) are dropped: a line is undefined there. The zero test is
+    sound on doubles because both products round the SAME exact integer
+    value, so equality survives the cast.
+    """
+    sums = (
+        df.select(*group_cols, x.alias("_x"), y.alias("_y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_x").alias("sx"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    denom = nd * sxxd - sxd * sxd
+    return sums.filter((F.col("n") >= 2) & (denom != 0.0)).select(
+        *group_cols,
+        "n",
+        F.round((nd * sxyd - sxd * syd) / denom, 6).alias("slope"),
+        F.round((syd * sxxd - sxd * sxyd) / denom, 6).alias("intercept"),
+    )

@@ -627,3 +627,50 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1990-01-01', o_orderdate::DATE)::BIGINT AS x,
+             cast(o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT o_custkey, count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM pts GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+           round((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+             AS intercept
+    FROM s
+    WHERE n >= 2
+      AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: per-customer spend trend — simple OLS of order value over
+    order date (the `regr_slope`/`regr_intercept` surface) via
+    operators/aggregates.py::group_ols. One hash aggregation carries
+    exact long/decimal sufficient statistics; the closed forms evaluate
+    row-locally on doubles cast from exact sums, so the 6dp rounding is
+    partition-order independent (no float avg/covar chain anywhere)."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_ols,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return group_ols(
+        o,
+        ["o_custkey"],
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).cast("long"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    )
