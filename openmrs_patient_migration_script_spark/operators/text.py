@@ -273,6 +273,7 @@ def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 5,
+    materialize_counts: bool = False,
 ) -> DataFrame:
     """Bigram PMI collocation mining — the word2phrase-style phrase-detection
     pass of a training-corpus pipeline (merge "new york"-like pairs before
@@ -287,11 +288,18 @@ def pmi_collocations(
       token array, like ``ngram_counts`` — no positional self-join);
     - TWO hash aggregations whose shuffles carry only the (bi)gram
       vocabulary (map-side partial combine), never the corpus;
-    - the scalar totals T and B derive from those SMALL count tables
-      (one extra pass over ~vocab-sized data), then broadcast via
-      crossJoin;
+    - the scalar totals T and B derive from those SMALL count tables and
+      broadcast via crossJoin;
     - unigram counts broadcast back onto the bigram table twice — the
       bigram table itself never reshuffles.
+
+    The count tables feed multiple consumers (T, B, and the three join
+    sides), so the PURE plan (default) recomputes their corpus
+    aggregations from lineage — 5 parquet scans total, visible in
+    PLANS.md. Pass ``materialize_counts=True`` to localCheckpoint both
+    count tables: 2 corpus scans total, the right call on a real
+    cluster (kept off by default so the declared oracle-checked form
+    stays a pure plan, same trade as ``tf_idf``'s ``materialize_tf``).
 
     Determinism: pmi is a fixed row-local double expression over exact
     long counts (single division chain, no reassociative float agg), so
@@ -318,6 +326,9 @@ def pmi_collocations(
     ucounts = df.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
         F.count("*").alias("c")
     )
+    if materialize_counts:
+        bcounts = bcounts.localCheckpoint(eager=True)
+        ucounts = ucounts.localCheckpoint(eager=True)
     totals = ucounts.agg(F.sum("c").alias("t_tokens")).crossJoin(
         bcounts.agg(F.sum("c_ab").alias("t_bigrams"))
     )

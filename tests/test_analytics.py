@@ -320,3 +320,95 @@ def test_kll_rollup_merge_stays_exact_below_capacity(spark):
 
     assert out["q_0_5"] == disc(0.5)
     assert out["q_0_95"] == disc(0.95)
+
+
+def test_group_ols_recovers_planted_line_and_drops_degenerates(spark):
+    from openmrs_patient_migration_script_spark.operators.aggregates import group_ols
+
+    rows = (
+        # group "a": exactly y = 2.5x + 3 at x = 0..4 -> slope/intercept exact
+        [("a", x, 2.5 * x + 3.0) for x in range(5)]
+        # group "b": single point -> dropped (n < 2)
+        + [("b", 7, 1.0)]
+        # group "c": zero x-variance -> dropped (denominator exactly 0)
+        + [("c", 4, 1.0), ("c", 4, 9.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r.g: r
+        for r in group_ols(
+            df, ["g"], F.col("x").cast("long"), F.col("y").cast("decimal(18,2)")
+        ).collect()
+    }
+    assert set(out) == {"a"}, "degenerate groups must be dropped in-plan"
+    assert out["a"].n == 5
+    assert out["a"].slope == 2.5
+    assert out["a"].intercept == 3.0
+
+
+def test_group_ols_is_partition_order_invariant(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.aggregates import group_ols
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    args = (
+        ["o_custkey"],
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).cast("long"),
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    )
+    base = sorted(map(tuple, group_ols(o, *args).collect()))
+    shuffled = sorted(map(tuple, group_ols(o.repartition(17), *args).collect()))
+    assert base == shuffled and base, (
+        "exact sufficient statistics must make OLS partition-order free"
+    )
+
+
+def test_pmi_ranks_planted_collocation_highest(spark):
+    from openmrs_patient_migration_script_spark.operators.text import pmi_collocations
+
+    # "new york" always co-occurs; filler tokens pair randomly
+    docs = spark.createDataFrame(
+        [(i, f"new york t{i % 3} t{(i + 1) % 3} u{i % 2}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = pmi_collocations(docs, min_count=5).collect()
+    assert out, "planted corpus must produce collocations"
+    top = max(out, key=lambda r: r.pmi)
+    assert (top.w1, top.w2) == ("new", "york")
+
+
+def test_bm25_rewards_matching_terms_and_shorter_docs(spark):
+    from openmrs_patient_migration_script_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join"),                       # 1 query term, short
+            (2, "spark shuffle spark join"),         # both terms, more hits
+            (3, "spark " + "filler " * 50),          # 1 hit, long doc
+            (4, "nothing relevant here"),            # no hits -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark", "shuffle"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].bm25 > out[1].bm25, "more matching terms must score higher"
+    assert out[1].bm25 > out[3].bm25, "length normalization must penalize padding"
+    assert out[2].n_terms == 2 and out[1].n_terms == 1 and out[3].n_terms == 1
+
+
+def test_pmi_materialized_counts_match_pure_plan(spark):
+    from openmrs_patient_migration_script_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, f"new york t{i % 3} t{(i + 1) % 3} u{i % 2}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    pure = sorted(map(tuple, pmi_collocations(docs, min_count=5).collect()))
+    mat = sorted(
+        map(
+            tuple,
+            pmi_collocations(docs, min_count=5, materialize_counts=True).collect(),
+        )
+    )
+    assert pure == mat and pure
