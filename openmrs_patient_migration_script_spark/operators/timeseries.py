@@ -159,3 +159,57 @@ def ewma(
         *[F.col(f"z.seq.{c}").alias(c) for c in order_cols],
         F.col("z.1").alias("ewma"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Label every event row with its session — the gaps-and-islands
+    assignment that `stream_session`'s aggregate form cannot give you
+    (attribution, per-event feature building, and sequence modeling all
+    need the ROW→session mapping, not just per-session rollups).
+
+    A new session starts when the gap to the previous event of the same
+    key is >= ``gap_minutes`` (the same boundary convention as
+    `F.session_window` / the ST3 oracle). Appends:
+
+    - ``session_seq``: 1-based island number within the key;
+    - ``session_start``: the session's first timestamp, carried forward
+      row-locally as `last(CASE WHEN new THEN ts END) ignorenulls` over
+      the SAME running frame — no second shuffle on (key, session_seq).
+
+    Plan shape: ONE Exchange + one sort on the key; the lag window and
+    the two running-frame carries chain over that single sort (Window
+    nodes stack, the partitioning is reused). Gap arithmetic is integer
+    milliseconds (`unix_millis`), so island boundaries are exact — no
+    float anywhere, and the (ts, tiebreak) total order makes the
+    labeling bit-deterministic under any partitioning. Hot keys are
+    bounded by a single user's event count (the same contract as every
+    per-key window in this repo); a key too hot for one task is a data
+    bug upstream, not a plan choice.
+    """
+    from pyspark.sql.window import Window
+
+    gap_ms = gap_minutes * 60 * 1000
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag(ms).over(w)
+    flagged = df.withColumn(
+        "_new",
+        F.when(prev.isNull() | (ms - prev >= F.lit(gap_ms)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    # both carries in ONE select over the same frame → a single Window node
+    return flagged.select(
+        *[c for c in df.columns],
+        F.sum("_new").over(run).alias("session_seq"),
+        F.last(F.when(F.col("_new") == 1, F.col(ts_col)), ignorenulls=True)
+        .over(run)
+        .alias("session_start"),
+    )

@@ -674,3 +674,39 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
         F.col("o_totalprice").cast("decimal(18,2)"),
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           sum(new_s) OVER w2 AS session_seq,
+           max(CASE WHEN new_s = 1 THEN ts END) OVER w2 AS session_start
+    FROM flagged
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12b: row-level session labeling (gaps-and-islands) — every event
+    tagged with its 30-minute-gap session_seq and session_start via
+    operators/timeseries.py::sessionize. One Exchange + one sort per the
+    plan audit; the lag flag and both running carries chain over the
+    same (user_id | ts, event_id) sort. Integer-ms gap arithmetic on
+    both engines; the oracle's `max(CASE WHEN new THEN ts END)` running
+    carry is the same last-non-null trick (ts is monotone in the
+    frame, so max == last non-null)."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        sessionize,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(e, "user_id", "ts", "event_id", gap_minutes=30)

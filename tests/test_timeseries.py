@@ -44,3 +44,36 @@ def test_grid_explosion_guard(spark):
         resample_ffill(
             df, "user_id", "ts", "value", max_buckets=10_000
         ).collect()
+
+
+def test_sessionize_labels_planted_islands(spark):
+    from datetime import datetime
+
+    from openmrs_patient_migration_script_spark.operators.timeseries import sessionize
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: two sessions — gap of exactly 30 min starts a new one
+        (1, 1, t(0)), (2, 1, t(10)), (3, 1, t(40)),
+        # user 2: one session — 29-min gap stays inside
+        (4, 2, t(0)), (5, 2, t(29)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {r.event_id: r for r in sessionize(df, "user_id", "ts", "event_id").collect()}
+    assert [got[i].session_seq for i in (1, 2, 3)] == [1, 1, 2]
+    assert got[3].session_start == t(40)
+    assert got[2].session_start == t(0)
+    assert [got[i].session_seq for i in (4, 5)] == [1, 1]
+    assert got[5].session_start == t(0)
+
+
+def test_sessionize_is_partition_invariant(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.timeseries import sessionize
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = sorted(map(tuple, sessionize(e, "user_id", "ts", "event_id").collect()))
+    b = sorted(
+        map(tuple, sessionize(e.repartition(11), "user_id", "ts", "event_id").collect())
+    )
+    assert a == b and a
