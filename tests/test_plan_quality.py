@@ -601,3 +601,44 @@ def test_cluster_assign_zero_shuffle_projection(spark):
     ns = nodes(plan_of(spark, "cluster_assign"))
     assert ns.count("Exchange") == 0, ns
     assert any("MapInPandas" in n for n in ns), ns
+
+
+def test_regression_single_exchange_reduction(spark):
+    """agg_regression: OLS must stay ONE hash aggregation over exact
+    sufficient statistics — one Exchange, no Window, no Python stage."""
+    ns = nodes(plan_of(spark, "agg_regression"))
+    assert ns.count("Exchange") == 1, ns
+    assert "Window" not in ns, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
+
+
+def test_sessionize_one_exchange_chained_windows(spark):
+    """events_sessionize: the lag flag and both running carries must
+    chain over a SINGLE (user_id) Exchange+Sort — a second Exchange
+    means session_start regressed to a (key, session) shuffle."""
+    ns = nodes(plan_of(spark, "events_sessionize"))
+    assert ns.count("Exchange") == 1, ns
+    assert ns.count("Sort") == 1, ns
+    assert not any("Join" in n for n in ns), ns
+
+
+def test_pmi_broadcasts_counts_no_sortmerge(spark):
+    """text_pmi: the bigram table must NEVER reshuffle — unigram counts
+    and the scalar totals come back as broadcasts; the only non-scalar
+    joins are BroadcastHashJoins, and the BNL occurrences are the
+    one-row crossJoin shape."""
+    plan = plan_of(spark, "text_pmi")
+    ns = nodes(plan)
+    assert "SortMergeJoin" not in ns and "ShuffledHashJoin" not in ns, ns
+    assert ns.count("BroadcastHashJoin") == 2, ns
+    assert "CartesianProduct" not in ns, ns
+
+
+def test_bm25_no_doc_keyed_join(spark):
+    """text_bm25: doc length rides through the tf aggregation — the only
+    join is the |Q|-row doc-frequency broadcast plus the one-row stats
+    crossJoin; a SortMergeJoin would mean the tf⋈dl big-big join came
+    back."""
+    ns = nodes(plan_of(spark, "text_bm25"))
+    assert "SortMergeJoin" not in ns and "ShuffledHashJoin" not in ns, ns
+    assert ns.count("BroadcastHashJoin") == 1, ns
