@@ -73,6 +73,10 @@ HEADLINE = [
     # multi-round shuffle loop) and the binned interval-overlap join
     "graph_components_star",
     "join_interval_overlap",
+    # round-3 closing wave: the 5-scan/7-exchange PMI collocation miner
+    # and the full-event-table window labeling pass
+    "text_pmi",
+    "events_sessionize",
 ]
 
 
