@@ -213,3 +213,59 @@ def distribution_psi(
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+def table_diff(
+    src: DataFrame,
+    tgt: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed source↔target reconciliation — the migration-verification
+    workhorse (/root/reference/README.md:2's "automated migration"
+    presupposes proving the target matches the source): emit one row per
+    EXCEPTION, labeled ``missing_in_target`` / ``extra_in_target`` /
+    ``mismatch``; identical rows produce nothing.
+
+    Plan shape: a full outer equi-join on the key — one shuffle per
+    side, co-partitioned, AQE-splittable — then a row-local TYPED
+    comparison (`eqNullSafe` per column, so NULL==NULL matches). No
+    row-hash canonicalization: hashing via string casts invites
+    cross-engine float/date format traps and hides WHICH side drifted;
+    typed comparison has neither problem and lets callers add the
+    differing columns to the output later. At 100 TB both sides are
+    fact-sized, so this is deliberately a big-big sort-merge join — the
+    one shape where that IS the right plan (every key must meet its
+    twin); bucketed layouts on the key (operators/layout.py) turn it
+    shuffle-free.
+    """
+    from functools import reduce
+
+    s = src.select(
+        F.col(key_col).alias("_sk"),
+        *[F.col(c).alias(f"_s_{c}") for c in compare_cols],
+    )
+    t = tgt.select(
+        F.col(key_col).alias("_tk"),
+        *[F.col(c).alias(f"_t_{c}") for c in compare_cols],
+    )
+    j = s.join(t, s["_sk"] == t["_tk"], "full_outer")
+    differs = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}"))
+            for c in compare_cols
+        ],
+    )
+    status = (
+        F.when(F.col("_sk").isNull(), F.lit("extra_in_target"))
+        .when(F.col("_tk").isNull(), F.lit("missing_in_target"))
+        .when(differs, F.lit("mismatch"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_sk"), F.col("_tk")).alias(key_col),
+            status.alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -295,3 +295,82 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=60000.0,
         n_bins=10,
     )
+
+
+@query(
+    "dq_table_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 1000
+               AS bk
+      FROM orders
+    ),
+    tgt AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN bk % 89 = 1 THEN price + 1 ELSE price END AS price,
+             o_orderdate
+      FROM b WHERE bk % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, price, o_orderdate
+      FROM b WHERE bk % 83 = 2
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+                WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+                WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                  OR s.price IS DISTINCT FROM t.price
+                  OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
+                  THEN 'mismatch'
+           END AS status
+    FROM b s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+    WHERE (CASE WHEN s.o_orderkey IS NULL THEN 'extra_in_target'
+                WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+                WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                  OR s.price IS DISTINCT FROM t.price
+                  OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
+                  THEN 'mismatch'
+           END) IS NOT NULL
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: keyed source↔target reconciliation
+    (operators/quality.py::table_diff) — the verification step the
+    reference's migration story implies. The target here is the source
+    with deterministic planted drift (md5-bucketed: ~1% rows dropped,
+    ~1% price-shifted, ~1% extra shifted-key rows), so the diff's three
+    exception classes are all exercised; typed decimal/timestamp
+    comparison, no float or string-format hashing anywhere."""
+    from openmrs_patient_migration_script_spark.operators.quality import table_diff
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+        hash_bucket(F.col("o_orderkey")).alias("_bk"),
+    )
+    tgt = (
+        base.filter(F.col("_bk") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("_bk") % 89 == 1, F.col("price") + 1)
+            .otherwise(F.col("price"))
+            .alias("price"),
+            "o_orderdate",
+        )
+        .unionByName(
+            base.filter(F.col("_bk") % 83 == 2).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                F.col("price"),
+                "o_orderdate",
+            )
+        )
+    )
+    src = base.select("o_orderkey", "o_orderstatus", "price", "o_orderdate")
+    return table_diff(src, tgt, "o_orderkey", ["o_orderstatus", "price", "o_orderdate"])

@@ -107,3 +107,30 @@ def test_incremental_extract_bootstraps_on_empty_loaded_slice(spark):
     src = spark.createDataFrame([(1, 10), (2, 20)], ["id", "cursor"])
     out = incremental_extract(src, F.lit(False), "cursor")
     assert out.count() == 2
+
+
+def test_table_diff_labels_all_three_exception_classes(spark):
+    from openmrs_patient_migration_script_spark.operators.quality import table_diff
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    tgt = spark.createDataFrame(
+        # 1 identical; 2 value drift; 3 identical (NULL==NULL must match);
+        # 4 missing; 9 extra
+        [(1, "a", 10.0), (2, "b", 21.0), (3, "c", None), (9, "z", 90.0)],
+        ["k", "s", "v"],
+    )
+    got = {r.k: r.status for r in table_diff(src, tgt, "k", ["s", "v"]).collect()}
+    assert got == {2: "mismatch", 4: "missing_in_target", 9: "extra_in_target"}
+
+
+def test_table_diff_is_empty_on_identical_tables(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.quality import table_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert (
+        table_diff(o, o, "o_orderkey", ["o_orderstatus", "o_totalprice"]).count()
+        == 0
+    )
