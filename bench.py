@@ -77,6 +77,11 @@ HEADLINE = [
     # and the full-event-table window labeling pass
     "text_pmi",
     "events_sessionize",
+    # round-4: the at-scale profile twin — dq_profile's exact multi-distinct
+    # Expand is the worst measured scaling shape (SCALING.md exp 0.94);
+    # benchmarking the HLL form next to it makes the 100 TB swap's payoff a
+    # recorded number instead of a docstring claim
+    "dq_profile_hll",
 ]
 
 

@@ -151,9 +151,14 @@ def connected_components_star(
     )
 
     def signature(df: DataFrame) -> tuple:
+        # bit_xor, not sum: a sum of 64-bit hashes relies on silent long
+        # wraparound, which ANSI mode (the driver's session) turns into
+        # ARITHMETIC_OVERFLOW (caught by tests/test_ansi_parity.py). XOR
+        # is order-insensitive and can't overflow; duplicate-pair
+        # cancellation is moot because e is distinct.
         row = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
@@ -235,8 +240,16 @@ def triangle_count(
     the count needs no dedup. Two shuffle joins + one global count; the
     degree prepass is one groupBy.
     """
+    # canonicalize orientation BEFORE distinct: an input carrying both
+    # (a,b) and (b,a) is one undirected edge, but a plain distinct keeps
+    # both rows, symmetrization then duplicates them, and every incident
+    # wedge/triangle is overcounted. least/greatest folds the pair to a
+    # single canonical row first.
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -259,6 +272,99 @@ def triangle_count(
         oriented.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    n_iter: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-point PageRank over the undirected pair graph — node
+    centrality for duplicate-cluster triage (in a dedup candidate graph,
+    high-rank nodes are the hub records duplicate mass concentrates on:
+    the natural survivorship representative and the first place to look
+    when a blocking key is over-merging).
+
+    Returns (node, rank_scaled, rank): ``rank_scaled`` is the node's
+    rank after ``n_iter`` power iterations in units of 1/scale,
+    ``rank`` = rank_scaled/scale as a double. The recurrence is the
+    standard damped update, computed ENTIRELY in integer arithmetic:
+
+        base      = scale div n_nodes                 (uniform init)
+        contrib_u = r_u div outdeg_u                  (per directed edge)
+        r'_v      = ((100-d)·base + d·Σ contrib) div 100
+
+    Floats never appear until the final display division, so the result
+    is bit-identical across partitionings AND engines — an unrolled SQL
+    oracle replays every iteration exactly, upgrading an iterative
+    float-matmul algorithm to the hash-checked tier (the k-means
+    content-addressed-randomness move, applied to numeric drift). The
+    truncation the integer divisions introduce is bounded by
+    n_iter·(outdeg+1)/scale ≈ 1e-7 per unit rank — far below any ranking
+    use — and total mass loss is visible, not compounding, because each
+    iteration re-adds the exact (100-d)·base floor.
+
+    Plan shape per iteration: one shuffle join (ranks onto the edge
+    list's src) + one aggregation (inflow per dst) + one left join back
+    onto the node universe (nodes with no inflow keep the teleport
+    floor). All three key on the node id, so a cluster run pins one
+    partitioning and reuses it; lineage is truncated per round with
+    localCheckpoint (the module-docstring contract for every iterative
+    loop here). The symmetrized graph has no dangling nodes (every node
+    has outdeg >= 1), so no dangling-mass redistribution pass is needed.
+    ``n_nodes`` is a one-number driver scalar off the checkpointed degree
+    frame — bounded metadata, not a data collect.
+    """
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=True
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = scale // n_nodes
+    d = int(damping_pct)
+    ranks = deg.select("u", "outdeg", F.lit(base).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = sym.join(ranks, "u").select(
+            F.col("v").alias("node"), F.expr("r div outdeg").alias("c")
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            deg.join(inflow, deg["u"] == inflow["node"], "left")
+            .select(
+                "u",
+                "outdeg",
+                F.expr(
+                    f"(({100 - d} * {base}L) + {d} * coalesce(inflow, 0L)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
+    )
 
 
 def _local_components(sym: DataFrame) -> DataFrame:

@@ -69,7 +69,12 @@ def asof_join(
         l_tag = l_tag.withColumn(payload_prefix + c, F.lit(None).cast(r_dtypes[c]))
     l_tag = l_tag.withColumn("_ts", F.col(left_ts))
 
-    r_tag = right.select(
+    # A right row with a NULL timestamp can match nothing: the oracle's
+    # ts <= / >= predicate is NULL-rejecting. Unfiltered, such rows sort
+    # to the partition head (asc puts NULL first; forward uses
+    # desc_nulls_first) and their payload would be carried into left rows
+    # that should have no match.
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(payload_prefix + c) for c in right_payload],

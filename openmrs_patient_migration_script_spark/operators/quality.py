@@ -183,10 +183,16 @@ def distribution_psi(
     (the A8 FILTER shape — no second scan for the second period); bin
     proportions are Laplace-smoothed by +0.5 per bin over a fixed
     ``n_bins + 2`` denominator (underflow + overflow bins) so empty bins
-    never hit ln(0) and the smoothing is identical however many bins are
-    occupied. Totals come back as a one-row broadcast (the
-    scalar-subquery shape `dq_freshness` uses); the PSI term itself is
-    row-local arithmetic over the tiny aggregated frame."""
+    never hit ln(0). Every bin of the fixed domain ``-1..n_bins`` is
+    emitted — including wholly-empty ones: with smoothing, an empty bin
+    still contributes a nonzero psi_term whenever t_ref != t_cur
+    (p = 0.5/(t_ref + 0.5·(n_bins+2)) differs from the q analogue), so
+    dropping unoccupied bins would understate the summed PSI (round-3
+    advisor finding). The domain is a tiny generated frame (n_bins + 2
+    rows) left-joined against the counts — no extra scan of the data.
+    Totals come back as a one-row broadcast (the scalar-subquery shape
+    `dq_freshness` uses); the PSI term itself is row-local arithmetic
+    over the tiny aggregated frame."""
     bin_col = F.least(
         F.greatest(
             F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(-1)
@@ -198,14 +204,27 @@ def distribution_psi(
         F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
     )
-    totals = g.agg(
+    domain = df.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(-1).cast("long"), F.lit(n_bins).cast("long"))).alias(
+            "bin"
+        )
+    )
+    full = (
+        domain.join(g, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+        )
+    )
+    totals = full.agg(
         F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
     )
     denom_bins = float(n_bins + 2)
     p = (F.col("c_ref") + 0.5) / (F.col("t_ref") + 0.5 * denom_bins)
     q = (F.col("c_cur") + 0.5) / (F.col("t_cur") + 0.5 * denom_bins)
     return (
-        g.crossJoin(F.broadcast(totals))
+        full.crossJoin(F.broadcast(totals))
         .select(
             "bin",
             "c_ref",
@@ -238,15 +257,24 @@ def table_diff(
     one shape where that IS the right plan (every key must meet its
     twin); bucketed layouts on the key (operators/layout.py) turn it
     shuffle-free.
+
+    Sides are identified by explicit presence TAGS, not key nullness: a
+    source row with a NULL key never joins (NULL != NULL in the
+    predicate), so on its output row BOTH key columns are NULL and a
+    key-nullness branch would mislabel it ``extra_in_target`` (round-3
+    advisor finding). The tags make it what it is — a source row the
+    target lacks — and the emitted key is its (NULL) key.
     """
     from functools import reduce
 
     s = src.select(
         F.col(key_col).alias("_sk"),
+        F.lit(True).alias("_s_present"),
         *[F.col(c).alias(f"_s_{c}") for c in compare_cols],
     )
     t = tgt.select(
         F.col(key_col).alias("_tk"),
+        F.lit(True).alias("_t_present"),
         *[F.col(c).alias(f"_t_{c}") for c in compare_cols],
     )
     j = s.join(t, s["_sk"] == t["_tk"], "full_outer")
@@ -258,8 +286,8 @@ def table_diff(
         ],
     )
     status = (
-        F.when(F.col("_sk").isNull(), F.lit("extra_in_target"))
-        .when(F.col("_tk").isNull(), F.lit("missing_in_target"))
+        F.when(F.col("_s_present").isNull(), F.lit("extra_in_target"))
+        .when(F.col("_t_present").isNull(), F.lit("missing_in_target"))
         .when(differs, F.lit("mismatch"))
     )
     return (

@@ -953,18 +953,40 @@ def label_centroids(
 
     posexplode turns each vector into (dim, value) rows so the mean is ONE
     partial-combinable hash agg keyed on (label, dim) — the shuffle
-    carries two longs and a double per element, never whole vectors, and
-    no executor ever holds more than its hash-map slice (element-wise
-    `F.aggregate` over collected arrays would concentrate each label's
-    vectors on one task). Long form also keeps the oracle trivial;
-    reassemble with array_agg ordered by dim where a vector shape is
-    needed.
+    carries two longs per element, never whole vectors, and no executor
+    ever holds more than its hash-map slice (element-wise `F.aggregate`
+    over collected arrays would concentrate each label's vectors on one
+    task). Long form also keeps the oracle trivial; reassemble with
+    array_agg ordered by dim where a vector shape is needed.
+
+    The 6dp centroid is exact-by-construction: each element is scaled to
+    a 6dp long first (round-to-integer of the identical double is
+    engine-consistent, unlike fractional round), the long sum is exact
+    and order-free, and the HALF_UP division happens in integer
+    arithmetic (sign-split so the quotient formula only sees
+    non-negative numerators — embeddings go negative). A float avg() is
+    partial-agg-order dependent and flips its last digit at .5-at-6dp
+    boundaries between engines — the `text_stats_by_lang` r3 failure
+    class.
     """
-    return (
-        emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v"))
-        .groupBy(label_col, "dim")
-        .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
-            F.count("*").alias("n_vectors"),
-        )
+    scaled = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        label_col,
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("sv"),
+    )
+    agg = scaled.groupBy(label_col, "dim").agg(
+        F.sum("sv").alias("_s"), F.count("*").alias("_n")
+    )
+    half_up = F.expr(
+        "case when _s >= 0 then (2 * _s + _n) div (2 * _n) "
+        "else -((-2 * _s + _n) div (2 * _n)) end"
+    )
+    return agg.select(
+        label_col,
+        "dim",
+        (half_up / F.lit(1e6)).alias("centroid"),
+        F.col("_n").alias("n_vectors"),
     )

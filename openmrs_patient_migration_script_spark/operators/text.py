@@ -99,6 +99,62 @@ def tf_idf(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X5f (r4): per-document mean unigram surprisal — the language-model
+    quality filter (the poor man's KenLM): documents whose tokens are
+    improbable under the corpus's own unigram distribution are the
+    gibberish/boilerplate outliers a perplexity filter drops. Returns
+    (key, n_tokens, avg_surprisal) with surprisal in nats; perplexity is
+    ``exp(avg_surprisal)`` — a monotone transform left to the caller so
+    the stored column stays exact.
+
+    Plan shape for 100 TB: the unigram table aggregates down to the
+    VOCABULARY (map-side partial combine — the shuffle carries word
+    types, not the corpus), its total is a one-row broadcast, and the
+    per-type surprisal table is **broadcast** back onto the exploded
+    corpus — the big token stream itself shuffles exactly once, for the
+    per-doc aggregation. An open 100 TB vocabulary caps the broadcast
+    with top-K + an OOV floor probability (documented contract; the
+    harness vocab is bounded).
+
+    Exactness: per-TYPE surprisal is rounded once to a 6dp scaled long —
+    ``c/T`` is an identical double on both engines, ln() may wobble a
+    final ulp across libm/JVM, and round-to-integer of a 1e6-scaled
+    value absorbs that everywhere except a measure-zero .5 boundary (the
+    shared rounded-cosine convention). From there everything is exact:
+    long sums per doc, HALF_UP mean via integer division (surprisal is
+    non-negative: c <= T), one final /1e6 display division.
+    """
+    toks = df.select(
+        F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    surp = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.round(-F.log(F.col("c") / F.col("t")) * 1e6, 0)
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(surp), "token")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("s6").alias("_ss"))
+    )
+    return per_doc.select(
+        key_col,
+        "n_tokens",
+        (
+            F.expr("(2 * _ss + n_tokens) div (2 * n_tokens)") / F.lit(1e6)
+        ).alias("avg_surprisal"),
+    )
+
+
 def quality_exprs(text_col) -> dict[str, F.Column]:
     """Quality-signal expressions over one text column — exposed at the
     expression level so composed pipelines (operators/corpus.py) can stack

@@ -49,6 +49,9 @@ def resample_ffill(
     if max_buckets is not None:
         # in-plan guard (assert_true): fails the job on a runaway key span
         # with zero extra passes over the data
+        # element_at(.., -1) is ANSI-safe here: obs_arr comes from a
+        # groupBy collect_list, so every group has >= 1 element and the
+        # negative index never falls out of bounds.
         span = F.expr(
             "size(sequence(obs_arr[0].bucket, "
             f"element_at(obs_arr, -1).bucket, {interval}))"
@@ -70,7 +73,7 @@ def resample_ffill(
         flatten(transform(obs_arr, (o, i) ->
           transform(
             sequence(o.bucket,
-                     coalesce(element_at(obs_arr, i + 2).bucket - {interval},
+                     coalesce(try_element_at(obs_arr, i + 2).bucket - {interval},
                               o.bucket),
                      {interval}),
             b -> struct(b AS bucket, o.v AS value_sum,

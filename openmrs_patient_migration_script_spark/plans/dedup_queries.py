@@ -332,6 +332,69 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+def _pagerank_oracle(n_iter: int = 4, d: int = 85, scale: int = 10**9) -> str:
+    """Unrolled fixed-point PageRank replay: every power iteration is a
+    CTE chain of integer arithmetic (the same `div`/`//` semantics on
+    both engines — non-negative operands, so trunc == floor), so the
+    iterative algorithm is EXACTLY reproducible, not approximately."""
+    sql = f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v FROM pairs
+      UNION ALL SELECT key_b, key_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT deg.u, deg.outdeg, CAST({scale} // nn.n AS BIGINT) AS r
+      FROM deg CROSS JOIN nn
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.v AS node, (r{i - 1}.r // r{i - 1}.outdeg) AS c
+      FROM e JOIN r{i - 1} ON e.u = r{i - 1}.u
+    ),
+    inf{i} AS (SELECT node, sum(c) AS inflow FROM c{i} GROUP BY node),
+    r{i} AS (
+      SELECT deg.u, deg.outdeg,
+             CAST((({100 - d} * ({scale} // nn.n))
+                   + {d} * coalesce(inf{i}.inflow, 0)) // 100 AS BIGINT) AS r
+      FROM deg CROSS JOIN nn LEFT JOIN inf{i} ON inf{i}.node = deg.u
+    )"""
+    sql += f"""
+    SELECT u AS node, r AS rank_scaled, r / {scale}.0 AS rank
+    FROM r{n_iter}
+    """
+    return sql
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9d (r4): fixed-point PageRank over the fuzzy-pair graph
+    (operators/graph.py::pagerank) — node centrality for duplicate-cluster
+    triage: the hub records duplicate mass concentrates on are the natural
+    survivorship representatives. The whole recurrence runs in integer
+    arithmetic (rank units of 1e-9), so FOUR power iterations replay
+    bit-exactly in the unrolled DuckDB oracle — the same
+    content-addressed-determinism move that made the k-means trainer
+    hash-checkable, here applied to an iterative graph algorithm. Per
+    iteration: one node-keyed shuffle join + one inflow agg + one left
+    join back to the node universe; lineage truncated per round."""
+    from openmrs_patient_migration_script_spark.operators.graph import pagerank
+
+    return pagerank(dedup_fuzzy(spark, sf_dir))
+
+
 @query(
     "graph_triangles",
     oracle=f"""

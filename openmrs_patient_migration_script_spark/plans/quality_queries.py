@@ -50,10 +50,30 @@ def _profile_oracle_branch(col: str, numeric: bool) -> str:
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: pre-migration source profile — null/distinct/min/max per column
     of the enrollment source, one aggregation pass (operators/quality.py).
-    Exact distincts here (audit precision); `exact_distinct=False` swaps in
-    HLL sketches for the 100 TB pass without the Expand blow-up."""
+    Exact distincts here (audit precision) — but this is the WORST scaling
+    shape measured in SCALING.md (Expand multiplies input rows by the
+    profiled-column count before partial aggregation, growth exponent
+    0.94): **at 100 TB run `dq_profile_hll` instead**, which swaps
+    `exact_distinct=False` into the same operator and partial-aggregates
+    HLL sketches with no Expand."""
     customer = load_table(spark, sf_dir, "customer")
     return profile_columns(customer, _PROFILE_COLS)
+
+
+@query("dq_profile_hll")
+def dq_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 at-scale form: the same one-pass profile with
+    `exact_distinct=False` — approx_count_distinct partial-aggregates
+    fixed-size HLL sketches, so the plan is a single narrow scan + one
+    tiny agg row at ANY scale (no Expand; plan-pinned by
+    tests/test_quality.py::test_profile_approx_mode_has_no_expand, and the
+    exact-vs-HLL wall-clock delta is a bench headline pair). Rows-only at
+    the driver gate by necessity: Spark's HLL++ and DuckDB's sketch
+    differ by construction, so there is no exact cross-engine oracle —
+    the accuracy contract (default rsd 5%) is pinned against the exact
+    counts in tests instead."""
+    customer = load_table(spark, sf_dir, "customer")
+    return profile_columns(customer, _PROFILE_COLS, exact_distinct=False)
 
 
 @query(
@@ -256,11 +276,17 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
       FROM orders
     ),
-    g AS (
+    g0 AS (
       SELECT bin,
              count(*) FILTER (WHERE is_ref) AS c_ref,
              count(*) FILTER (WHERE NOT is_ref) AS c_cur
       FROM binned GROUP BY bin
+    ),
+    dom AS (SELECT CAST(range AS BIGINT) AS bin FROM range(-1, 11)),
+    g AS (
+      SELECT dom.bin, coalesce(g0.c_ref, 0) AS c_ref,
+             coalesce(g0.c_cur, 0) AS c_cur
+      FROM dom LEFT JOIN g0 USING (bin)
     ),
     t AS (SELECT sum(c_ref) AS t_ref, sum(c_cur) AS t_cur FROM g)
     SELECT bin, c_ref, c_cur,
@@ -280,8 +306,10 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from ONE conditional-aggregation scan (the E9/A8 FILTER shape);
     totals broadcast back as a one-row frame (the dq_freshness
     scalar-subquery shape); the smoothed PSI term is row-local arithmetic
-    over <= n_bins+2 aggregated rows. The drift monitor a 100 TB daily
-    pipeline runs on every numeric feature."""
+    over exactly n_bins+2 rows — every bin of the fixed domain is emitted
+    (empty bins carry their nonzero smoothed term; dropping them would
+    understate total PSI, round-3 advisor finding). The drift monitor a
+    100 TB daily pipeline runs on every numeric feature."""
     from openmrs_patient_migration_script_spark.operators.quality import (
         distribution_psi,
     )

@@ -683,7 +683,15 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the parse happens at ingest and the stored variant column
     amortizes it to zero per query. The variant itself never crosses the
     driver boundary — outputs are plain ints, so the DuckDB JSON oracle
-    compares exact."""
+    compares exact.
+
+    avg_k is a float avg over INTEGER-valued doubles, which is immune to
+    the `text_stats_by_lang` reassociation flake: integer-valued doubles
+    sum exactly in any order (no rounding error until 2^53), so both
+    engines divide the identical exact sum once, and with k in 0..99 and
+    group sizes in the thousands the quotient never sits on a shortest-
+    repr .5-at-6dp boundary. No scaled-long rewrite needed — documented
+    so the sweep doesn't re-flag it."""
     e = load_table(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
     k = F.variant_get(v, "$.k", "int")

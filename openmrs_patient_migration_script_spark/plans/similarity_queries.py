@@ -226,21 +226,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_centroids",
     oracle="""
-    SELECT label, pos - 1 AS dim, round(avg(v), 6) AS centroid,
-           count(*) AS n_vectors
-    FROM (
-      SELECT label, unnest(embedding::DOUBLE[]) AS v,
-             generate_subscripts(embedding, 1) AS pos
-      FROM embeddings
+    WITH ex AS (
+      SELECT label, pos - 1 AS dim,
+             cast(round(v * 1000000, 0) AS BIGINT) AS sv
+      FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    a AS (
+      SELECT label, dim, sum(sv) AS s, count(*) AS n FROM ex GROUP BY 1, 2
     )
-    GROUP BY 1, 2
+    SELECT label, dim,
+           (CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((-2 * s + n) // (2 * n)) END) / 1000000.0 AS centroid,
+           n AS n_vectors
+    FROM a
     """,
 )
 def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4c: per-label centroid of the embedding column in long form —
     the k-means update / class-centroid / IVF-training primitive
     (operators/similarity.py::label_centroids). posexplode + one hash agg
-    on (label, dim): the shuffle never carries whole vectors."""
+    on (label, dim): the shuffle never carries whole vectors. The 6dp
+    mean is exact scaled-long arithmetic on both sides (see the operator
+    docstring) — a float avg() here is the `text_stats_by_lang` r3
+    boundary-flake class."""
     from openmrs_patient_migration_script_spark.operators.similarity import (
         label_centroids,
     )
@@ -366,8 +378,15 @@ def _kmeans_oracle(n_cells: int, n_iter: int, dim: int = 64) -> str:
         FROM fdots
       ) WHERE rn = 1
     )
-    SELECT cell, count(*) AS n_members, round(avg(cos), 3) AS avg_cos
-    FROM final_assign GROUP BY cell
+    SELECT cell, n_members,
+           (CASE WHEN s >= 0 THEN (2 * s + 1000 * n_members) // (2000 * n_members)
+                 ELSE -((-2 * s + 1000 * n_members) // (2000 * n_members)) END)
+             / 1000.0 AS avg_cos
+    FROM (
+      SELECT cell, count(*) AS n_members,
+             sum(cast(round(cos * 1000000, 0) AS BIGINT)) AS s
+      FROM final_assign GROUP BY cell
+    )
     """
     return sql
 
@@ -398,14 +417,22 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cent = kmeans_fit(e, n_cells=8, n_iter=3)
     assigned = kmeans_assign(e, cent)
-    return (
-        assigned.groupBy("cell")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.round(F.avg("cos"), 3).alias("avg_cos"),
-        )
-        .orderBy("cell")
+    # Mean cosine via the exact recipe: per-row 6dp round first (cosine
+    # ulp wobble is ~1e-16, never near a 5e-7 boundary, so both engines
+    # land on the same 6dp value), then scaled-long sum + integer HALF_UP
+    # at 3dp — a float avg() is partial-agg-order dependent (the
+    # text_stats_by_lang r3 failure class).
+    a = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.round(F.col("cos") * 1e6, 0).cast("long")).alias("_s"),
     )
+    half_up = F.expr(
+        "case when _s >= 0 then (2 * _s + 1000 * n_members) div (2000 * n_members) "
+        "else -((-2 * _s + 1000 * n_members) div (2000 * n_members)) end"
+    )
+    return a.select(
+        "cell", "n_members", (half_up / F.lit(1000.0)).alias("avg_cos")
+    ).orderBy("cell")
 
 
 def _fixed_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:

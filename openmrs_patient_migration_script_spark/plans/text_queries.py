@@ -361,7 +361,8 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_docs,
            sum(n_tokens) AS total_tokens,
            round(avg(n_tokens), 6) AS avg_tokens,
-           round(avg(quality_score), 6) AS avg_quality
+           ((2 * sum(cast(round(quality_score * 1000000, 0) AS BIGINT))
+             + count(*)) // (2 * count(*))) / 1000000.0 AS avg_quality
     FROM per_doc GROUP BY lang
     """,
 )
@@ -370,7 +371,20 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality — the summary table every data-mix decision starts from.
     Stacks the row-local quality expressions onto the single scan and
     aggregates once on lang; at 100 TB the shuffle carries five numbers
-    per language."""
+    per language.
+
+    The mean quality is exact end-to-end: per-doc scores are already 6dp
+    (operators/text.py), so ×1e6 → long is lossless; the sum is an exact
+    long; and the 6dp HALF_UP rounding of sum/n is done in INTEGER
+    arithmetic — ``(2·s + n) div (2·n)`` (scores are non-negative) — so
+    both engines produce identical longs before the single /1e6. A float
+    avg() of doubles is partial-agg-order dependent, and even
+    round(sum/n, 6) of identical doubles can split at a .5-at-6dp
+    boundary (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+    scales the binary value), which is the intermittent hash mismatch
+    observed in round 3. avg(n_tokens) is safe as-is: integral avg sums
+    exactly on both engines and the group sizes here keep the quotient
+    off boundary reprs."""
     from openmrs_patient_migration_script_spark.operators.text import quality_exprs
 
     d = load_table(spark, sf_dir, "documents")
@@ -378,14 +392,62 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = d.select(
         "lang",
         q["n_tokens"].alias("n_tokens"),
-        q["quality_score"].alias("quality_score"),
+        F.round(q["quality_score"] * 1e6, 0).cast("long").alias("qs_scaled"),
     )
-    return per_doc.groupBy("lang").agg(
+    agg = per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum("qs_scaled").alias("_qs"),
     )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        (
+            F.expr("(2 * _qs + n_docs) div (2 * n_docs)") / F.lit(1e6)
+        ).alias("avg_quality"),
+    )
+
+
+@query(
+    "text_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    vc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM vc),
+    s AS (
+      SELECT token, CAST(round(-ln(c / t) * 1000000, 0) AS BIGINT) AS s6
+      FROM vc, tot
+    ),
+    d AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(s6) AS ss
+      FROM toks JOIN s USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ((2 * ss + n_tokens) // (2 * n_tokens)) / 1000000.0
+             AS avg_surprisal
+    FROM d
+    """,
+)
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5f (r4): per-doc mean unigram surprisal
+    (operators/text.py::unigram_surprisal) — the LM-perplexity quality
+    filter over the corpus's own unigram distribution. Vocab-sized
+    shuffle + broadcast surprisal table; the token stream shuffles once
+    (per-doc agg). 6dp scaled-long arithmetic end-to-end after one
+    per-TYPE rounding, so the oracle is exact."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -95,8 +95,12 @@ class _EnrollmentReader(DataSourceReader):
 
 class _EnrollmentStreamReader(DataSourceStreamReader):
     """The same legacy extract as a CHANGE FEED (CDC-lite): each
-    micro-batch ships the client ids that 'arrived' since the last batch,
-    advancing ``rowsPerBatch`` ids per poll up to ``rows``.
+    micro-batch ships the client ids between the last committed offset
+    and ``latestOffset()``. Because the deterministic emulation reports
+    the feed's full extent as its high-water mark (see ``latestOffset``
+    for why a grow-per-poll cursor is restart-unsafe), the FIRST batch
+    covers all ``rows`` ids and later batches are empty; there is no
+    per-poll pacing option.
 
     This is the full ``DataSourceStreamReader`` (not
     ``SimpleDataSourceStreamReader``, which reads on the DRIVER — a

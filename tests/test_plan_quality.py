@@ -642,3 +642,25 @@ def test_bm25_no_doc_keyed_join(spark):
     ns = nodes(plan_of(spark, "text_bm25"))
     assert "SortMergeJoin" not in ns and "ShuffledHashJoin" not in ns, ns
     assert ns.count("BroadcastHashJoin") == 1, ns
+
+
+def test_surprisal_vocab_broadcast_no_sortmerge(spark):
+    """text_surprisal: the token stream must shuffle exactly once (the
+    per-doc agg) — the per-type surprisal table comes back as a
+    BroadcastHashJoin; a SortMergeJoin means the corpus re-shuffled on
+    the token key (skew-prone, vocab-power-law hot keys)."""
+    ns = nodes(plan_of(spark, "text_surprisal"))
+    assert "SortMergeJoin" not in ns and "ShuffledHashJoin" not in ns, ns
+    assert ns.count("BroadcastHashJoin") == 1, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """graph_pagerank: every per-iteration join keys on the node id —
+    no cartesian products, no Python stages; the iteration boundary
+    Scans are the localCheckpoint RDDs, not re-reads of parquet."""
+    plan = plan_of(spark, "graph_pagerank")
+    ns = nodes(plan)
+    assert "CartesianProduct" not in ns and "BroadcastNestedLoopJoin" not in ns, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
+    assert plan.count("Scan parquet") == 0, "iterations must run off checkpoints"

@@ -84,6 +84,38 @@ def test_asof_join_matches_naive_reference(spark, ev):
         assert fwd[pid] == want, (pid, fwd[pid], want)
 
 
+def test_asof_join_drops_null_right_timestamps(spark):
+    """Round-3 advisor regression: a right row with a NULL timestamp must
+    match NOTHING (the oracle's ts <= / >= predicate is NULL-rejecting).
+    Before the isNotNull filter it sorted to the partition head (asc
+    nulls-first backward, desc_nulls_first forward) and its payload was
+    carried into left rows that should have no match — in BOTH
+    directions."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 7, base)], ["probe_id", "user_id", "probe_ts"]
+    )
+    right = spark.createDataFrame(
+        [(100, 7, None)],
+        "quote_id long, user_id long, quote_ts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        rows = asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="probe_ts",
+            right_ts="quote_ts",
+            right_payload=["quote_id", "quote_ts"],
+            right_id="quote_id",
+            direction=direction,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["quote_id"] is None, direction
+
+
 @settings(**SETTINGS)
 @given(
     st.lists(
@@ -656,6 +688,69 @@ def test_triangle_count_matches_brute_force(spark, edge_list):
         if (x, y) in adj and (y, z) in adj and (x, z) in adj
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pagerank_matches_fixed_point_reference(spark, edge_list):
+    """pagerank (integer fixed-point power iteration) == the same
+    recurrence computed serially in plain Python — BIT-exact, including
+    on inputs with self-loops, duplicates and reversed duplicates (the
+    canonicalization path)."""
+    from openmrs_patient_migration_script_spark.operators.graph import pagerank
+
+    undirected = {
+        (min(a, b), max(a, b)) for a, b in edge_list if a != b
+    }
+    if not undirected:
+        return
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "key_a int, key_b int"
+    )
+    got = {
+        r.node: r.rank_scaled for r in pagerank(edges, n_iter=4).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in undirected:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    scale, d = 10**9, 85
+    base = scale // len(adj)
+    r = {n: base for n in adj}
+    for _ in range(4):
+        inflow = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                inflow[v] += c
+        r = {n: ((100 - d) * base + d * inflow[n]) // 100 for n in adj}
+    assert got == r
+
+
+def test_triangle_count_reversed_edges_regression(spark):
+    """Explicit regression for the round-3 advisor finding: an input
+    carrying both (a,b) and (b,a) is ONE undirected edge — before the
+    least/greatest canonicalization, distinct() kept both rows and the
+    triangle {1,2,3} was counted twice (hypothesis had never generated
+    the reversed-duplicate case)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3)], "key_a int, key_b int"
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 1
 
 
 @settings(**SETTINGS)

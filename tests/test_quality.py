@@ -43,6 +43,33 @@ def test_profile_approx_mode_has_no_expand(spark):
     assert rows["a"].distinct_count == 7  # HLL is exact at tiny cardinality
 
 
+def test_profile_hll_within_rsd_at_real_cardinality(spark, sf_dir):
+    """The at-scale `dq_profile_hll` path has no cross-engine oracle
+    (Spark's HLL++ != DuckDB's sketch), so its accuracy contract lives
+    here: every profiled column's HLL distinct count must sit within the
+    default 5% rsd band of the exact count (3-sigma would be 15%; 10%
+    gives slack without letting a broken sketch through), and every
+    non-sketch column (nulls, min, max) must be IDENTICAL to the exact
+    path."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    exact = {r.column_name: r for r in profile_columns(c, cols).collect()}
+    hll = {
+        r.column_name: r
+        for r in profile_columns(c, cols, exact_distinct=False).collect()
+    }
+    for col in cols:
+        e, h = exact[col], hll[col]
+        assert (h.null_count, h.min_value, h.max_value) == (
+            e.null_count,
+            e.min_value,
+            e.max_value,
+        ), col
+        assert abs(h.distinct_count - e.distinct_count) <= max(
+            1, 0.10 * e.distinct_count
+        ), (col, h.distinct_count, e.distinct_count)
+
+
 def test_referential_orphans_counts_planted_orphans(spark):
     child = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
@@ -134,3 +161,63 @@ def test_table_diff_is_empty_on_identical_tables(spark, sf_dir):
         table_diff(o, o, "o_orderkey", ["o_orderstatus", "o_totalprice"]).count()
         == 0
     )
+
+
+def test_table_diff_null_keys_label_by_side_not_key_nullness(spark):
+    """Round-3 advisor regression: a NULL-key row never joins (NULL !=
+    NULL), so both join keys are NULL on its output row — before the
+    presence tags, a NULL-key SOURCE row was mislabeled
+    'extra_in_target'. Side tags must label it missing_in_target, and a
+    NULL-key TARGET row extra_in_target."""
+    from openmrs_patient_migration_script_spark.operators.quality import table_diff
+
+    src = spark.createDataFrame(
+        [(None, "s-only", 1.0), (1, "a", 10.0)],
+        "k int, s string, v double",
+    )
+    tgt = spark.createDataFrame(
+        [(None, "t-only", 2.0), (1, "a", 10.0)],
+        "k int, s string, v double",
+    )
+    got = [
+        (r.k, r.status)
+        for r in table_diff(src, tgt, "k", ["s", "v"]).collect()
+    ]
+    assert sorted(got, key=str) == [
+        (None, "extra_in_target"),
+        (None, "missing_in_target"),
+    ]
+
+
+def test_distribution_psi_emits_full_bin_domain(spark):
+    """Round-3 advisor regression: with Laplace smoothing, a wholly-empty
+    bin still has a nonzero psi_term whenever t_ref != t_cur — the output
+    must carry all n_bins + 2 rows (underflow..overflow), not only the
+    occupied ones, or the summed PSI is understated."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        distribution_psi,
+    )
+
+    # ref has 3 rows, cur has 1 → t_ref != t_cur, all mass in bin 0
+    df = spark.createDataFrame(
+        [(0.5, True), (0.6, True), (0.7, True), (0.5, False)],
+        "v double, is_ref boolean",
+    )
+    out = distribution_psi(
+        df, "v", F.col("is_ref"), lo=0.0, width=1.0, n_bins=4
+    ).collect()
+    assert len(out) == 6  # bins -1..4 inclusive, occupied or not
+    by_bin = {r.bin: r for r in out}
+    assert set(by_bin) == {-1, 0, 1, 2, 3, 4}
+    # every empty bin contributes the same nonzero smoothed term
+    p = 0.5 / (3 + 0.5 * 6)
+    q = 0.5 / (1 + 0.5 * 6)
+    want = round((p - q) * math.log(p / q), 6)
+    for b in (-1, 1, 2, 3, 4):
+        assert by_bin[b].c_ref == 0 and by_bin[b].c_cur == 0
+        assert abs(by_bin[b].psi_term - want) < 1e-9
+        assert by_bin[b].psi_term != 0.0
