@@ -234,6 +234,52 @@ def distribution_psi(
     )
 
 
+def robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_cols: list[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """MAD-based robust outlier audit — rows whose value sits more than
+    ``threshold`` robust z-units from their group median, where
+    robust_z = (v - median) / (1.4826 · MAD) and MAD is the median
+    absolute deviation. The necessary complement to the z-score audit
+    (`dq_anomaly`): mean and stddev are themselves corrupted by the
+    outliers they're supposed to find (one 1000x bad row inflates sigma
+    until nothing else flags), while median/MAD have a 50% breakdown
+    point — the standard robust-statistics tool for dirty-source
+    triage.
+
+    Plan shape: two exact-median sort-aggregations and two equi-joins,
+    ALL keyed on the group key, so a cluster run pins one partitioning
+    and reuses it across every stage (no cross-key traffic anywhere).
+    Exact medians hold each group's values in one sort-agg buffer —
+    per-group-bounded, the `agg_listagg` contract; at 100 TB with
+    millions of rows per group swap `approx_percentile(.., 0.5)`, which
+    partial-aggregates a sketch (same plan minus the buffer). The float
+    chain after the medians is fixed per row (no reassociative agg), so
+    4dp rounding is engine-stable.
+    """
+    med = df.groupBy(key_col).agg(F.median(value_col).alias("_med"))
+    j = df.select(key_col, value_col, *id_cols).join(med, key_col)
+    mad = j.groupBy(key_col).agg(
+        F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad")
+    )
+    scored = j.join(mad, key_col)
+    rz = (F.col(value_col) - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        scored.filter(
+            (F.col("_mad") > 0)
+            & (
+                F.abs(F.col(value_col) - F.col("_med"))
+                > F.lit(threshold) * F.lit(1.4826) * F.col("_mad")
+            )
+        )
+        .select(*id_cols, key_col, value_col, F.round(rz, 4).alias("robust_z"))
+    )
+
+
 def table_diff(
     src: DataFrame,
     tgt: DataFrame,

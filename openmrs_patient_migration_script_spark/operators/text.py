@@ -297,6 +297,55 @@ def hashed_embedding(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Hashed linear text scorer — the fasttext-classifier SHAPE (hash
+    every token into a weight table, average the weights, threshold)
+    with content-addressed weights: w(token) = (md5-bucket mod
+    (2·scale+1)) - scale, i.e. an exact integer in [-scale, +scale]
+    standing in for a learned weight row. Production swaps the hash
+    expression for a broadcast-joined learned weight table (same plan
+    with one BroadcastHashJoin added); everything downstream — and the
+    cost model — is identical, which is the point: this pins the
+    plumbing and plan of the #1 quality-filter architecture in LLM data
+    pipelines without needing a training run in the harness.
+
+    Returns (key, n_tokens, score) where score = mean token weight in
+    [-1, 1] at 6dp. The weight lookup is a row-local expression (ZERO
+    join, zero extra shuffle — the only exchange is the per-doc agg),
+    and the mean is exact end-to-end: integer weights, exact long sum,
+    sign-split HALF_UP integer division (weights go negative), one final
+    display division.
+    """
+    w_int = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long"),
+            F.lit(2 * weight_scale + 1),
+        )
+        - F.lit(weight_scale)
+    )
+    per_doc = (
+        df.select(F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .select(key_col, w_int.alias("w"))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("_sw"))
+    )
+    # mean weight at 6dp: score6 = HALF_UP(1e6 · sw / (scale · n))
+    #                            = HALF_UP((1e6/scale) · sw / n)
+    m = 10**6 // weight_scale
+    half_up = F.expr(
+        f"case when _sw >= 0 then (2 * {m} * _sw + n_tokens) div (2 * n_tokens) "
+        f"else -((-2 * {m} * _sw + n_tokens) div (2 * n_tokens)) end"
+    )
+    return per_doc.select(
+        key_col, "n_tokens", (half_up / F.lit(1e6)).alias("score")
+    )
+
+
 def ngram_counts(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Word n-gram frequency — each document's n-grams materialize
     row-locally (no self-join, no explode-join shuffle) by zip_with-ing

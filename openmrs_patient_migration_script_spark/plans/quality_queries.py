@@ -231,6 +231,45 @@ def dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ),
+    j AS (
+      SELECT e.event_id, e.user_id, e.value, m.med
+      FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, median(abs(value - med)) AS mad FROM j GROUP BY user_id
+    )
+    SELECT j.event_id, j.user_id, j.value,
+           round((j.value - j.med) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM j JOIN mad USING (user_id)
+    WHERE mad.mad > 0
+      AND abs(j.value - j.med) > 3.0 * 1.4826 * mad.mad
+    """,
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b (r4): MAD robust outlier audit over per-user event values
+    (operators/quality.py::robust_anomalies) — the complement to
+    `dq_anomaly`'s z-score: mean/stddev are corrupted by the very
+    outliers they hunt (the events table's heavy value tail caps
+    robust_z at ~16 where the z-score saturates), median/MAD have a 50%
+    breakdown point. Two exact-median sort-aggs + two joins, all on
+    user_id — one partitioning reused end-to-end; approx_percentile is
+    the documented at-scale swap."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        robust_anomalies,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return robust_anomalies(
+        e, key_col="user_id", value_col="value", id_cols=["event_id"]
+    )
+
+
+@query(
     "dq_freshness",
     oracle="""
     WITH now_ref AS (SELECT max(ts) AS now_ts FROM events)

@@ -412,6 +412,46 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_classifier_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t AS token FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    w AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 8))::BIGINT % 2001) - 1000 AS w
+      FROM toks
+    ),
+    d AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(w) AS sw FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (CASE WHEN sw >= 0
+                 THEN (2 * 1000 * sw + n_tokens) // (2 * n_tokens)
+                 ELSE -((-2 * 1000 * sw + n_tokens) // (2 * n_tokens)) END)
+             / 1000000.0 AS score
+    FROM d
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b (r4): hashed linear quality-classifier scoring
+    (operators/text.py::hashed_linear_score) — the fasttext-filter
+    architecture's exact plumbing and plan (token → hashed weight row →
+    mean → threshold), with content-addressed integer weights standing
+    in for the learned table. Weight lookup is a row-local expression
+    (zero joins); the one shuffle is the per-doc agg; the mean is
+    sign-split HALF_UP integer arithmetic, so the oracle is exact."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_surprisal",
     oracle="""
     WITH toks AS (

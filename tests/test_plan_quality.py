@@ -664,3 +664,24 @@ def test_pagerank_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in ns and "BroadcastNestedLoopJoin" not in ns, ns
     assert not any("Python" in n or "Pandas" in n for n in ns), ns
     assert plan.count("Scan parquet") == 0, "iterations must run off checkpoints"
+
+
+def test_classifier_score_single_exchange_no_joins(spark):
+    """text_classifier_score: the hashed weight lookup is a row-local
+    expression — the plan must contain NO join of any kind and exactly
+    one Exchange (the per-doc aggregation). A join appearing here means
+    the weight table regressed to a materialized lookup."""
+    ns = nodes(plan_of(spark, "text_classifier_score"))
+    assert not any("Join" in n for n in ns), ns
+    assert ns.count("Exchange") == 1, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
+
+
+def test_anomaly_mad_all_stages_keyed_no_cartesian(spark):
+    """dq_anomaly_mad: two median aggs + two joins, every stage keyed on
+    user_id (locally the tiny median tables broadcast; at scale AQE
+    keeps them shuffle joins on the SAME key — either way no cross-key
+    traffic). Nested-loop or cartesian shapes are a regression."""
+    ns = nodes(plan_of(spark, "dq_anomaly_mad"))
+    assert "CartesianProduct" not in ns and "BroadcastNestedLoopJoin" not in ns, ns
+    assert not any("Python" in n or "Pandas" in n for n in ns), ns
