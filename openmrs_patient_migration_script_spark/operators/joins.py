@@ -37,6 +37,7 @@ def asof_join(
     right_id: str | None = None,
     payload_prefix: str = "",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: the latest right row per key at-or-before each
     left row (``direction="backward"``, the default), or the EARLIEST
@@ -50,6 +51,13 @@ def asof_join(
     ASCENDING (``ORDER BY ts ASC, id ASC``). Forward is the same
     union + single-shuffle carry plan traversed in reverse time order —
     no second code path, no extra shuffle.
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` parity, r4): a match
+    further than this from the left timestamp is treated as NO match —
+    the payload nulls out row-locally after the carry (a stale quote is
+    not a quote). The carry itself is unchanged: the nearest match is
+    by construction the only candidate inside any tolerance window, so
+    the plan stays one shuffle + one window whatever the tolerance.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -63,10 +71,19 @@ def asof_join(
             "columns and would silently overwrite them — set payload_prefix"
         )
     r_dtypes = dict(right.dtypes)
+    if tolerance_seconds is not None:
+        # the matched right timestamp rides along as an internal carried
+        # column so the gap check works whether or not the caller asked
+        # for right_ts in the payload
+        carried = carried + ["_match_ts"]
 
     l_tag = left.withColumn("_side", F.lit(1))
     for c in right_payload:
         l_tag = l_tag.withColumn(payload_prefix + c, F.lit(None).cast(r_dtypes[c]))
+    if tolerance_seconds is not None:
+        l_tag = l_tag.withColumn(
+            "_match_ts", F.lit(None).cast(r_dtypes[right_ts])
+        )
     l_tag = l_tag.withColumn("_ts", F.col(left_ts))
 
     # A right row with a NULL timestamp can match nothing: the oracle's
@@ -74,11 +91,16 @@ def asof_join(
     # to the partition head (asc puts NULL first; forward uses
     # desc_nulls_first) and their payload would be carried into left rows
     # that should have no match.
-    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
+    r_cols = [
         *on,
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(payload_prefix + c) for c in right_payload],
-    ).withColumn("_side", F.lit(0))
+    ]
+    if tolerance_seconds is not None:
+        r_cols.append(F.col(right_ts).alias("_match_ts"))
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(*r_cols).withColumn(
+        "_side", F.lit(0)
+    )
     for c in left.columns:
         if c not in on:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
@@ -117,7 +139,23 @@ def asof_join(
         *keep,
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in carried],
     )
-    return out.filter(F.col("_side") == 1).drop("_side", "_ts")
+    out = out.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        # row-local staleness gate: beyond the tolerance the carried match
+        # is no match — null the payload, exactly like a carry miss
+        gap_ms = F.abs(F.unix_millis(F.col("_ts")) - F.unix_millis("_match_ts"))
+        stale = F.col("_match_ts").isNull() | (
+            gap_ms > F.lit(int(tolerance_seconds * 1000))
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in carried],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in carried
+                if c != "_match_ts"
+            ],
+        )
+    return out.drop("_side", "_ts", "_match_ts")
 
 
 def banded_join(

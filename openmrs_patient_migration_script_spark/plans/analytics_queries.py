@@ -710,3 +710,109 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return sessionize(e, "user_id", "ts", "event_id", gap_minutes=30)
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH now_ref AS (SELECT max(ts) AS now_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             (epoch_ms(now_ts) - epoch_ms(max(ts))) // 60000 AS recency_minutes,
+             count(*) AS frequency,
+             sum(cast(round(value * 100, 0) AS BIGINT)) AS monetary_cents
+      FROM events, now_ref GROUP BY user_id, now_ts
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_minutes, [0.25, 0.5, 0.75]) AS rc,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+             quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mc
+      FROM per_user
+    )
+    SELECT user_id, recency_minutes, frequency,
+           monetary_cents / 100.0 AS monetary,
+           r_q, f_q, m_q,
+           r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR AS segment
+    FROM (
+      SELECT p.*,
+             4 - ((p.recency_minutes > rc[1])::INT
+                  + (p.recency_minutes > rc[2])::INT
+                  + (p.recency_minutes > rc[3])::INT) AS r_q,
+             1 + (p.frequency > fc[1])::INT + (p.frequency > fc[2])::INT
+               + (p.frequency > fc[3])::INT AS f_q,
+             1 + (p.monetary_cents > mc[1])::INT + (p.monetary_cents > mc[2])::INT
+               + (p.monetary_cents > mc[3])::INT AS m_q
+      FROM per_user p CROSS JOIN cuts
+    )
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12d (r4): RFM segmentation — per-user Recency / Frequency /
+    Monetary quartile scores and the concatenated segment label, the
+    classic customer-value rollup of product analytics. Deliberately
+    NOT the textbook global-ntile plan (a single-partition window over
+    every user — the shape this repo excised in r2): quartile CUT POINTS
+    come from one exact-percentile aggregate over the per-user frame
+    and broadcast back, so the plan is one user-keyed agg + a one-row
+    broadcast + row-local bucketing at any scale. Tie semantics improve
+    too: equal values always share a bucket (ntile splits them by
+    arbitrary rank). Monetary sums are exact scaled-long cents
+    (events.value is 2dp); the cut comparison is long-vs-interpolated-
+    double, identical on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    now = e.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_millis(now_ts) - unix_millis(_last)) div 60000"
+            ).alias("recency_minutes"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = per_user.agg(
+        F.expr("percentile(recency_minutes, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(monetary_cents, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+    scored = per_user.crossJoin(F.broadcast(cuts))
+    above = lambda col, arr, i: (  # noqa: E731
+        F.col(col) > F.element_at(F.col(arr), i)
+    ).cast("int")
+    r_q = F.lit(4) - (
+        above("recency_minutes", "rc", 1)
+        + above("recency_minutes", "rc", 2)
+        + above("recency_minutes", "rc", 3)
+    )
+    f_q = F.lit(1) + (
+        above("frequency", "fc", 1)
+        + above("frequency", "fc", 2)
+        + above("frequency", "fc", 3)
+    )
+    m_q = F.lit(1) + (
+        above("monetary_cents", "mc", 1)
+        + above("monetary_cents", "mc", 2)
+        + above("monetary_cents", "mc", 3)
+    )
+    return scored.select(
+        "user_id",
+        "recency_minutes",
+        "frequency",
+        (F.col("monetary_cents") / F.lit(100.0)).alias("monetary"),
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+        F.concat(
+            r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
+        ).alias("segment"),
+    )

@@ -869,6 +869,65 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, view_value
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+             v.value AS view_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+                        AND v.ts >= p.ts - INTERVAL 1 HOUR
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8c (r4): as-of join with a staleness tolerance (pandas
+    merge_asof parity) — the latest view within ONE HOUR before each
+    purchase; an older view is attribution noise, not a match. The carry
+    plan is unchanged (one shuffle + one window — the nearest match is
+    the only candidate any tolerance window can contain); the gate is a
+    row-local null-out after the carry. The oracle restricts the
+    candidate pool instead — equivalent because if the NEAREST match is
+    stale, every match is."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_payload=["view_id", "view_ts", "view_value"],
+        right_id="view_id",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts", "view_value"
+    )
+
+
+@query(
     "join_asof_forward",
     oracle="""
     WITH v AS (

@@ -84,6 +84,59 @@ def test_asof_join_matches_naive_reference(spark, ev):
         assert fwd[pid] == want, (pid, fwd[pid], want)
 
 
+@settings(**SETTINGS)
+@given(_events, st.integers(min_value=0, max_value=120))
+def test_asof_join_tolerance_matches_naive(spark, ev, tol_minutes):
+    """asof_join with tolerance == the naive scan restricted to the
+    tolerance window, in both directions — including tolerance 0 (only
+    exact-timestamp matches survive)."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(minutes=m), probe)
+        for i, (u, m, probe) in enumerate(ev)
+    ]
+    probes = [(i, u, ts) for i, u, ts, p in rows if p]
+    quotes = [(i, u, ts) for i, u, ts, p in rows if not p]
+    if not probes or not quotes:
+        return
+    left = spark.createDataFrame(probes, ["probe_id", "user_id", "probe_ts"])
+    right = spark.createDataFrame(quotes, ["quote_id", "user_id", "quote_ts"])
+    tol = timedelta(minutes=tol_minutes)
+    for direction in ("backward", "forward"):
+        got = {
+            r["probe_id"]: r["quote_id"]
+            for r in asof_join(
+                left,
+                right,
+                on=["user_id"],
+                left_ts="probe_ts",
+                right_ts="quote_ts",
+                right_payload=["quote_id", "quote_ts"],
+                right_id="quote_id",
+                direction=direction,
+                tolerance_seconds=tol_minutes * 60,
+            ).collect()
+        }
+        for pid, pu, pts in probes:
+            if direction == "backward":
+                cands = [
+                    (ts, qid)
+                    for qid, qu, ts in quotes
+                    if qu == pu and pts - tol <= ts <= pts
+                ]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [
+                    (ts, qid)
+                    for qid, qu, ts in quotes
+                    if qu == pu and pts <= ts <= pts + tol
+                ]
+                want = min(cands)[1] if cands else None
+            assert got[pid] == want, (direction, pid, got[pid], want)
+
+
 def test_asof_join_drops_null_right_timestamps(spark):
     """Round-3 advisor regression: a right row with a NULL timestamp must
     match NOTHING (the oracle's ts <= / >= predicate is NULL-rejecting).
