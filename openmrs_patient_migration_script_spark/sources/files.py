@@ -70,6 +70,48 @@ def write_json(df: DataFrame, path: str, partition_by: list[str] | None = None) 
     w.mode("overwrite").json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source (r4) — Spark 4 ships the former spark-xml package as a
+    built-in ``xml`` format, which closes the last common ingest-boundary
+    format gap (healthcare/HL7-adjacent exports, the reference's domain,
+    are disproportionately XML). Same contract as every source here:
+    explicit schema, FAILFAST on malformed rows. Like CSV/JSON it is an
+    ingest boundary, not a landing format — row-oriented, no pushdown;
+    land to parquet and query that.
+    """
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", TS_FMT)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .option("timestampFormat", TS_FMT)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode("overwrite").save(path)
+
+
 def read_media_dir(
     spark: SparkSession,
     path: str,

@@ -10,9 +10,11 @@ from openmrs_patient_migration_script_spark.sources import (
     read_csv,
     read_json,
     read_orc,
+    read_xml,
     write_csv,
     write_json,
     write_orc,
+    write_xml,
 )
 
 
@@ -20,7 +22,7 @@ def _rowset(df):
     return {tuple(r) for r in df.collect()}
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "xml"])
 def test_roundtrip_is_exact(spark, sf_dir, tmp_path, fmt):
     # orders exercises long/string/double/timestamp columns
     orig = load_table(spark, sf_dir, "orders")
@@ -31,6 +33,9 @@ def test_roundtrip_is_exact(spark, sf_dir, tmp_path, fmt):
     elif fmt == "json":
         write_json(orig, path)
         back = read_json(spark, path, orig.schema)
+    elif fmt == "xml":
+        write_xml(orig, path)
+        back = read_xml(spark, path, orig.schema)
     else:
         write_orc(orig, path)
         back = read_orc(spark, path, orig.schema)
@@ -76,6 +81,22 @@ def test_malformed_csv_fails_loud(spark, tmp_path):
     schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_csv(spark, str(p), schema).collect()
+
+
+def test_malformed_xml_fails_loud(spark, tmp_path):
+    """FAILFAST must hold for the XML boundary too: a row whose typed
+    field can't parse is an error, not a silent NULL."""
+    p = tmp_path / "badxml"
+    p.mkdir()
+    (p / "part.xml").write_text(
+        "<rows><row><k>1</k><v>2</v></row>"
+        "<row><k>not_a_number</k><v>3</v></row></rows>"
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_xml(spark, str(p), schema).collect()
 
 
 class TestPythonDataSource:
