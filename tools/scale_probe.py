@@ -240,6 +240,43 @@ def _star_shape(c_k):
     return connected_components_star(_fuzzy_edges(c_k))
 
 
+def _pagerank_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import pagerank
+
+    return pagerank(_fuzzy_edges(c_k), src="key_a", dst="key_b", n_iter=4)
+
+
+def _surprisal_shape(docs, k: int):
+    """Unigram surprisal at k copies — tokens copy-tagged like the
+    jaccard shape, so the vocabulary (and its broadcast) grows with
+    rows: the honest mode for a corpus growing by new documents."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.text import (
+        unigram_surprisal,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return unigram_surprisal(d_k)
+
+
+def _mad_shape(ev_k):
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        robust_anomalies,
+    )
+
+    return robust_anomalies(
+        ev_k, key_col="user_id", value_col="value", id_cols=["event_id"]
+    )
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
@@ -385,6 +422,12 @@ def main() -> None:
             "triangle_count": lambda: _triangles_shape(c_k),
             # Small-Star/Large-Star components (iterative; rounds ~O(log n))
             "components_star": lambda: _star_shape(c_k),
+            # r4: fixed-point PageRank (4 node-keyed iterations)
+            "pagerank_fixed_point": lambda: _pagerank_shape(c_k),
+            # r4: unigram surprisal — vocab agg + broadcast + per-doc agg
+            "unigram_surprisal": lambda: _surprisal_shape(docs, k),
+            # r4: MAD robust outliers — two exact-median sort-aggs, one key
+            "mad_outliers": _mad_shape(ev_k),
         }
 
     results: dict[str, dict[int, float]] = {}
