@@ -8,7 +8,9 @@ Order mirrors real practice:
   2. validate business rules   -> rows the precedence logic (R:13-15) would
                                   mishandle
   3. audit FK integrity        -> orphans that would break the fan-out writes
-  4. plan the incremental load -> what a re-run would actually ship (R:17)
+  4. hunt numeric outliers     -> MAD robust z (r4): survives the heavy
+                                  tails that saturate a plain z-score
+  5. plan the incremental load -> what a re-run would actually ship (R:17)
 
 Run:  python examples/quality_audit.py [sf_dir]
 """
@@ -46,8 +48,11 @@ def main() -> None:
         print(f"  {r.relation:20s} orphans={r.orphan_rows}/{r.child_rows}")
         orphans += r.orphan_rows
 
+    n_outliers = eng.query("dq_anomaly_mad").count()
+    print(f"== 4. robust outliers: {n_outliers} events beyond 3 MAD z-units ==")
+
     n_incr = eng.query("etl_incremental_watermark").count()
-    print(f"== 4. incremental plan: {n_incr} rows newer than the watermark ==")
+    print(f"== 5. incremental plan: {n_incr} rows newer than the watermark ==")
 
     verdict = "CLEAN" if orphans == 0 else "DIRTY"
     print(f"audit: {verdict} (rule violations={dirty}, orphans={orphans})")

@@ -28,7 +28,19 @@ SF = "/root/testdata/sf0.001"
 # Queries whose float outputs are produced by an EXACT integer aggregate
 # followed by a single division + round — these must be bit-stable across
 # partitionings, so the comparison skips the forgiving 3dp re-round.
-STRICT_FLOAT_QUERIES = {"events_transitions", "dq_freshness"}
+# r4 added the scaled-long HALF_UP family (the text_stats_by_lang r3
+# hash-flake fix and everything built on the same recipe).
+STRICT_FLOAT_QUERIES = {
+    "events_transitions",
+    "dq_freshness",
+    "text_stats_by_lang",
+    "embed_centroids",
+    "cluster_kmeans",
+    "text_surprisal",
+    "text_classifier_score",
+    "graph_pagerank",
+    "events_rfm",
+}
 
 
 def _canon(rows, strict_floats: bool = False) -> list[tuple]:
