@@ -297,6 +297,60 @@ def hashed_embedding(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    alpha_ratio_pct: int = 80,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape)
+    — the rule battery that gates web text into a training mix: word
+    count bounds, mean-word-length band, minimum alphabetic-word share,
+    minimum distinct-stopword presence. Returns one row per doc with the
+    measured counts, each rule's boolean, and the overall ``passes``.
+
+    Everything is row-local array arithmetic on ONE scan — zero
+    shuffles, zero joins — and every rule comparison is INTEGER-only
+    by construction (mean-length bounds compare ``sum_len`` against
+    ``bound · n_words``; the alpha share compares ``100 · n_alpha``
+    against ``pct · n_words``), so there is no division, no float, and
+    nothing for engines to disagree on.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    ok_count = (n_words >= min_words) & (n_words <= max_words)
+    ok_len = (sum_len >= F.lit(min_mean_len) * n_words) & (
+        sum_len <= F.lit(max_mean_len) * n_words
+    )
+    ok_alpha = F.lit(100) * n_alpha >= F.lit(alpha_ratio_pct) * n_words
+    ok_stop = n_stop >= min_distinct_stopwords
+    return df.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_distinct_stopwords"),
+        ok_count.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_share"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_len & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -814,6 +814,61 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal), 6) AS bal_cume
+    FROM customer
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4d (r4): cumulative distribution per segment — the last W4
+    ranking primitive not yet declared (ntile/percent_rank/percentile
+    are). No tiebreak column needed, unlike ntile: cume_dist is a pure
+    function of the VALUE (rows <= current value / partition rows), so
+    ties share a result by definition and the 6dp round only guards the
+    count/count division's display."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity < 50)  AS all_small,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           count(*) FILTER (WHERE l_tax > 0.04) AS n_high_tax,
+           any_value(l_linestatus ORDER BY l_orderkey, l_linenumber)
+             AS first_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b (r4): boolean/conditional aggregate surface — bool_and /
+    bool_or / count_if / a DETERMINISTIC any_value (min_by on the
+    table's unique sort key; a bare any_value is partial-agg-order
+    nondeterministic and could never hash-match). One partial-combinable
+    hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") < 50).alias("all_small"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") > 0.04).alias("n_high_tax"),
+        F.min_by(
+            "l_linestatus",
+            F.struct(F.col("l_orderkey"), F.col("l_linenumber")),
+        ).alias("first_status"),
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     WITH p AS (

@@ -412,6 +412,51 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             coalesce(list_aggregate(list_transform(toks, x -> len(x)), 'sum'),
+                      0) AS sum_word_len,
+             len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha_words,
+             len(list_intersect(list_distinct(toks), {_SQL_STOPLIST}))
+               AS n_distinct_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_distinct_stopwords,
+           (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+           (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+             AS ok_mean_word_len,
+           (100 * n_alpha_words >= 80 * n_words) AS ok_alpha_share,
+           (n_distinct_stopwords >= 2) AS ok_stopwords,
+           ((n_words >= 20 AND n_words <= 100000)
+            AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+            AND (100 * n_alpha_words >= 80 * n_words)
+            AND (n_distinct_stopwords >= 2)) AS passes
+    FROM m
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6c (r4): the Gopher rule battery
+    (operators/text.py::gopher_rules) — word-count bounds, mean-length
+    band, alphabetic-word share, distinct-stopword floor, composed into
+    a per-doc pass/fail with every intermediate measured count exposed
+    (the triage columns a data curator actually reads). Row-local array
+    arithmetic on one scan; every rule comparison is integer-only, so
+    the oracle is exact with no float anywhere."""
+    from openmrs_patient_migration_script_spark.operators.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_classifier_score",
     oracle="""
     WITH toks AS (
