@@ -375,3 +375,46 @@ class TestPythonDataSourceSink:
         second = {tuple(r) for r in read_committed_sink(spark, dest, self.SCHEMA).collect()}
         assert second == first
         assert sorted(glob.glob(os.path.join(dest, "manifest-*.json"))) == manifests_before
+
+
+def test_load_evolved_merges_schema_versions(spark, tmp_path):
+    """Schema-evolution read (sources/parquet.py::load_evolved): files
+    written under older schemas surface NULL for later-added columns;
+    the merged read sees the union; the target-schema contract coerces
+    and fails loud on a missing contract column."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.sources.parquet import load_evolved
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = load_evolved(spark, path)
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    coerced = load_evolved(spark, path, target_schema=contract)
+    assert [f.name for f in coerced.schema.fields] == ["id", "score"]
+
+    bad = StructType([StructField("nope", StringType())])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nope"):
+        load_evolved(spark, path, target_schema=bad)
