@@ -813,6 +813,78 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOD30 = "0123456789ACDEFGHJKLMNPRTUVWXY"
+
+
+@query(
+    "etl_check_digit",
+    oracle=f"""
+    WITH ids AS (
+      SELECT c_custkey AS client_id,
+             lpad(c_custkey::VARCHAR, 8, '0') AS bare
+      FROM customer
+    ),
+    chars AS (
+      SELECT client_id, bare,
+             unnest(string_split(bare, '')) AS ch,
+             generate_subscripts(string_split(bare, ''), 1) AS pos
+      FROM ids
+    ),
+    terms AS (
+      SELECT client_id, bare,
+             sum(CASE WHEN (len(bare) - pos) % 2 = 0
+                      THEN (2 * (instr('{_MOD30}', ch) - 1)) // 30
+                           + (2 * (instr('{_MOD30}', ch) - 1)) % 30
+                      ELSE instr('{_MOD30}', ch) - 1 END) AS total
+      FROM chars
+      WHERE ch <> ''
+      GROUP BY client_id, bare
+    ),
+    cd AS (
+      SELECT client_id, bare,
+             CAST((30 - total % 30) % 30 AS BIGINT) AS check_val
+      FROM terms
+    )
+    SELECT client_id,
+           bare || substr('{_MOD30}', CAST(check_val AS INT) + 1, 1)
+             AS identifier,
+           TRUE AS valid,
+           FALSE AS valid_tampered
+    FROM cd
+    """,
+)
+def etl_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4b (r4): Luhn mod-30 check-digited identifiers
+    (functions/ids.py::luhn_check_digit / luhn_valid) — the public
+    OpenMRS patient-identifier scheme behind the reference's generated-ID
+    fallback (/root/reference/README.md:13-15). Generates the check
+    character for a zero-padded client id, then runs the VALIDATION gate
+    on both the correct identifier and a tampered one (check char
+    rotated +1), so both verdict branches execute; the oracle replays
+    the digit arithmetic and asserts the verdicts by construction. All
+    row-local integer HOF arithmetic — zero shuffles, exact oracle."""
+    from openmrs_patient_migration_script_spark.functions.ids import (
+        MOD30_CHARSET,
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    bare = F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+    cd = luhn_check_digit(bare)
+    rotated = F.substring(
+        F.lit(MOD30_CHARSET),
+        ((F.instr(F.lit(MOD30_CHARSET), cd) % 30) + 1).cast("int"),
+        1,
+    )
+    return c.select(
+        F.col("c_custkey").alias("client_id"),
+        F.concat(bare, cd).alias("identifier"),
+        luhn_valid(F.concat(bare, cd)).alias("valid"),
+        luhn_valid(F.concat(bare, rotated)).alias("valid_tampered"),
+    )
+
+
 @query(
     "win_cume_dist",
     oracle="""

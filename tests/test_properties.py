@@ -993,3 +993,78 @@ def test_apply_cdc_matches_naive_reference(spark, tgt, chg):
             continue
         want[k] = (v, "updated" if k in state else "inserted")
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789ACDEFGHJKLMNPRTUVWXY", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_luhn_mod30_matches_python_reference(spark, ids):
+    """luhn_check_digit / luhn_valid == the serial Luhn mod-N algorithm
+    (public OpenMRS identifier-validator semantics): generated check
+    chars match, validation accepts them, and single-char tampering of
+    the check digit is always rejected."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.functions.ids import (
+        MOD30_CHARSET,
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    cs = MOD30_CHARSET
+    n = len(cs)
+
+    def py_check(s: str) -> str:
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            v = cs.index(ch)
+            if i % 2 == 0:
+                v *= 2
+            tot += v // n + v % n
+        return cs[(n - tot % n) % n]
+
+    df = spark.createDataFrame([(s,) for s in ids], "id string")
+    cd = luhn_check_digit("id")
+    rotated = F.substring(
+        F.lit(cs), ((F.instr(F.lit(cs), cd) % n) + 1).cast("int"), 1
+    )
+    rows = df.select(
+        "id",
+        cd.alias("cd"),
+        luhn_valid(F.concat(F.col("id"), cd)).alias("ok"),
+        luhn_valid(F.concat(F.col("id"), rotated)).alias("tampered"),
+    ).collect()
+    for r in rows:
+        assert r.cd == py_check(r.id), (r.id, r.cd)
+        assert r.ok is True, r.id
+        assert r.tampered is False, r.id
+
+
+def test_luhn_rejects_invalid_and_empty_identifiers(spark):
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.functions.ids import (
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    df = spark.createDataFrame(
+        [("HELLO",), ("",), ("139MT",)], "id string"
+    )  # 'O' not in the mod-30 charset; empty is unverifiable
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            luhn_check_digit("id").alias("cd"),
+            luhn_valid(F.concat(F.col("id"), F.lit("0"))).alias("ok"),
+        ).collect()
+    }
+    assert rows["HELLO"].cd is None and rows["HELLO"].ok is False
+    assert rows[""].cd is None and rows[""].ok is False
+    assert rows["139MT"].cd is not None
