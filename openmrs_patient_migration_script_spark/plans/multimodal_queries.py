@@ -97,3 +97,41 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return audio_features(make_media_table(d))
+
+
+@query(
+    "multimodal_phash_pairs",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id AS key,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS f
+      FROM documents
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           bit_count(xor(a.f, b.f)) AS hamming
+    FROM fp a JOIN fp b ON a.key < b.key
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8e (r4): image near-duplicate pairs — perceptual fingerprints via
+    Arrow-batched mapInPandas (operators/multimodal.py::image_phash), then
+    the SAME banded Hamming search text SimHash uses
+    (operators/dedup.py::simhash_pairs): pigeonhole bands → equi-join →
+    exact bit_count re-check, no all-pairs scan ever. The declared form
+    fingerprints with the content-addressed fake (only byte-identical
+    payloads collide, so the pairs are the corpus's planted exact-dup
+    images and the oracle is a brute-force SQL replay); the REAL aHash —
+    8x8 block means over decoded BMP pixels, resize/brightness-stable —
+    runs through the identical plan and is pinned on generated BMPs in
+    tests/test_multimodal.py."""
+    from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = image_phash(make_media_table(d))
+    return simhash_pairs(
+        fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
+    )

@@ -252,3 +252,80 @@ def test_read_media_dir_length_filter_is_pushed_down(spark, tmp_path):
     df = read_media_dir(spark, str(tmp_path), max_bytes=1024)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LessThanOrEqual(length,1024)" in plan, plan
+
+
+def _bmp_from_gray(arr):
+    """Uncompressed 24-bpp BMP from an HxW uint8 grayscale array (all
+    three channels get the gray value) — structured pixels for the
+    perceptual-hash tests, vs _bmp_bytes' uniform fill."""
+    height, width = arr.shape
+    bytes_pp = 3
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    pad = stride - width * bytes_pp
+    rows = b"".join(
+        b"".join(bytes([int(v)] * 3) for v in row) + bytes(pad) for row in arr
+    )
+    data_offset = 14 + 40
+    size = data_offset + len(rows)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows
+
+
+def test_real_ahash_near_dup_detection(spark):
+    """REAL perceptual hashing end-to-end: a lightly-edited image lands
+    within the Hamming budget of its original and the banded pair search
+    finds the pair; an unrelated image does not. Also pins aHash's
+    brightness stability (a global +10 shift flips no block-vs-mean
+    bits)."""
+    import numpy as np
+
+    from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        ahash_bmp,
+        image_phash,
+    )
+
+    rng = np.random.RandomState(3)
+    base = (rng.rand(32, 32) * 200 + 20).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2] = 255  # a small local edit
+    bright = np.clip(base.astype(int) + 10, 0, 255).astype(np.uint8)
+    far = (255 - base.astype(int)).astype(np.uint8)  # inversion
+
+    h = {k: ahash_bmp(_bmp_from_gray(a)) for k, a in
+         [("base", base), ("near", near), ("bright", bright), ("far", far)]}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h["base"], h["near"]) <= 3
+    assert ham(h["base"], h["bright"]) == 0  # global shift cancels in aHash
+    assert ham(h["base"], h["far"]) > 20
+
+    payloads = [
+        (1, bytearray(_bmp_from_gray(base))),
+        (2, bytearray(_bmp_from_gray(near))),
+        (3, bytearray(_bmp_from_gray(far))),
+    ]
+    media = spark.createDataFrame(
+        [(i, p, "image/bmp", len(p)) for i, p in payloads],
+        "media_id long, content binary, media_type string, n_bytes int",
+    )
+    fps = image_phash(media, phash_fn=ahash_bmp)
+    pairs = {
+        (r.key_a, r.key_b)
+        for r in simhash_pairs(
+            fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
