@@ -145,6 +145,126 @@ def stateful_user_totals(events: DataFrame, watermark: str = WATERMARK) -> DataF
     )
 
 
+_SESSION_STATE = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def stateful_sessions_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = WATERMARK
+) -> DataFrame:
+    """ST5c (r4): CLOSED sessions via ``GroupStateTimeout.EventTimeTimeout``
+    — the state-expiry half of the GroupState API, which the other
+    stateful pipelines (NoTimeout) never exercise. Each key's open
+    session lives in state; a new event either extends it or (gap
+    exceeded) closes it; and when the WATERMARK passes
+    ``last_ts + gap`` the timeout callback fires with no data, emitting
+    the session and REMOVING the state — the mechanism that keeps
+    stateful session tracking at bounded memory over an unbounded
+    stream (idle keys cannot park state forever, unlike a NoTimeout
+    pipeline that grows with every key ever seen).
+
+    Emits one APPEND row per closed session (user_id, session_start,
+    session_end, n_events, sum_value) — the same aggregate shape as
+    `session_counts`' built-in session_window, pinned equal in tests.
+    In-batch rows are sorted by event time, so several sessions can
+    close inside one micro-batch; the timeout timestamp is clamped just
+    above the current watermark (setTimeoutTimestamp rejects values at
+    or below it when late data arrives after the gap already expired).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        def emit(sess):
+            start_ms, last_ms, n, total = sess
+            return {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(start_ms, unit="ms"),
+                "session_end": pd.Timestamp(last_ms, unit="ms"),
+                "n_events": n,
+                "sum_value": total,
+            }
+
+        closed = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            closed.append(
+                emit(
+                    (
+                        int(start.timestamp() * 1000),
+                        int(last.timestamp() * 1000),
+                        n,
+                        total,
+                    )
+                )
+            )
+            state.remove()
+            yield pd.DataFrame(closed)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            s_start, s_last, n, total = state.get
+            cur = [int(s_start.timestamp() * 1000), int(s_last.timestamp() * 1000), n, total]
+        else:
+            cur = None
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_ms = int(pd.Timestamp(ts).timestamp() * 1000)
+            if cur is not None and ts_ms - cur[1] >= gap_ms:
+                closed.append(emit(cur))
+                cur = None
+            if cur is None:
+                cur = [ts_ms, ts_ms, 0, 0.0]
+            cur[1] = max(cur[1], ts_ms)
+            cur[2] += 1
+            cur[3] += float(value)
+        state.update(
+            (
+                pd.Timestamp(cur[0], unit="ms"),
+                pd.Timestamp(cur[1], unit="ms"),
+                cur[2],
+                cur[3],
+            )
+        )
+        # fire when the watermark passes the gap after the last event;
+        # clamp above the current watermark for late stragglers
+        state.setTimeoutTimestamp(
+            max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def interval_join_streams(
     purchases: DataFrame, views: DataFrame, watermark: str = WATERMARK
 ) -> DataFrame:

@@ -508,3 +508,77 @@ def test_stateful_pipeline_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stateful_sessions_event_time_timeout(spark, tmp_path):
+    """ST5c: EventTimeTimeout session closing — sessions must be emitted
+    by the TIMEOUT callback once the watermark passes last_ts + gap (not
+    by later data for the same key), must match the built-in
+    session_window aggregation over the same input, and the fired keys'
+    state must be REMOVED (the bounded-memory contract)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stateful_sessions_timeout,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    base = datetime(2024, 1, 1, 8, 0)
+    rows = []
+    for u in range(3):
+        # session 1: three events 5 min apart; session 2: 40 min later
+        for i in range(3):
+            rows.append((u, base + timedelta(minutes=u + 5 * i), 1.0 + u + i))
+        rows.append((u, base + timedelta(minutes=u + 60), 100.0 + u))
+    # sentinel user far in the future: batch 2 and 3 push the watermark
+    # past every base session's last_ts + gap, firing the timeouts
+    sent1 = [(99, base + timedelta(days=1), 0.0)]
+    sent2 = [(99, base + timedelta(days=2), 0.0)]
+
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([rows, sent1, sent2]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    stream = stateful_sessions_timeout(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*"),
+        gap_minutes=30,
+    )
+    name = _run_to_memory(stream, "append")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.table(name).collect()
+        if r.user_id != 99
+    )
+
+    # session_window's end = last_ts + gap, so last event ts = end - gap
+    batch = (
+        spark.createDataFrame(rows, schema)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .withColumn("last_ts", F.col("w.end") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    want = sorted(
+        (r.user_id, r.w.start, r.last_ts, r.n, r.s) for r in batch.collect()
+    )
+    assert got == want, (got, want)
+    assert len(got) == 6  # two closed sessions per base user
