@@ -816,3 +816,76 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_q.cast("string"), f_q.cast("string"), m_q.cast("string")
         ).alias("segment"),
     )
+
+
+@query(
+    "funnel_conversion_rate",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT view_id, view_hour, purchase_id FROM (
+        SELECT v.event_id AS view_id, hour(v.ts) AS view_hour,
+               p.event_id AS purchase_id,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+                          AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ) WHERE rn = 1
+    )
+    SELECT view_hour, count(*) AS n_views,
+           count(purchase_id) AS n_converted,
+           ((2 * 10000 * count(purchase_id) + count(*)) // (2 * count(*)))
+             / 10000.0 AS conversion_rate
+    FROM attributed GROUP BY view_hour
+    """,
+)
+def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11b (r4): attribution conversion rate — for every view, the next
+    purchase of the same user within ONE HOUR (the forward as-of join
+    with tolerance, operators/joins.py::asof_join), rolled up to
+    conversion rate by hour-of-day. The composition the tolerance knob
+    exists for: the attribution step stays one shuffle + one window
+    regardless of window width, and the rate is exact integer HALF_UP at
+    4dp (counts only — no float aggregation)."""
+    from openmrs_patient_migration_script_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    attributed = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        right_payload=["purchase_id", "purchase_ts"],
+        right_id="purchase_id",
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    agg = attributed.groupBy(F.hour("view_ts").alias("view_hour")).agg(
+        F.count("*").alias("n_views"),
+        F.count("purchase_id").alias("_nc"),
+    )
+    return agg.select(
+        "view_hour",
+        "n_views",
+        F.col("_nc").alias("n_converted"),
+        (
+            F.expr("(2 * 10000 * _nc + n_views) div (2 * n_views)")
+            / F.lit(10000.0)
+        ).alias("conversion_rate"),
+    )
