@@ -582,3 +582,90 @@ def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     )
     assert got == want, (got, want)
     assert len(got) == 6  # two closed sessions per base user
+
+
+def test_stream_cdc_apply_materializes_and_replays_idempotently(spark, tmp_path):
+    """Streaming CDC → parquet target: two micro-batches of
+    insert/update/delete changes fold into the target via foreachBatch +
+    apply_cdc with an atomic swap; re-running on the same checkpoint
+    changes nothing (no new batches), and the final target equals the
+    sequential batch application."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stream_cdc_apply,
+    )
+
+    schema = StructType(
+        [
+            StructField("client_id", LongType()),
+            StructField("op", StringType()),
+            StructField("op_ts", TimestampType()),
+            StructField("name", StringType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+    t0 = datetime(2024, 1, 1, 8)
+    b0 = [
+        (1, "insert", t0, "alice", 10.0),
+        (2, "insert", t0, "brian", 20.0),
+        (3, "insert", t0, "chiku", 30.0),
+    ]
+    t1 = datetime(2024, 1, 1, 9)
+    b1 = [
+        (2, "update", t1, "brian2", 25.0),
+        (3, "delete", t1, None, None),
+        (4, "insert", t1, "daudi", 40.0),
+        # late duplicate of an old insert: last-writer by op_ts must win
+        (2, "insert", t0, "brian", 20.0),
+    ]
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([b0, b1]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    target, ckpt = str(tmp_path / "target"), str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_cdc_apply(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*"),
+            target,
+            ckpt,
+            key="client_id",
+            seq_cols=["op_ts"],
+            op_col="op",
+            payload_cols=["name", "balance"],
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r.client_id: (r.name, r.balance)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        1: ("alice", 10.0),
+        2: ("brian2", 25.0),
+        4: ("daudi", 40.0),
+    }
+
+    run()  # same checkpoint: no new batches, target untouched
+    again = {
+        r.client_id: (r.name, r.balance)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == got
