@@ -82,6 +82,16 @@ HEADLINE = [
     # benchmarking the HLL form next to it makes the 100 TB swap's payoff a
     # recorded number instead of a docstring claim
     "dq_profile_hll",
+    # round-4 second wave: the new iterative (fixed-point pagerank),
+    # exact-median (MAD), broadcast-vocab (surprisal), tolerance-asof
+    # (conversion attribution) and mapInPandas-fingerprint (image phash)
+    # shapes — each a distinct plan family the headline would otherwise
+    # not regression-guard
+    "graph_pagerank",
+    "dq_anomaly_mad",
+    "text_surprisal",
+    "funnel_conversion_rate",
+    "multimodal_phash_pairs",
 ]
 
 
