@@ -889,3 +889,57 @@ def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "events_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    cal AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT c.day, count(DISTINCT u.user_id) AS wau
+      FROM cal c JOIN ud u
+        ON u.day BETWEEN c.day - INTERVAL 6 DAY AND c.day
+      GROUP BY c.day
+    )
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12e (r4): DAU / rolling 7-day WAU — the engagement counters every
+    product dashboard leads with, and a genuinely hard exact shape:
+    rolling DISTINCT does not decompose into daily sums (a user active
+    twice in one window counts once). The plan avoids the oracle's
+    range join (every (window, user-day) pair materialized): each
+    user-day row EXPLODES into the <= 7 window-ends it can serve,
+    dedups per (user, window), and counts — shuffle is user-days × 7,
+    linear in actives, and every stage partial-combines. At extreme
+    scale the same query runs on the mergeable exact-bitmap family
+    (operators/sketches.py::rollup_bitmap_distinct: per-day bitmaps
+    OR-merged across the window) or HLL for approximate counters —
+    documented swaps, same declared semantics."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "day",
+        )
+        .select(
+            "user_id", F.expr("day + make_interval(0, 0, 0, k)").alias("wday")
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("wday").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select("day", "dau", "wau")
+    )
