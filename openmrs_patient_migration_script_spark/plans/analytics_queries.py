@@ -943,3 +943,72 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, dau["day"] == wau["wday"])
         .select("day", "dau", "wau")
     )
+
+
+@query(
+    "ab_chisq",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm
+      FROM events
+    ),
+    cells AS (SELECT event_type, arm, count(*) AS o FROM t GROUP BY 1, 2),
+    rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT arm, sum(o) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o)::DOUBLE AS n FROM cells),
+    terms AS (
+      SELECT CAST(round(((o - r * c / n) * (o - r * c / n)) / (r * c / n)
+                        * 1000000, 0) AS BIGINT) AS t6
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (arm), tot
+    )
+    SELECT (SELECT count(*) FROM cells) AS n_cells,
+           (SELECT (count(DISTINCT event_type) - 1) FROM t)
+             * (SELECT (count(DISTINCT arm) - 1) FROM t) AS dof,
+           sum(t6) / 1000000.0 AS chi2
+    FROM terms
+    """,
+)
+def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18b (r4): chi-squared independence test — does a deterministic
+    md5 arm split shift the event-type mix? The categorical sibling of
+    `ab_welch_ttest` (that one compares means; this one compares
+    distributions). One contingency aggregation (|types|x|arms| cells),
+    row/column totals broadcast back as tiny frames, per-cell terms
+    rounded once at 6dp (identical doubles on both engines — the BM25
+    per-term recipe) and summed as exact longs, so the statistic is
+    reassociation-immune. The p-value lookup is a driver-side special
+    function, not a data-plane op."""
+    e = load_table(spark, sf_dir, "events")
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    t = e.select(
+        "event_type", (hash_bucket(F.col("user_id")) % 2).alias("arm")
+    )
+    cells = t.groupBy("event_type", "arm").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("arm").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").cast("double").alias("n"))
+    expected = F.col("r") * F.col("c") / F.col("n")
+    d = F.col("o") - expected
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((d * d) / expected * 1e6, 0).cast("long").alias("t6")
+        )
+    )
+    dims = t.agg(
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("arm") - 1)).alias(
+            "dof"
+        )
+    )
+    return (
+        terms.agg(
+            F.count("*").alias("n_cells"),
+            (F.sum("t6") / F.lit(1e6)).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select("n_cells", "dof", "chi2")
+    )
