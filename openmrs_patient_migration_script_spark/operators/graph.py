@@ -307,16 +307,19 @@ def pagerank(
     use — and total mass loss is visible, not compounding, because each
     iteration re-adds the exact (100-d)·base floor.
 
-    Plan shape per iteration: one shuffle join (ranks onto the edge
-    list's src) + one aggregation (inflow per dst) + one left join back
-    onto the node universe (nodes with no inflow keep the teleport
-    floor). All three key on the node id, so a cluster run pins one
-    partitioning and reuses it; lineage is truncated per round with
-    localCheckpoint (the module-docstring contract for every iterative
-    loop here). The symmetrized graph has no dangling nodes (every node
-    has outdeg >= 1), so no dangling-mass redistribution pass is needed.
-    ``n_nodes`` is a one-number driver scalar off the checkpointed degree
-    frame — bounded metadata, not a data collect.
+    Plan shape per iteration: TWO shuffles, both keyed on the node id —
+    one join (ranks onto the edge list's src) and one aggregation that
+    folds the node universe in via SEED ROWS (every node contributes a
+    zero-inflow row carrying its outdeg, so nodes with no inflow keep
+    the teleport floor WITHOUT a third per-iteration join back onto the
+    degree frame — measured as the only other exchange in the loop).
+    A cluster run pins one partitioning and reuses it; lineage is
+    truncated per round with localCheckpoint (the module-docstring
+    contract for every iterative loop here). The symmetrized graph has
+    no dangling nodes (every node has outdeg >= 1), so no dangling-mass
+    redistribution pass is needed. ``n_nodes`` is a one-number driver
+    scalar off the checkpointed degree frame — bounded metadata, not a
+    data collect.
     """
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
@@ -344,18 +347,29 @@ def pagerank(
     base = scale // n_nodes
     d = int(damping_pct)
     ranks = deg.select("u", "outdeg", F.lit(base).cast("long").alias("r"))
+    # seed rows: (node, outdeg, 0) for every node — unioned into the
+    # inflow aggregation so zero-inflow nodes survive and outdeg rides
+    # along, replacing a per-iteration left join with map-side rows
+    seeds = deg.select(
+        F.col("u").alias("node"),
+        F.col("outdeg"),
+        F.lit(0).cast("long").alias("c"),
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contrib = sym.join(ranks, "u").select(
-            F.col("v").alias("node"), F.expr("r div outdeg").alias("c")
+            F.col("v").alias("node"),
+            F.lit(None).cast("long").alias("outdeg"),
+            F.expr("r div outdeg").alias("c"),
         )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
         ranks = (
-            deg.join(inflow, deg["u"] == inflow["node"], "left")
+            seeds.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.max("outdeg").alias("outdeg"), F.sum("c").alias("inflow"))
             .select(
-                "u",
+                F.col("node").alias("u"),
                 "outdeg",
                 F.expr(
-                    f"(({100 - d} * {base}L) + {d} * coalesce(inflow, 0L)) div 100"
+                    f"(({100 - d} * {base}L) + {d} * inflow) div 100"
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)
