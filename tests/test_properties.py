@@ -1068,3 +1068,48 @@ def test_luhn_rejects_invalid_and_empty_identifiers(spark):
     assert rows["HELLO"].cd is None and rows["HELLO"].ok is False
     assert rows[""].cd is None and rows[""].ok is False
     assert rows["139MT"].cd is not None
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=list("abcdefgh XYZ123!.") ,
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """gopher_rules == the serial rule battery on arbitrary text,
+    including empty docs, mixed-case/symbol tokens and boundary word
+    counts — every measured count and every boolean."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        STOPWORDS,
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split(" ") if w]
+        n = len(toks)
+        sum_len = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if w.isalpha() and w.islower() and w.isascii())
+        n_stop = len(set(toks) & set(STOPWORDS))
+        r = got[i]
+        assert (r.n_words, r.sum_word_len, r.n_alpha_words, r.n_distinct_stopwords) == (
+            n, sum_len, n_alpha, n_stop
+        ), (i, t)
+        ok_count = 20 <= n <= 100_000
+        ok_len = 3 * n <= sum_len <= 10 * n
+        ok_alpha = 100 * n_alpha >= 80 * n
+        ok_stop = n_stop >= 2
+        assert (r.ok_word_count, r.ok_mean_word_len, r.ok_alpha_share, r.ok_stopwords) == (
+            ok_count, ok_len, ok_alpha, ok_stop
+        ), (i, t)
+        assert r.passes == (ok_count and ok_len and ok_alpha and ok_stop)
