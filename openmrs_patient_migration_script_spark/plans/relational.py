@@ -1381,6 +1381,93 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CASE WHEN GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1
+                THEN 3
+                WHEN GROUPING(l_linestatus) = 1 THEN 1
+                ELSE 0 END AS gid,
+           (GROUPING(l_returnflag) = 0 AND GROUPING(l_linestatus) = 0)
+             AS is_leaf,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5d (r4): GROUPING / GROUPING_ID diagnostics — the companion every
+    rollup/cube report needs to tell a REAL NULL group from a subtotal
+    row (a NULL l_linestatus leaf is indistinguishable from the
+    per-returnflag subtotal without it). Spark's grouping_id() bitmask
+    matches the CASE-reconstructed form in the oracle (DuckDB's
+    GROUPING_ID argument convention differs, so the oracle derives the
+    id from the per-column GROUPING bits — same values, portable
+    spelling). Same single-pass Expand plan as every grouping-sets
+    query."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping()/grouping_id() are only resolvable INSIDE the
+            # grouping aggregation, not in a later select
+            F.grouping_id().alias("gid"),
+            (
+                (F.grouping("l_returnflag") == 0)
+                & (F.grouping("l_linestatus") == 0)
+            ).alias("is_leaf"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "is_leaf", "n_rows")
+    )
+
+
+@query(
+    "sql_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN cnt = 0 THEN NULL ELSE o_totalprice / cnt END
+             AS price_per_item,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(o_orderkey AS BIGINT) * 1000000 END AS scaled_key,
+           try_cast(o_orderpriority AS BIGINT) AS prio_num,
+           try_cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_rank
+    FROM (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             o_orderkey % 5 AS cnt
+      FROM orders
+    )
+    """,
+)
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (r4): the try_* error-safe function family — the idioms that
+    keep a plan VALID under the verification gate's ANSI session where
+    permissive expressions become runtime errors (the exact failure
+    class tests/test_ansi_parity.py exists for): try_divide (NULL on
+    /0 instead of DIVIDE_BY_ZERO), try_multiply (NULL on overflow
+    paths), try_cast (NULL on unparseable strings — '1-URGENT' is not a
+    number; its leading digit is). The oracle spells the same semantics
+    with CASE/try_cast. Row-local projection, zero shuffles; identical
+    results under ANSI on AND off by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_orderkey") % 5
+        ).alias("price_per_item"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long")
+        ).otherwise(
+            F.try_multiply(F.col("o_orderkey").cast("long"), F.lit(1000000).cast("long"))
+        ).alias("scaled_key"),
+        F.col("o_orderpriority").try_cast("bigint").alias("prio_num"),
+        F.substring(F.col("o_orderpriority"), 1, 1).try_cast("bigint").alias(
+            "prio_rank"
+        ),
+    )
+
+
+@query(
     "array_funcs",
     oracle="""
     SELECT vec_id,
