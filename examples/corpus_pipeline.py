@@ -82,6 +82,29 @@ def main() -> None:
     for r in mix.groupBy("predicted_lang").count().orderBy("predicted_lang").collect():
         print(f"  final mix {r.predicted_lang}: {r['count']} docs")
 
+    # r4 quality lenses over the final mix — the rule battery, the LM
+    # surprisal filter and the hashed classifier score, all row-local or
+    # broadcast-joined (no extra corpus shuffles beyond their aggs)
+    from openmrs_patient_migration_script_spark.operators.text import (
+        gopher_rules,
+        hashed_linear_score,
+        unigram_surprisal,
+    )
+
+    g = gopher_rules(mix, key_col="key", text_col="text")
+    n_pass = g.filter("passes").count()
+    print(f"gopher rule battery: {n_pass}/{g.count()} of the mix pass")
+    surp = unigram_surprisal(mix, key_col="key", text_col="text")
+    hi = surp.orderBy(F.desc("avg_surprisal")).limit(3).collect()
+    print("highest-surprisal (most atypical) docs:",
+          [(r.key, float(r.avg_surprisal)) for r in hi])
+    score = hashed_linear_score(mix, key_col="key", text_col="text")
+    stats = score.agg(
+        F.round(F.min("score"), 4).alias("lo"),
+        F.round(F.max("score"), 4).alias("hi"),
+    ).collect()[0]
+    print(f"classifier score range over the mix: [{stats.lo}, {stats.hi}]")
+
 
 if __name__ == "__main__":
     main()
