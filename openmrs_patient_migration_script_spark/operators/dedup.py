@@ -293,6 +293,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """X3d: ASYMMETRIC shingle containment — (key_a, key_b, inter_cnt,
+    n_a) for every ordered candidate pair, where ``inter_cnt / n_a`` is
+    the fraction of a's shingles that also appear in b. Jaccard misses
+    the quote-inclusion case that matters most for training-data dedup:
+    a short document wholly embedded in a long one has tiny
+    union-normalized similarity but containment ≈ 1. This is the
+    Broder resemblance/containment split — same inverted index, the
+    normalizer is the CONTAINED side's size instead of the union.
+
+    Plan shape is `ngram_jaccard_pairs`' document join (shuffle on the
+    shingle, ``max_df`` prefix-filter kills O(df²) hot-shingle buckets);
+    the two orientations of each unordered pair are emitted by a
+    row-local array explode AFTER the pair agg — both sizes are already
+    on the row, so direction costs zero extra shuffles. Integer outputs
+    keep the oracle byte-exact; callers threshold ``inter_cnt * 100 >=
+    pct * n_a`` in integers.
+
+    Caveat shared with the Jaccard form: when the ``max_df`` cap fires,
+    ``inter_cnt`` (and so containment) is a lower bound; sizes stay
+    exact.
+    """
+    sizes = df.select(
+        F.col(key_col).alias("key"),
+        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
+            "n_sh"
+        ),
+    )
+    sh = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df), "shingle", "inner").drop(
+            "_df"
+        )
+    a = sh.select(F.col("key").alias("key_lo"), "shingle")
+    b = sh.select(F.col("key").alias("key_hi"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("key_lo") < F.col("key_hi"))
+        .groupBy("key_lo", "key_hi")
+        .agg(F.count("*").alias("inter_cnt"))
+        .filter(F.col("inter_cnt") >= min_shared)
+    )
+    slo = sizes.select(F.col("key").alias("key_lo"), F.col("n_sh").alias("n_lo"))
+    shi = sizes.select(F.col("key").alias("key_hi"), F.col("n_sh").alias("n_hi"))
+    both = inter.join(slo, "key_lo").join(shi, "key_hi")
+    # row-local orientation fan-out: (lo contained-in hi) and (hi in lo)
+    return both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("key_lo").alias("key_a"),
+                    F.col("key_hi").alias("key_b"),
+                    F.col("inter_cnt"),
+                    F.col("n_lo").alias("n_a"),
+                ),
+                F.struct(
+                    F.col("key_hi").alias("key_a"),
+                    F.col("key_lo").alias("key_b"),
+                    F.col("inter_cnt"),
+                    F.col("n_hi").alias("n_a"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.key_a", "p.key_b", "p.inter_cnt", "p.n_a")
+
+
 def simhash_pairs(
     fps: DataFrame,
     key_col: str = "key",

@@ -91,3 +91,59 @@ def k_anonymity_audit(
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    salt: str,
+    repeats: int = 1,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Differentially private group counts via the BINOMIAL mechanism:
+    ``noisy_count = count + sum_r (bit_count(h_r) - 30)`` where each
+    ``h_r`` is a 60-bit hash of (salt, group key, r). Binomial(n, 1/2)
+    noise centered at n/2 approximates the Gaussian mechanism (Dwork,
+    Kenthapadi, McSherry, Mironov & Naor, "Our Data, Ourselves",
+    EUROCRYPT 2006); per repeat sigma = sqrt(60)/2 ~ 3.87, and
+    ``repeats`` sums independent draws for sigma*sqrt(repeats).
+
+    The noise is CONTENT-ADDRESSED (md5 of salt+key+r), which buys three
+    things at once: the release is reproducible across reruns / cluster
+    sizes / partition layouts; the oracle can replay it exactly (the
+    engine's correctness gate covers the *mechanism*, not just the true
+    counts); and re-releasing under the same salt cannot leak a fresh
+    noise sample (the usual averaging attack needs new draws — rotate the
+    salt ONLY when a new privacy budget is spent, which is exactly when a
+    new release is intended). The trade is that the noise is pseudorandom,
+    not sampled — standard practice for seeded DP releases; use a secret
+    salt so adversaries cannot reconstruct draws.
+
+    ``threshold`` suppresses groups whose NOISY count falls below it (the
+    thresholding step of count releases a la k-anonymity — suppression
+    decided on the noisy value keeps the release a pure function of the
+    mechanism output). Plan: ONE hash aggregation (map-side combine);
+    noise is a row-local expression over the group key after the agg, so
+    the shuffle carries exactly the distinct-group count.
+    """
+    key_str = F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols])
+    noise = None
+    for r in range(repeats):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:{r}:"), key_str)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        term = F.bit_count(h) - F.lit(30)
+        noise = term if noise is None else noise + term
+    out = (
+        df.groupBy(*group_cols)
+        .agg(F.count("*").alias("true_count"))
+        .select(
+            *group_cols,
+            (F.col("true_count") + noise).alias("noisy_count"),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.col("noisy_count") >= threshold)
+    return out

@@ -85,6 +85,100 @@ def resample_ffill(
     )
 
 
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    interval: str = "interval 1 hour",
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """(key, bucket, value_interp, observed) on a dense per-key time grid
+    with LINEAR interpolation between observations — the other half of the
+    X15 regularization pair: `resample_ffill` carries the last value (the
+    right call for state-like series), this ramps between neighbours (the
+    right call for flow-like series feeding sequence models).
+
+    Same observations-only shuffle shape as `resample_ffill` (see module
+    docstring): events aggregate first, one key-shuffle gathers the sorted
+    observation array, and every dense bucket is generated row-locally —
+    the grid never enters an exchange.
+
+    Exactness: per-bucket values aggregate as 6-decimal SCALED LONGS
+    (``sum(cast(round(value*1e6) as long))`` — reassociation-immune, the
+    events_transitions recipe), and the interpolated value is computed as
+    one double division of exact int64 operands:
+    ``(vs0*(n-j) + vs1*j) / (n*1e6)``. IEEE-754 division of identical
+    operands is correctly rounded in both engines, so results are
+    bit-identical with no round() anywhere. Overflow margin: |vs| ≤ 1e10
+    (per-bucket sums) × n ≤ 1e5 grid span = 1e15 < 2^63; the int64→double
+    cast of the numerator rounds identically on both sides, so magnitude
+    beyond 2^53 costs ulps, never agreement.
+    """
+    obs = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * F.lit(1_000_000)).cast("long")).alias("vs")
+    )
+    per_key = obs.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "vs"))).alias("obs_arr")
+    )
+    if max_buckets is not None:
+        span = F.expr(
+            "size(sequence(obs_arr[0].bucket, "
+            f"element_at(obs_arr, -1).bucket, {interval}))"
+        )
+        per_key = per_key.where(
+            F.assert_true(
+                span <= max_buckets,
+                F.concat(
+                    F.lit("grid would emit "),
+                    span.cast("string"),
+                    F.lit(" buckets for key "),
+                    F.col("key").cast("string"),
+                    F.lit(f" (> {max_buckets})"),
+                ),
+            ).isNull()
+        )
+    # Each observation expands into the half-open segment [self, next):
+    # n = buckets between self and next; bucket j of the segment ramps
+    # (n-j)/n of self's value to j/n of next's. The final observation has
+    # no successor and emits itself alone (vs/1e6 — and the interior j=0
+    # branch (vs*n)/(n*1e6) is the same correctly-rounded quotient, so the
+    # two forms can never disagree on an observed bucket).
+    filled = F.expr(
+        f"""
+        flatten(transform(obs_arr, (o, i) ->
+          CASE WHEN try_element_at(obs_arr, i + 2) IS NULL THEN
+            array(struct(o.bucket AS bucket,
+                         cast(o.vs AS double) / 1000000.0D AS value_interp,
+                         true AS observed))
+          ELSE
+            transform(
+              sequence(o.bucket,
+                       try_element_at(obs_arr, i + 2).bucket - {interval},
+                       {interval}),
+              (b, j) -> struct(
+                b AS bucket,
+                cast(o.vs * (size(sequence(o.bucket,
+                                           try_element_at(obs_arr, i + 2).bucket,
+                                           {interval})) - 1 - j)
+                     + try_element_at(obs_arr, i + 2).vs * j AS double)
+                / (cast(size(sequence(o.bucket,
+                                      try_element_at(obs_arr, i + 2).bucket,
+                                      {interval})) - 1 AS double) * 1000000.0D)
+                AS value_interp,
+                j = 0 AS observed))
+          END))
+        """
+    )
+    return per_key.select("key", F.explode(filled).alias("g")).select(
+        "key", "g.bucket", "g.value_interp", "g.observed"
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,

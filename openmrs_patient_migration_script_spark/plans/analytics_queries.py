@@ -376,6 +376,51 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS key, date_trunc('hour', ts) AS bucket,
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS vs
+      FROM events GROUP BY 1, 2
+    ),
+    nx AS (
+      SELECT key, bucket, vs,
+             lead(bucket) OVER (PARTITION BY key ORDER BY bucket) AS nb,
+             lead(vs)     OVER (PARTITION BY key ORDER BY bucket) AS nvs
+      FROM obs
+    ),
+    seg AS (
+      SELECT key, bucket, vs, nvs,
+             CASE WHEN nb IS NULL THEN 0
+                  ELSE date_diff('hour', bucket, nb) END AS n
+      FROM nx
+    )
+    SELECT key,
+           bucket + to_hours(j) AS bucket,
+           CASE WHEN n = 0 THEN CAST(vs AS DOUBLE) / 1000000.0
+                ELSE CAST(vs * (n - j) + nvs * j AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000.0) END AS value_interp,
+           j = 0 AS observed
+    FROM seg,
+         UNNEST(generate_series(0, CASE WHEN n = 0 THEN 0 ELSE n - 1 END)) AS t(j)
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling hourly resample with LINEAR interpolation
+    (operators/timeseries.py::interpolate_linear) — `ts_resample`'s
+    forward-fill twin for flow-like series. Identical grid (first to last
+    observation per user), but unobserved buckets ramp between their
+    neighbours instead of carrying the left one. Values are exact
+    int64-scaled sums divided once, so the hash check needs no round()."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return interpolate_linear(e, "user_id", "ts", "value")
+
+
+@query(
     "events_transitions",
     oracle="""
     WITH seq AS (

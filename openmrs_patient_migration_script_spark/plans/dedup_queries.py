@@ -68,6 +68,77 @@ _JACCARD_MIN_SHARED = 2
 _JACCARD_MAX_DF = 50
 
 
+_CONTAIN_PCT = 80  # emit pairs where >= 80% of a's shingles appear in b
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle),
+    shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)
+      WHERE dfc <= {_JACCARD_MAX_DF}
+    ),
+    inter AS (
+      SELECT a.doc_id AS key_lo, b.doc_id AS key_hi, count(*) AS inter_cnt
+      FROM shf a JOIN shf b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_JACCARD_MIN_SHARED}
+    ),
+    oriented AS (
+      SELECT key_lo AS key_a, key_hi AS key_b, inter_cnt,
+             sa.n_sh AS n_a
+      FROM inter JOIN sizes sa ON sa.doc_id = key_lo
+      UNION ALL
+      SELECT key_hi AS key_a, key_lo AS key_b, inter_cnt,
+             sb.n_sh AS n_a
+      FROM inter JOIN sizes sb ON sb.doc_id = key_hi
+    )
+    SELECT key_a, key_b, inter_cnt, n_a
+    FROM oriented
+    WHERE inter_cnt * 100 >= {_CONTAIN_PCT} * n_a
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication: ordered pairs where >= 80% of doc a's
+    3-gram shingles also occur in doc b (operators/dedup.py::
+    containment_pairs) — catches the quote-inclusion / boilerplate-embed
+    near-dups that union-normalized Jaccard under-scores. Same inverted
+    index and max-df prefix filter as `dedup_ngram_jaccard`; direction is
+    a row-local explode after the pair agg, and the threshold compares
+    integers (`100*inter >= 80*n_a`), so the hash check is byte-exact."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        min_shared=_JACCARD_MIN_SHARED,
+        max_df=_JACCARD_MAX_DF,
+    )
+    return pairs.filter(
+        F.col("inter_cnt") * F.lit(100) >= F.lit(_CONTAIN_PCT) * F.col("n_a")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

@@ -97,3 +97,40 @@ def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
     )
     return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+@query(
+    "privacy_dp_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS true_count
+      FROM documents GROUP BY 1, 2
+    ),
+    noised AS (
+      SELECT lang, source,
+             true_count
+             + (bit_count(('0x' || substr(md5('dp-release-1:0:' || lang || ':' || source),
+                                          1, 15))::BIGINT) - 30)
+             + (bit_count(('0x' || substr(md5('dp-release-1:1:' || lang || ':' || source),
+                                          1, 15))::BIGINT) - 30)
+               AS noisy_count
+      FROM counts
+    )
+    SELECT lang, source, noisy_count FROM noised WHERE noisy_count >= 10
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private histogram release of documents per
+    (lang, source) via the seeded binomial mechanism
+    (operators/privacy.py::dp_noisy_counts; two 60-bit draws, sigma ~ 5.5)
+    with noisy-threshold suppression at 10. Content-addressed noise makes
+    the whole mechanism — not just the true counts — exactly replayable
+    by the oracle. One hash agg; noise is row-local post-agg."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_noisy_counts(
+        docs, ["lang", "source"], salt="dp-release-1", repeats=2, threshold=10
+    )

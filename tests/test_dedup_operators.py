@@ -87,6 +87,47 @@ def test_ngram_jaccard_max_df_drops_hot_shingle(spark):
     assert uncapped.count() == 10  # all C(5,2) pairs share the hot shingle
 
 
+def test_containment_catches_embedded_quote(spark):
+    """A short doc wholly embedded in a long one: containment ~ 1 even
+    though Jaccard is small — the case the asymmetric score exists for."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "q1 q2 q3 q4 q5 q6"
+    long = "a1 a2 a3 a4 " + short + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    df = _docs(spark, [(1, short), (2, long), (3, "z1 z2 z3 z4 z5 z6 z7")])
+    out = {
+        (r.key_a, r.key_b): (r.inter_cnt, r.n_a)
+        for r in containment_pairs(df, "key", "text", shingle_n=3).collect()
+    }
+    # doc 1 has 4 shingles, all present in doc 2 → containment 1.0
+    assert out[(1, 2)] == (4, 4)
+    # reverse orientation shares the same intersection over doc 2's size
+    inter, n_a = out[(2, 1)]
+    assert inter == 4 and n_a > 10  # jaccard would be 4/(4+n_a-4) — small
+    assert (1, 3) not in out and (3, 1) not in out
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out1 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], "s1", repeats=2).collect()}
+    out2 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], "s1", repeats=2).collect()}
+    other = {r.grp: r.noisy_count for r in dp_noisy_counts(df, ["grp"], "s2", repeats=2).collect()}
+    assert out1 == out2  # content-addressed: reruns are byte-identical
+    assert other != out1  # a new salt is a new draw
+    for g, v in out1.items():
+        assert abs(v - 100) <= 60  # |binomial noise| <= repeats * 30
+    # threshold suppresses on the NOISY value
+    high = dp_noisy_counts(df, ["grp"], "s1", repeats=2, threshold=10_000)
+    assert high.count() == 0
+
+
 def test_max_id_offset(spark):
     from openmrs_patient_migration_script_spark.operators.etl import max_id_offset
 

@@ -40,6 +40,9 @@ STRICT_FLOAT_QUERIES = {
     "text_classifier_score",
     "graph_pagerank",
     "events_rfm",
+    # scaled-long sums divided once as exact int64→double quotients —
+    # bit-stable by the same construction
+    "ts_interpolate",
 }
 
 

@@ -32,6 +32,52 @@ def test_ffill_grid_and_sums(spark):
     assert by[(2, 5)] == (1.5, True)
 
 
+def test_interpolate_ramps_between_observations(spark):
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        # user 1: 10.0 at hour 0, 4.0 at hour 3 → hours 1,2 ramp 8.0, 6.0
+        (1, datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, datetime(2024, 1, 1, 3, 5), 4.0),
+        # user 2: single observation — a one-row grid, value unchanged
+        (2, datetime(2024, 1, 1, 5, 0), 1.5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = interpolate_linear(df, "user_id", "ts", "value").collect()
+    by = {(r.key, r.bucket.hour): (r.value_interp, r.observed) for r in out}
+    assert by[(1, 0)] == (10.0, True)
+    assert by[(1, 1)] == (8.0, False)
+    assert by[(1, 2)] == (6.0, False)
+    assert by[(1, 3)] == (4.0, True)
+    assert by[(2, 5)] == (1.5, True)
+    assert len(out) == 5
+
+
+def test_interpolate_observed_matches_ffill_grid(spark):
+    """Both X15 regularizers emit the SAME dense grid and agree on every
+    observed bucket — only the fill policy differs."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = _events(spark)
+    ff = {
+        (r.key, r.bucket): (r.value_sum, r.observed)
+        for r in resample_ffill(df, "user_id", "ts", "value").collect()
+    }
+    li = {
+        (r.key, r.bucket): (r.value_interp, r.observed)
+        for r in interpolate_linear(df, "user_id", "ts", "value").collect()
+    }
+    assert set(ff) == set(li)
+    for k, (v, obs) in ff.items():
+        assert li[k][1] == obs
+        if obs:
+            assert li[k][0] == pytest.approx(v)
+
+
 def test_grid_explosion_guard(spark):
     rows = [
         (1, datetime(2020, 1, 1), 1.0),
