@@ -258,6 +258,89 @@ def ewma(
     )
 
 
+def sequence_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    code_map: dict[str, str],
+    pattern: str,
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-key detection of an ordered event pattern
+    over the time-sorted event string. Each event maps to a single
+    character (``code_map``; unmapped types become ``.``), the key's
+    events concatenate in (ts, tiebreak) order, and two detections run as
+    row-local string ops on that sequence:
+
+    - ``n_contig``: non-overlapping occurrences of the CONTIGUOUS pattern
+      (length arithmetic over ``replace`` — the classic counting trick);
+    - ``has_subseq``: whether the pattern occurs as a SUBSEQUENCE (gaps
+      allowed — the funnel semantics), via a ``%``-interleaved LIKE.
+
+    Returns (key, n_events, n_contig, has_subseq). Plan: ONE shuffle
+    gathers each key's sorted codes (bytes per event: the code, the order
+    key — not the full row); everything downstream is row-local. This is
+    the bounded-group shape (`agg_listagg`'s contract): ``max_group_size``
+    fails loudly in-plan. Engines with a real MATCH_RECOGNIZE (Flink,
+    Snowflake) compile to an NFA over the same per-key ordered stream;
+    for fixed finite patterns the string form is equivalent and runs as
+    whole-stage-codegen'd expressions instead of an interpreter.
+    """
+    code = None
+    for k, v in code_map.items():
+        if len(v) != 1:
+            raise ValueError(f"code for {k!r} must be one char, got {v!r}")
+        branch = F.when(F.col("_et") == k, F.lit(v))
+        code = branch if code is None else code.when(F.col("_et") == k, F.lit(v))
+    code = (code.otherwise(F.lit(".")) if code is not None else F.lit(".")).alias(
+        "_code"
+    )
+    per_key = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(type_col).alias("_et"),
+        )
+        .select("key", "_ts", "_tb", code)
+        .groupBy("key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_ts", "_tb", "_code"))),
+                    lambda x: x["_code"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    guard = F.assert_true(
+        F.length("seq") <= max_group_size,
+        F.concat(
+            F.lit("sequence for key "),
+            F.col("key").cast("string"),
+            F.lit(" has "),
+            F.length("seq").cast("string"),
+            F.lit(f" events (> {max_group_size})"),
+        ),
+    )
+    per_key = per_key.where(guard.isNull())
+    subseq_like = "%" + "%".join(pattern) + "%"
+    return per_key.select(
+        "key",
+        F.length("seq").cast("long").alias("n_events"),
+        (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pattern))))
+            / F.lit(len(pattern))
+        )
+        .cast("long")
+        .alias("n_contig"),
+        F.col("seq").like(subseq_like).alias("has_subseq"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

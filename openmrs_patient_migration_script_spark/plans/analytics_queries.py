@@ -474,6 +474,52 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pattern_match",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  WHEN 'error' THEN 'e' ELSE '.' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id AS key,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT key,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT)
+             AS n_contig,
+           seq LIKE '%v%c%p%' AS has_subseq
+    FROM seqs
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/timeseries.py::sequence_pattern):
+    per-user counts of the CONTIGUOUS view→click→purchase run plus the
+    gap-tolerant subsequence flag, detected as string ops over the
+    (ts, event_id)-ordered event-code sequence. One shuffle carrying one
+    char + order key per event; detection is whole-stage-codegen'd
+    row-local string arithmetic, no NFA interpreter."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        sequence_pattern,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return sequence_pattern(
+        e,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"},
+        "vcp",
+    )
+
+
+@query(
     "events_top_paths",
     oracle="""
     WITH r AS (

@@ -92,6 +92,36 @@ def test_grid_explosion_guard(spark):
         ).collect()
 
 
+def test_sequence_pattern_contig_vs_subsequence(spark):
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        sequence_pattern,
+    )
+
+    rows = [
+        # user 1: v c p v c p contiguous twice
+        *[(1, datetime(2024, 1, 1, h), h, t) for h, t in
+          enumerate(["view", "click", "purchase", "view", "click", "purchase"])],
+        # user 2: v x c x p — subsequence only (gaps break contiguity)
+        *[(2, datetime(2024, 1, 1, h), h, t) for h, t in
+          enumerate(["view", "error", "click", "error", "purchase"])],
+        # user 3: p c v — wrong order, no match at all
+        *[(3, datetime(2024, 1, 1, h), h, t) for h, t in
+          enumerate(["purchase", "click", "view"])],
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {
+        r.key: (r.n_events, r.n_contig, r.has_subseq)
+        for r in sequence_pattern(
+            df, "user_id", "ts", "event_id", "event_type",
+            {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+            "vcp",
+        ).collect()
+    }
+    assert out[1] == (6, 2, True)
+    assert out[2] == (5, 0, True)
+    assert out[3] == (3, 0, False)
+
+
 def test_sessionize_labels_planted_islands(spark):
     from datetime import datetime
 
