@@ -113,3 +113,57 @@ def group_ols(
         F.round((nd * sxyd - sxd * syd) / denom, 6).alias("slope"),
         F.round((syd * sxxd - sxd * sxyd) / denom, 6).alias("intercept"),
     )
+
+
+def group_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Pearson correlation as ONE partial-combinable hash
+    aggregation over exact sufficient statistics — `group_ols`'s recipe
+    extended to the symmetric moment set.
+
+    ``x`` and ``y`` must be integer-valued LONG columns (scale fixed-point
+    business values first: ``round(price*100)``); per-row products stay in
+    int64 (exact while |x|,|y| < ~3e9) and the six carried statistics —
+    n, Σx, Σy, Σx², Σy², Σxy — sum as DECIMAL(38,0), exact to 10^38, so
+    no reassociative float sum exists anywhere in the plan. The closed
+    form
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    evaluates row-locally on doubles cast from the exact sums; IEEE
+    multiply/divide/sqrt are correctly rounded, so the 6dp result is
+    bit-identical across engines and partition orders.
+
+    Groups with n < 2 or zero variance on either side are dropped
+    (correlation undefined). One group-keyed shuffle carrying six numbers
+    per group; skew is ordinary agg skew (AQE).
+    """
+    sums = (
+        df.select(*group_cols, x.alias("_x"), y.alias("_y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("_y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,0)")).alias("syy"),
+            F.sum((F.col("_x") * F.col("_y")).cast("decimal(38,0)")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    return sums.filter(
+        (F.col("n") >= 2) & (var_x > 0.0) & (var_y > 0.0)
+    ).select(
+        *group_cols,
+        "n",
+        F.round((nd * sxyd - sxd * syd) / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )

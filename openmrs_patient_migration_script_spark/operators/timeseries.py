@@ -258,6 +258,96 @@ def ewma(
     )
 
 
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 1_000_000,
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection per key (Page 1954) — the
+    drift monitor for ingestion pipelines: a persistent shift of the
+    value's mean accumulates past ``threshold`` even when every single
+    reading stays inside normal bounds (the case plain outlier audits
+    like `dq_anomaly` are blind to). The recurrence
+
+        S⁺_i = max(0, S⁺_{i-1} + (v_i − (target+slack)))
+        S⁻_i = max(0, S⁻_{i-1} + ((target−slack) − v_i))
+
+    is prefix-dependent with a clamp, so no SQL window frame expresses
+    it — same class as `ewma`, and the same plan: ONE shuffle gathers
+    each key's sorted (order, value) array, a single `F.aggregate` fold
+    walks it, posexplode restores rows. Bounded-group contract enforced
+    in-plan (`max_group_size` assert).
+
+    Unlike ewma's float fold, EVERYTHING here is int64: values scale to
+    ``scale`` fixed-point on ingest and the recurrence is add/subtract/
+    max — exact, so the oracle replay (recursive CTE) matches to the
+    bit with no IEEE-ordering argument needed. Returns (key,
+    order_cols..., cusum_hi, cusum_lo, alarm) with the cusums descaled
+    once (a single int64→double division, deterministic).
+    """
+    t_hi = round((target + slack) * scale)
+    t_lo = round((target - slack) * scale)
+    h = round(threshold * scale)
+    zero = F.lit(0).cast("long")
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.round(F.col(value_col) * scale).cast("long").alias("_vs"),
+            )
+        )
+    )
+    per_key = df.groupBy(F.col(key_col)).agg(seq.alias("seq"))
+    guard = F.assert_true(
+        F.size("seq") <= max_group_size,
+        F.concat(
+            F.lit("cusum group for key "),
+            F.col(key_col).cast("string"),
+            F.lit(" has "),
+            F.size("seq").cast("string"),
+            F.lit(f" rows (> {max_group_size})"),
+        ),
+    )
+    per_key = per_key.where(guard.isNull())
+
+    def step(acc, x):
+        sh = F.greatest(zero, acc["sh"] + (x["_vs"] - F.lit(t_hi)))
+        sl = F.greatest(zero, acc["sl"] + (F.lit(t_lo) - x["_vs"]))
+        return F.struct(
+            F.concat(acc["arr"], F.array(F.struct(sh.alias("sh"), sl.alias("sl")))).alias("arr"),
+            sh.alias("sh"),
+            sl.alias("sl"),
+        )
+
+    folded = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.array().cast("array<struct<sh:bigint,sl:bigint>>").alias("arr"),
+            zero.alias("sh"),
+            zero.alias("sl"),
+        ),
+        step,
+        lambda acc: acc["arr"],
+    )
+    out = per_key.select(
+        key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
+    )
+    scale_d = F.lit(float(scale))
+    return out.select(
+        key_col,
+        *[F.col(f"z.seq.{c}").alias(c) for c in order_cols],
+        (F.col("z.1.sh").cast("double") / scale_d).alias("cusum_hi"),
+        (F.col("z.1.sl").cast("double") / scale_d).alias("cusum_lo"),
+        ((F.col("z.1.sh") > h) | (F.col("z.1.sl") > h)).alias("alarm"),
+    )
+
+
 def sequence_pattern(
     df: DataFrame,
     key_col: str,

@@ -602,6 +602,52 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_cusum",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn,
+             greatest(0, v - 60000000) AS sh,
+             greatest(0, 40000000 - v) AS sl
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             greatest(0, r.sh + o.v - 60000000),
+             greatest(0, r.sl + 40000000 - o.v)
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           sh::DOUBLE / 1000000.0 AS cusum_hi,
+           sl::DOUBLE / 1000000.0 AS cusum_lo,
+           sh > 200000000 OR sl > 200000000 AS alarm
+    FROM rec
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15d: two-sided CUSUM drift detection per user (target 50, slack
+    10, alarm threshold 200 cumulative units) via
+    operators/timeseries.py::cusum — flags sustained mean shifts no
+    per-row outlier audit can see. One key-shuffle + an all-int64
+    sequential fold; the oracle replays the identical recurrence as a
+    recursive CTE, and because the state arithmetic is pure integer
+    (scaled 1e6), the comparison is exact by construction."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import cusum
+
+    e = load_table(spark, sf_dir, "events")
+    out = cusum(
+        e, "user_id", ["ts", "event_id"], "value",
+        target=50.0, slack=10.0, threshold=200.0,
+    )
+    return out.select("user_id", "event_id", "cusum_hi", "cusum_lo", "alarm")
+
+
+@query(
     "affinity_basket_pairs",
     oracle="""
     WITH items AS (
@@ -764,6 +810,56 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
         ).cast("long"),
         F.col("o_totalprice").cast("decimal(18,2)"),
+    )
+
+
+@query(
+    "agg_correlation",
+    oracle="""
+    WITH pts AS (
+      SELECT l_suppkey,
+             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_suppkey, count(*)::BIGINT AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM pts GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS corr
+    FROM s
+    WHERE n >= 2
+      AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Pearson correlation of quantity vs extended price —
+    the `corr()` surface rebuilt on exact decimal sufficient statistics
+    (operators/aggregates.py::group_corr) so the result is bit-stable
+    across partition orders (Spark's built-in corr is a float covariance
+    chain, reassociative and oracle-unfriendly). One hash agg carrying
+    six exact numbers per group; IEEE sqrt/divide of exact casts makes
+    the 6dp round deterministic."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_corr,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_corr(
+        li,
+        ["l_suppkey"],
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
     )
 
 

@@ -364,6 +364,42 @@ def test_group_ols_is_partition_order_invariant(spark, sf_dir):
     )
 
 
+def test_group_corr_recovers_planted_correlations(spark):
+    from openmrs_patient_migration_script_spark.operators.aggregates import group_corr
+
+    rows = (
+        # "pos": y = 3x exactly -> corr 1.0; "neg": y = -2x -> corr -1.0
+        [("pos", x, 3 * x) for x in range(6)]
+        + [("neg", x, -2 * x) for x in range(6)]
+        # "flat": zero y-variance -> dropped
+        + [("flat", x, 5) for x in range(4)]
+        # "one": single point -> dropped
+        + [("one", 1, 1)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r.g: r.corr
+        for r in group_corr(
+            df, ["g"], F.col("x").cast("long"), F.col("y").cast("long")
+        ).collect()
+    }
+    assert out == {"pos": 1.0, "neg": -1.0}
+
+
+def test_group_corr_is_partition_order_invariant(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.operators.aggregates import group_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    args = (
+        ["l_suppkey"],
+        F.round(F.col("l_quantity") * 100).cast("long"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+    base = sorted(map(tuple, group_corr(li, *args).collect()))
+    shuffled = sorted(map(tuple, group_corr(li.repartition(17), *args).collect()))
+    assert base == shuffled and base
+
+
 def test_pmi_ranks_planted_collocation_highest(spark):
     from openmrs_patient_migration_script_spark.operators.text import pmi_collocations
 

@@ -43,6 +43,9 @@ STRICT_FLOAT_QUERIES = {
     # scaled-long sums divided once as exact int64→double quotients —
     # bit-stable by the same construction
     "ts_interpolate",
+    # all-integer recurrence / exact decimal sufficient statistics
+    "ts_cusum",
+    "agg_correlation",
 }
 
 

@@ -92,6 +92,29 @@ def test_grid_explosion_guard(spark):
         ).collect()
 
 
+def test_cusum_alarms_on_sustained_shift_not_spikes(spark):
+    from openmrs_patient_migration_script_spark.operators.timeseries import cusum
+
+    rows = []
+    # user 1: in-band noise around 50 with one big spike — no alarm
+    for i, v in enumerate([50.0, 55.0, 45.0, 90.0, 50.0, 48.0]):
+        rows.append((1, datetime(2024, 1, 1, i), i, v))
+    # user 2: sustained shift to 75 — accumulates 15/step past h=60 by step 4
+    for i, v in enumerate([75.0] * 6):
+        rows.append((2, datetime(2024, 1, 1, i), i, v))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = cusum(df, "user_id", ["ts", "event_id"], "value",
+                target=50.0, slack=10.0, threshold=60.0)
+    by = {(r.user_id, r.event_id): (r.cusum_hi, r.alarm) for r in out.collect()}
+    assert not any(a for (u, _), (_, a) in by.items() if u == 1)
+    # user 2: S+ grows 15, 30, 45, 60, 75 — alarm strictly past threshold
+    assert by[(2, 3)] == (60.0, False)
+    assert by[(2, 4)] == (75.0, True)
+    assert by[(2, 5)] == (90.0, True)
+    # clamp at zero: user 1's spike decays back to 0, never negative
+    assert all(h >= 0.0 for (h, _) in by.values())
+
+
 def test_sequence_pattern_contig_vs_subsequence(spark):
     from openmrs_patient_migration_script_spark.operators.timeseries import (
         sequence_pattern,
