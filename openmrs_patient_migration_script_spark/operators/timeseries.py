@@ -258,6 +258,56 @@ def ewma(
     )
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation's value is
+    weighted by how long it HELD — the duration until the next
+    observation — so irregular sampling can't bias the mean the way a
+    plain `avg()` does (a sensor that reports 100x more often while idle
+    drags the naive mean toward idle). Equivalent to integrating the
+    forward-fill step curve and dividing by the observed span; computed
+    directly from gaps so the dense grid never materializes.
+
+    Exactness: values scale to int64 fixed-point, durations are integer
+    epoch-millis, and the two carried sums — Σ(vᵢ·durᵢ) as DECIMAL(38,0)
+    and Σdurᵢ as int64 — are exact, so the single closing division is
+    partition-order free (the `agg_regression` sufficient-statistics
+    recipe applied to the time domain).
+
+    Plan: ONE Exchange on the key feeds the lead() window, and the
+    groupBy on the SAME key reuses that partitioning — Catalyst plans no
+    second shuffle (pinned in test_plan_quality for the sessionize
+    sibling). Keys need >= 2 observations (a single point holds for zero
+    measured time); they are dropped, mirroring `group_ols`'s n>=2.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    ms = F.unix_millis(F.col(ts_col))
+    dur = (F.lead(ms).over(w) - ms).alias("_dur")
+    vs = F.round(F.col(value_col) * scale).cast("long").alias("_vs")
+    seg = df.select(F.col(key_col), vs, dur).filter(F.col("_dur").isNotNull())
+    agg = seg.groupBy(key_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum((F.col("_vs") * F.col("_dur")).cast("decimal(38,0)")).alias("num"),
+        F.sum("_dur").alias("den"),
+    )
+    return agg.filter(F.col("den") > 0).select(
+        key_col,
+        "n_segments",
+        (
+            F.col("num").cast("double")
+            / (F.col("den").cast("double") * F.lit(float(scale)))
+        ).alias("twap"),
+    )
+
+
 def cusum(
     df: DataFrame,
     key_col: str,

@@ -602,6 +602,43 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vs,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_ms(ts) AS dur
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_segments,
+             sum(CAST(vs * dur AS DECIMAL(38,0))) AS num,
+             sum(dur)::BIGINT AS den
+      FROM seg WHERE dur IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_segments,
+           num::DOUBLE / (den::DOUBLE * 1000000.0) AS twap
+    FROM agg WHERE den > 0
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15e: per-user time-weighted average of the event value
+    (operators/timeseries.py::time_weighted_avg) — the
+    sampling-rate-robust mean: each value weighted by how long it held.
+    Exact decimal/int64 sums with one closing division, so the raw
+    double needs no round(); one Exchange total (the lead window and the
+    agg share the user_id partitioning)."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(e, "user_id", "ts", "event_id", "value")
+
+
+@query(
     "ts_cusum",
     oracle="""
     WITH RECURSIVE ordered AS (

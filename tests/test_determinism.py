@@ -46,6 +46,7 @@ STRICT_FLOAT_QUERIES = {
     # all-integer recurrence / exact decimal sufficient statistics
     "ts_cusum",
     "agg_correlation",
+    "ts_twap",
 }
 
 

@@ -622,6 +622,15 @@ def test_sessionize_one_exchange_chained_windows(spark):
     assert not any("Join" in n for n in ns), ns
 
 
+def test_twap_window_and_agg_share_one_exchange(spark):
+    """ts_twap: the lead() window and the per-key sum must reuse one
+    (user_id) hash partitioning — a second Exchange means the agg
+    stopped exploiting the window's clustering."""
+    ns = nodes(plan_of(spark, "ts_twap"))
+    assert ns.count("Exchange") == 1, ns
+    assert not any("Join" in n for n in ns), ns
+
+
 def test_pmi_broadcasts_counts_no_sortmerge(spark):
     """text_pmi: the bigram table must NEVER reshuffle — unigram counts
     and the scalar totals come back as broadcasts; the only non-scalar

@@ -92,6 +92,26 @@ def test_grid_explosion_guard(spark):
         ).collect()
 
 
+def test_twap_weights_by_holding_time(spark):
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # user 1: 10.0 held 3 hours, then 40.0 held 1 hour, end marker
+        (1, datetime(2024, 1, 1, 0), 0, 10.0),
+        (1, datetime(2024, 1, 1, 3), 1, 40.0),
+        (1, datetime(2024, 1, 1, 4), 2, 99.0),  # last obs: holds 0 time
+        # user 2: single observation — dropped (no measured span)
+        (2, datetime(2024, 1, 1, 0), 3, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r.user_id: (r.n_segments, r.twap)
+           for r in time_weighted_avg(df, "user_id", "ts", "event_id", "value").collect()}
+    # (10*3 + 40*1) / 4 = 17.5 — the naive avg would say 49.67
+    assert out == {1: (2, 17.5)}
+
+
 def test_cusum_alarms_on_sustained_shift_not_spikes(spark):
     from openmrs_patient_migration_script_spark.operators.timeseries import cusum
 
