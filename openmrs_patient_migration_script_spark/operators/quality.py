@@ -343,3 +343,59 @@ def table_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keep_cols: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust outlier capping: clamp ``value_col`` to its exact
+    [lower_q, upper_q] DISCRETE percentiles — the standard pre-training /
+    pre-modeling cleaning step that keeps heavy-tail rows (unlike
+    dropping them) while bounding their leverage.
+
+    Discrete (`percentile_disc`) cuts on fixed-point scaled longs are
+    chosen deliberately over interpolated (`percentile_cont`) ones: a
+    disc cut is an ACTUAL data value, so the clamp is pure int64
+    comparison/selection with no engine-specific interpolation-formula
+    ulps — the whole operator is exact by construction (the cut itself,
+    and therefore the hash check, involves no float arithmetic until the
+    final descale division).
+
+    Plan shape: one exact-percentile aggregate reduces to a ONE-ROW cuts
+    frame that broadcasts back over the scan (`events_rfm`'s
+    cut-points-broadcast pattern — never a global sort/ntile window);
+    clamping is row-local. Two passes over the column, zero wide
+    shuffles at any scale.
+
+    Returns keep_cols + ``<value>_winsorized`` (descaled double) +
+    ``clipped`` (-1 low, 0 untouched, +1 high).
+    """
+    vs = F.round(F.col(value_col) * scale).cast("long")
+    scaled = df.select(*keep_cols, vs.alias("_vs"))
+    cuts = scaled.agg(
+        F.expr(f"percentile_disc({lower_q}) WITHIN GROUP (ORDER BY _vs)")
+        .cast("long")
+        .alias("_lo"),
+        F.expr(f"percentile_disc({upper_q}) WITHIN GROUP (ORDER BY _vs)")
+        .cast("long")
+        .alias("_hi"),
+    )
+    clamped = F.least(F.greatest(F.col("_vs"), F.col("_lo")), F.col("_hi"))
+    return (
+        scaled.crossJoin(F.broadcast(cuts))
+        .select(
+            *keep_cols,
+            (clamped.cast("double") / F.lit(float(scale))).alias(
+                f"{value_col}_winsorized"
+            ),
+            F.when(F.col("_vs") < F.col("_lo"), F.lit(-1))
+            .when(F.col("_vs") > F.col("_hi"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("clipped"),
+        )
+    )

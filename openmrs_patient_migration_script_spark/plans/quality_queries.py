@@ -441,3 +441,37 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = base.select("o_orderkey", "o_orderstatus", "price", "o_orderdate")
     return table_diff(src, tgt, "o_orderkey", ["o_orderstatus", "price", "o_orderdate"])
+
+
+@query(
+    "etl_winsorize",
+    oracle="""
+    WITH scaled AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS vs
+      FROM lineitem
+    ),
+    cuts AS (
+      SELECT quantile_disc(vs, 0.01) AS lo, quantile_disc(vs, 0.99) AS hi
+      FROM scaled
+    )
+    SELECT l_orderkey, l_linenumber,
+           least(greatest(vs, lo), hi)::DOUBLE / 100.0
+             AS l_extendedprice_winsorized,
+           CASE WHEN vs < lo THEN -1 WHEN vs > hi THEN 1 ELSE 0 END AS clipped
+    FROM scaled CROSS JOIN cuts
+    """,
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier capping of line-item prices at the exact 1st/99th
+    DISCRETE percentiles (operators/quality.py::winsorize) — heavy-tail
+    rows keep their rank but lose their leverage, the standard numeric
+    cleaning step before training. Disc cuts are actual data values, so
+    the clamp is pure int64 math (no interpolation ulps); the one-row
+    cuts frame broadcasts back over the scan — no global sort anywhere."""
+    from openmrs_patient_migration_script_spark.operators.quality import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return winsorize(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], 0.01, 0.99
+    )

@@ -221,3 +221,23 @@ def test_distribution_psi_emits_full_bin_domain(spark):
         assert by_bin[b].c_ref == 0 and by_bin[b].c_cur == 0
         assert abs(by_bin[b].psi_term - want) < 1e-9
         assert by_bin[b].psi_term != 0.0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.quality import winsorize
+
+    # 1..100 plus two extreme outliers; p01/p99 disc cuts land on data values
+    rows = [(i, float(i)) for i in range(1, 101)] + [(101, -500.0), (102, 9999.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r.id: (r.v_winsorized, r.clipped)
+           for r in winsorize(df, "v", ["id"], 0.05, 0.95).collect()}
+    assert out[101][1] == -1 and out[102][1] == 1  # outliers clamped
+    assert out[50] == (50.0, 0)  # interior untouched
+    lo = min(v for v, _ in out.values())
+    hi = max(v for v, _ in out.values())
+    assert out[101][0] == lo and out[102][0] == hi
+    # clamp targets are actual data values (disc, not interpolated)
+    vals = {float(i) for i in range(1, 101)}
+    assert lo in vals and hi in vals
