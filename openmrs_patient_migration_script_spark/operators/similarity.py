@@ -990,3 +990,176 @@ def label_centroids(
         (half_up / F.lit(1e6)).alias("centroid"),
         F.col("_n").alias("n_vectors"),
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    rerank_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN scale path #3: product quantization (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    the MEMORY-side complement of the candidate-pruning paths (LSH cuts
+    comparisons, IVF cuts rows scanned, PQ cuts bytes per row): each
+    vector compresses to ``n_subspaces`` small codes, and queries score
+    the whole corpus by table lookup instead of d-dim arithmetic.
+
+    1. Codebooks: the vector splits into ``n_subspaces`` contiguous
+       subvectors; subspace s's ``n_codes`` codewords are the
+       corresponding subvectors of the md5-bucket-ordered seed rows
+       (content-addressed like IVF's coarse quantizer, so every run,
+       cluster and the SQL oracle derive identical codebooks).
+    2. Encode: each corpus vector stores, per subspace, the codeword
+       maximizing the SUBSPACE cosine (scale-invariant, so the oracle
+       needs no normalization replay; ties break to the lowest code
+       index on 6dp-rounded scores — argmax over ints, not raw floats).
+    3. ADC scan: a query's similarity table (n_subspaces x n_codes
+       rounded-int subspace cosines) is tiny and driver-broadcast;
+       every corpus row scores as the INTEGER sum of m=n_subspaces
+       lookups — exact, reassociation-free, and O(m) instead of O(d).
+    4. The top ``rerank_n`` ADC candidates per query re-rank by exact
+       cosine (the shared rounded-cosine convention), then the usual
+       (cos desc, id asc) top-k window.
+
+    At 100 TB the point is step 3's byte budget: 64-dim float32 vectors
+    read 256 B/row; 4 uint8 codes read 4 B/row — a 64x scan-size cut
+    for the full-corpus phase, with exact scoring confined to
+    queries x rerank_n rows. Encode+ADC run in ONE narrow mapInPandas
+    pass (codebooks and query tables ship in the closure); the only
+    shuffles are the two per-query top-N windows over candidate-sized
+    frames.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.sampling import hash_bucket
+
+    seeds = (
+        corpus.select(
+            id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+        )
+        .orderBy("_b", id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_topk: empty corpus — cannot seed codebooks")
+    seed_mat = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    dim = seed_mat.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} must divide into {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    # cb[s]: (n_codes, sub) codewords, subspace-normalized for cosine
+    cb = []
+    for s in range(n_subspaces):
+        block = seed_mat[:, s * sub : (s + 1) * sub]
+        cb.append(block / np.linalg.norm(block, axis=1, keepdims=True))
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [int(r[query_id_col]) for r in q_rows]
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_full = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_pos = {qid: i for i, qid in enumerate(q_ids)}
+    # q_tab[s]: (n_queries, n_codes) 6dp-scaled-int subspace cosines
+    q_tab = []
+    for s in range(n_subspaces):
+        qs = q_mat[:, s * sub : (s + 1) * sub]
+        qs = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+        q_tab.append(
+            np.round(np.round(qs @ cb[s].T, 6) * 1_000_000).astype(np.int64)
+        )
+
+    adc_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc", LongType()),
+        ]
+    )
+    qid_arr = np.array(q_ids, dtype=np.int64)
+
+    def encode_and_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(m)
+            adc = np.zeros((len(qid_arr), n), dtype=np.int64)
+            for s in range(n_subspaces):
+                xs = m[:, s * sub : (s + 1) * sub]
+                xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+                # 6dp-int argmax: ties to the LOWEST code index (np.argmax
+                # returns the first maximum), matching the oracle's
+                # (score DESC, code ASC) window
+                scores = np.round(np.round(xs @ cb[s].T, 6) * 1_000_000).astype(
+                    np.int64
+                )
+                codes = np.argmax(scores, axis=1)
+                adc += q_tab[s][:, codes]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qid_arr, n),
+                    id_col: np.tile(ids, len(qid_arr)),
+                    "adc": adc.reshape(-1),
+                }
+            )
+
+    scanned = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode_and_scan, adc_schema)
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.col(id_col))
+    cand = (
+        scanned.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank_n)
+        .select(query_id_col, id_col)
+    )
+    # exact re-rank: candidate list is queries x rerank_n — broadcast it
+    # back onto the corpus scan so full vectors never shuffle
+    cand_vecs = corpus.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+
+    score_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            qi = np.array([q_pos[int(q)] for q in pdf[query_id_col]])
+            sims = np.round(np.einsum("ij,ij->i", mn, q_full[qi]), 6)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "cos_sim": sims,
+                }
+            )
+
+    scored = cand_vecs.mapInPandas(rerank, score_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

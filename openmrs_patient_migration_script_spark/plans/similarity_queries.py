@@ -492,3 +492,94 @@ def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = kmeans_assign(e, _CENTROIDS)
     return out.select("vec_id", "cell", F.round("cos", 6).alias("cos"))
+
+
+_PQ_SUBS, _PQ_CODES, _PQ_RERANK = 4, 16, 50
+_PQ_SUB_DIM = 16  # 64-dim fixture vectors / 4 subspaces
+
+
+@query(
+    "sim_ann_pq",
+    oracle=f"""
+    WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT v, rn - 1 AS j FROM (
+        SELECT v, row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000, vec_id
+               ) AS rn
+        FROM vec
+      ) WHERE rn <= {_PQ_CODES}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBS - 1})) AS s),
+    enc AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT c.vec_id, sub.s, sd.j,
+               row_number() OVER (
+                 PARTITION BY c.vec_id, sub.s
+                 ORDER BY CAST(round(round(list_cosine_similarity(
+                            c.v[sub.s * {_PQ_SUB_DIM} + 1 : (sub.s + 1) * {_PQ_SUB_DIM}],
+                            sd.v[sub.s * {_PQ_SUB_DIM} + 1 : (sub.s + 1) * {_PQ_SUB_DIM}]
+                          ), 6) * 1000000) AS BIGINT) DESC, sd.j
+               ) AS rn
+        FROM vec c CROSS JOIN subs sub CROSS JOIN seeds sd
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT q.vec_id AS query_id, sub.s, sd.j,
+             CAST(round(round(list_cosine_similarity(
+               q.v[sub.s * {_PQ_SUB_DIM} + 1 : (sub.s + 1) * {_PQ_SUB_DIM}],
+               sd.v[sub.s * {_PQ_SUB_DIM} + 1 : (sub.s + 1) * {_PQ_SUB_DIM}]
+             ), 6) * 1000000) AS BIGINT) AS c_int
+      FROM vec q CROSS JOIN subs sub CROSS JOIN seeds sd
+      WHERE {_QUERY_PRED.replace("vec_id", "q.vec_id")}
+    ),
+    adc AS (
+      SELECT t.query_id, e.vec_id, sum(t.c_int) AS adc
+      FROM enc e JOIN qtab t ON t.s = e.s AND t.j = e.code
+      WHERE e.vec_id <> t.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_PQ_RERANK}
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec qv ON qv.vec_id = c.query_id
+      JOIN vec cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #3: product quantization
+    (operators/similarity.py::pq_topk) — vectors compress to 4 subspace
+    codes against md5-seeded codebooks; queries score the WHOLE corpus
+    by integer table lookup (ADC) and only the top-50 candidates pay an
+    exact cosine re-rank. The memory-side ANN: at 100 TB the full-corpus
+    phase reads 4 code bytes per row instead of 256 vector bytes.
+    Codebooks, codes, ADC tables and both top-N windows are all
+    content-addressed / integer-ordered, so the oracle replays every
+    stage exactly; recall vs the exact baseline is pinned in
+    tests/test_similarity.py."""
+    from openmrs_patient_migration_script_spark.operators.similarity import pq_topk
+
+    emb, queries = _split(spark, sf_dir)
+    return pq_topk(
+        emb,
+        queries,
+        k=_K,
+        n_subspaces=_PQ_SUBS,
+        n_codes=_PQ_CODES,
+        rerank_n=_PQ_RERANK,
+    )

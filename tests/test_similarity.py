@@ -80,6 +80,44 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     assert recall >= 0.55, f"IVF recall {recall} below floor"
 
 
+def test_pq_recall_and_determinism(spark, sf_dir):
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    a = {(r.query_id, r.vec_id) for r in QUERIES["sim_ann_pq"](spark, sf_dir).collect()}
+    b = {(r.query_id, r.vec_id) for r in QUERIES["sim_ann_pq"](spark, sf_dir).collect()}
+    assert a == b, "content-addressed PQ must be deterministic across runs"
+    recall = len(exact & a) / len(exact)
+    # 4x16-dim subspace codes over uniform-random vectors (the PQ worst
+    # case: no cluster structure for codewords to exploit) with a 10%
+    # exact re-rank — the floor is deliberately conservative.
+    assert recall >= 0.4, f"PQ recall {recall} below floor"
+
+
+def test_pq_rerank_scores_are_exact(spark, sf_dir):
+    """ADC only SELECTS candidates; every emitted cos_sim must equal the
+    exact-path score for that (query, vec) pair — the approximation may
+    cost recall, never score fidelity."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    from openmrs_patient_migration_script_spark.plans.similarity_queries import (
+        _split as split_q,
+    )
+
+    emb, queries = split_q(spark, sf_dir)
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in QUERIES["sim_ann_pq"](spark, sf_dir).collect():
+        assert exact[(r.query_id, r.vec_id)] == r.cos_sim
+
+
 def test_embed_normalize_guards_zero_norm_and_null_elements(spark):
     """The zero-norm filter and NULL-element skip are dead branches on the
     fixture — pin them on literals: a zero vector drops entirely, a
