@@ -343,3 +343,110 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_bin")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    right_id: str,
+    payload_prefix: str = "",
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')`` parity): for every left row, the right row of the same
+    key CLOSEST in time — before or after — with equal gaps preferring
+    the backward match. Appends ``matched_dir`` ('backward'/'forward',
+    NULL on no match).
+
+    NOT two as-of joins glued together: both direction carries run over
+    ONE key-partitioned (ts, side, id) sort — the backward match is
+    `last(payload, ignorenulls)` over the UNBOUNDED PRECEDING frame and
+    the forward match is `first(payload, ignorenulls)` over the UNBOUNDED
+    FOLLOWING frame of the SAME window ordering, so the plan is one
+    Exchange + one Sort + two Window nodes however many payload columns
+    ride along (Spark coalesces same-frame window functions). The
+    row-local gap compare then picks a side in integer epoch-millis.
+
+    Tie semantics fall out of the single ascending sort: right rows sort
+    before left at equal ts, so an equal-ts match is a backward match
+    with gap 0 (which always wins); within one timestamp the backward
+    carry keeps the LARGEST right id (`last` in frame) and the forward
+    carry the SMALLEST (`first`) — the same per-direction conventions as
+    `asof_join`. NULL right timestamps are filtered (they can match
+    nothing); a NULL left timestamp emits no match row-locally.
+    """
+    if right_id not in right_payload:
+        raise ValueError("right_id must be one of right_payload")
+    carried = [payload_prefix + c for c in right_payload]
+    clobbered = set(carried) & set(left.columns)
+    if clobbered:
+        raise ValueError(
+            f"carried payload columns {sorted(clobbered)} collide with left "
+            "columns — set payload_prefix"
+        )
+    r_dtypes = dict(right.dtypes)
+    carried = carried + ["_match_ts"]
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    for c in right_payload:
+        l_tag = l_tag.withColumn(payload_prefix + c, F.lit(None).cast(r_dtypes[c]))
+    l_tag = l_tag.withColumn(
+        "_match_ts", F.lit(None).cast(r_dtypes[right_ts])
+    ).withColumn("_ts", F.col(left_ts))
+
+    r_tag = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *on,
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(payload_prefix + c) for c in right_payload],
+            F.col(right_ts).alias("_match_ts"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in left.columns:
+        if c not in on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    cols = on + ["_ts", "_side"] + [c for c in left.columns if c not in on] + carried
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
+
+    w = Window.partitionBy(*on).orderBy(
+        F.col("_ts"), F.col("_side"), F.col(payload_prefix + right_id)
+    )
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    both = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(back).alias(f"_b_{c}") for c in carried],
+        *[F.first(c, ignorenulls=True).over(fwd).alias(f"_f_{c}") for c in carried],
+    ).filter(F.col("_side") == 1)
+
+    lms = F.unix_millis(F.col("_ts"))
+    b_gap = lms - F.unix_millis(F.col("_b__match_ts"))
+    f_gap = F.unix_millis(F.col("_f__match_ts")) - lms
+    use_back = F.col("_b__match_ts").isNotNull() & (
+        F.col("_f__match_ts").isNull() | (b_gap <= f_gap)
+    )
+    has_match = F.col("_ts").isNotNull() & (
+        F.col("_b__match_ts").isNotNull() | F.col("_f__match_ts").isNotNull()
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    for c in [payload_prefix + p for p in right_payload]:
+        out_cols.append(
+            F.when(
+                has_match,
+                F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")),
+            ).alias(c)
+        )
+    out_cols.append(
+        F.when(
+            has_match,
+            F.when(use_back, F.lit("backward")).otherwise(F.lit("forward")),
+        ).alias("matched_dir")
+    )
+    return both.select(*out_cols)

@@ -2039,3 +2039,67 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("v"), F.struct("n", "v")).alias("mode_nation"),
         F.max("n").alias("mode_count"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts, view_value,
+           matched_dir
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+             v.value AS view_value,
+             CASE WHEN v.event_id IS NULL THEN NULL
+                  WHEN v.ts <= p.ts THEN 'backward' ELSE 'forward' END
+               AS matched_dir,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_ms(v.ts) - epoch_ms(p.ts)) ASC,
+                        (v.ts > p.ts)::INT ASC,
+                        CASE WHEN v.ts <= p.ts THEN -v.event_id
+                             ELSE v.event_id END ASC
+             ) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8c: nearest-direction as-of join — each purchase attributed to the
+    time-CLOSEST view of the same user, before or after, equal gaps
+    preferring backward (operators/joins.py::asof_join_nearest). Both
+    direction carries share ONE key-shuffle + sort (preceding-frame last
+    + following-frame first over the same ordering); the oracle is the
+    pair-join + abs-gap rank form that would materialize every
+    (purchase, view) pair at scale."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join_nearest(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_payload=["view_id", "view_ts", "view_value"],
+        right_id="view_id",
+    )

@@ -631,6 +631,17 @@ def test_twap_window_and_agg_share_one_exchange(spark):
     assert not any("Join" in n for n in ns), ns
 
 
+def test_asof_nearest_one_exchange_one_window(spark):
+    """join_asof_nearest: both direction carries must share a single
+    (user_id) Exchange + Sort — Spark coalesces the preceding-frame
+    last() and following-frame first() into one Window node. A Join node
+    would mean the plan regressed to the pair-materializing oracle
+    shape."""
+    ns = nodes(plan_of(spark, "join_asof_nearest"))
+    assert ns.count("Exchange") == 1, ns
+    assert not any("Join" in n for n in ns), ns
+
+
 def test_pmi_broadcasts_counts_no_sortmerge(spark):
     """text_pmi: the bigram table must NEVER reshuffle — unigram counts
     and the scalar totals come back as broadcasts; the only non-scalar

@@ -1113,3 +1113,53 @@ def test_gopher_rules_match_python_reference(spark, texts):
             ok_count, ok_len, ok_alpha, ok_stop
         ), (i, t)
         assert r.passes == (ok_count and ok_len and ok_alpha and ok_stop)
+
+
+@settings(**SETTINGS)
+@given(_events)
+def test_asof_join_nearest_matches_naive(spark, ev):
+    """asof_join_nearest (single-sort dual-frame carry) == the naive
+    per-probe scan: the quote minimizing |gap|, equal gaps preferring
+    backward; within a direction at equal gap, backward keeps the largest
+    quote_id and forward the smallest."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(minutes=m), probe) for i, (u, m, probe) in enumerate(ev)
+    ]
+    probes = [(i, u, ts) for i, u, ts, p in rows if p]
+    quotes = [(i, u, ts) for i, u, ts, p in rows if not p]
+    if not probes or not quotes:
+        return
+    left = spark.createDataFrame(probes, ["probe_id", "user_id", "probe_ts"])
+    right = spark.createDataFrame(quotes, ["quote_id", "user_id", "quote_ts"])
+    got = {
+        r["probe_id"]: (r["quote_id"], r["matched_dir"])
+        for r in asof_join_nearest(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="probe_ts",
+            right_ts="quote_ts",
+            right_payload=["quote_id", "quote_ts"],
+            right_id="quote_id",
+        ).collect()
+    }
+    for pid, u, pts in probes:
+        cands = [(qid, qts) for qid, qu, qts in quotes if qu == u]
+        if not cands:
+            assert got[pid] == (None, None)
+            continue
+        best = min(
+            cands,
+            key=lambda c: (
+                abs((c[1] - pts).total_seconds()),
+                1 if c[1] > pts else 0,
+                -c[0] if c[1] <= pts else c[0],
+            ),
+        )
+        want_dir = "backward" if best[1] <= pts else "forward"
+        assert got[pid] == (best[0], want_dir), (pid, got[pid], best)
