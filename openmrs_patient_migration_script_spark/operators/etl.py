@@ -465,3 +465,44 @@ def apply_cdc(
     # deletes for existing keys drop the row; deletes for absent keys are
     # no-ops (nothing to delete) — both vanish here
     return out.filter(F.col("cdc_action") != "deleted")
+
+
+def rollup_partial(
+    df: DataFrame, group_cols: list, value_cents: "F.Column"
+) -> DataFrame:
+    """Partial (combinable) rollup state for `combine_rollups`: exact
+    count + scaled-long sum per group. Emitting the COMBINABLE form
+    instead of finished averages is what makes the rollup incrementally
+    maintainable — averages don't merge, (n, sum) pairs do."""
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(value_cents.cast("long")).alias("sum_cents"),
+    )
+
+
+def combine_rollups(parts: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Materialized-rollup maintenance: merge any number of partial
+    rollups (the stored aggregate table + today's delta partial, or one
+    partial per backfilled shard) into the updated aggregate — the
+    incremental pattern that keeps a 100 TB fact table's rollup current
+    by scanning ONLY the delta: rescans cost O(|delta|), never
+    O(|history|).
+
+    Correctness rests on the partials carrying decomposable state (count
+    + exact scaled-long sum, no floats): merge is a groupBy-sum, which is
+    associative and commutative, so `combine(rollup(old), rollup(delta))
+    == rollup(old ∪ delta)` EXACTLY — the invariant the declared
+    `etl_rollup_incremental` query hash-proves against a full-rescan
+    oracle. Finished metrics (avg) derive at read time from the merged
+    state with one deterministic division.
+
+    Plan: each partial is one map-side-combined hash agg over its own
+    input; the merge shuffles only |groups| rows per partial.
+    """
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )

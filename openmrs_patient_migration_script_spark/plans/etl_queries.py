@@ -340,3 +340,44 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["acctbal"],
     )
     return out.select("client_id", "acctbal", "cdc_action")
+
+
+@query(
+    "etl_rollup_incremental",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           sum(CAST(round(value * 100) AS BIGINT))::DOUBLE
+             / (100.0 * count(*)) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def etl_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/etl.py::rollup_partial + combine_rollups): the daily
+    (day, event_type) rollup is built as TWO partials — history before
+    Jan 16 (standing for the stored aggregate table) and the delta after
+    it (today's increment) — then merged by groupBy-sum of the
+    decomposable (n, exact scaled-cents sum) state. The oracle rescans
+    ALL events in one pass, so the hash match PROVES incremental ==
+    full-rescan — the invariant that lets a 100 TB pipeline maintain its
+    rollups by scanning only the delta. avg derives at read time from
+    merged state (one deterministic division of exact ints)."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        combine_rollups,
+        rollup_partial,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    grp = [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")]
+    cents = F.round(F.col("value") * 100)
+    hist = rollup_partial(e.filter(F.col("ts") < cut), grp, cents)
+    delta = rollup_partial(e.filter(F.col("ts") >= cut), grp, cents)
+    merged = combine_rollups([hist, delta], ["day", "event_type"])
+    return merged.select(
+        "day", "event_type", "n", "sum_cents",
+        (F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n"))).alias("avg_value"),
+    )

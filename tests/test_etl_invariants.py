@@ -211,3 +211,37 @@ def test_pivot_unpivot_roundtrip(spark):
         valueColumnName="value",
     ).filter(F.col("value").isNotNull())
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, long_rows.collect()))
+
+
+def test_incremental_rollup_equals_full_rescan_any_split(spark, sf_dir):
+    """combine(partials of ANY disjoint split) == rollup of the whole —
+    the decomposable-state invariant, checked for a 2-way time split and
+    a 7-way hash split."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        combine_rollups,
+        rollup_partial,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grp = [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")]
+    cents = F.round(F.col("value") * 100)
+    full = sorted(map(tuple, rollup_partial(e, grp, cents).collect()))
+    cut = F.lit("2024-01-16").cast("timestamp")
+    two = combine_rollups(
+        [
+            rollup_partial(e.filter(F.col("ts") < cut), grp, cents),
+            rollup_partial(e.filter(F.col("ts") >= cut), grp, cents),
+        ],
+        ["day", "event_type"],
+    )
+    seven = combine_rollups(
+        [
+            rollup_partial(e.filter(F.col("event_id") % 7 == i), grp, cents)
+            for i in range(7)
+        ],
+        ["day", "event_type"],
+    )
+    assert sorted(map(tuple, two.collect())) == full
+    assert sorted(map(tuple, seven.collect())) == full
