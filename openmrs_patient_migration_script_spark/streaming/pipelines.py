@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -458,6 +459,87 @@ def stateful_user_ewma(
             update,
             outputStructType=_EWMA_OUT,
             stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_CUSUM_STATE = StructType(
+    [StructField("sh", LongType()), StructField("sl", LongType())]
+)
+_CUSUM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("cusum_hi", DoubleType()),
+        StructField("cusum_lo", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def stateful_user_cusum(
+    events: DataFrame,
+    target: float = 50.0,
+    slack: float = 10.0,
+    threshold: float = 200.0,
+    scale: int = 1_000_000,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """ST5c: streaming CUSUM drift detection — the batch `ts_cusum`
+    recurrence (operators/timeseries.py::cusum) carried across
+    micro-batches in GroupState, so a sustained mean shift raises its
+    alarm WHILE the stream runs instead of at the next batch audit.
+
+    Same order-sensitive discipline as `stateful_user_ewma` (sort each
+    group-batch by (ts, event_id) before folding) but with the all-int64
+    state the batch twin uses: two scaled longs per key — bounded state,
+    bit-exact against the batch fold (the parity test compares raw
+    doubles with NO tolerance, something the float EWMA state cannot
+    promise across replays at the ulp level... and this one can, because
+    integer adds/maxes have no rounding at all).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t_hi = round((target + slack) * scale)
+    t_lo = round((target - slack) * scale)
+    h = round(threshold * scale)
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        sh, sl = state.get if state.exists else (0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ids = batch["event_id"].to_numpy()
+        vs = (batch["value"].to_numpy(dtype=float) * scale).round().astype("int64")
+        hi, lo, alarms = [], [], []
+        for v in vs:
+            sh = max(0, sh + (int(v) - t_hi))
+            sl = max(0, sl + (t_lo - int(v)))
+            hi.append(sh / scale)
+            lo.append(sl / scale)
+            alarms.append(sh > h or sl > h)
+        state.update((int(sh), int(sl)))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": ids,
+                "cusum_hi": hi,
+                "cusum_lo": lo,
+                "alarm": alarms,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

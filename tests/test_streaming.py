@@ -478,6 +478,77 @@ def test_stateful_ewma_carries_recurrence_across_batches(spark, tmp_path):
     assert len(got) == len(rows)
 
 
+def test_stateful_cusum_matches_batch_fold_across_batches(spark, tmp_path):
+    """ST5c: streaming CUSUM must continue its int64 state across
+    micro-batches and agree with the batch `cusum` fold over the union
+    with NO tolerance — integer adds/maxes carry no rounding, so bit
+    equality is the contract, not an aspiration."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.timeseries import cusum
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stateful_user_cusum,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # user 0 drifts high (alarm mid-series), user 1 stays in band, user 2
+    # drifts low — the shift spans the batch boundary on purpose
+    vals = {0: [50, 52, 75, 78, 76, 77, 79, 74], 1: [50] * 8,
+            2: [50, 49, 25, 22, 24, 21, 23, 26]}
+    rows = [
+        (u, u * 100 + i, datetime(2024, 1, 1, 8 + i), float(v) + 0.125)
+        for u, series in vals.items()
+        for i, v in enumerate(series)
+    ]
+    early = [r for r in rows if r[1] % 100 < 4]
+    late = [r for r in rows if r[1] % 100 >= 4]
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([early, late]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    stream = stateful_user_cusum(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*"),
+        threshold=60.0,
+    )
+    name = _run_to_memory(stream, "update")
+    got = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in spark.table(name).collect()
+    }
+    batch = cusum(
+        spark.createDataFrame(rows, schema), "user_id", ["ts", "event_id"],
+        "value", target=50.0, slack=10.0, threshold=60.0,
+    )
+    want = {
+        (r.user_id, r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert any(a for _, (_, _, a) in got.items()), "planted drift must alarm"
+    assert not any(a for (u, _), (_, _, a) in got.items() if u == 1)
+
+
 def test_stateful_pipeline_on_rocksdb_state_store(spark, tmp_path):
     """State-backend portability: the GroupState pipeline must run
     unchanged on the RocksDB state store provider — the backend a real
