@@ -92,6 +92,17 @@ HEADLINE = [
     "text_surprisal",
     "funnel_conversion_rate",
     "multimodal_phash_pairs",
+    # round-4 third wave: the session's new plan families — array-HOF
+    # interpolation grid, inverted-index containment (asymmetric dedup),
+    # all-int64 sequential folds (CUSUM), single-sort dual-frame nearest
+    # asof, integer-ADC product quantization, and the percentile-broadcast
+    # winsorize scan
+    "ts_interpolate",
+    "dedup_containment",
+    "ts_cusum",
+    "join_asof_nearest",
+    "sim_ann_pq",
+    "etl_winsorize",
 ]
 
 

@@ -241,3 +241,22 @@ def test_winsorize_clamps_tails_only(spark):
     # clamp targets are actual data values (disc, not interpolated)
     vals = {float(i) for i in range(1, 101)}
     assert lo in vals and hi in vals
+
+
+def test_winsorize_approx_path_caps_same_tails(spark, sf_dir):
+    """exact=False (the 100 TB sketch path) must clip the same extreme
+    rows as the exact path on a well-separated tail — cuts may differ
+    within sketch rank error, the clipped SET of true outliers may not."""
+    from openmrs_patient_migration_script_spark.operators.quality import winsorize
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kw = dict(lower_q=0.01, upper_q=0.99)
+    ex = winsorize(li, "l_extendedprice", ["l_orderkey", "l_linenumber"], **kw)
+    ap = winsorize(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], exact=False, **kw
+    )
+    n_ex = ex.filter("clipped != 0").count()
+    n_ap = ap.filter("clipped != 0").count()
+    # ~2% of rows clip at (1%, 99%); the sketch may move that by its rank
+    # error but not by an order of magnitude
+    assert 0.5 * n_ex <= n_ap <= 2.0 * n_ex, (n_ex, n_ap)
