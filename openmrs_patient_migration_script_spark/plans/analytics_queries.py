@@ -851,6 +851,57 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT user_id, sum(c) AS n_events, count(*)::BIGINT AS n_types,
+             list_sort(list(c)) AS cs
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(ln(n_events)
+                 - list_reduce(
+                     list_prepend(0.0, list_transform(cs, x -> x * ln(x))),
+                     (a, b) -> a + b
+                   ) / n_events, 6) AS entropy
+    FROM g
+    """,
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type distribution —
+    the behavioral-diversity feature (bots and single-purpose scripts
+    score near 0, organic users near ln(n_types)). Exact integer counts
+    feed the algebraic form H = ln(n) − Σc·ln(c)/n, and the Σc·ln(c)
+    float sum folds over the SORTED count list on both engines — an
+    unordered SUM would be partial-agg-order reassociative, the
+    r3 `text_stats_by_lang` flake class; the sequential fold makes the
+    IEEE operation sequence identical (the ewma argument), leaving only
+    libm's last ulp for the 6dp round to absorb (the dq_drift_psi
+    precedent). Two chained hash aggs; shuffle rows = distinct
+    (user, type), then one small count array per user."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    g = c.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sort_array(F.collect_list("c")).alias("cs"),
+    )
+    fold = F.expr("aggregate(transform(cs, x -> x * ln(x)), 0.0D, (a, b) -> a + b)")
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(F.log(F.col("n_events")) - fold / F.col("n_events"), 6).alias(
+            "entropy"
+        ),
+    )
+
+
+@query(
     "agg_correlation",
     oracle="""
     WITH pts AS (

