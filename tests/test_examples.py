@@ -46,3 +46,10 @@ def test_incremental_sync():
     assert "surviving rows:" in stdout
     assert "duplicate clusters ->" in stdout
     assert "sync: DONE" in stdout
+
+
+def test_feature_pipeline():
+    stdout = _run("feature_pipeline.py")
+    assert "alarm rows:" in stdout
+    assert "(ffill) == " in stdout
+    assert "features: READY" in stdout
