@@ -36,6 +36,7 @@ TABLES = [
 NEEDS_DATA = {
     "cluster_kmeans",  # k-means cannot seed centroids from nothing
     "sim_ann_ivf",  # IVF coarse quantizer seeds from the corpus
+    "sim_ann_pq",  # PQ codebooks seed from the corpus
 }
 
 

@@ -267,6 +267,65 @@ def _surprisal_shape(docs, k: int):
     return unigram_surprisal(d_k)
 
 
+def _containment_shape(docs, k: int):
+    """Asymmetric containment pairs at k copies — copy-tagged tokens like
+    the jaccard shape (same inverted index, same linear true-pair
+    argument); the orientation fan-out is row-local, so it adds output
+    rows but no shuffle."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return containment_pairs(d_k, "doc_id", "text", min_shared=2, max_df=50)
+
+
+def _pq_shape(emb, k: int):
+    """PQ ADC scan over sign-flip-decorrelated copies (the
+    cosine_pairs_lsh replication rule): codebooks seed from the grown
+    corpus, 10 fixed queries table-scan every row — output rows are
+    10·n, the honest linear growth of a batch ADC pass."""
+    from openmrs_patient_migration_script_spark.operators.similarity import pq_topk
+
+    e_k = _perturbed_copies(emb, k)
+    q10 = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(e_k, q10, k=5, rerank_n=50)
+
+
+def _nearest_shape(ev_k):
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    purchases = ev_k.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    views = ev_k.filter("event_type = 'view'").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    return asof_join_nearest(
+        purchases, views, ["user_id"], "pts", "vts",
+        right_payload=["vid", "vts"], right_id="vid",
+    )
+
+
+def _winsorize_shape(li_k):
+    from openmrs_patient_migration_script_spark.operators.quality import winsorize
+
+    return winsorize(
+        li_k, "l_extendedprice", ["l_orderkey", "l_linenumber"], 0.01, 0.99
+    )
+
+
 def _mad_shape(ev_k):
     from openmrs_patient_migration_script_spark.operators.quality import (
         robust_anomalies,
@@ -428,6 +487,25 @@ def main() -> None:
             "unigram_surprisal": lambda: _surprisal_shape(docs, k),
             # r4: MAD robust outliers — two exact-median sort-aggs, one key
             "mad_outliers": _mad_shape(ev_k),
+            # r4 second session ---------------------------------------------
+            # linear-interpolation grid: observations-only shuffle like ffill
+            "ts_interpolate": lambda: __import__(
+                "openmrs_patient_migration_script_spark.operators.timeseries",
+                fromlist=["interpolate_linear"],
+            ).interpolate_linear(ev_k, "user_id", "ts", "value"),
+            # all-int64 CUSUM fold (ewma's plan, integer arithmetic)
+            "cusum_fold": lambda: __import__(
+                "openmrs_patient_migration_script_spark.operators.timeseries",
+                fromlist=["cusum"],
+            ).cusum(ev_k, "user_id", ["ts", "event_id"], "value", 50.0, 10.0, 200.0),
+            # dual-frame nearest asof: one Exchange, one Window
+            "asof_nearest": _nearest_shape(ev_k),
+            # asymmetric containment over the inverted index
+            "containment_pairs": lambda: _containment_shape(docs, k),
+            # PQ integer-ADC full scan + top-50 exact re-rank
+            "pq_adc_scan": lambda: _pq_shape(emb, k),
+            # percentile-broadcast winsorize (two passes over the column)
+            "winsorize_capping": _winsorize_shape(li_k),
         }
 
     results: dict[str, dict[int, float]] = {}
