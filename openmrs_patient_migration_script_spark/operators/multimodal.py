@@ -386,3 +386,113 @@ def image_phash(media: DataFrame, phash_fn=fake_phash) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=_PHASH_SCHEMA)
+
+
+def fake_frame_energies(content: bytes) -> list[float]:
+    """Oracle-checkable stand-in for per-frame energy extraction: one
+    frame per 'decoded' second (same duration rule as `fake_decode`),
+    each frame's dB level a pure md5 function of (payload, frame index)
+    — SQL replays it as ``md5(text || ':' || i)``."""
+    h = hashlib.md5(content).hexdigest()
+    n = 1 + int(h[14:16], 16) % 300
+    out = []
+    for i in range(n):
+        hi = hashlib.md5(content + b":" + str(i).encode()).hexdigest()
+        out.append(-(int(hi[0:4], 16) % 6000) / 100.0)
+    return out
+
+
+def wav_frame_energies(content: bytes, frame_ms: int = 100) -> list[float]:
+    """REAL per-frame RMS energies (dB) from a PCM WAV payload — the
+    actual decode path for `audio_vad_segments`; stereo averages to mono
+    first, the trailing partial frame is kept."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content)) as w:
+        n_channels = w.getnchannels()
+        sr = w.getframerate()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM WAV")
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    hop = max(1, int(sr * frame_ms / 1000))
+    out = []
+    for i in range(0, len(x), hop):
+        seg = x[i : i + hop]
+        rms = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+        out.append(round(20.0 * math.log10(rms), 6) if rms > 0 else -120.0)
+    return out
+
+
+_VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_frame", IntegerType()),
+        StructField("end_frame", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def audio_vad_segments(
+    media: DataFrame,
+    threshold_db: float = -20.0,
+    energies_fn=fake_frame_energies,
+) -> DataFrame:
+    """X8e: energy-gated voice-activity segmentation — each clip's
+    per-frame energy series thresholds into active/silent runs and every
+    ACTIVE run becomes one output segment (seg_idx, start/end frame,
+    length): the pre-transcription chunking step an audio training
+    pipeline runs before shipping clips to an ASR model.
+
+    Same Arrow contract as `frame_sample`: decode, frame, threshold and
+    the gaps-and-islands run detection all happen INSIDE the task (the
+    1→N segment fan-out never crosses a shuffle; per-clip frame series
+    never materialize outside the batch). ``energies_fn`` defaults to
+    the md5 fake so the declared query stays hash-checkable end-to-end;
+    pass :func:`wav_frame_energies` for real PCM payloads (tested on
+    generated silence|tone|silence WAVs)."""
+
+    def segment(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, segs, starts, ends, lens = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                energies = energies_fn(bytes(content))
+                seg = 0
+                run_start = None
+                for i, db in enumerate(energies + [float("-inf")]):
+                    active = db > threshold_db
+                    if active and run_start is None:
+                        run_start = i
+                    elif not active and run_start is not None:
+                        seg += 1
+                        ids.append(mid)
+                        segs.append(seg)
+                        starts.append(run_start)
+                        ends.append(i - 1)
+                        lens.append(i - run_start)
+                        run_start = None
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "seg_idx": segs,
+                    "start_frame": starts,
+                    "end_frame": ends,
+                    "n_frames": lens,
+                }
+            )
+
+    return media.mapInPandas(segment, schema=_VAD_SCHEMA)

@@ -135,3 +135,53 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
     )
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, i,
+             -(('0x' || substr(md5(text || ':' || i), 1, 4))::INTEGER % 6000)
+               / 100.0 AS db
+      FROM documents,
+           UNNEST(generate_series(
+             0, ('0x' || substr(md5(text), 15, 2))::INTEGER % 300)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, i, db > -20.0 AS active,
+             CASE WHEN db > -20.0
+                    AND NOT coalesce(lag(db > -20.0) OVER w, FALSE)
+                  THEN 1 ELSE 0 END AS run_start
+      FROM frames
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    runs AS (
+      SELECT doc_id, i,
+             sum(run_start) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS UNBOUNDED PRECEDING) AS seg
+      FROM flagged WHERE TRUE
+      QUALIFY active
+    )
+    SELECT doc_id AS media_id, CAST(seg AS INTEGER) AS seg_idx,
+           CAST(min(i) AS INTEGER) AS start_frame,
+           CAST(max(i) AS INTEGER) AS end_frame,
+           CAST(count(*) AS INTEGER) AS n_frames
+    FROM runs GROUP BY 1, 2
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8e: voice-activity segmentation over the media table
+    (operators/multimodal.py::audio_vad_segments) — per-frame energies
+    threshold at -20 dB and contiguous active runs become segments, all
+    inside the Arrow task (the 1→N fan-out never shuffles). Declared
+    with the md5 frame-energy fake so DuckDB replays decode → threshold
+    → gaps-and-islands exactly; the REAL PCM path (wav_frame_energies)
+    is pinned on generated silence|tone|silence WAVs in tests."""
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_vad_segments,
+        make_media_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_vad_segments(make_media_table(d))

@@ -329,3 +329,60 @@ def test_real_ahash_near_dup_detection(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_vad_segments_real_wav_silence_tone_silence(spark):
+    """The REAL PCM VAD path: a silence|tone|silence|tone|silence WAV must
+    produce exactly two segments at the planted frame positions."""
+    import io
+    import wave
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_vad_segments,
+        wav_frame_energies,
+    )
+
+    sr = 8000
+    hop = sr // 10  # 100 ms frames
+
+    def chunk(amp, n_frames):
+        frame = int(amp).to_bytes(2, "little", signed=True)
+        return frame * (hop * n_frames)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        # 3 silent frames | 4 loud | 2 silent | 3 loud | 2 silent
+        w.writeframes(
+            chunk(10, 3) + chunk(16384, 4) + chunk(10, 2)
+            + chunk(16384, 3) + chunk(10, 2)
+        )
+    wav = buf.getvalue()
+    # sanity on the energy extractor itself
+    dbs = wav_frame_energies(wav, frame_ms=100)
+    assert len(dbs) == 14
+    assert all(db < -60 for db in dbs[:3]) and all(db > -10 for db in dbs[3:7])
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame([(1, bytearray(wav))], schema)
+    segs = {
+        (r.seg_idx): (r.start_frame, r.end_frame, r.n_frames)
+        for r in audio_vad_segments(
+            media, threshold_db=-20.0, energies_fn=wav_frame_energies
+        ).collect()
+    }
+    assert segs == {1: (3, 6, 4), 2: (9, 11, 3)}
