@@ -417,3 +417,75 @@ def _local_components(sym: DataFrame) -> DataFrame:
     )
     rows = [(n, root_min[find(n)]) for n in parent]
     return sym.sparkSession.createDataFrame(rows, out_schema)
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """X9e: common-neighbor link prediction over an undirected pair graph
+    — for every NON-edge pair at distance 2, how many neighbors the two
+    endpoints share, plus both degrees (so callers derive Jaccard
+    cn/(da+db-cn) or Adamic-Adar downstream in exact integers). In a
+    dedup candidate graph this is the "should these two clusters merge"
+    signal: a missing edge whose endpoints share most of their neighbors
+    is usually a comparator false-negative.
+
+    Plan: canonicalize + symmetrize edges, self-join the adjacency on
+    the WEDGE MIDPOINT (one shuffle on the middle node), count per
+    (a, b) pair, left-anti against the edge set, then attach degrees
+    (two more key joins). Wedge volume is Σ deg(m)² — inherently
+    quadratic in per-node degree, which is why ``max_degree`` drops
+    super-node midpoints before the join (the standard link-prediction
+    cap: a node adjacent to everything carries no discriminative signal,
+    and its wedges would dominate the job; the count becomes a lower
+    bound when the cap fires, same contract as max_df in the shingle
+    joins).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    adj = sym
+    if max_degree is not None:
+        hot = deg.filter(F.col("deg") > max_degree).select(
+            F.col("u").alias("_hot")
+        )
+        adj = adj.join(
+            F.broadcast(hot), adj["u"] == F.col("_hot"), "left_anti"
+        )
+    # wedges through midpoint m: (a, m) x (m, b), a < b
+    left = adj.select(F.col("v").alias("m"), F.col("u").alias("a"))
+    right = adj.select(F.col("v").alias("m"), F.col("u").alias("b"))
+    wedges = (
+        left.join(right, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_cnt"))
+    )
+    cand = wedges.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias(src),
+            F.col("b").alias(dst),
+            "common_cnt",
+            "deg_a",
+            "deg_b",
+        )
+    )

@@ -607,3 +607,53 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(e, threshold=_EMB_DUP_THRESHOLD)
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    e AS (
+      SELECT a.key AS u, b.key AS v
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+    wedges AS (
+      SELECT l.u AS a, r.u AS b, count(*)::BIGINT AS common_cnt
+      FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.* FROM wedges w
+      LEFT JOIN e ON e.u = w.a AND e.v = w.b
+      WHERE e.u IS NULL
+    )
+    SELECT c.a AS key_a, c.b AS key_b, c.common_cnt,
+           da.deg AS deg_a, db.deg AS deg_b
+    FROM cand c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9e: common-neighbor link prediction over the fuzzy-pair graph
+    (operators/graph.py::common_neighbors) — non-edge pairs ranked by
+    shared-neighbor count, the "merge these clusters?" signal a dedup
+    comparator's false negatives leave behind. One wedge-midpoint
+    shuffle bounded by the max_degree super-node cap (uncapped here:
+    the fixture's degrees are tiny); counts and degrees stay exact
+    integers so Jaccard/Adamic-Adar derive downstream without float
+    traps."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        common_neighbors,
+    )
+
+    return common_neighbors(dedup_fuzzy(spark, sf_dir), max_degree=None)
