@@ -456,11 +456,13 @@ def common_neighbors(
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     adj = sym
     if max_degree is not None:
+        # drop wedges whose MIDPOINT is a super-node: the midpoint is the
+        # `v` endpoint below, so the filter targets v, not u
         hot = deg.filter(F.col("deg") > max_degree).select(
             F.col("u").alias("_hot")
         )
         adj = adj.join(
-            F.broadcast(hot), adj["u"] == F.col("_hot"), "left_anti"
+            F.broadcast(hot), adj["v"] == F.col("_hot"), "left_anti"
         )
     # wedges through midpoint m: (a, m) x (m, b), a < b
     left = adj.select(F.col("v").alias("m"), F.col("u").alias("a"))

@@ -205,3 +205,26 @@ def test_salted_join_matches_plain_join(spark):
         .toString()
     )
     assert "_salt" in plan
+
+
+def test_common_neighbors_planted_wedges_and_cap(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        common_neighbors,
+    )
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two neighbors;
+    # reversed duplicate edge (2,1) must not distort anything
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 1)], ["key_a", "key_b"]
+    )
+    got = {
+        (r.key_a, r.key_b): (r.common_cnt, r.deg_a, r.deg_b)
+        for r in common_neighbors(edges).collect()
+    }
+    assert got == {(1, 3): (2, 2, 2), (2, 4): (2, 2, 2)}
+
+    # hub node 0 connected to 1..5: every leaf pair is a wedge through 0,
+    # but capping degree below 5 drops the hub midpoint entirely
+    hub = spark.createDataFrame([(0, i) for i in range(1, 6)], ["key_a", "key_b"])
+    assert common_neighbors(hub, max_degree=10).count() == 10  # C(5,2)
+    assert common_neighbors(hub, max_degree=4).count() == 0
