@@ -475,3 +475,57 @@ def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(
         li, "l_extendedprice", ["l_orderkey", "l_linenumber"], 0.01, 0.99
     )
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    counts AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit),
+    total AS (SELECT sum(n)::BIGINT AS t FROM counts)
+    SELECT digit, n,
+           round(n::DOUBLE / t::DOUBLE, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+           round(n::DOUBLE / t::DOUBLE - log10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM counts CROSS JOIN total
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the classic
+    fabricated-data / unit-mixing tripwire for financial columns: organic
+    multi-scale amounts follow P(d) = log10(1 + 1/d); capped, invented or
+    re-scaled values visibly don't. The digit comes from the scaled-cents
+    string head (robust down to 0.01), so binning is pure integer work;
+    one 9-row hash agg + a one-row total broadcast (the dq_freshness
+    shape), with single IEEE divisions and a 6dp round on the only float
+    outputs. Interpretation, not a gate: the fixture's uniform-ish prices
+    will deviate — the query reports the profile, thresholds belong to
+    the caller."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(expected, 6).alias("benford_frac"),
+        F.round(obs - expected, 6).alias("deviation"),
+    )

@@ -260,3 +260,41 @@ def test_winsorize_approx_path_caps_same_tails(spark, sf_dir):
     # ~2% of rows clip at (1%, 99%); the sketch may move that by its rank
     # error but not by an order of magnitude
     assert 0.5 * n_ex <= n_ap <= 2.0 * n_ex, (n_ex, n_ap)
+
+
+def test_benford_flags_planted_uniform_but_passes_log_uniform(spark):
+    """A log-uniform amount column follows Benford (small |deviation|); a
+    narrow uniform one concentrates its lead digit and deviates hard —
+    checked via the declared query's own math on planted frames."""
+    import math
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    def run(values):
+        df = spark.createDataFrame(
+            [(i, 1, float(v)) for i, v in enumerate(values)],
+            "l_orderkey long, l_linenumber int, l_extendedprice double",
+        )
+        # the declared query reads the lineitem table; here the same
+        # digit expression runs on planted literals
+        from pyspark.sql import functions as F
+
+        digits = df.filter("l_extendedprice > 0").select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+                1, 1,
+            ).cast("int").alias("digit")
+        )
+        counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+        t = sum(r.n for r in counts.collect())
+        return {r.digit: r.n / t for r in counts.collect()}
+
+    # log-uniform over 4 decades
+    logu = [10 ** (0.0004 * i) for i in range(10000)]
+    obs = run(logu)
+    for d in range(1, 10):
+        assert abs(obs.get(d, 0.0) - math.log10(1 + 1 / d)) < 0.02
+    # uniform over [100, 200): every lead digit is 1
+    uni = [100 + i * 0.01 for i in range(10000)]
+    obs_u = run(uni)
+    assert obs_u.get(1, 0.0) == 1.0
