@@ -103,6 +103,10 @@ HEADLINE = [
     "join_asof_nearest",
     "sim_ann_pq",
     "etl_winsorize",
+    # round-4 fourth wave: the wedge-midpoint join (link prediction) and
+    # the in-task 1-to-N VAD segment fan-out
+    "graph_link_prediction",
+    "multimodal_vad_segments",
 ]
 
 

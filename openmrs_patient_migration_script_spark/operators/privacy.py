@@ -126,7 +126,15 @@ def dp_noisy_counts(
     noise is a row-local expression over the group key after the agg, so
     the shuffle carries exactly the distinct-group count.
     """
-    key_str = F.concat_ws(":", *[F.col(c).cast("string") for c in group_cols])
+    # NULL group keys must hash IDENTICALLY everywhere: concat_ws silently
+    # skips NULLs (making ('en', NULL) collide with ('en',)), while SQL's
+    # `||` nulls the whole key out — both wrong. Coalesce each key part to
+    # an explicit sentinel instead; oracles replay it as
+    # coalesce(col, '\\N').
+    key_str = F.concat_ws(
+        ":",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in group_cols],
+    )
     noise = None
     for r in range(repeats):
         h = F.conv(

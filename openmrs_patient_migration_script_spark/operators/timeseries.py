@@ -428,6 +428,12 @@ def sequence_pattern(
     for fixed finite patterns the string form is equivalent and runs as
     whole-stage-codegen'd expressions instead of an interpreter.
     """
+    for ch in pattern:
+        if ch in "%_":
+            raise ValueError(
+                f"pattern char {ch!r} is a LIKE wildcard — the subsequence "
+                "probe would silently over-match; pick letter codes"
+            )
     code = None
     for k, v in code_map.items():
         if len(v) != 1:

@@ -109,9 +109,9 @@ def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     noised AS (
       SELECT lang, source,
              true_count
-             + (bit_count(('0x' || substr(md5('dp-release-1:0:' || lang || ':' || source),
+             + (bit_count(('0x' || substr(md5('dp-release-1:0:' || coalesce(lang, '\\N') || ':' || coalesce(source, '\\N')),
                                           1, 15))::BIGINT) - 30)
-             + (bit_count(('0x' || substr(md5('dp-release-1:1:' || lang || ':' || source),
+             + (bit_count(('0x' || substr(md5('dp-release-1:1:' || coalesce(lang, '\\N') || ':' || coalesce(source, '\\N')),
                                           1, 15))::BIGINT) - 30)
                AS noisy_count
       FROM counts

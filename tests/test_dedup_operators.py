@@ -126,6 +126,18 @@ def test_dp_noisy_counts_mechanism(spark):
     # threshold suppresses on the NOISY value
     high = dp_noisy_counts(df, ["grp"], "s1", repeats=2, threshold=10_000)
     assert high.count() == 0
+    # NULL group keys: the coalesce sentinel must keep ('en', NULL) a
+    # distinct, deterministic group — not collide with ('en',)-style
+    # concatenations and not null the hash out (the SQL `||` trap)
+    nk = spark.createDataFrame(
+        [("en", None)] * 5 + [("en", "s1")] * 5, "lang string, source string"
+    )
+    out = {
+        (r.lang, r.source): r.noisy_count
+        for r in dp_noisy_counts(nk, ["lang", "source"], "s1", repeats=1).collect()
+    }
+    assert set(out) == {("en", None), ("en", "s1")}
+    assert all(v is not None and abs(v - 5) <= 30 for v in out.values())
 
 
 def test_max_id_offset(spark):
