@@ -1287,3 +1287,44 @@ def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dims))
         .select("n_cells", "dof", "chi2")
     )
+
+
+@query(
+    "win_trailing_time",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sum_cents_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2b: trailing TIME-range frame — per event, the count and exact
+    scaled-cents sum of the same user's events in the preceding hour
+    (inclusive): the rate-limit / burst-detection / rolling-feature shape
+    that needs a RANGE frame over event time, not a row frame (rows
+    ignore gaps) and not a tumbling grid (grids quantize the boundary).
+    Ordering on integer epoch-millis makes the frame bound exact on both
+    engines; peers at the same millisecond share frames by RANGE
+    semantics, so no tiebreak column is needed for determinism. ONE
+    Exchange on user_id; the frame scan is the classic two-pointer walk
+    per partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_599_999, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias(
+            "sum_cents_1h"
+        ),
+    )
