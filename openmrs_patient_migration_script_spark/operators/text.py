@@ -777,3 +777,81 @@ def pack_sequences(
         offset.alias("token_offset"),
         F.floor(offset / seq_tokens).cast("long").alias("seq_id"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X5g: per-document mean BIGRAM surprisal with add-one smoothing —
+    `unigram_surprisal`'s stronger sibling: word-salad documents whose
+    tokens are individually common but never co-occur (the spam/template
+    stitching signature) score high here while sailing through the
+    unigram filter. Surprisal of an observed bigram (w1, w2) is
+    ``-ln((c(w1,w2) + 1) / (c(w1·) + V))`` — conditional on the left
+    context, smoothed over the right-type vocabulary V. Returns
+    (key, n_bigrams, avg_surprisal); docs with < 2 tokens have no
+    bigrams and drop out (no-signal, not zero-signal).
+
+    Plan shape: the token stream reduces to BIGRAM TYPES (map-side
+    combine; the shuffle carries observed types, not occurrences),
+    context counts derive from the type table itself (consistent by
+    construction), V is a one-row broadcast, and the scored type table
+    broadcasts back onto the occurrence stream — occurrences shuffle
+    exactly once, for the per-doc agg (the `unigram_surprisal` layout,
+    one level up the n-gram ladder). At an open 100 TB vocabulary the
+    broadcast caps to top-K types + an OOV floor, same documented
+    contract as the unigram path.
+
+    Exactness: the per-TYPE surprisal rounds once to a 6dp scaled long
+    (ln's last libm ulp absorbed, the shared convention); per-doc sums
+    and the HALF_UP mean are pure integer arithmetic (smoothing keeps
+    probabilities <= 1, so surprisal is non-negative and the positive
+    div formula applies).
+    """
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    shifted = F.slice(toks, 2, sz)
+    bigrams = F.filter(
+        F.zip_with(
+            toks, shifted,
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    big = df.select(F.col(key_col), F.explode(bigrams).alias("bg"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    c2 = c2.select(
+        "bg", "c2",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.count_distinct("w2").alias("v"))
+    scored = (
+        c2.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.round(
+                -F.log(
+                    (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    per_doc = (
+        big.join(F.broadcast(scored), "bg")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("s6").alias("_ss"))
+    )
+    return per_doc.select(
+        key_col,
+        "n_bigrams",
+        (
+            F.expr("(2 * _ss + n_bigrams) div (2 * n_bigrams)") / F.lit(1e6)
+        ).alias("avg_surprisal"),
+    )

@@ -662,3 +662,51 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_patient_migration_script_spark.operators.text import bm25_scores
 
     return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (
+      SELECT bg, any_value(w1) AS w1, any_value(w2) AS w2,
+             count(*)::BIGINT AS c2
+      FROM big GROUP BY bg
+    ),
+    c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM c2),
+    s AS (
+      SELECT bg,
+             CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1000000) AS BIGINT) AS s6
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(s6) AS ss
+      FROM big JOIN s USING (bg) GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ((2 * ss + n_bigrams) // (2 * n_bigrams))::DOUBLE / 1000000.0
+             AS avg_surprisal
+    FROM per
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5g: bigram-LM quality filter (operators/text.py::bigram_surprisal)
+    — word-salad detection the unigram filter misses: individually-common
+    tokens that never co-occur score high. Add-one-smoothed conditional
+    surprisal per observed bigram TYPE (6dp scaled long), occurrence
+    stream shuffles once for the per-doc HALF_UP integer mean; type and
+    context tables broadcast."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))

@@ -463,3 +463,22 @@ def test_events_entropy_bounds(spark, sf_dir):
         assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9
         if r.n_types == 1:
             assert r.entropy == 0.0
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """Tokens that are all individually common but shuffled into unseen
+    pairings must out-score the documents whose bigrams repeat — the
+    signal the unigram filter cannot see."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    normal = "the cat sat on the mat"
+    rows = [(i, normal) for i in range(9)]
+    rows.append((99, "mat the on sat cat the"))  # same unigrams, novel bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bi = {r.doc_id: r.avg_surprisal for r in bigram_surprisal(df).collect()}
+    un = {r.doc_id: r.avg_surprisal for r in unigram_surprisal(df).collect()}
+    assert bi[99] > bi[0] * 1.5, (bi[99], bi[0])
+    assert abs(un[99] - un[0]) < 1e-9  # unigram filter is blind to the scramble
