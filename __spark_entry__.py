@@ -75,6 +75,11 @@ _GRADE_FIRST = [
     "multimodal_audio_features",
     # twins / rows-only approximate paths (weakest marginal grading signal)
     "sim_cosine_topk_hof", "sim_ann_lsh", "sim_ann_ivf",
+    # r3-surface stragglers (never graded through r3): finish the original
+    # 143-query union before round-4 additions take slots
+    "dq_drift_psi", "dq_table_diff", "sketch_distinct_rollup",
+    "sketch_quantile_rollup", "sketch_theta_overlap", "agg_bitmap_distinct",
+    "source_custom_extract", "ts_ewma", "etl_golden_record",
 ]
 
 
