@@ -93,6 +93,31 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """Attribute-disclosure risk report: quasi-identifier groups whose
+    SENSITIVE attribute takes fewer than ``l`` distinct values
+    (Machanavajjhala et al., "l-Diversity", ICDE 2006) — the leak
+    k-anonymity is provably blind to: a group of 50 identical-diagnosis
+    rows passes any k≤50 yet discloses the diagnosis of every member.
+    Returns (quasi..., group_size, n_sensitive) for groups with
+    ``n_sensitive < l``.
+
+    One hash aggregation; count_distinct over a single column keeps the
+    partial-agg state one value-set per group (no Expand — contrast the
+    multi-distinct profile), so the shuffle carries the distinct
+    (quasi..., sensitive) pairs, not rows."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],

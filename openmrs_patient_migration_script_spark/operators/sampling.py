@@ -99,6 +99,81 @@ def cap_per_group(
     )
 
 
+def mixture_repeat(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    total_multiplier: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Weighted data mixing with explicit repetition — the up-sampling
+    step `temperature_resample` deliberately refuses to do. Given target
+    mixture weights per stratum (e.g. language), each stratum's repeat
+    factor is
+
+        r_s = (w_s / Σw) · total_multiplier · N / n_s
+
+    so the emitted corpus approaches the target mix at
+    ``total_multiplier × N`` rows: every row is emitted ``floor(r_s)``
+    times, plus one more copy for rows whose content-addressed hash
+    bucket falls under the fractional remainder — the deterministic
+    analogue of Bernoulli rounding. A stratum with weight 0 (or absent
+    from ``weights``) is dropped. Output adds an ``epoch`` column
+    (0-based copy index), the column a downstream trainer shuffles on so
+    repeated copies don't sit adjacent in the same file.
+
+    This is the "data mixture" stage of an LLM pipeline (DoReMi-style
+    weights, multi-epoch low-resource languages): down-weighting is a
+    keep-fraction (r_s < 1 → some rows emit zero copies), up-weighting
+    is multi-epoch repetition (r_s > 1) — both from the same formula.
+
+    Scale: ONE partial-combined count aggregation; the per-stratum
+    factors (rows = #strata) broadcast back; the copy explosion is a
+    row-local ``explode(sequence(...))`` inside the scan stage — the
+    corpus itself never shuffles. r_s is rounded to 6 decimals and the
+    fractional threshold re-rounded to an integer bucket count so the
+    DuckDB oracle replays the arithmetic exactly (see
+    `temperature_resample` for the round-then-cast rationale).
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(f"mixture weights must sum > 0, got {weights}")
+    w_expr: Column = F.lit(0.0)
+    for stratum, w in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == stratum, F.lit(w / total_w)).otherwise(
+            w_expr
+        )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    factors = counts.crossJoin(F.broadcast(total)).select(
+        F.col(strata_col),
+        F.round(
+            w_expr * F.lit(total_multiplier) * F.col("_total") / F.col("_n"), 6
+        ).alias("_r"),
+    )
+    factors = factors.select(
+        strata_col,
+        F.floor("_r").cast("long").alias("_base"),
+        F.round((F.col("_r") - F.floor("_r")) * buckets, 0)
+        .cast("long")
+        .alias("_thr"),
+    )
+    n_copies = F.col("_base") + F.when(
+        hash_bucket(F.col(key_col), buckets) < F.col("_thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(factors), strata_col)
+        .withColumn("_copies", n_copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_copies") - 1)),
+        )
+        .drop("_base", "_thr", "_copies")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     strata_col: str,

@@ -99,6 +99,41 @@ def tf_idf(
     )
 
 
+def keywords_topk(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """X6b: top-``k`` keyword extraction per document — the TF-IDF
+    ranking materialized as each doc's ``k`` most characteristic terms
+    (the doc-tagging / retrieval-summary step of a corpus pipeline).
+
+    The RANK is integer-exact by design: rows order by (tf DESC, df ASC,
+    token ASC) — within a document this is exactly the order
+    ``tf·ln((1+N)/(1+df))`` induces wherever it orders strictly (the
+    idf factor is strictly decreasing in df and the comparison is
+    per-token), with ties broken lexically. Ranking on the rounded
+    float ``tfidf`` instead would inherit the cross-engine ln() ulp
+    wobble at sort boundaries — the hash-flake class the exact-mean
+    recipe exists to kill. The 6dp tfidf column rides along for display.
+
+    Plan: the `tf_idf` shape (vocab-sized df shuffle, broadcast back)
+    plus ONE window shuffle of the (doc, token) pairs on the
+    well-distributed doc key, where WindowGroupLimit prunes every
+    partition to ``k`` rows before the exchange."""
+    scored = tf_idf(df, key_col, text_col, n_docs=n_docs, materialize_tf=True)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(key_col, "kw_rank", "token", "tf", "df", "tfidf")
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def resample_ffill(
@@ -258,6 +259,117 @@ def ewma(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing) per key —
+    the two-state recurrence
+
+        level_i = alpha·v_i + (1-alpha)·(level_{i-1} + trend_{i-1})
+        trend_i = beta·(level_i - level_{i-1}) + (1-beta)·trend_{i-1}
+
+    seeded ``level_0 = v_0, trend_0 = 0`` — the drift-following smoother
+    `ewma` is provably blind to: under a steady ramp EWMA lags by
+    ``(1-alpha)/alpha`` steps forever, while the trend state closes the
+    gap. Returns (key, order_cols..., level, trend, forecast) where
+    ``forecast = level + trend`` is the one-step-ahead prediction — the
+    per-key capacity/anomaly baseline a monitoring pipeline thresholds
+    against.
+
+    Same execution contract as `ewma`: ONE shuffle gathers each key's
+    sorted array, a single sequential `F.aggregate` fold walks it (the
+    fold IS the recurrence — bit-stable across partitionings; the trend
+    update inlines the new level expression, the identical tree a
+    recursive-CTE oracle replays), posexplode restores rows, and the
+    bounded-group contract fails loudly in-plan via assert_true.
+    Unbounded keys at 100 TB re-chunk by (key, epoch) with carried
+    (level, trend) seeds — documented, not implemented.
+    """
+    seq = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    per_key = df.groupBy(F.col(key_col)).agg(seq.alias("seq"))
+    guard = F.assert_true(
+        F.size("seq") <= max_group_size,
+        F.concat(
+            F.lit("holt_linear group for key "),
+            F.col(key_col).cast("string"),
+            F.lit(" has "),
+            F.size("seq").cast("string"),
+            F.lit(f" rows (> {max_group_size})"),
+        ),
+    )
+    per_key = per_key.where(guard.isNull())
+    a, b = float(alpha), float(beta)
+
+    def _new_level(acc, x):
+        return F.lit(a) * x[value_col] + F.lit(1.0 - a) * (
+            acc["level"] + acc["trend"]
+        )
+
+    def _new_trend(acc, x):
+        # inlines _new_level — the same expression tree twice, exactly as
+        # the recursive-CTE oracle writes it; IEEE-deterministic, so both
+        # copies (and both engines) produce the identical double
+        return F.lit(b) * (_new_level(acc, x) - acc["level"]) + F.lit(
+            1.0 - b
+        ) * acc["trend"]
+
+    folded = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.array()
+            .cast("array<struct<level: double, trend: double>>")
+            .alias("arr"),
+            F.lit(None).cast("double").alias("level"),
+            F.lit(None).cast("double").alias("trend"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.when(
+                        acc["level"].isNull(),
+                        F.struct(
+                            x[value_col].alias("level"),
+                            F.lit(0.0).alias("trend"),
+                        ),
+                    ).otherwise(
+                        F.struct(
+                            _new_level(acc, x).alias("level"),
+                            _new_trend(acc, x).alias("trend"),
+                        )
+                    )
+                ),
+            ).alias("arr"),
+            F.when(acc["level"].isNull(), x[value_col])
+            .otherwise(_new_level(acc, x))
+            .alias("level"),
+            F.when(acc["level"].isNull(), F.lit(0.0))
+            .otherwise(_new_trend(acc, x))
+            .alias("trend"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    out = per_key.select(
+        key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
+    )
+    # no round(): sequential fold, order-deterministic — see `ewma`
+    return out.select(
+        key_col,
+        *[F.col(f"z.seq.{c}").alias(c) for c in order_cols],
+        F.col("z.1.level").alias("level"),
+        F.col("z.1.trend").alias("trend"),
+        (F.col("z.1.level") + F.col("z.1.trend")).alias("forecast"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     key_col: str,
@@ -305,6 +417,79 @@ def time_weighted_avg(
             F.col("num").cast("double")
             / (F.col("den").cast("double") * F.lit(float(scale)))
         ).alias("twap"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_ms: int = 43_200_000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Classic seasonal-means decomposition per key:
+
+        value = trend + seasonal + resid
+
+    with trend = the centered ±``window_ms`` time-RANGE mean, seasonal =
+    the per-(key, hour-of-day) mean of the DETRENDED series, and resid
+    the exact remainder — the diurnal-profile split that makes anomaly
+    thresholds season-aware (a 3am traffic level that is normal at 3am
+    and an incident at noon). Returns (key, id, trend, seasonal, resid).
+
+    Exactness: values become 1e6-scaled longs up front; both means are
+    integer HALF_UP divisions of exact long sums (sign-split for the
+    detrended series, which goes negative), and the residual is pure
+    integer subtraction — the whole decomposition is reassociation-
+    immune, additivity holds exactly (trend+seasonal+resid == scaled
+    input by construction), and the final /1e6 display division is the
+    only float op.
+
+    Scale: ONE data-sized Exchange (the key-partitioned RANGE window —
+    a two-pointer walk per partition); the seasonal profile aggregates
+    to #keys×24 rows (map-side combine) and joins back as a BROADCAST.
+    """
+    ems = F.unix_millis(F.col(ts_col))
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.round(F.col(value_col) * scale).cast("long").alias("_vs"),
+        ems.alias("_ems"),
+        F.hour(F.col(ts_col)).alias("_hod"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ems")
+        .rangeBetween(-window_ms, window_ms)
+    )
+    det = (
+        base.withColumn("_s", F.sum("_vs").over(w))
+        .withColumn("_n", F.count("*").over(w))
+        # vs >= 0 here (value is non-negative by contract); the window
+        # always contains the current row, so _n >= 1
+        .withColumn("_trend6", F.expr("(2 * _s + _n) div (2 * _n)"))
+        .withColumn("_d", F.col("_vs") - F.col("_trend6"))
+    )
+    seas = (
+        det.groupBy(key_col, "_hod")
+        .agg(F.sum("_d").alias("_sd"), F.count("*").alias("_cn"))
+        .withColumn(
+            "_seasonal6",
+            F.expr(
+                "case when _sd >= 0 then (2 * _sd + _cn) div (2 * _cn) "
+                "else -((-2 * _sd + _cn) div (2 * _cn)) end"
+            ),
+        )
+        .select(key_col, "_hod", "_seasonal6")
+    )
+    return det.join(F.broadcast(seas), [key_col, "_hod"]).select(
+        key_col,
+        id_col,
+        (F.col("_trend6") / F.lit(float(scale))).alias("trend"),
+        (F.col("_seasonal6") / F.lit(float(scale))).alias("seasonal"),
+        ((F.col("_d") - F.col("_seasonal6")) / F.lit(float(scale))).alias("resid"),
     )
 
 

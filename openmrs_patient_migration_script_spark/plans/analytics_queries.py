@@ -246,6 +246,65 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    f AS (
+      SELECT lang,
+             round((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.0
+                              WHEN 'es' THEN 2.0 WHEN 'fr' THEN 2.0
+                              WHEN 'zh' THEN 2.0 ELSE 0.0 END / 9.0)
+                   * tot.total / n, 6) AS r
+      FROM counts, tot
+    ),
+    fac AS (
+      SELECT lang, CAST(floor(r) AS BIGINT) AS base,
+             CAST(round((r - floor(r)) * 1000000, 0) AS BIGINT) AS thr
+      FROM f
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+               AS bkt
+      FROM documents
+    ),
+    c AS (
+      SELECT d.doc_id, d.lang,
+             fac.base + (CASE WHEN d.bkt < fac.thr THEN 1 ELSE 0 END)
+               AS n_copies
+      FROM d JOIN fac USING (lang)
+    )
+    SELECT doc_id, lang, unnest(generate_series(0, n_copies - 1)) AS epoch
+    FROM c WHERE n_copies > 0
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17b: weighted data mixing WITH repetition
+    (operators/sampling.py::mixture_repeat) — the DoReMi-style mixture
+    application `sample_temperature` stops short of: target weights
+    {en:1, de/es/fr/zh:2} over a corpus where English dominates, so
+    low-resource languages repeat for multiple epochs (factor > 1) while
+    English down-samples (factor < 1), both from one formula and both
+    content-addressed. The emitted `epoch` column is the copy index a
+    trainer interleaves on. One count agg; per-language factors
+    broadcast back; the copy explosion is a row-local
+    explode(sequence(..)) — the corpus never shuffles."""
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        mixture_repeat,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_repeat(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 1.0, "de": 2.0, "es": 2.0, "fr": 2.0, "zh": 2.0},
+        total_multiplier=1.0,
+    ).select("doc_id", "lang", "epoch")
+
+
+@query(
     "text_decontaminate",
     oracle="""
     WITH b AS (
@@ -602,6 +661,50 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, value::DOUBLE AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, v AS level, 0.0::DOUBLE AS trend
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             0.5 * o.v + 0.5 * (r.level + r.trend),
+             0.5 * ((0.5 * o.v + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.5 * r.trend
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, level, trend, level + trend AS forecast
+    FROM rec
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15f: Holt's linear-trend double exponential smoothing per user
+    (alpha=beta=0.5, level seeded at the first observation, trend at 0)
+    via operators/timeseries.py::holt_linear — the drift-following
+    forecast baseline plain EWMA lags behind forever on a steady ramp.
+    Same shape as `ts_ewma`: one key-shuffle + a sequential two-state
+    in-row fold whose trend update inlines the level expression — the
+    identical IEEE tree the recursive-CTE oracle replays — so the raw
+    doubles compare exactly, no round()."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = holt_linear(
+        e, "user_id", ["ts", "event_id"], "value",
+        alpha=0.5, beta=0.5, max_group_size=100_000,
+    )
+    return out.select("user_id", "event_id", "level", "trend", "forecast")
+
+
+@query(
     "ts_twap",
     oracle="""
     WITH seg AS (
@@ -636,6 +739,60 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return time_weighted_avg(e, "user_id", "ts", "event_id", "value")
+
+
+@query(
+    "ts_seasonal",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vs,
+             epoch_ms(ts) AS ems, hour(ts) AS hod
+      FROM events
+    ),
+    tr AS (
+      SELECT *, sum(vs) OVER w AS s, count(*) OVER w AS n
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ems
+                   RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)
+    ),
+    det AS (
+      SELECT user_id, event_id, hod, vs,
+             (2 * s + n) // (2 * n) AS trend6,
+             vs - ((2 * s + n) // (2 * n)) AS d
+      FROM tr
+    ),
+    seas AS (
+      SELECT user_id, hod,
+             CASE WHEN sum(d) >= 0
+                  THEN (2 * sum(d) + count(*)) // (2 * count(*))
+                  ELSE -((-2 * sum(d) + count(*)) // (2 * count(*))) END
+               AS seasonal6
+      FROM det GROUP BY 1, 2
+    )
+    SELECT det.user_id, det.event_id,
+           trend6 / 1000000.0 AS trend,
+           seasonal6 / 1000000.0 AS seasonal,
+           (d - seasonal6) / 1000000.0 AS resid
+    FROM det JOIN seas ON det.user_id = seas.user_id AND det.hod = seas.hod
+    """,
+)
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15g: seasonal-means decomposition of the per-user event value
+    (operators/timeseries.py::seasonal_decompose) — value = trend
+    (centered ±12h time-RANGE mean) + seasonal (per-(user, hour-of-day)
+    mean of the detrended series) + exact residual, the season-aware
+    anomaly baseline. All-integer arithmetic end to end (scaled longs,
+    HALF_UP integer divisions, sign-split where the detrended series
+    goes negative), so additivity and the oracle comparison are exact by
+    construction. One data-sized Exchange (the RANGE window); the
+    user×24 seasonal profile broadcasts back."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_decompose(e, "user_id", "ts", "event_id", "value")
 
 
 @query(

@@ -7,11 +7,13 @@ Java and RE2 engines agree byte-for-byte.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.operators.privacy import (
     EMAIL_RE,
     LONG_NUM_RE,
     k_anonymity_audit,
+    l_diversity_audit,
     pseudonymize,
     scrub_text,
 )
@@ -97,6 +99,35 @@ def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
     )
     return k_anonymity_audit(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+           count(*) AS group_size,
+           count(DISTINCT c_mktsegment) AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(DISTINCT c_mktsegment) < 3
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over quasi-identifiers (nation, balance
+    band) with market segment as the sensitive attribute
+    (operators/privacy.py::l_diversity_audit) — the attribute-disclosure
+    complement of `privacy_kanon`: a group can be large enough for k=5
+    yet expose every member's segment if all rows share it. One hash agg;
+    the single-column distinct keeps the plan Expand-free."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return l_diversity_audit(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", l=3
+    )
 
 
 @query(

@@ -71,6 +71,47 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6)
+               AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+             ) AS kw_rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, kw_rank, token, tf, df, tfidf
+    FROM scored WHERE kw_rank <= 3
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b: top-3 keywords per document (operators/text.py::
+    keywords_topk) — TF-IDF materialized as each doc's most
+    characteristic terms. The rank key is INTEGER-exact
+    (tf desc, df asc, token) — the order tfidf induces without exposing
+    the sort to cross-engine ln() ulp wobble; the 6dp tfidf rides along
+    for display. `tf_idf`'s broadcast shape plus one doc-keyed window
+    shuffle with WindowGroupLimit pruning to k=3 per partition."""
+    from openmrs_patient_migration_script_spark.operators.text import keywords_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keywords_topk(docs, k=3, n_docs=docs.count())
+
+
+@query(
     "text_ngrams",
     oracle="""
     WITH toks AS (

@@ -482,3 +482,60 @@ def test_bigram_surprisal_flags_word_salad(spark):
     un = {r.doc_id: r.avg_surprisal for r in unigram_surprisal(df).collect()}
     assert bi[99] > bi[0] * 1.5, (bi[99], bi[0])
     assert abs(un[99] - un[0]) < 1e-9  # unigram filter is blind to the scramble
+
+
+def test_mixture_repeat_hits_target_mix_and_is_content_addressed(spark):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        mixture_repeat,
+    )
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # equal target weights: big (800 rows) downsamples to ~500,
+    # small (200 rows) repeats ~2.5x to ~500
+    out = mixture_repeat(df, "lang", "doc_id", {"big": 1.0, "small": 1.0})
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["big"] - 500) < 50
+    assert abs(counts["small"] - 500) < 50
+    # the small stratum actually repeats: epochs 0,1 complete, epoch 2 partial
+    epochs = {r.epoch for r in out.filter(F.col("lang") == "small").collect()}
+    assert {0, 1} <= epochs <= {0, 1, 2}
+    # a zero-weight / unlisted stratum is dropped entirely
+    df2 = df.union(spark.createDataFrame([(9999, "other")], ["doc_id", "lang"]))
+    out2 = mixture_repeat(df2, "lang", "doc_id", {"big": 1.0, "small": 1.0})
+    assert out2.filter(F.col("lang") == "other").count() == 0
+    # content-addressed: identical output under repartitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            mixture_repeat(
+                df.repartition(13), "lang", "doc_id", {"big": 1.0, "small": 1.0}
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_keywords_topk_surfaces_planted_distinctive_terms(spark):
+    from openmrs_patient_migration_script_spark.operators.text import keywords_topk
+
+    common = "the quick brown fox"
+    rows = [
+        (1, common + " zebra zebra zebra"),
+        (2, common + " quark quark"),
+        (3, common),
+        (4, common),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = keywords_topk(df, k=2)
+    top1 = {r.doc_id: r.token for r in out.filter(F.col("kw_rank") == 1).collect()}
+    # the repeated rare term wins over the ubiquitous ones (tf desc, df asc)
+    assert top1[1] == "zebra"
+    assert top1[2] == "quark"
+    # never more than k rows per doc, ranks contiguous from 1
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("kw_rank").alias("mx")
+    )
+    assert all(r.n <= 2 and r.mx == r.n for r in per_doc.collect())

@@ -67,3 +67,28 @@ def test_kanon_audit_flags_small_groups_only(spark):
     flagged = k_anonymity_audit(df, ["q1", "q2"], k=5).collect()
     assert len(flagged) == 1
     assert flagged[0].q1 == "b" and flagged[0].group_size == 2
+
+
+def test_l_diversity_flags_homogeneous_groups_k_anon_misses(spark):
+    """A big group with one sensitive value passes k-anonymity yet fails
+    l-diversity — the disclosure class the audit exists to catch."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    rows = (
+        # group A: 6 rows, all the same diagnosis — k=5 ok, l=3 FAIL
+        [(1, "a", "flu")] * 6
+        # group B: 6 rows, 3 distinct diagnoses — both pass
+        + [(2, "b", d) for d in ["flu", "cold", "covid"] * 2]
+        # group C: 2 rows, 2 distinct — k FAIL, l FAIL
+        + [(3, "c", d) for d in ["flu", "cold"]]
+    )
+    df = spark.createDataFrame(rows, ["zip", "band", "diagnosis"])
+    k_flagged = {(r.zip, r.band) for r in
+                 k_anonymity_audit(df, ["zip", "band"], k=5).collect()}
+    l_flagged = {(r.zip, r.band): (r.group_size, r.n_sensitive) for r in
+                 l_diversity_audit(df, ["zip", "band"], "diagnosis", l=3).collect()}
+    assert k_flagged == {(3, "c")}
+    assert l_flagged == {(1, "a"): (6, 1), (3, "c"): (2, 2)}

@@ -196,3 +196,75 @@ def test_sessionize_is_partition_invariant(spark, sf_dir):
         map(tuple, sessionize(e.repartition(11), "user_id", "ts", "event_id").collect())
     )
     assert a == b and a
+
+
+def test_holt_linear_tracks_a_ramp_ewma_lags(spark):
+    """On a steady ramp the trend state closes the forecast gap EWMA
+    (alpha=0.5) provably never closes — the reason the operator exists."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        ewma,
+        holt_linear,
+    )
+
+    rows = [(1, datetime(2024, 1, 1, i), i, float(10 * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    h = {r.event_id: r for r in
+         holt_linear(df, "user_id", ["ts", "event_id"], "value").collect()}
+    e = {r.event_id: r.ewma for r in
+         ewma(df, "user_id", ["ts", "event_id"], "value").collect()}
+    # EWMA's steady-state lag on slope-10 at alpha=0.5 is (1-a)/a*10 = 10
+    assert abs((110.0 - e[11]) - 10.0) < 0.5
+    # Holt: level converges to the actual value, trend to the slope
+    assert abs(h[11].level - 110.0) < 0.5
+    assert abs(h[11].trend - 10.0) < 0.5
+    # one-step forecast = level + trend, exactly
+    assert all(r.forecast == r.level + r.trend for r in h.values())
+
+
+def test_holt_linear_matches_serial_reference_bitwise(spark):
+    """The fold replays the exact recurrence: compare against a Python
+    serial implementation with == on raw doubles (no tolerance)."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    vals = [3.7, 1.2, 9.9, 4.4, 4.5, 0.1, 7.3]
+    rows = [(1, datetime(2024, 1, 1, i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    got = {r.event_id: (r.level, r.trend) for r in
+           holt_linear(df, "user_id", ["ts", "event_id"], "value").collect()}
+    lvl, trd = vals[0], 0.0
+    assert got[0] == (lvl, trd)
+    for i, v in enumerate(vals[1:], start=1):
+        nl = 0.5 * v + 0.5 * (lvl + trd)
+        nt = 0.5 * (nl - lvl) + 0.5 * trd
+        lvl, trd = nl, nt
+        assert got[i] == (lvl, trd)
+
+
+def test_seasonal_decompose_is_exactly_additive_and_finds_diurnal(spark):
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = []
+    eid = 0
+    # 4 days, hourly: flat base 100 plus +50 only at hour 12
+    for d in range(4):
+        for h in range(24):
+            v = 100.0 + (50.0 if h == 12 else 0.0)
+            rows.append((1, datetime(2024, 1, 1 + d, h), eid, v))
+            eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = seasonal_decompose(df, "user_id", "ts", "event_id", "value")
+    by = {r.event_id: r for r in out.collect()}
+    vals = {r[2]: r[3] for r in rows}
+    # exact additivity at the 1e6 scale, every row
+    for i, r in by.items():
+        assert round((r.trend + r.seasonal + r.resid) * 1e6) == round(vals[i] * 1e6)
+    # the hour-12 rows carry a clearly positive seasonal component,
+    # off-peak hours a slightly negative one (profile sums to ~0)
+    noon = [r.seasonal for i, r in by.items() if i % 24 == 12]
+    off = [r.seasonal for i, r in by.items() if i % 24 == 0]
+    assert min(noon) > 40.0
+    assert max(off) < 0.0
