@@ -144,7 +144,14 @@ def mixture_repeat(
         w_expr = F.when(F.col(strata_col) == stratum, F.lit(w / total_w)).otherwise(
             w_expr
         )
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    # counts feeds BOTH the grand total and the per-stratum factors; a bare
+    # lineage would replay the corpus-sized count scan once per consumer
+    # (three full scans in the un-checkpointed plan). The table is
+    # #strata rows — checkpointing it is free and cuts the job to two
+    # corpus scans (the count pass + the emit pass).
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n")).localCheckpoint(
+        eager=True
+    )
     total = counts.agg(F.sum("_n").alias("_total"))
     factors = counts.crossJoin(F.broadcast(total)).select(
         F.col(strata_col),

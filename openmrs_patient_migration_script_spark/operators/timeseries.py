@@ -428,6 +428,7 @@ def seasonal_decompose(
     value_col: str,
     window_ms: int = 43_200_000,
     scale: int = 10**6,
+    materialize_detrended: bool = True,
 ) -> DataFrame:
     """Classic seasonal-means decomposition per key:
 
@@ -472,6 +473,13 @@ def seasonal_decompose(
         .withColumn("_trend6", F.expr("(2 * _s + _n) div (2 * _n)"))
         .withColumn("_d", F.col("_vs") - F.col("_trend6"))
     )
+    if materialize_detrended:
+        # det feeds BOTH the seasonal profile and the final join; without a
+        # checkpoint Spark replays the corpus scan + RANGE-window shuffle
+        # once per consumer (verified in the plan: two Scan/Exchange/Window
+        # chains). Materializing once follows the `tf_idf` precedent —
+        # trade one executor-local write for half the scan/shuffle volume.
+        det = det.localCheckpoint(eager=True)
     seas = (
         det.groupBy(key_col, "_hod")
         .agg(F.sum("_d").alias("_sd"), F.count("*").alias("_cn"))

@@ -705,3 +705,49 @@ def test_anomaly_mad_all_stages_keyed_no_cartesian(spark):
     ns = nodes(plan_of(spark, "dq_anomaly_mad"))
     assert "CartesianProduct" not in ns and "BroadcastNestedLoopJoin" not in ns, ns
     assert not any("Python" in n or "Pandas" in n for n in ns), ns
+
+
+def test_corpus_mixture_broadcast_factors_single_count_exchange(spark):
+    # the corpus scans once in the emit pass; per-stratum factors join as
+    # a broadcast; the only Exchange is the strata-count aggregation (the
+    # counts table itself is checkpointed so its lineage can't replay the
+    # corpus scan per consumer)
+    n = nodes(plan_of(spark, "corpus_mixture"))
+    assert "SortMergeJoin" not in n, n
+    assert "BroadcastHashJoin" in n, n
+    assert "Generate" in n, n  # the row-local epoch explosion
+    assert n.count("Exchange") == 1, n
+
+
+def test_ts_holt_linear_one_exchange_no_window(spark):
+    # the fold is in-row: one gather shuffle, no window machinery
+    n = nodes(plan_of(spark, "ts_holt_linear"))
+    assert n.count("Exchange") == 1, n
+    assert "Window" not in n, n
+
+
+def test_ts_seasonal_range_window_materializes_once(spark):
+    # det (scan + RANGE window) feeds two consumers; the checkpoint means
+    # the visible plan holds NO Window node and exactly one tiny Exchange
+    # (the user x 24 seasonal profile), which then joins back broadcast
+    n = nodes(plan_of(spark, "ts_seasonal"))
+    assert "Window" not in n, n
+    assert n.count("Exchange") == 1, n
+    assert "BroadcastHashJoin" in n and "SortMergeJoin" not in n, n
+
+
+def test_text_keywords_window_group_limit_prunes_to_k(spark):
+    # the per-doc top-k rank must prune partitions BEFORE the exchange
+    # (WindowGroupLimit both sides of the shuffle) and the df join stays
+    # broadcast
+    n = nodes(plan_of(spark, "text_keywords"))
+    assert n.count("WindowGroupLimit") == 2, n
+    assert "BroadcastHashJoin" in n and "SortMergeJoin" not in n, n
+
+
+def test_l_diversity_audit_is_expand_free(spark):
+    # single-column count_distinct plans as a two-phase agg, not the
+    # row-multiplying Expand the multi-distinct profile pays
+    n = nodes(plan_of(spark, "privacy_l_diversity"))
+    assert "Expand" not in n, n
+    assert n.count("Exchange") == 2, n
