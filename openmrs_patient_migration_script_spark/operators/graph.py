@@ -381,6 +381,71 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan et al., 2007)
+    over the undirected pair graph — COMMUNITY detection, the
+    granularity between `connected_components` (pure reachability: one
+    spurious candidate pair fuses two clusters) and `pagerank`
+    (per-node centrality): each node adopts its neighborhood's majority
+    label, so densely-linked duplicate groups keep their own label even
+    when a thin bridge edge connects them to another group. Returns
+    (node, community).
+
+    Determinism is the whole design: plain LPA is notoriously
+    order-dependent (async updates, random tie-breaks). This variant is
+    a pure function of the graph — SYNCHRONOUS rounds (all nodes update
+    from the previous round's labels), a FIXED round count, and the
+    tie-break "highest count, then smallest label" expressed as one
+    ``max_by(label, (cnt, -label))`` struct ordering. An unrolled SQL
+    oracle replays every round exactly; on bipartite-ish regions where
+    sync LPA can oscillate, the fixed round count makes the result
+    well-defined (and identically replayed) rather than run-dependent.
+
+    Scale, per round: one node-keyed join (labels onto the edge list)
+    and a two-level count/argmax aggregation whose first level
+    partial-combines map-side to the distinct (node, neighbor-label)
+    pairs — within a converging community that collapses toward one row
+    per node. Lineage truncates per round (module-docstring contract).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("u"), "label"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(
+                        F.col("cnt").alias("c"), (-F.col("label")).alias("nl")
+                    ),
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def _local_components(sym: DataFrame) -> DataFrame:
     """Driver-side union-find over a collected (already symmetrized) edge
     list. Labels match the distributed loop exactly: cluster = min member.

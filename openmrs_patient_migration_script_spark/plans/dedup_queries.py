@@ -403,6 +403,65 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+def _labelprop_oracle(n_iter: int = 3) -> str:
+    """Unrolled synchronous-LPA replay: each round is a count CTE + a
+    row_number argmax whose ORDER BY (cnt DESC, label ASC) is exactly the
+    engine's max_by(label, (cnt, -label)) struct ordering."""
+    sql = f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v FROM pairs
+      UNION ALL SELECT key_b, key_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.v AS node, l{i - 1}.label, count(*) AS cnt
+      FROM e JOIN l{i - 1} ON e.u = l{i - 1}.node
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT node, label AS community FROM l{n_iter}
+    """
+    return sql
+
+
+@query("graph_label_propagation", oracle=_labelprop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9d: fixed-round synchronous label propagation over the fuzzy-name
+    pair graph (operators/graph.py::label_propagation) — community
+    detection between reachability and centrality: a thin bridge edge
+    merges two clusters under connected components but NOT under the
+    neighborhood-majority rule. Deterministic by construction (sync
+    rounds, fixed count, (cnt desc, label asc) tie-break), so the
+    3-round unrolled oracle replays it exactly. Two keyed shuffles per
+    round; lineage checkpoint-truncated each round."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        label_propagation,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    return label_propagation(pairs, n_iter=3)
+
+
 def _pagerank_oracle(n_iter: int = 4, d: int = 85, scale: int = 10**9) -> str:
     """Unrolled fixed-point PageRank replay: every power iteration is a
     CTE chain of integer arithmetic (the same `div`/`//` semantics on

@@ -1163,3 +1163,40 @@ def test_asof_join_nearest_matches_naive(spark, ev):
         )
         want_dir = "backward" if best[1] <= pts else "forward"
         assert got[pid] == (best[0], want_dir), (pid, got[pid], best)
+
+
+def test_label_propagation_keeps_bridged_cliques_apart(spark):
+    """Two 5-cliques joined by ONE bridge edge: connected components must
+    fuse them (reachability), label propagation must NOT (majority rule)
+    — the over-merge resistance the operator exists for."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    c2 = [(a, b) for a in range(11, 16) for b in range(11, 16) if a < b]
+    bridge = [(5, 11)]
+    df = spark.createDataFrame(c1 + c2 + bridge, ["key_a", "key_b"])
+    comm = {r.node: r.community for r in label_propagation(df, n_iter=3).collect()}
+    comp = {r.node: r.cluster for r in connected_components(df).collect()}
+    # one component overall, but two communities
+    assert len(set(comp.values())) == 1
+    assert len({comm[n] for n in range(1, 6)}) == 1
+    assert len({comm[n] for n in range(11, 16)}) == 1
+    assert comm[1] != comm[11]
+
+
+def test_label_propagation_is_partition_invariant(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        label_propagation,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame(edges, ["key_a", "key_b"])
+    a = sorted(map(tuple, label_propagation(df).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(17)).collect()))
+    assert a == b and a
