@@ -467,6 +467,111 @@ def cosine_pairs_vectorized(
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """X4c: maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein, SIGIR 1998) — plain top-k returns near-duplicates of one
+    good hit; MMR greedily re-picks ``k_select`` of the top
+    ``k_candidates`` so each pick trades relevance against similarity to
+    what is already picked:
+
+        pick argmax over remaining c of  rel(c) − max_{s∈selected} sim(c, s)
+
+    (the λ=0.5 MMR objective with the positive 0.5 factored out of the
+    argmax). This is the retrieval-context dedup step of a RAG/LLM
+    pipeline: the k slots go to k different neighborhoods.
+
+    Exactness: relevance and pairwise similarity become 1e6-scaled LONGS
+    (from the shared 6dp-rounded-cosine convention), so the greedy
+    argmax — ties broken by smallest id — is pure integer arithmetic; an
+    unrolled per-step SQL oracle replays every selection exactly. The
+    first pick has no penalty term (selected set empty), matching the
+    oracle's step-1 CTE.
+
+    Scale: stage 1 is `cosine_topk_vectorized` (corpus never shuffles,
+    per-task partial top-k); the candidate set (n_queries × k_candidates
+    rows) joins its vectors back via a BROADCAST of the candidates onto
+    the corpus scan, and the greedy loop runs per query group inside
+    ``applyInPandas`` over ≤ k_candidates rows — one candidate-sized
+    shuffle, never a corpus-sized one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField("mmr_rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    cands = cosine_topk_vectorized(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    with_vec = corpus.select(id_col, vec_col).join(F.broadcast(cands), id_col)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+        ids = pdf[id_col].to_numpy()
+        cos6 = pdf["cos_sim"].to_numpy(dtype=np.float64)
+        rel = np.rint(cos6 * 1e6).astype(np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # same rounding ladder as the relevance scores: 6dp cosine, then
+        # scale to integer units (np.rint on an almost-integer is exact)
+        sims = np.rint(np.round(mat @ mat.T, 6) * 1e6).astype(np.int64)
+        remaining = list(range(n))
+        pen = None  # no penalty before the first pick
+        picks: list[tuple[int, int]] = []  # (row index, score_s)
+        for _ in range(min(k_select, n)):
+            score = rel[remaining] if pen is None else (
+                rel[remaining] - pen[remaining]
+            )
+            j = int(np.lexsort((ids[remaining], -score))[0])
+            row = remaining.pop(j)
+            picks.append((row, int(score[j])))
+            pen = (
+                sims[:, row].copy()
+                if pen is None
+                else np.maximum(pen, sims[:, row])
+            )
+        qid = pdf[query_id_col].iloc[0]
+        return pd.DataFrame(
+            {
+                query_id_col: [qid] * len(picks),
+                "mmr_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+                id_col: [ids[r] for r, _ in picks],
+                "cos_sim": [cos6[r] for r, _ in picks],
+                "mmr_score": [s / 1e6 for _, s in picks],
+            }
+        )
+
+    return with_vec.groupBy(query_id_col).applyInPandas(greedy, schema=out_schema)
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     threshold: float,

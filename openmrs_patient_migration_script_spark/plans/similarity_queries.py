@@ -134,6 +134,106 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same oracle as sim_cosine_topk: both implementations must produce
 # identical rounded scores and tie-breaks
+def _mmr_oracle(k_cand: int = 10, k_sel: int = 5) -> str:
+    """Unrolled greedy-MMR replay: step 1 is the plain relevance argmax
+    (no penalty — selected set empty); each later step anti-joins the
+    running selection, takes the max penalty over it from the integer
+    pairwise-sim table, and argmaxes (rel_s - pen) with the vec_id
+    tie-break — the exact integer arithmetic the engine's greedy loop
+    runs."""
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(round(cos_sim * 1000000, 0) AS BIGINT) AS rel_s
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {k_cand}
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+             CAST(round(round(list_cosine_similarity(va.v, vb.v), 6)
+                        * 1000000, 0) AS BIGINT) AS sim_s
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+      JOIN vec va ON va.vec_id = a.vec_id
+      JOIN vec vb ON vb.vec_id = b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, cos_sim, rel_s AS score_s FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel_s DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM s1)"""
+    for i in range(2, k_sel + 1):
+        sql += f""",
+    pen{i} AS (
+      SELECT c.query_id, c.vec_id, c.cos_sim, c.rel_s,
+             max(sims.sim_s) AS pen
+      FROM cand c
+      LEFT JOIN sel{i - 1} x
+        ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+      JOIN sel{i - 1} sl ON sl.query_id = c.query_id
+      JOIN sims ON sims.query_id = c.query_id
+               AND sims.ca = c.vec_id AND sims.cb = sl.vec_id
+      WHERE x.vec_id IS NULL
+      GROUP BY 1, 2, 3, 4
+    ),
+    s{i} AS (
+      SELECT query_id, vec_id, cos_sim, rel_s - pen AS score_s FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel_s - pen DESC, vec_id) AS rn
+        FROM pen{i}
+      ) WHERE rn = 1
+    ),
+    sel{i} AS (
+      SELECT query_id, vec_id FROM sel{i - 1}
+      UNION ALL SELECT query_id, vec_id FROM s{i}
+    )"""
+    steps = "\n    UNION ALL ".join(
+        f"SELECT query_id, {i} AS mmr_rank, vec_id, cos_sim, "
+        f"score_s / 1000000.0 AS mmr_score FROM s{i}"
+        for i in range(1, k_sel + 1)
+    )
+    return sql + f"""
+    {steps}
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: MMR diversified re-rank of the exact top-10 down to 5
+    (operators/similarity.py::mmr_rerank) — the retrieval-context dedup
+    step: each pick maximizes relevance MINUS max similarity to prior
+    picks (λ=0.5 with the positive factor dropped), so the result slots
+    cover distinct neighborhoods instead of five near-copies of the best
+    hit. All-integer greedy (1e6-scaled 6dp cosines, smallest-id
+    tie-break) replayed step-by-step by the unrolled oracle. Corpus
+    never shuffles: candidates broadcast back for vectors; the greedy
+    loop is an applyInPandas over ≤10 rows per query."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    return mmr_rerank(emb, queries, k_candidates=10, k_select=5)
+
+
 @query("sim_cosine_topk_hof", oracle=ORACLES["sim_cosine_topk"])
 def sim_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 UDF-free reference variant: cosine via zip_with/aggregate

@@ -311,3 +311,37 @@ def test_kmeans_fit_improves_objective_and_feeds_ivf(spark):
     # trained coarse quantizer must not hurt recall (usually helps:
     # balanced cells make nprobe cover more true neighbors)
     assert r_trained >= r_untrained - 0.05, (r_untrained, r_trained)
+
+
+def test_mmr_rerank_trades_relevance_for_diversity(spark):
+    """Corpus: a tight near-duplicate cluster (mutually ~identical, all
+    moderately relevant) plus an equally-relevant vector in a DIFFERENT
+    neighborhood. Plain top-3 is all-cluster; MMR's second pick must jump
+    to the outsider because the max-sim penalty crushes the near-copies
+    of pick 1."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        mmr_rerank,
+    )
+
+    pad = [0.0] * 6
+    rows = [
+        (100, [1.0, 0.0] + pad),      # the query
+        (1, [0.82, 0.57] + pad),      # near-dup cluster, rel ~0.82
+        (2, [0.79, 0.61] + pad),      # rel ~0.79, sim-to-1 ~1
+        (3, [0.81, 0.59] + pad),      # rel ~0.81, sim-to-1 ~1
+        (4, [0.75, -0.66] + pad),     # rel ~0.75, sim-to-1 ~0.24
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id = 100").select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+    plain = [r.vec_id for r in
+             cosine_topk_vectorized(emb, queries, k=3)
+             .orderBy("cos_sim", ascending=False).collect()]
+    assert plain == [1, 3, 2]  # top-3 is the whole near-dup cluster
+    mmr = {r.mmr_rank: r.vec_id for r in
+           mmr_rerank(emb, queries, k_candidates=4, k_select=3).collect()}
+    assert mmr[1] == 1          # best hit keeps slot 1
+    assert mmr[2] == 4          # slot 2 jumps neighborhoods
+    assert mmr[3] in (2, 3)     # cluster resumes afterwards
