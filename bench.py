@@ -107,6 +107,16 @@ HEADLINE = [
     # the in-task 1-to-N VAD segment fan-out
     "graph_link_prediction",
     "multimodal_vad_segments",
+    # round-4 fifth wave (this session): repeat-factor mixing (checkpointed
+    # counts), the checkpointed-once RANGE-window decomposition, the
+    # two-state sequential fold, per-doc WindowGroupLimit keyword ranking,
+    # iterative sync label propagation, and the applyInPandas MMR greedy
+    "corpus_mixture",
+    "ts_seasonal",
+    "ts_holt_linear",
+    "text_keywords",
+    "graph_label_propagation",
+    "sim_mmr_rerank",
 ]
 
 

@@ -167,3 +167,61 @@ def group_corr(
         "n",
         F.round((nd * sxyd - sxd * syd) / F.sqrt(var_x * var_y), 6).alias("corr"),
     )
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-DEPTH histogram: buckets hold ~equal ROW counts instead of
+    equal value widths — the summary that stays informative on skewed
+    distributions where an equal-width histogram (`agg_histogram`) packs
+    everything into two bars. This is the optimizer's-statistics shape
+    (equi-height column histograms) and the monitoring shape for
+    long-tailed metrics. Returns (bucket, n_rows, lo, hi) with bucket in
+    [0, n_buckets).
+
+    Exactness: cuts are exact DISCRETE percentiles of the fixed-point
+    scaled value (`etl_winsorize`'s rule: a disc cut is an actual data
+    value, no interpolation ulps), and bucket assignment counts the cuts
+    strictly below the value with an integer array HOF — boundary ties
+    collapse into the lower bucket identically on both engines. The
+    known equi-depth caveat rides along: heavy ties at a cut make that
+    bucket fat; that is the semantic, not a bug.
+
+    Plan: one exact-percentile aggregate reduces to a ONE-ROW cuts array
+    broadcast back over the scan; assignment is row-local; the final
+    count/min/max agg partial-combines to ``n_buckets`` rows. Two column
+    passes, zero wide shuffles. At an unbounded-distinct 100 TB scale
+    the cuts pass swaps to ``approx_percentile`` exactly as `winsorize`
+    documents.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    vs = F.round(F.col(value_col) * scale).cast("long")
+    scaled = df.select(vs.alias("_vs"))
+    cut_exprs = [
+        F.expr(
+            f"percentile_disc({i / n_buckets}) WITHIN GROUP (ORDER BY _vs)"
+        )
+        .cast("long")
+        .alias(f"_c{i}")
+        for i in range(1, n_buckets)
+    ]
+    cuts = scaled.agg(*cut_exprs).select(
+        F.array(*[F.col(f"_c{i}") for i in range(1, n_buckets)]).alias("_cuts")
+    )
+    assigned = scaled.crossJoin(F.broadcast(cuts)).select(
+        "_vs",
+        F.expr("size(filter(_cuts, c -> _vs > c))").alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.min("_vs") / F.lit(float(scale))).alias("lo"),
+            (F.max("_vs") / F.lit(float(scale))).alias("hi"),
+        )
+    )

@@ -506,3 +506,40 @@ def combine_rollups(parts: list[DataFrame], group_cols: list[str]) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("sum_cents").alias("sum_cents"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """E5c: point-in-time dimension lookup against an SCD2 table — each
+    fact row joins the dimension VERSION that was current at the fact's
+    own timestamp (``valid_from <= ts < valid_to``, open-ended current
+    version via NULL ``valid_to``). The consumer side of `merge_upsert` /
+    `etl_scd2_delta`'s versioning: the join that makes historical
+    reprocessing reproduce what the pipeline knew at the time instead of
+    leaking today's attributes into yesterday's facts.
+
+    Scale shape: this is NOT a range-join problem — the business key is
+    an EQUI join (one key-partitioned shuffle, or zero with both sides
+    bucketed on the key), and the validity interval is a residual
+    predicate evaluated inside the join. The per-key fan-out is the
+    version count, bounded by the dimension's change rate by contract;
+    SCD2 semantics guarantee versions of one key never overlap, so each
+    fact matches at most one version (no post-join dedup needed). For a
+    dimension with unbounded version churn, the as-of carry
+    (operators/joins.py::asof_join on ``valid_from``) is the fallback
+    shape — documented, not needed for interval-disjoint SCD2.
+    """
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (facts[fact_ts] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, how)

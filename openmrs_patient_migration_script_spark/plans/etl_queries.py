@@ -171,6 +171,84 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS dim_key,
+             CAST(DATE '2024-01-01' AS TIMESTAMP) AS valid_from,
+             CAST(DATE '2024-01-01'
+                  + ((c_custkey % 20)::INT + 5) * INTERVAL 1 DAY
+                  AS TIMESTAMP) AS valid_to,
+             c_mktsegment AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CAST(DATE '2024-01-01'
+                  + ((c_custkey % 20)::INT + 5) * INTERVAL 1 DAY
+                  AS TIMESTAMP),
+             NULL,
+             c_mktsegment || '*'
+      FROM customer
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.segment
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.dim_key
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5c: point-in-time SCD2 dimension lookup
+    (operators/etl.py::scd2_lookup) — every event joins the dimension
+    VERSION current at the event's own timestamp, so reprocessing
+    history reproduces what the pipeline knew then (version 1 before
+    each key's deterministic change date, the starred version 2 after).
+    The business key keeps this an EQUI join (one key shuffle; zero
+    when bucketed) with the validity interval as a residual predicate —
+    never a range-join explosion, and SCD2's disjoint intervals mean at
+    most one match per fact, no dedup pass."""
+    from openmrs_patient_migration_script_spark.operators.etl import scd2_lookup
+
+    c = load_table(spark, sf_dir, "customer")
+    boundary = F.expr(
+        "timestamp(date_add(date'2024-01-01', cast(c_custkey % 20 as int) + 5))"
+    )
+    dim = (
+        c.select(
+            F.col("c_custkey").alias("dim_key"),
+            boundary.alias("_b"),
+            "c_mktsegment",
+        )
+        .select(
+            "dim_key",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("2024-01-01 00:00:00")
+                        .cast("timestamp")
+                        .alias("valid_from"),
+                        F.col("_b").alias("valid_to"),
+                        F.col("c_mktsegment").alias("segment"),
+                    ),
+                    F.struct(
+                        F.col("_b").alias("valid_from"),
+                        F.lit(None).cast("timestamp").alias("valid_to"),
+                        F.concat(F.col("c_mktsegment"), F.lit("*")).alias(
+                            "segment"
+                        ),
+                    ),
+                )
+            ).alias("v"),
+        )
+        .select("dim_key", "v.valid_from", "v.valid_to", "v.segment")
+    )
+    facts = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return scd2_lookup(facts, dim, "user_id", "ts", "dim_key").select(
+        "event_id", "user_id", "ts", "segment"
+    )
+
+
+@query(
     "etl_scd2_delta",
     oracle="""
     WITH prev AS (

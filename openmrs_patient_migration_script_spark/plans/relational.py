@@ -1671,6 +1671,52 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH scaled AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS vs FROM orders
+    ),
+    cuts AS (
+      SELECT list_value(
+        quantile_disc(vs, 0.1), quantile_disc(vs, 0.2),
+        quantile_disc(vs, 0.3), quantile_disc(vs, 0.4),
+        quantile_disc(vs, 0.5), quantile_disc(vs, 0.6),
+        quantile_disc(vs, 0.7), quantile_disc(vs, 0.8),
+        quantile_disc(vs, 0.9)
+      ) AS cs
+      FROM scaled
+    ),
+    assigned AS (
+      SELECT vs, CAST(len(list_filter(cs, c -> vs > c)) AS BIGINT) AS bucket
+      FROM scaled CROSS JOIN cuts
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(vs) / 100.0 AS lo, max(vs) / 100.0 AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals
+    (operators/aggregates.py::histogram_equidepth) — ~equal rows per
+    bucket via exact discrete-percentile cuts, the skew-proof complement
+    of `agg_histogram`'s fixed widths and the optimizer-statistics
+    shape. Cuts are actual data values (`etl_winsorize`'s
+    percentile_disc rule) and assignment counts cuts strictly below the
+    scaled value with an integer array HOF, so the whole summary is
+    exact on both engines. One-row cuts broadcast; two column passes;
+    shuffle carries n_buckets rows."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        histogram_equidepth,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    out = histogram_equidepth(o, "o_totalprice", n_buckets=10, scale=100)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"), "n_rows", "lo", "hi"
+    )
+
+
+@query(
     "join_null_safe",
     oracle="""
     WITH a AS (

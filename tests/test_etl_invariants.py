@@ -245,3 +245,35 @@ def test_incremental_rollup_equals_full_rescan_any_split(spark, sf_dir):
     )
     assert sorted(map(tuple, two.collect())) == full
     assert sorted(map(tuple, seven.collect())) == full
+
+
+def test_scd2_lookup_picks_the_version_current_at_fact_time(spark):
+    from datetime import datetime
+
+    from openmrs_patient_migration_script_spark.operators.etl import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: v1 through Jan 10, v2 open-ended
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10), "old"),
+            (1, datetime(2024, 1, 10), None, "new"),
+            # key 2: only appears Jan 5 onward
+            (2, datetime(2024, 1, 5), None, "only"),
+        ],
+        ["dim_key", "valid_from", "valid_to", "attr"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, datetime(2024, 1, 9, 23, 59)),   # last minute of v1
+            (11, 1, datetime(2024, 1, 10, 0, 0)),    # boundary: v2 (from incl.)
+            (12, 1, datetime(2024, 2, 1)),           # deep in v2
+            (13, 2, datetime(2024, 1, 1)),           # before key 2 existed
+            (14, 3, datetime(2024, 1, 1)),           # unknown key
+        ],
+        ["event_id", "fact_key", "ts"],
+    )
+    out = scd2_lookup(facts, dim, "fact_key", "ts", "dim_key")
+    got = {r.event_id: r.attr for r in out.collect()}
+    assert got == {10: "old", 11: "new", 12: "new", 13: None, 14: None}
+    # disjoint intervals -> exactly one output row per fact, even inner
+    assert out.count() == 5

@@ -298,3 +298,27 @@ def test_benford_flags_planted_uniform_but_passes_log_uniform(spark):
     uni = [100 + i * 0.01 for i in range(10000)]
     obs_u = run(uni)
     assert obs_u.get(1, 0.0) == 1.0
+
+
+def test_equidepth_histogram_balances_skew_where_equal_width_cannot(spark):
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        histogram_equidepth,
+    )
+
+    # log-ish skew: 900 small values, 100 spread over a huge tail
+    rows = [(float(i % 30),) for i in range(900)]
+    rows += [(1000.0 + 90 * i,) for i in range(100)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = histogram_equidepth(df, "v", n_buckets=10).collect()
+    assert sum(r.n_rows for r in out) == 1000  # partition of the input
+    assert len(out) <= 10
+    # every bucket within 2x of the ideal depth (ties distort, never explode)
+    assert all(50 <= r.n_rows <= 200 for r in out)
+    # buckets are ordered and non-overlapping
+    by = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(by, by[1:]):
+        assert a.hi <= b.lo
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram_equidepth(df, "v", n_buckets=1)
