@@ -42,6 +42,40 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, rank, event_type, n_events FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1b (batch form): each hour's top-3 event types — the trending /
+    heavy-hitters serving pattern: the stream maintains watermark-bounded
+    per-window counts (`tumbling_counts`), the rank runs at read time
+    over that state (`rank_topk_windows` — a rank inside a streaming agg
+    plan has no append-mode contract, so the split IS the production
+    shape). WindowGroupLimit prunes the count state to k per partition
+    before the rank shuffle; integer counts + type-name tie-break keep
+    the ranking deterministic."""
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        rank_topk_windows,
+        tumbling_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    counts = tumbling_counts(e).select("window_start", "event_type", "n_events")
+    return rank_topk_windows(counts, k=3)
+
+
+@query(
     "stream_sliding",
     oracle="""
     SELECT window_start, event_type,

@@ -740,3 +740,26 @@ def test_stream_cdc_apply_materializes_and_replays_idempotently(spark, tmp_path)
         for r in spark.read.parquet(target).collect()
     }
     assert again == got
+
+
+def test_trending_topk_over_streamed_state_matches_batch(spark):
+    """The trending split: the STREAM maintains per-window counts, the
+    rank runs at read time over the sink state — ranked state must equal
+    the batch composition exactly (integer counts, type tie-break)."""
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        rank_topk_windows,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, SF))
+    name = _run_to_memory(stream, "complete")
+    streamed = rank_topk_windows(
+        spark.table(name).select("window_start", "event_type", "n_events"), k=3
+    )
+    batch = rank_topk_windows(
+        tumbling_counts(load_table(spark, SF, "events")).select(
+            "window_start", "event_type", "n_events"
+        ),
+        k=3,
+    )
+    cols = ["window_start", "rank", "event_type", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
