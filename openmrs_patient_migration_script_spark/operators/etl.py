@@ -543,3 +543,56 @@ def scd2_lookup(
         & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
     )
     return facts.join(dim, cond, how)
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    dedup_consecutive: bool = True,
+) -> DataFrame:
+    """E5d: build the SCD2 versioned dimension FROM its change log — the
+    constructor complement of `etl_scd2_delta` (detect) and
+    `scd2_lookup` (consume): given (key, change_ts, payload...) events,
+    emit one validity interval per surviving version with
+    ``valid_from = change_ts``, ``valid_to = next change's ts`` (NULL on
+    the current version) and a 1-based ``version`` ordinal.
+
+    ``dedup_consecutive`` drops a change whose payload null-safe-equals
+    the key's PREVIOUS change (replayed/no-op updates — a CDC feed full
+    of heartbeat upserts would otherwise mint empty versions); interval
+    stitching happens AFTER the drop, so the surviving version simply
+    extends across the gap.
+
+    Plan: ONE key-partitioned Exchange shared by all three window passes
+    (the lag comparison, the lead stitch, the version ordinal — same
+    (key, ts) ordering, Spark coalesces them onto one sort), making the
+    build a single-shuffle job at any scale. Ties on ts within a key are
+    ordered by the payload for determinism, but a real feed should make
+    (key, ts) unique upstream.
+    """
+    from pyspark.sql.window import Window as W
+
+    order = [F.col(ts_col), *[F.col(c) for c in payload_cols]]
+    w = W.partitionBy(key_col).orderBy(*order)
+    out = changes
+    if dedup_consecutive:
+        same_prev = None
+        for c in payload_cols:
+            eq = F.col(c).eqNullSafe(F.lag(c).over(w))
+            same_prev = eq if same_prev is None else (same_prev & eq)
+        # first row per key: lag is NULL on every column -> eqNullSafe is
+        # False unless the payload itself is all-NULL; guard explicitly
+        first = F.lag(ts_col).over(w).isNull()
+        out = out.withColumn("_dup", same_prev & ~first).filter(
+            ~F.col("_dup")
+        ).drop("_dup")
+    w2 = W.partitionBy(key_col).orderBy(*order)
+    return out.select(
+        F.col(key_col),
+        *[F.col(c) for c in payload_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )

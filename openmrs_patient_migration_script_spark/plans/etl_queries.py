@@ -171,6 +171,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "etl_scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             lag(ts) OVER w AS pts,
+             lag(event_type) OVER w AS ptype
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    kept AS (
+      SELECT user_id, ts, event_type FROM ordered
+      WHERE pts IS NULL OR event_type IS DISTINCT FROM ptype
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           row_number() OVER w2 AS version
+    FROM kept
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+    """,
+)
+def etl_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5d: SCD2 dimension CONSTRUCTION from a change log
+    (operators/etl.py::scd2_build) — the event stream treated as typed
+    state changes per user: consecutive same-value changes collapse
+    (no-op/heartbeat upserts mint no versions), survivors stitch into
+    disjoint [valid_from, valid_to) intervals with a version ordinal and
+    an open current version. Completes the SCD2 suite: `etl_scd2_delta`
+    detects, this builds, `join_scd2_lookup` consumes. ONE
+    key-partitioned Exchange — all window passes share the (key, ts)
+    sort."""
+    from openmrs_patient_migration_script_spark.operators.etl import scd2_build
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_build(e, "user_id", "ts", ["event_type"])
+
+
+@query(
     "join_scd2_lookup",
     oracle="""
     WITH dim AS (

@@ -277,3 +277,48 @@ def test_scd2_lookup_picks_the_version_current_at_fact_time(spark):
     assert got == {10: "old", 11: "new", 12: "new", 13: None, 14: None}
     # disjoint intervals -> exactly one output row per fact, even inner
     assert out.count() == 5
+
+
+def test_scd2_build_collapses_noops_and_stitches_disjoint_versions(spark):
+    from datetime import datetime
+
+    from openmrs_patient_migration_script_spark.operators.etl import scd2_build
+
+    t = lambda d: datetime(2024, 1, d)
+    changes = [
+        (1, t(1), "A"), (1, t(3), "A"),  # heartbeat: no new version
+        (1, t(5), "B"), (1, t(8), "A"),  # value flips back: IS a version
+        (2, t(2), "X"),
+    ]
+    df = spark.createDataFrame(changes, ["k", "ts", "v"])
+    out = sorted(
+        map(tuple, scd2_build(df, "k", "ts", ["v"]).collect()),
+        key=lambda r: (r[0], r[4]),
+    )
+    assert out == [
+        (1, "A", t(1), t(5), 1),   # extends across the collapsed heartbeat
+        (1, "B", t(5), t(8), 2),
+        (1, "A", t(8), None, 3),   # reopened value is a NEW version
+        (2, "X", t(2), None, 1),
+    ]
+
+
+def test_scd2_build_then_lookup_reproduces_the_change_log(spark, sf_dir):
+    """Round-trip invariant: looking up every original change timestamp
+    against the built dimension must return that change's own payload."""
+    from openmrs_patient_migration_script_spark.operators.etl import (
+        scd2_build,
+        scd2_lookup,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    dim = scd2_build(e, "user_id", "ts", ["event_type"]).withColumnRenamed(
+        "event_type", "dim_type"
+    ).withColumnRenamed("user_id", "dim_key")
+    back = scd2_lookup(e, dim, "user_id", "ts", "dim_key")
+    mismatches = back.filter(
+        ~F.col("event_type").eqNullSafe(F.col("dim_type"))
+    ).count()
+    assert mismatches == 0
+    assert back.count() == e.count()  # disjoint intervals: exactly one hit

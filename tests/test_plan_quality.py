@@ -751,3 +751,11 @@ def test_l_diversity_audit_is_expand_free(spark):
     n = nodes(plan_of(spark, "privacy_l_diversity"))
     assert "Expand" not in n, n
     assert n.count("Exchange") == 2, n
+
+
+def test_scd2_build_shares_one_exchange_across_window_passes(spark):
+    # lag-dedup, lead-stitch and version ordinal all ride one (key, ts)
+    # sort: exactly one Exchange, one Sort in the whole build
+    n = nodes(plan_of(spark, "etl_scd2_build"))
+    assert n.count("Exchange") == 1, n
+    assert n.count("Sort") == 1, n
