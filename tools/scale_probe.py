@@ -246,6 +246,22 @@ def _pagerank_shape(c_k):
     return pagerank(_fuzzy_edges(c_k), src="key_a", dst="key_b", n_iter=4)
 
 
+def _labelprop_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_fuzzy_edges(c_k), src="key_a", dst="key_b", n_iter=3)
+
+
+def _seasonal_shape(ev_k):
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    return seasonal_decompose(ev_k, "user_id", "ts", "event_id", "value")
+
+
 def _surprisal_shape(docs, k: int):
     """Unigram surprisal at k copies — tokens copy-tagged like the
     jaccard shape, so the vocabulary (and its broadcast) grows with
@@ -506,6 +522,11 @@ def main() -> None:
             "pq_adc_scan": lambda: _pq_shape(emb, k),
             # percentile-broadcast winsorize (two passes over the column)
             "winsorize_capping": _winsorize_shape(li_k),
+            # r4 third session ----------------------------------------------
+            # sync label propagation: 3 rounds x (join + two-level argmax)
+            "label_propagation": lambda: _labelprop_shape(c_k),
+            # checkpointed RANGE-window trend + broadcast seasonal profile
+            "seasonal_decompose": lambda: _seasonal_shape(ev_k),
         }
 
     results: dict[str, dict[int, float]] = {}
