@@ -419,3 +419,53 @@ def winsorize(
             .alias("clipped"),
         )
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-free content checksum per slice — the CHEAP first pass of
+    migration verification: compare (n_rows, xor_hash, sum_hash) per
+    slice between source and target before paying for `table_diff`'s
+    row-level full-outer join, and recurse only into slices that
+    disagree. Each row hashes to a 60-bit md5-derived integer over its
+    typed column values (NULLs coalesced to an explicit sentinel so NULL
+    and 'missing' cannot collide — the `dp_noisy_counts` rule); the
+    slice digest is the triple
+
+        n_rows     — catches cardinality drift,
+        xor_hash   — order-free, catches any single-row value change,
+        sum_hash   — exact DECIMAL(38) sum reduced mod 2^62, catching
+                     the duplicate-swap class XOR is blind to (two
+                     identical rows XOR out). The modulus keeps the
+                     digest an exact BIGINT at any slice size (a raw
+                     38-digit sum survives the engine but loses ulps in
+                     downstream float/JSON layers — observed); modular
+                     sum is still commutative-exact.
+
+    All three aggregates are commutative-exact (no float, no order
+    dependence), so the digest is identical across partitionings,
+    engines, and runs — which is the entire point: the DuckDB oracle
+    recomputes it from SQL and must match bit-for-bit. ONE partial-
+    combined hash agg; the shuffle carries a triple per slice.
+    """
+    row_str = F.concat_ws(
+        ":",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols],
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    keys = [F.col(c) for c in (group_cols or [])]
+    agged = (
+        df.select(*keys, h.alias("_h")).groupBy(*keys)
+        if group_cols
+        else df.select(h.alias("_h")).groupBy()
+    )
+    return agged.agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_hash"),
+        F.expr(
+            "cast(sum(cast(_h as decimal(38,0))) % 4611686018427387904 as bigint)"
+        ).alias("sum_hash"),
+    )

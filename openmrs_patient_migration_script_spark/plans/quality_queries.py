@@ -529,3 +529,51 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 6).alias("benford_frac"),
         F.round(obs - expected, 6).alias("deviation"),
     )
+
+
+@query(
+    "dq_checksum",
+    oracle="""
+    WITH t AS (
+      SELECT c_nationkey,
+             concat_ws(':',
+               coalesce(c_custkey::VARCHAR, '\\N'),
+               coalesce(c_name, '\\N'),
+               coalesce(c_mktsegment, '\\N'),
+               coalesce(CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR,
+                        '\\N')) AS rs
+      FROM customer
+    )
+    SELECT c_nationkey, count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(rs), 1, 15))::BIGINT) AS xor_hash,
+           CAST(sum(CAST(('0x' || substr(md5(rs), 1, 15))::BIGINT
+                         AS DECIMAL(38,0))) % 4611686018427387904
+                AS BIGINT) AS sum_hash
+    FROM t GROUP BY 1
+    """,
+)
+def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-free content checksum of the customer table
+    (operators/quality.py::table_checksum) — the cheap first pass of
+    migration verification: source and target digests compare as
+    #slices rows, and only a disagreeing slice pays for the row-level
+    `dq_table_diff`. Doubles ride as scaled-cents longs (double→string
+    formatting differs across engines; integer strings don't); all
+    three digest aggregates are commutative-exact, so the digest is
+    partition-order free by construction. One hash agg."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        table_checksum,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return table_checksum(
+        c,
+        ["c_custkey", "c_name", "c_mktsegment", "bal_cents"],
+        group_cols=["c_nationkey"],
+    )

