@@ -225,3 +225,65 @@ def histogram_equidepth(
             (F.max("_vs") / F.lit(float(scale))).alias("hi"),
         )
     )
+
+
+def group_skew_kurtosis(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from EXACT sufficient
+    statistics — the 3rd/4th-moment completion of `group_corr`'s recipe:
+    built-in ``skewness()``/``kurtosis()`` stream float central-moment
+    updates whose result depends on partition merge order; this carries
+    n, Σx, Σx², Σx³, Σx⁴ as DECIMAL(38,0) (one partial-combinable hash
+    agg, reassociation-immune) and evaluates the closed forms row-locally:
+
+        B = n·Σx² − (Σx)²                       (n²·M2)
+        A = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³         (n³·M3)
+        C = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n·(Σx)²·Σx² − 3(Σx)⁴   (n⁴·M4)
+        skewness = A / (B·√B)        excess kurtosis = C / B² − 3
+
+    (the n-powers cancel exactly, so no per-n rescaling). ``x`` must be
+    an integer-valued LONG; int64 per-row powers bound |x| < ~55k for
+    the 4th power — scale fixed-point business values accordingly
+    (cents of a bounded metric fit; rescale the units otherwise). The
+    DECIMAL→double casts and the IEEE multiply/divide/sqrt chain are
+    deterministic, so the 6dp results are bit-identical across engines
+    and partition orders. Groups with n < 3 or zero variance drop."""
+    sums = (
+        df.select(*group_cols, x.alias("_x"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(
+                (F.col("_x") * F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+            ).alias("s3"),
+            F.sum(
+                (F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    b = nd * s2 - s1 * s1
+    a = nd * nd * s3 - F.lit(3.0) * nd * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    c = (
+        nd * nd * nd * s4
+        - F.lit(4.0) * nd * nd * s1 * s3
+        + F.lit(6.0) * nd * s1 * s1 * s2
+        - F.lit(3.0) * s1 * s1 * s1 * s1
+    )
+    return sums.filter((F.col("n") >= 3) & (b > 0.0)).select(
+        *group_cols,
+        "n",
+        F.round(a / (b * F.sqrt(b)), 6).alias("skewness"),
+        F.round(c / (b * b) - F.lit(3.0), 6).alias("kurtosis"),
+    )

@@ -1059,6 +1059,58 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+    ),
+    sums AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS s1,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS s2,
+             sum(CAST(x * x * x AS DECIMAL(38,0))) AS s3,
+             sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS s4
+      FROM s GROUP BY 1
+    ),
+    d AS (
+      SELECT event_type, n,
+             n::DOUBLE AS nd, s1::DOUBLE AS s1d, s2::DOUBLE AS s2d,
+             s3::DOUBLE AS s3d, s4::DOUBLE AS s4d
+      FROM sums
+    )
+    SELECT event_type, n,
+           round((nd * nd * s3d - 3.0 * nd * s1d * s2d
+                  + 2.0 * s1d * s1d * s1d)
+                 / ((nd * s2d - s1d * s1d)
+                    * sqrt(nd * s2d - s1d * s1d)), 6) AS skewness,
+           round((nd * nd * nd * s4d - 4.0 * nd * nd * s1d * s3d
+                  + 6.0 * nd * s1d * s1d * s2d
+                  - 3.0 * s1d * s1d * s1d * s1d)
+                 / ((nd * s2d - s1d * s1d) * (nd * s2d - s1d * s1d))
+                 - 3.0, 6) AS kurtosis
+    FROM d
+    WHERE n >= 3 AND (nd * s2d - s1d * s1d) > 0.0
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3c: per-type skewness + excess kurtosis of event values
+    (operators/aggregates.py::group_skew_kurtosis) — the tail-shape
+    moments that tell a monitoring pipeline WHETHER a distribution is
+    long-tailed before it picks thresholds. Exact decimal power sums
+    (one hash agg) with the closed forms evaluated row-locally — unlike
+    the built-in streaming skewness/kurtosis, partition-merge-order
+    free by construction, so the 6dp values are bit-stable."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_skew_kurtosis,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return group_skew_kurtosis(
+        e, ["event_type"], F.round(F.col("value") * 100).cast("long")
+    )
+
+
+@query(
     "agg_correlation",
     oracle="""
     WITH pts AS (

@@ -539,3 +539,32 @@ def test_keywords_topk_surfaces_planted_distinctive_terms(spark):
         F.count("*").alias("n"), F.max("kw_rank").alias("mx")
     )
     assert all(r.n <= 2 and r.mx == r.n for r in per_doc.collect())
+
+
+def test_skew_kurtosis_signs_match_planted_shapes(spark):
+    """Right-tailed data -> positive skew; symmetric two-point mass ->
+    zero skew and minimal (-2) excess kurtosis; results partition-order
+    invariant (the reason the exact-sufficient-statistics form exists)."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_skew_kurtosis,
+    )
+
+    rows = []
+    # group 'tail': 99 values at 1.0, one at 1000.0 -> strong right skew
+    rows += [("tail", 1.0)] * 99 + [("tail", 1000.0)]
+    # group 'flat': half 0, half 100 -> skew 0, excess kurtosis -2
+    rows += [("flat", 0.0)] * 50 + [("flat", 100.0)] * 50
+    df = spark.createDataFrame(rows, ["g", "v"])
+    x = F.round(F.col("v") * 100).cast("long")
+    out = {r.g: r for r in group_skew_kurtosis(df, ["g"], x).collect()}
+    assert out["tail"].skewness > 5.0
+    assert out["flat"].skewness == 0.0
+    assert out["flat"].kurtosis == -2.0
+    again = {
+        r.g: r
+        for r in group_skew_kurtosis(df.repartition(13), ["g"], x).collect()
+    }
+    assert all(
+        (out[g].skewness, out[g].kurtosis) == (again[g].skewness, again[g].kurtosis)
+        for g in out
+    )
