@@ -53,3 +53,9 @@ def test_feature_pipeline():
     assert "alarm rows:" in stdout
     assert "(ffill) == " in stdout
     assert "features: READY" in stdout
+
+
+def test_retrieval_pipeline():
+    stdout = _run("retrieval_pipeline.py")
+    assert "retrieval: READY" in stdout
+    assert "recall" in stdout
