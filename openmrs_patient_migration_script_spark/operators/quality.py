@@ -469,3 +469,40 @@ def table_checksum(
             "cast(sum(cast(_h as decimal(38,0))) % 4611686018427387904 as bigint)"
         ).alias("sum_hash"),
     )
+
+
+def quarantine_rows(
+    df: DataFrame, rules: dict[str, Column], keep_cols: list[str]
+) -> DataFrame:
+    """The ROW-level half of `validate_rules`: the aggregate audit says
+    HOW DIRTY the batch is; this emits the dirty rows themselves, tagged
+    with every rule they fail — the standard load-split (clean rows to
+    the target, quarantine rows + reasons to the reject sink, nothing
+    silently dropped). A rule that evaluates NULL counts as failed, the
+    same unevaluable-is-dirty stance as the audit.
+
+    Returns keep_cols + ``failed_rules`` (comma-joined rule names in
+    declaration order — concat_ws skips the NULL slots of passing
+    rules identically on both engines) + ``n_failed``; only failing
+    rows are emitted (complement the filter for the clean stream).
+    Row-local expressions over the scan: zero shuffles at any scale,
+    and every rule adds a CASE, never a pass.
+    """
+    fails = [
+        F.when(
+            ~F.coalesce(pred, F.lit(False)), F.lit(name)
+        )
+        for name, pred in rules.items()
+    ]
+    n_failed = None
+    for name, pred in rules.items():
+        term = F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        n_failed = term if n_failed is None else (n_failed + term)
+    return (
+        df.select(
+            *keep_cols,
+            F.concat_ws(",", *fails).alias("failed_rules"),
+            n_failed.alias("n_failed"),
+        )
+        .filter(F.col("n_failed") > 0)
+    )

@@ -577,3 +577,49 @@ def dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey", "c_name", "c_mktsegment", "bal_cents"],
         group_cols=["c_nationkey"],
     )
+
+
+@query(
+    "etl_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value,
+             concat_ws(',',
+               CASE WHEN NOT coalesce(value <= 400.0, FALSE)
+                    THEN 'value_in_range' END,
+               CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
+                    THEN 'type_known' END,
+               CASE WHEN NOT coalesce(user_id < 140, FALSE)
+                    THEN 'user_known' END) AS failed_rules,
+             (CASE WHEN NOT coalesce(value <= 400.0, FALSE)
+                   THEN 1 ELSE 0 END
+              + CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN NOT coalesce(user_id < 140, FALSE)
+                     THEN 1 ELSE 0 END) AS n_failed
+      FROM events
+    )
+    SELECT * FROM t WHERE n_failed > 0
+    """,
+)
+def etl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9b: the ROW-level load split `dq_rules` implies
+    (operators/quality.py::quarantine_rows) — dirty rows emitted with
+    every failed rule named (comma-joined in declaration order), clean
+    rows implied by the complement; nothing silently dropped, the
+    standard reject-sink contract. Row-local CASE chain over the scan —
+    zero shuffles, rules add expressions, never passes."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        quarantine_rows,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return quarantine_rows(
+        e,
+        {
+            "value_in_range": F.col("value") <= 400.0,
+            "type_known": F.col("event_type") != "error",
+            "user_known": F.col("user_id") < 140,
+        },
+        ["event_id", "user_id", "event_type", "value"],
+    )

@@ -352,3 +352,25 @@ def test_table_checksum_catches_what_each_digest_part_is_for(spark):
     assert digest([(1, None)]) != digest([(1, "\\N")]) or True  # same by design:
     # the sentinel is an encoding choice; what must differ is NULL vs ''
     assert digest([(1, None)])[1] != digest([(1, "")])[1]
+
+
+def test_quarantine_rows_names_every_failed_rule_and_drops_clean(spark):
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        quarantine_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "ok"), (2, 500, "ok"), (3, 600, None), (4, 20, "bad")],
+        "id bigint, v bigint, s string",
+    )
+    out = {r.id: (r.failed_rules, r.n_failed) for r in quarantine_rows(
+        df,
+        {"v_small": F.col("v") <= 100, "s_ok": F.col("s") == "ok"},
+        ["id"],
+    ).collect()}
+    # row 1 clean -> absent; NULL rule result counts as failed (row 3)
+    assert out == {
+        2: ("v_small", 1),
+        3: ("v_small,s_ok", 2),
+        4: ("s_ok", 1),
+    }
