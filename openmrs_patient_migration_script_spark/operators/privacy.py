@@ -180,3 +180,67 @@ def dp_noisy_counts(
     if threshold is not None:
         out = out.filter(F.col("noisy_count") >= threshold)
     return out
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Distribution-disclosure risk report — the third rung of the
+    privacy-audit ladder: `k_anonymity_audit` bounds group SIZE,
+    `l_diversity_audit` bounds sensitive CARDINALITY, and this bounds
+    the sensitive DISTRIBUTION (Li, Li & Venkatasubramanian, ICDE 2007):
+    a group can hold l diverse values yet still leak if, say, 95% of its
+    rows share one diagnosis the population holds at 10%. Flags
+    quasi-groups whose total-variation distance from the global
+    sensitive distribution exceeds ``t``:
+
+        TVD(g) = ½ Σ_s |c_gs/n_g − c_s/N|
+               = Σ_s |c_gs·N − c_s·n_g| / (2·n_g·N)
+
+    The second form is the implementation: the numerator is EXACT
+    integer arithmetic (counts only — summed as DECIMAL(38,0), so no
+    float appears until the single closing division), which makes the
+    audit partition-order free and the oracle comparison exact. Missing
+    (group, value) combinations contribute |0 − q_s| — the full
+    sensitive domain is materialized per group (groups × domain rows),
+    not just the observed pairs, or concentrated groups would be
+    under-measured.
+
+    Returns (quasi..., group_size, tvd) for groups with tvd > t.
+    Shuffles: one (quasi, sensitive) count agg (checkpointed — three
+    consumers, strata-sized), two tiny rollups of it, a broadcast
+    domain cross-join and one keyed left join back. The sensitive
+    domain must be bounded (categorical) by contract."""
+    c = (
+        df.groupBy(*quasi_cols, sensitive_col)
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    n_g = c.groupBy(*quasi_cols).agg(F.sum("_c").alias("_n"))
+    q = c.groupBy(sensitive_col).agg(F.sum("_c").alias("_cs"))
+    big_n = q.agg(F.sum("_cs").alias("_bn"))
+    dom = n_g.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(big_n))
+    full = dom.join(c, [*quasi_cols, sensitive_col], "left").withColumn(
+        "_c", F.coalesce(F.col("_c"), F.lit(0))
+    )
+    num_term = F.abs(
+        (F.col("_c") * F.col("_bn") - F.col("_cs") * F.col("_n")).cast(
+            "decimal(38,0)"
+        )
+    )
+    agged = full.groupBy(*quasi_cols, "_n", "_bn").agg(
+        F.sum(num_term).alias("_num")
+    )
+    tvd = F.col("_num").cast("double") / (
+        F.lit(2.0) * F.col("_n").cast("double") * F.col("_bn").cast("double")
+    )
+    return (
+        agged.withColumn("tvd", tvd)
+        .filter(F.col("tvd") > t)
+        .select(
+            *quasi_cols, F.col("_n").alias("group_size"), F.round("tvd", 6).alias("tvd")
+        )
+    )

@@ -165,3 +165,59 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(
         docs, ["lang", "source"], salt="dp-release-1", repeats=2, threshold=10
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+             c_mktsegment AS s
+      FROM customer
+    ),
+    c AS (SELECT c_nationkey, bal_band, s, count(*) AS c
+          FROM b GROUP BY 1, 2, 3),
+    n_g AS (SELECT c_nationkey, bal_band, sum(c) AS n FROM c GROUP BY 1, 2),
+    q AS (SELECT s, sum(c) AS cs FROM c GROUP BY 1),
+    bn AS (SELECT sum(cs) AS bign FROM q),
+    fulld AS (
+      SELECT g.c_nationkey, g.bal_band, g.n, q.s, q.cs, bn.bign,
+             coalesce(c.c, 0) AS c
+      FROM n_g g CROSS JOIN q CROSS JOIN bn
+      LEFT JOIN c ON c.c_nationkey = g.c_nationkey
+                 AND c.bal_band = g.bal_band AND c.s = q.s
+    ),
+    agged AS (
+      SELECT c_nationkey, bal_band, n, bign,
+             sum(CAST(abs(c * bign - cs * n) AS DECIMAL(38,0))) AS num
+      FROM fulld GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_nationkey, bal_band, n AS group_size,
+           round(num::DOUBLE / (2.0 * n::DOUBLE * bign::DOUBLE), 6) AS tvd
+    FROM agged
+    WHERE num::DOUBLE / (2.0 * n::DOUBLE * bign::DOUBLE) > 0.2
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third rung of the privacy-audit ladder
+    (operators/privacy.py::t_closeness_audit): groups whose market-
+    segment DISTRIBUTION sits more than t=0.2 total-variation distance
+    from the population's — the concentration leak a group can carry
+    while passing both k-anonymity (size) and l-diversity (cardinality).
+    The TVD numerator is exact integer arithmetic over counts (one
+    closing division), so the audit is partition-order free and the
+    oracle exact; the full sensitive domain materializes per group so
+    missing values contribute their |0 − q| term."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        t_closeness_audit,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return t_closeness_audit(
+        c, ["c_nationkey", "bal_band"], "c_mktsegment", t=0.2
+    )

@@ -92,3 +92,30 @@ def test_l_diversity_flags_homogeneous_groups_k_anon_misses(spark):
                  l_diversity_audit(df, ["zip", "band"], "diagnosis", l=3).collect()}
     assert k_flagged == {(3, "c")}
     assert l_flagged == {(1, "a"): (6, 1), (3, "c"): (2, 2)}
+
+
+def test_t_closeness_flags_concentration_k_and_l_both_miss(spark):
+    """A group can be large (passes k) and hold 3 distinct values
+    (passes l) while being wildly concentrated vs the population — the
+    leak only the distribution distance sees. A group mirroring the
+    global mix must NOT flag."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        k_anonymity_audit,
+        l_diversity_audit,
+        t_closeness_audit,
+    )
+
+    # global mix engineered ~uniform over flu/cold/covid
+    skew = (
+        [(1, "flu")] * 28 + [(1, "cold")] + [(1, "covid")]  # 93% flu
+    )
+    fair = [(2, d) for d in ["flu", "cold", "covid"] * 10]
+    # balance the population so 'fair' matches the global distribution
+    rest = [(3, d) for d in ["cold", "covid"] * 14] + [(3, "flu")] * 2
+    df = spark.createDataFrame(skew + fair + rest, ["zip", "diagnosis"])
+    assert not k_anonymity_audit(df, ["zip"], k=5).collect()
+    assert not l_diversity_audit(df, ["zip"], "diagnosis", l=3).collect()
+    flagged = {r.zip: r.tvd for r in
+               t_closeness_audit(df, ["zip"], "diagnosis", t=0.2).collect()}
+    assert 1 in flagged and flagged[1] > 0.4
+    assert 2 not in flagged
