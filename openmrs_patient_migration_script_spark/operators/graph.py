@@ -556,3 +556,57 @@ def common_neighbors(
             "deg_b",
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "key_a", dst: str = "key_b"
+) -> DataFrame:
+    """Degree assortativity of the undirected pair graph (Newman, 2002):
+    the Pearson correlation between the degrees at the two ends of every
+    edge — one number that says whether hubs link to hubs (>0, social
+    topology) or hubs fan out to leaves (<0, star/blocking topology).
+    For a dedup candidate graph this is the over-merge early-warning:
+    a strongly negative shift means a few hub records are absorbing
+    everything (a too-coarse blocking key) before any cluster explodes.
+
+    Exactness: degrees are integers, the correlation runs on exact
+    DECIMAL(38,0) power sums (`group_corr`'s recipe — no streaming float
+    moments), so the 6dp value is bit-stable across partitionings and
+    engines. Returns one row (n_edge_ends, assortativity).
+
+    Plan: one degree aggregation, TWO broadcast joins of the degree
+    table onto the edge list (degree tables are node-sized; for a graph
+    whose node table outgrows broadcast, both joins shuffle on the node
+    key — still linear), one global moment aggregation.
+    """
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_corr,
+    )
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("_d")).localCheckpoint(
+        eager=True
+    )
+    ends = (
+        sym.join(F.broadcast(deg.select(F.col("u"), F.col("_d").alias("_du"))), "u")
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("v"), F.col("_d").alias("_dv"))
+            ),
+            "v",
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    out = group_corr(ends, ["_g"], F.col("_du"), F.col("_dv"))
+    return out.select(
+        F.col("n").alias("n_edge_ends"),
+        F.col("corr").alias("assortativity"),
+    )

@@ -1059,6 +1059,51 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rolling_median",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vs
+      FROM events
+    )
+    SELECT user_id, event_id,
+           quantile_disc(vs, 0.5) OVER w AS median_cents,
+           quantile_disc(vs, 0.5) OVER w / 100.0 AS rolling_median
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2c: rolling MEDIAN filter over the trailing 7-row frame per user
+    — the robust smoother a mean-based rolling baseline can't be: one
+    outlier in the frame moves a trailing mean by outlier/7 but leaves
+    the median untouched (50% breakdown inside every frame), which is
+    why median filtering is the standard pre-despike for sensor/metric
+    feeds. Exactness: values are scaled cents; the median is the LOWER
+    middle of the sorted frame (`element_at(sorted, (n+1) div 2)` —
+    integer selection, no interpolation), which is precisely DuckDB's
+    `quantile_disc(0.5)` over the same frame, so the comparison is
+    exact. ONE Exchange on user_id; the in-frame sort is row-local
+    (frame width 7)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vs = F.round(F.col("value") * 100).cast("long")
+    frame = F.array_sort(F.collect_list(vs).over(w))
+    med = F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+    return e.select(
+        "user_id",
+        "event_id",
+        med.alias("median_cents"),
+        (med / F.lit(100.0)).alias("rolling_median"),
+    )
+
+
+@query(
     "agg_skew_kurtosis",
     oracle="""
     WITH s AS (

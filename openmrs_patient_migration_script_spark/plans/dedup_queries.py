@@ -462,21 +462,87 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, n_iter=3)
 
 
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS key_a, b.l_partkey AS key_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v FROM pairs
+      UNION ALL SELECT key_b, key_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM ends
+    )
+    SELECT n AS n_edge_ends,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS assortativity
+    FROM sums
+    WHERE n >= 2
+      AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0.0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9e: degree assortativity
+    (operators/graph.py::degree_assortativity) of the basket
+    co-occurrence graph — one number for WHO links to whom: negative
+    means hubs absorb leaves (in a dedup graph, the too-coarse-
+    blocking-key early warning), positive means like links like. The
+    part-affinity graph is the declared fixture because it has genuine
+    hubs; the fuzzy-name pair graph is all isolated edges (zero degree
+    variance → the coefficient is undefined there, and the audit
+    correctly emits nothing). Exact decimal power sums under the
+    correlation (`group_corr`'s recipe) keep the 6dp value bit-stable;
+    the degree table broadcasts onto the edge list twice, one global
+    moment agg."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        degree_assortativity,
+    )
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        affinity_basket_pairs,
+    )
+
+    pairs = affinity_basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    return degree_assortativity(pairs, src="part_a", dst="part_b")
+
+
 def _pagerank_oracle(n_iter: int = 4, d: int = 85, scale: int = 10**9) -> str:
     """Unrolled fixed-point PageRank replay: every power iteration is a
     CTE chain of integer arithmetic (the same `div`/`//` semantics on
     both engines — non-negative operands, so trunc == floor), so the
     iterative algorithm is EXACTLY reproducible, not approximately."""
     sql = f"""
-    WITH named AS (
-      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
     pairs AS (
-      SELECT a.key AS key_a, b.key AS key_b
-      FROM named a JOIN named b
-        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
-       AND a.key < b.key
-      WHERE levenshtein(a.name, b.name) <= 1
+      SELECT a.l_partkey AS key_a, b.l_partkey AS key_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
     ),
     e AS (
       SELECT key_a AS u, key_b AS v FROM pairs

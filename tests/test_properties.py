@@ -1200,3 +1200,28 @@ def test_label_propagation_is_partition_invariant(spark):
     a = sorted(map(tuple, label_propagation(df).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(17)).collect()))
     assert a == b and a
+
+
+def test_assortativity_sign_tracks_topology(spark):
+    """A star (hub->leaves) must be strongly negative; two cliques of
+    different sizes joined nowhere are positive-or-degenerate — pin the
+    discriminating sign, and partition invariance."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(star, ["key_a", "key_b"])
+    row = degree_assortativity(df).collect()[0]
+    assert row.assortativity == -1.0  # pure star: perfectly disassortative
+    assert row.n_edge_ends == 16
+    # mixed graph: star + a triangle — still negative, but not -1
+    tri = [(10, 11), (11, 12), (10, 12)]
+    row2 = degree_assortativity(
+        spark.createDataFrame(star + tri, ["key_a", "key_b"])
+    ).collect()[0]
+    assert -1.0 < row2.assortativity < 0.0
+    row3 = degree_assortativity(
+        spark.createDataFrame(star + tri, ["key_a", "key_b"]).repartition(7)
+    ).collect()[0]
+    assert row3.assortativity == row2.assortativity
