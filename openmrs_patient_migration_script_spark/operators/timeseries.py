@@ -732,3 +732,66 @@ def sessionize(
         .over(run)
         .alias("session_start"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    n_mads: int = 5,
+    window_ms: int = 43_200_000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Season-aware anomaly flags — the loop `seasonal_decompose`'s
+    docstring promises closed: a reading is anomalous when its RESIDUAL
+    (value minus trend minus diurnal profile) sits more than ``n_mads``
+    robust deviations from the key's typical residual. Flagging on the
+    residual instead of the raw value is the whole point — 3am traffic
+    that is normal at 3am never alarms, and the median/MAD threshold
+    (50% breakdown) is not itself dragged by the outliers it hunts.
+
+    Exactness: residuals are exact 1e6-scaled integers by the
+    decomposition's construction; the per-key median and MAD are
+    lower-middle integer selections (`percentile_disc(0.5)` — the
+    rolling-median convention), so flag membership is pure int64
+    comparison, replayed exactly by the oracle. Keys whose MAD is zero
+    (over half the residuals identical) emit nothing — the standard
+    MAD degeneracy, declared rather than patched.
+
+    Plan: the decomposition's one data Exchange + two key-rollup
+    percentile aggregates whose outputs (one row per key) broadcast
+    back. Returns (key, id, resid, deviation, threshold) for flagged
+    rows, descaled for display.
+    """
+    dec = seasonal_decompose(
+        df, key_col, ts_col, id_col, value_col, window_ms=window_ms, scale=scale
+    )
+    r6 = dec.select(
+        key_col, id_col, F.round(F.col("resid") * scale).cast("long").alias("_r6")
+    )
+    meds = r6.groupBy(key_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _r6)")
+        .cast("long")
+        .alias("_med")
+    )
+    dev = r6.join(F.broadcast(meds), key_col).withColumn(
+        "_dev", F.abs(F.col("_r6") - F.col("_med"))
+    )
+    mads = dev.groupBy(key_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)")
+        .cast("long")
+        .alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mads), key_col)
+        .filter((F.col("_mad") > 0) & (F.col("_dev") > n_mads * F.col("_mad")))
+        .select(
+            key_col,
+            id_col,
+            (F.col("_r6") / F.lit(float(scale))).alias("resid"),
+            (F.col("_dev") / F.lit(float(scale))).alias("deviation"),
+            (n_mads * F.col("_mad") / F.lit(float(scale))).alias("threshold"),
+        )
+    )

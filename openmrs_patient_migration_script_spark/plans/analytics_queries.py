@@ -796,6 +796,74 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_anomaly_seasonal",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vs,
+             epoch_ms(ts) AS ems, hour(ts) AS hod
+      FROM events
+    ),
+    tr AS (
+      SELECT *, sum(vs) OVER w AS s, count(*) OVER w AS n
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ems
+                   RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)
+    ),
+    det AS (
+      SELECT user_id, event_id, hod,
+             vs - ((2 * s + n) // (2 * n)) AS d
+      FROM tr
+    ),
+    seas AS (
+      SELECT user_id, hod,
+             CASE WHEN sum(d) >= 0
+                  THEN (2 * sum(d) + count(*)) // (2 * count(*))
+                  ELSE -((-2 * sum(d) + count(*)) // (2 * count(*))) END
+               AS seasonal6
+      FROM det GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT det.user_id, det.event_id, (d - seasonal6) AS r6
+      FROM det JOIN seas ON det.user_id = seas.user_id
+                        AND det.hod = seas.hod
+    ),
+    meds AS (
+      SELECT user_id, quantile_disc(r6, 0.5) AS med FROM resid GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.user_id, r.event_id, r.r6, abs(r.r6 - m.med) AS dv
+      FROM resid r JOIN meds m USING (user_id)
+    ),
+    mads AS (
+      SELECT user_id, quantile_disc(dv, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.user_id, d.event_id,
+           d.r6 / 1000000.0 AS resid,
+           d.dv / 1000000.0 AS deviation,
+           5 * m.mad / 1000000.0 AS threshold
+    FROM dev d JOIN mads m USING (user_id)
+    WHERE m.mad > 0 AND d.dv > 5 * m.mad
+    """,
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15h: season-aware anomaly flags
+    (operators/timeseries.py::seasonal_anomalies) — readings whose
+    RESIDUAL after `ts_seasonal`'s trend+diurnal split exceeds 5 robust
+    deviations of the user's typical residual: normal-for-3am never
+    alarms, and the median/MAD threshold can't be dragged by the
+    outliers it hunts. All-integer residuals and lower-middle integer
+    medians make flag membership pure int64 comparison — the oracle
+    replays the whole chain exactly."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(e, "user_id", "ts", "event_id", "value")
+
+
+@query(
     "ts_cusum",
     oracle="""
     WITH RECURSIVE ordered AS (

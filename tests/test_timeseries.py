@@ -268,3 +268,33 @@ def test_seasonal_decompose_is_exactly_additive_and_finds_diurnal(spark):
     off = [r.seasonal for i, r in by.items() if i % 24 == 0]
     assert min(noon) > 40.0
     assert max(off) < 0.0
+
+
+def test_seasonal_anomaly_flags_off_hour_spike_not_the_daily_peak(spark):
+    """A +50 reading is NORMAL at noon (the user peaks at noon every day)
+    and ANOMALOUS at 3am — exactly the distinction a raw-value threshold
+    cannot make and the residual/MAD rule must."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    rows, eid, spike_id = [], 0, None
+    for d in range(8):
+        for h in range(24):
+            # deterministic +-5 noise: with a NOISELESS series the MAD
+            # collapses to window-truncation wobble and everything flags
+            noise = float((d * 24 + h) * 7 % 11 - 5)
+            v = 100.0 + noise + (50.0 if h == 12 else 0.0)
+            if d == 4 and h == 3:
+                v = 150.0          # same magnitude as noon, wrong hour
+                spike_id = eid
+            rows.append((1, datetime(2024, 1, 1 + d, h), eid, v))
+            eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    flagged = {r.event_id: r for r in
+               seasonal_anomalies(df, "user_id", "ts", "event_id", "value").collect()}
+    assert spike_id in flagged
+    assert flagged[spike_id].deviation > flagged[spike_id].threshold
+    # no noon reading ever flags — +50 at noon IS the season
+    noon_ids = {r[2] for r in rows if r[1].hour == 12}
+    assert not (noon_ids & set(flagged))
