@@ -181,6 +181,40 @@ def mixture_repeat(
     )
 
 
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    target_n: int | None = None,
+) -> DataFrame:
+    """Class balancing by downsampling to the MINORITY class size — the
+    classification-training prep step `cap_per_group` (fixed cap) and
+    `temperature_resample` (fractional rebalance) bracket but don't hit:
+    every label keeps exactly ``min(class sizes)`` rows (or ``target_n``
+    if given), chosen by content-addressed hash order so the kept set is
+    reproducible across runs and partitionings.
+
+    When ``target_n`` is None the minority size is collected driver-side
+    — ONE number off a partial-combined count agg (bounded metadata, the
+    literal-cut-points pattern), which keeps the cap a LITERAL in the
+    plan so WindowGroupLimit still prunes every partition to the cap
+    before the shuffle; a column-valued cap would defeat that pruning.
+    One shuffle on the label key.
+    """
+    if target_n is None:
+        counts = df.groupBy(label_col).agg(F.count("*").alias("_n"))
+        row = counts.agg(F.min("_n").alias("_m")).collect()[0]
+        target_n = int(row["_m"]) if row["_m"] is not None else 0
+    if target_n <= 0:
+        return df.select(F.col(key_col), F.col(label_col)).limit(0)
+    return cap_per_group(
+        df.select(F.col(key_col), F.col(label_col)),
+        label_col,
+        key_col,
+        target_n,
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     strata_col: str,

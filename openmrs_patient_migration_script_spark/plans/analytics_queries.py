@@ -246,6 +246,42 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_balance",
+    oracle="""
+    WITH m AS (
+      SELECT min(n) AS target FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+      )
+    )
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          % 1073741824,
+                        doc_id
+             ) AS rn
+      FROM documents
+    ), m WHERE rn <= m.target
+    """,
+)
+def sample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10b: class balancing to the minority-language size
+    (operators/sampling.py::balance_classes) — every language keeps
+    exactly min(class sizes) documents, hash-ordered so the kept set is
+    content-addressed. The minority size collects driver-side as ONE
+    number (bounded metadata, the literal-cut-points pattern) so the
+    cap stays a literal and WindowGroupLimit prunes partitions before
+    the one label-keyed shuffle."""
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        balance_classes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balance_classes(docs, "lang", "doc_id")
+
+
+@query(
     "corpus_mixture",
     oracle="""
     WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -568,3 +568,23 @@ def test_skew_kurtosis_signs_match_planted_shapes(spark):
         (out[g].skewness, out[g].kurtosis) == (again[g].skewness, again[g].kurtosis)
         for g in out
     )
+
+
+def test_balance_classes_levels_every_label_to_the_minority(spark):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        balance_classes,
+    )
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = balance_classes(df, "lang", "doc_id")
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 7, "small": 7}
+    # content-addressed: same kept set under repartitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, balance_classes(df.repartition(9), "lang", "doc_id").collect()))
+    assert a == b
+    # explicit target overrides; zero-row input yields an empty typed frame
+    assert balance_classes(df, "lang", "doc_id", target_n=3).count() == 6
+    assert balance_classes(df.limit(0), "lang", "doc_id").count() == 0
