@@ -287,3 +287,51 @@ def group_skew_kurtosis(
         F.round(a / (b * F.sqrt(b)), 6).alias("skewness"),
         F.round(c / (b * b) - F.lit(3.0), 6).alias("kurtosis"),
     )
+
+
+def group_gini(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+) -> DataFrame:
+    """Per-group Gini coefficient — the concentration summary for a data
+    mix (is one source/author/domain hogging the token budget?) or a
+    spend distribution: 0 = perfectly even, →1 = one row holds
+    everything. Computed from the rank identity over ascending-sorted
+    non-negative values
+
+        G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    with EXACT integer arithmetic: ``x`` must be an integer-valued LONG
+    (scale fixed-point values first), ranks come from one row_number
+    window (ties broken by the value then rank order — the convention
+    for the discrete Gini; any fixed tie order yields the same sum
+    because tied values contribute symmetrically), and both Σ i·x_i and
+    Σ x_i accumulate as DECIMAL(38,0). One double division at the end,
+    so the 6dp result is bit-stable across engines and partitionings.
+
+    Plan: ONE Exchange on the group key shared by the ranking window
+    and the aggregation (same partitioning); groups with zero total
+    drop (Gini undefined). Returns (group..., n, gini).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(F.col("_x"), *group_cols)
+    ranked = df.select(*group_cols, x.alias("_x")).withColumn(
+        "_i", F.row_number().over(w)
+    )
+    sums = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+        F.sum((F.col("_i") * F.col("_x")).cast("decimal(38,0)")).alias("_w"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("_s").cast("double")
+    wd = F.col("_w").cast("double")
+    return sums.filter(F.col("_s") > 0).select(
+        *group_cols,
+        "n",
+        F.round(
+            (F.lit(2.0) * wd - (nd + F.lit(1.0)) * sd) / (nd * sd), 6
+        ).alias("gini"),
+    )

@@ -1208,6 +1208,42 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+      FROM documents
+    ),
+    sums AS (
+      SELECT source, count(*) AS n,
+             sum(CAST(n_chars AS DECIMAL(38,0))) AS s,
+             sum(CAST(i * n_chars AS DECIMAL(38,0))) AS w
+      FROM ranked GROUP BY 1
+    )
+    SELECT source, n,
+           round((2.0 * w::DOUBLE - (n::DOUBLE + 1.0) * s::DOUBLE)
+                 / (n::DOUBLE * s::DOUBLE), 6) AS gini
+    FROM sums WHERE s > 0
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3d: per-source Gini of document lengths
+    (operators/aggregates.py::group_gini) — the concentration dial for
+    a data mix: is one source's character budget held by a few huge
+    documents? Exact integer rank-weighted sums (row_number ties
+    contribute symmetrically, so the aggregate is order-invariant),
+    one closing division; the ranking window and the aggregation share
+    ONE group-keyed Exchange."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_gini,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_gini(docs, ["source"], F.col("n_chars").cast("long"))
+
+
+@query(
     "agg_skew_kurtosis",
     oracle="""
     WITH s AS (

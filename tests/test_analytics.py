@@ -588,3 +588,22 @@ def test_balance_classes_levels_every_label_to_the_minority(spark):
     # explicit target overrides; zero-row input yields an empty typed frame
     assert balance_classes(df, "lang", "doc_id", target_n=3).count() == 6
     assert balance_classes(df.limit(0), "lang", "doc_id").count() == 0
+
+
+def test_gini_hits_the_known_poles_and_is_tie_order_invariant(spark):
+    from openmrs_patient_migration_script_spark.operators.aggregates import group_gini
+
+    rows = (
+        [("even", 10)] * 10                       # perfectly even -> 0
+        + [("mono", 0)] * 9 + [("mono", 90)]      # one row holds all -> 0.9
+        + [("ties", 5)] * 6 + [("ties", 20)] * 2  # heavy ties
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {r.g: r.gini for r in group_gini(df, ["g"], F.col("x").cast("long")).collect()}
+    assert out["even"] == 0.0
+    # n=10, all mass in one row: G = (n-1)/n = 0.9
+    assert out["mono"] == 0.9
+    # tied blocks must not wobble with partitioning (rank sums symmetric)
+    again = {r.g: r.gini for r in group_gini(
+        df.repartition(7), ["g"], F.col("x").cast("long")).collect()}
+    assert out == again
