@@ -496,3 +496,54 @@ def audio_vad_segments(
             )
 
     return media.mapInPandas(segment, schema=_VAD_SCHEMA)
+
+
+def energy_delta_fp(energies: list[float], bits: int = 60) -> int:
+    """Energy-delta audio fingerprint (Haitsma–Kalker-style, one band):
+    bit j asks "did frame (j+1) mod n get louder than frame j mod n?" —
+    a loudness-SHAPE signature that survives uniform gain changes
+    (adding a constant dB offset flips no bit) while distinct material
+    diverges in ~half the bits. Clips shorter than the bit budget wrap
+    cyclically; the caller gates degenerate-short clips."""
+    n = len(energies)
+    if n == 0:
+        return 0
+    f = 0
+    for j in range(bits):
+        if energies[(j + 1) % n] > energies[j % n]:
+            f |= 1 << j
+    return f
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    energies_fn=fake_frame_energies,
+    bits: int = 60,
+    min_frames: int = 8,
+) -> DataFrame:
+    """Per-clip audio fingerprint via Arrow-batched mapInPandas —
+    (media_id, afp): per-frame energies (fake or real WAV RMS) folded
+    into the `energy_delta_fp` bit signature where the bytes live (zero
+    shuffles), ready for operators/dedup.py::simhash_pairs — the same
+    banded Hamming search the image phash and text SimHash paths use.
+    Clips with fewer than ``min_frames`` frames are dropped: a 1-frame
+    clip fingerprints to 0, and a bucket of all-zero fingerprints would
+    pair every short clip with every other (real systems gate on
+    minimum duration for the same reason)."""
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("afp", LongType())]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                e = energies_fn(bytes(c))
+                if len(e) >= min_frames:
+                    ids.append(mid)
+                    fps.append(energy_delta_fp(e, bits))
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return media.mapInPandas(extract, schema=schema)

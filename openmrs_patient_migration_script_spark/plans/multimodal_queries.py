@@ -11,6 +11,7 @@ encoded payload (md5(utf-8 bytes) == md5(text) for the ASCII corpus).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.operators.multimodal import (
     frame_sample,
@@ -185,3 +186,70 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return audio_vad_segments(make_media_table(d))
+
+
+@query(
+    "multimodal_audio_pairs",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, i,
+             -(('0x' || substr(md5(text || ':' || i), 1, 4))::INTEGER % 6000)
+               / 100.0 AS db
+      FROM documents,
+           UNNEST(generate_series(
+             0, ('0x' || substr(md5(text), 15, 2))::INTEGER % 300)) AS t(i)
+    ),
+    arrs AS (
+      SELECT doc_id, list(db ORDER BY i) AS e, count(*) AS n
+      FROM frames GROUP BY 1
+    ),
+    fp0 AS (
+      SELECT doc_id AS key,
+             sum(CASE WHEN e[((j + 1) % n) + 1] > e[(j % n) + 1]
+                      THEN 1::BIGINT << j ELSE 0::BIGINT END) AS f
+      FROM arrs, UNNEST(generate_series(0, 59)) AS t(j)
+      WHERE n >= 8
+      GROUP BY 1
+    ),
+    fp AS (
+      SELECT key, f FROM fp0
+      UNION ALL SELECT key + 1000000, f FROM fp0
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           bit_count(xor(a.f, b.f)) AS hamming
+    FROM fp a JOIN fp b ON a.key < b.key
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8f: audio near-duplicate pairs — the audio twin of
+    `multimodal_phash_pairs`: per-clip energy-delta fingerprints
+    (operators/multimodal.py::audio_fingerprint — gain-invariant
+    loudness-shape bits, computed where the bytes live) into the same
+    banded Hamming search (operators/dedup.py::simhash_pairs), never an
+    all-pairs scan. Declared form uses the md5 fake energies (plus an
+    id-shifted re-ingested copy of every clip, since the fixture has no
+    byte-identical audio) so the oracle replays fingerprinting AND
+    pairing exactly; the REAL path
+    (WAV RMS frames → the identical bit rule) is pinned on generated
+    WAVs in tests/test_multimodal.py. Sub-8-frame clips are gated out
+    (a degenerate-short clip fingerprints to ~0 and would pair with
+    every other one)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = make_media_table(d)
+    # plant re-ingested copies (the id-shifted second crawl): the fixture
+    # corpus has no byte-identical clips, so the copies make the declared
+    # output non-vacuous — every clip must pair with its own copy at
+    # Hamming 0, and with nothing else
+    reingested = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    fps = audio_fingerprint(media.unionByName(reingested))
+    return simhash_pairs(
+        fps, key_col="media_id", fp_col="afp", bits=60, max_hamming=3
+    )

@@ -386,3 +386,66 @@ def test_vad_segments_real_wav_silence_tone_silence(spark):
         ).collect()
     }
     assert segs == {1: (3, 6, 4), 2: (9, 11, 3)}
+
+
+def _patterned_wav(pattern, gain=1.0, sr=8000, frame_ms=100, base=500):
+    """16-bit PCM WAV whose loudness follows `pattern` frame by frame
+    (one square-wave amplitude per 100 ms frame) — the loudness SHAPE
+    the energy-delta fingerprint keys on; `gain` rescales every frame."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    spf = sr * frame_ms // 1000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        for p in pattern:
+            amp = max(1, min(32000, int(base * p * gain)))
+            w.writeframes(amp.to_bytes(2, "little", signed=True) * spf)
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_real_wav_gain_invariant_and_discriminative(spark):
+    """The energy-delta fingerprint must be IDENTICAL under uniform gain
+    (a re-encoded louder copy is the same clip) and far in Hamming for
+    different material — the two properties that make the banded pair
+    search meaningful on real audio."""
+    import wave as _  # noqa: F401  (stdlib presence)
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        audio_fingerprint,
+        energy_delta_fp,
+        wav_frame_energies,
+    )
+
+    up_down = [1, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13]
+    other = [13, 1, 12, 2, 11, 3, 10, 4, 9, 5, 8, 6]
+    a = _patterned_wav(up_down)
+    a_loud = _patterned_wav(up_down, gain=2.0)
+    b = _patterned_wav(other)
+    fa = energy_delta_fp(wav_frame_energies(a))
+    fa2 = energy_delta_fp(wav_frame_energies(a_loud))
+    fb = energy_delta_fp(wav_frame_energies(b))
+    assert fa == fa2
+    assert bin(fa ^ fb).count("1") > 10
+    # the DataFrame path: same fingerprints through mapInPandas, and a
+    # 4-frame clip is gated out by min_frames
+    short = _patterned_wav([1, 2, 3, 4])
+    rows = [(1, bytearray(a)), (2, bytearray(a_loud)), (3, bytearray(b)),
+            (4, bytearray(short))]
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r.afp for r in
+           audio_fingerprint(media, energies_fn=wav_frame_energies).collect()}
+    assert got == {1: fa, 2: fa, 3: fb}
