@@ -832,6 +832,59 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_autocorr",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT), 24) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS y
+      FROM events
+    ),
+    p AS (SELECT user_id, x, y FROM s WHERE y IS NOT NULL),
+    sums AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM p GROUP BY 1
+    )
+    SELECT user_id, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS corr
+    FROM sums
+    WHERE n >= 2
+      AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0.0
+      AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15i: lag-24 autocorrelation of the per-user value sequence — the
+    is-there-a-daily-cycle detector that says whether `ts_seasonal`'s
+    hour-of-day profile is even worth fitting: near-zero means no
+    repeating structure at that lag. Pure composition of existing exact
+    machinery: one lag window and `group_corr`'s decimal sufficient
+    statistics SHARE the user_id Exchange, so the whole measure is one
+    shuffle and the 6dp value is bit-stable."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_corr,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    vs = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id", vs.alias("_x"), F.lag(vs, 24).over(w).alias("_y")
+    ).filter(F.col("_y").isNotNull())
+    return group_corr(lagged, ["user_id"], F.col("_x"), F.col("_y"))
+
+
+@query(
     "ts_anomaly_seasonal",
     oracle="""
     WITH base AS (

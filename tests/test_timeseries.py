@@ -298,3 +298,32 @@ def test_seasonal_anomaly_flags_off_hour_spike_not_the_daily_peak(spark):
     # no noon reading ever flags — +50 at noon IS the season
     noon_ids = {r[2] for r in rows if r[1].hour == 12}
     assert not (noon_ids & set(flagged))
+
+
+def test_autocorr_detects_planted_period(spark):
+    """A period-8 sawtooth: lag-8 autocorrelation is exactly 1 (the
+    sequence repeats), lag-4 is strongly negative (half-period flip)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_corr,
+    )
+
+    vals = [float((i % 8) * 10) for i in range(64)]
+    rows = [
+        (1, datetime(2024, 1, 1) + __import__("datetime").timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    vs = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def ac(lag):
+        lagged = df.select(
+            "user_id", vs.alias("_x"), F.lag(vs, lag).over(w).alias("_y")
+        ).filter(F.col("_y").isNotNull())
+        return group_corr(lagged, ["user_id"], F.col("_x"), F.col("_y")).collect()[0].corr
+
+    assert ac(8) == 1.0
+    assert ac(4) < -0.5
