@@ -832,6 +832,88 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS tts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT c.conv_id, t.touch_id, t.channel, t.tts
+      FROM touch t JOIN conv c
+        ON t.user_id = c.user_id
+       AND t.tts < c.cts
+       AND t.tts >= c.cts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT channel,
+             1000000 // n
+             + CASE WHEN rn = 1 THEN 1000000 - n * (1000000 // n)
+                    ELSE 0 END AS credit6
+      FROM (
+        SELECT conv_id, touch_id, channel,
+               count(*) OVER (PARTITION BY conv_id) AS n,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY tts DESC, touch_id DESC) AS rn
+        FROM j
+      )
+    )
+    SELECT channel, count(*) AS n_touches,
+           sum(credit6) / 1000000.0 AS total_credit
+    FROM credited GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11b: LINEAR multi-touch attribution — each purchase's credit
+    splits equally over every view/click the same user made in the
+    preceding 7 days, the fairer complement of
+    `funnel_conversion_rate`'s last-touch rule. Credit is integer
+    micro-units (1e6 div n per touch, remainder to the touch closest to
+    conversion) so per-conversion credit sums to EXACTLY 1.0 and the
+    channel rollup is reassociation-immune. The touch-conversion match
+    is an EQUI join on user_id with the time window as a residual
+    predicate (the `join_scd2_lookup` shape — per-user fan-out bounded
+    by activity in the window, never a range-join explosion); one
+    conv-keyed window then a channel-sized agg."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_cu"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+    )
+    j = touch.join(
+        conv,
+        (touch.user_id == conv._cu)
+        & (F.col("tts") < F.col("cts"))
+        & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy(F.col("tts").desc(), F.col("touch_id").desc())
+    n = F.count("*").over(w)
+    rn = F.row_number().over(wo)
+    credit6 = F.expr("1000000 div _n") + F.when(
+        F.col("_rn") == 1, F.lit(1_000_000) - F.col("_n") * F.expr("1000000 div _n")
+    ).otherwise(F.lit(0))
+    credited = j.select(
+        "channel", n.alias("_n"), rn.alias("_rn")
+    ).withColumn("credit6", credit6)
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        (F.sum("credit6") / F.lit(1_000_000.0)).alias("total_credit"),
+    )
+
+
+@query(
     "ts_autocorr",
     oracle="""
     WITH s AS (

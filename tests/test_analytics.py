@@ -607,3 +607,34 @@ def test_gini_hits_the_known_poles_and_is_tie_order_invariant(spark):
     again = {r.g: r.gini for r in group_gini(
         df.repartition(7), ["g"], F.col("x").cast("long")).collect()}
     assert out == again
+
+
+def test_linear_attribution_credit_sums_to_conversions(spark, sf_dir):
+    """Conservation law: total credit across channels == number of
+    conversions that had at least one touch in the window (each splits
+    exactly 1.0), and the remainder rule makes that exact, not ~1e-9."""
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        events_attribution_linear,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    out = events_attribution_linear(spark, sf_dir).collect()
+    total_credit = sum(r.total_credit for r in out)
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    touch = e.filter("event_type in ('view','click')").select(
+        "user_id", F.col("ts").alias("tts")
+    )
+    attributed = (
+        touch.join(
+            conv,
+            (touch.user_id == conv.cu)
+            & (F.col("tts") < F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("cid").distinct().count()
+    )
+    assert round(total_credit * 1e6) == attributed * 1_000_000
