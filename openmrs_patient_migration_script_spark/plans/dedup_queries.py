@@ -534,15 +534,15 @@ def _pagerank_oracle(n_iter: int = 4, d: int = 85, scale: int = 10**9) -> str:
     both engines — non-negative operands, so trunc == floor), so the
     iterative algorithm is EXACTLY reproducible, not approximately."""
     sql = f"""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
     ),
     pairs AS (
-      SELECT a.l_partkey AS key_a, b.l_partkey AS key_b
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-      HAVING count(*) >= 2
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
     ),
     e AS (
       SELECT key_a AS u, key_b AS v FROM pairs
