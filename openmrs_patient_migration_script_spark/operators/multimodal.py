@@ -547,3 +547,52 @@ def audio_fingerprint(
             yield pd.DataFrame({"media_id": ids, "afp": fps})
 
     return media.mapInPandas(extract, schema=schema)
+
+
+_SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("cut_frame", IntegerType()),
+        StructField("delta_db", DoubleType()),
+    ]
+)
+
+
+def scene_cuts(
+    media: DataFrame,
+    min_delta_db: float = 25.0,
+    energies_fn=fake_frame_energies,
+) -> DataFrame:
+    """X8g: hard-cut detection — frames where the energy level JUMPS by
+    more than ``min_delta_db`` from the previous frame (the audio/video
+    analogue of histogram-difference shot detection): the boundaries a
+    training pipeline samples clips AROUND rather than across, so no
+    training window straddles two unrelated shots. Emits
+    (media_id, cut_frame, delta_db) where ``cut_frame`` is the first
+    frame of the new shot.
+
+    Same in-task Arrow contract as `audio_vad_segments`: decode, frame
+    and difference entirely inside the batch — the per-clip frame
+    series never crosses a shuffle, and the output is cuts-only (sparse
+    by construction). ``energies_fn`` defaults to the md5 fake for the
+    hash-checked declared form; pass :func:`wav_frame_energies` for
+    real PCM payloads."""
+
+    def detect(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frames, deltas = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                energies = energies_fn(bytes(content))
+                for i in range(1, len(energies)):
+                    d = abs(energies[i] - energies[i - 1])
+                    if d > min_delta_db:
+                        ids.append(mid)
+                        frames.append(i)
+                        deltas.append(round(d, 6))
+            yield pd.DataFrame(
+                {"media_id": ids, "cut_frame": frames, "delta_db": deltas}
+            )
+
+    return media.mapInPandas(detect, schema=_SCENE_SCHEMA)

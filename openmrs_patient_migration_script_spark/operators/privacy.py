@@ -244,3 +244,27 @@ def t_closeness_audit(
             *quasi_cols, F.col("_n").alias("group_size"), F.round("tvd", 6).alias("tvd")
         )
     )
+
+
+def enforce_k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """The ACTION `k_anonymity_audit` implies: SUPPRESS every row whose
+    quasi-identifier group is smaller than ``k``, so the released table
+    satisfies k-anonymity by construction (suppression is the
+    conservative lever when further generalization — wider bands,
+    coarser geography — would destroy utility; the audit tells you which
+    to reach for). Returns the surviving rows unchanged.
+
+    One quasi-keyed Exchange: the group size rides in as a window count
+    over the same partitioning the filter consumes — no second scan, no
+    join back (the count-aggregate-plus-semi-join form pays two
+    Exchanges for the same result)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("_gs", F.count("*").over(w))
+        .filter(F.col("_gs") >= k)
+        .drop("_gs")
+    )

@@ -253,3 +253,41 @@ def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         fps, key_col="media_id", fp_col="afp", bits=60, max_hamming=3
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, i,
+             -(('0x' || substr(md5(text || ':' || i), 1, 4))::INTEGER % 6000)
+               / 100.0 AS db
+      FROM documents,
+           UNNEST(generate_series(
+             0, ('0x' || substr(md5(text), 15, 2))::INTEGER % 300)) AS t(i)
+    ),
+    d AS (
+      SELECT doc_id AS media_id, i AS cut_frame,
+             abs(db - lag(db) OVER (PARTITION BY doc_id ORDER BY i)) AS raw
+      FROM frames
+    )
+    SELECT media_id, CAST(cut_frame AS INTEGER) AS cut_frame,
+           round(raw, 6) AS delta_db
+    FROM d WHERE raw > 25.0
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8g: hard-cut (shot-boundary) detection over the media table
+    (operators/multimodal.py::scene_cuts) — frames whose energy jumps
+    more than 25 dB from the previous frame, the boundaries a clip
+    sampler must not straddle. All in-task like the VAD path (decode,
+    frame, difference inside the Arrow batch — cuts-only output, the
+    frame series never crosses a shuffle); declared over the md5 fake
+    energies for an exact oracle, with the real-WAV path pinned on a
+    planted silence-tone-silence transition in tests."""
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        scene_cuts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return scene_cuts(make_media_table(d), min_delta_db=25.0)

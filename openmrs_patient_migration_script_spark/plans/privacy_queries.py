@@ -221,3 +221,41 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness_audit(
         c, ["c_nationkey", "bal_band"], "c_mktsegment", t=0.2
     )
+
+
+@query(
+    "privacy_enforce_kanon",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+           c_custkey
+    FROM (
+      SELECT c_nationkey, c_mktsegment, c_acctbal, c_custkey,
+             count(*) OVER (
+               PARTITION BY c_nationkey, c_mktsegment,
+                            CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)
+             ) AS gs
+      FROM customer
+    ) WHERE gs >= 5
+    """,
+)
+def privacy_enforce_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION `privacy_kanon` implies
+    (operators/privacy.py::enforce_k_anonymity): suppress every row
+    whose quasi-group is smaller than k=5, so the released table passes
+    its own audit by construction (pinned). One quasi-keyed Exchange —
+    the group size rides in as a window count over the partitioning the
+    filter consumes, not a count-aggregate-plus-join second pass."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        enforce_k_anonymity,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+        "c_custkey",
+    )
+    return enforce_k_anonymity(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )

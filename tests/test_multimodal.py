@@ -449,3 +449,28 @@ def test_audio_fingerprint_real_wav_gain_invariant_and_discriminative(spark):
     got = {r.media_id: r.afp for r in
            audio_fingerprint(media, energies_fn=wav_frame_energies).collect()}
     assert got == {1: fa, 2: fa, 3: fb}
+
+
+def test_scene_cuts_real_wav_finds_the_planted_transition(spark):
+    """silence|loud|silence: exactly two hard cuts (into and out of the
+    tone), none inside the steady regions."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        scene_cuts,
+        wav_frame_energies,
+    )
+
+    quiet, loud = [1] * 5, [300] * 5
+    wav = _patterned_wav(quiet + loud + quiet, base=100)
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    media = spark.createDataFrame([(1, bytearray(wav))], schema)
+    cuts = sorted(
+        (r.cut_frame, r.delta_db)
+        for r in scene_cuts(media, min_delta_db=25.0,
+                            energies_fn=wav_frame_energies).collect()
+    )
+    assert [c for c, _ in cuts] == [5, 10]
+    assert all(d > 25.0 for _, d in cuts)

@@ -119,3 +119,20 @@ def test_t_closeness_flags_concentration_k_and_l_both_miss(spark):
                t_closeness_audit(df, ["zip"], "diagnosis", t=0.2).collect()}
     assert 1 in flagged and flagged[1] > 0.4
     assert 2 not in flagged
+
+
+def test_enforce_kanon_suppresses_exactly_the_audited_groups(spark):
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        enforce_k_anonymity,
+        k_anonymity_audit,
+    )
+
+    rows = [(1, "a")] * 6 + [(2, "b")] * 3 + [(3, "c")] * 5
+    df = spark.createDataFrame(rows, ["zip", "band"])
+    out = enforce_k_anonymity(df, ["zip", "band"], k=5)
+    assert out.count() == 11  # the 3-row group is suppressed whole
+    assert out.filter("zip = 2").count() == 0
+    # released table passes its own audit by construction
+    assert not k_anonymity_audit(out, ["zip", "band"], k=5).collect()
+    # columns unchanged (no helper leakage)
+    assert out.columns == df.columns
