@@ -1857,3 +1857,56 @@ def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents_1h"
         ),
     )
+
+
+@query(
+    "events_coverage_gaps",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+      FROM events
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+      FROM u, b
+    ),
+    present AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT s.user_id, s.day AS missing_day
+    FROM spine s
+    LEFT JOIN present p ON s.user_id = p.user_id AND s.day = p.day
+    WHERE p.user_id IS NULL
+    """,
+)
+def events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12b: calendar-spine coverage audit — for every user, the days in
+    the feed's global date range with NO events: the silent-pipeline /
+    dropped-partition detector (an ingestion gap looks like healthy low
+    volume to every aggregate that only sees rows that EXIST; only a
+    generated spine sees the rows that don't). The spine is a row-local
+    explode off the distinct-user list against a one-row broadcast of
+    the global bounds; presence dedups to user-days (map-side combine)
+    and the gap set is one anti join. At 100 TB the date-partitioned
+    layout turns `present` into a metadata-only listing per
+    partition."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("_dmin"), F.max(F.to_date("ts")).alias("_dmax")
+    )
+    users = e.select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(_dmin, _dmax, interval 1 day)")).alias(
+                "missing_day"
+            ),
+        )
+    )
+    present = e.select(
+        "user_id", F.to_date("ts").alias("missing_day")
+    ).distinct()
+    return spine.join(present, ["user_id", "missing_day"], "left_anti")

