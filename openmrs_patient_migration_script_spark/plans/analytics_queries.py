@@ -1910,3 +1910,56 @@ def events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("missing_day")
     ).distinct()
     return spine.join(present, ["user_id", "missing_day"], "left_anti")
+
+
+@query(
+    "ts_downsample_minmax",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, date_trunc('hour', ts) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS vs
+      FROM events
+    )
+    , m AS (
+      SELECT user_id, bucket, vs, event_id,
+             min(vs) OVER w AS mn, max(vs) OVER w AS mx
+      FROM s WINDOW w AS (PARTITION BY user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           min(vs) / 100.0 AS lo,
+           max(vs) / 100.0 AS hi,
+           min(CASE WHEN vs = mn THEN event_id END) AS lo_event_id,
+           min(CASE WHEN vs = mx THEN event_id END) AS hi_event_id,
+           count(*) AS n_compressed
+    FROM m GROUP BY 1, 2
+    """,
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15j: min/max envelope downsampling — per (user, hour) keep the
+    extreme readings AND their row identities: the monitoring compaction
+    that, unlike a mean bar, can never hide a spike inside the bucket
+    (the envelope is preserved exactly; `ts_ohlc` keeps the
+    boundary points, this keeps the extremes). Ties resolve to the
+    smallest event id on both extremes via min_by/max_by struct
+    ordering — integer-exact, so the oracle matches byte-for-byte. One
+    partial-combined hash agg; shuffle carries one envelope row per
+    bucket."""
+    e = load_table(spark, sf_dir, "events")
+    vs = F.round(F.col("value") * 100).cast("long")
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        vs.alias("_vs"),
+    )
+    return s.groupBy("user_id", "bucket").agg(
+        (F.min("_vs") / F.lit(100.0)).alias("lo"),
+        (F.max("_vs") / F.lit(100.0)).alias("hi"),
+        F.min_by(
+            "event_id", F.struct(F.col("_vs"), F.col("event_id"))
+        ).alias("lo_event_id"),
+        F.max_by(
+            "event_id", F.struct(F.col("_vs"), (-F.col("event_id")).alias("_n"))
+        ).alias("hi_event_id"),
+        F.count("*").alias("n_compressed"),
+    )
