@@ -117,6 +117,15 @@ HEADLINE = [
     "text_keywords",
     "graph_label_propagation",
     "sim_mmr_rerank",
+    # round-4 sixth wave: the SCD2 lifecycle pair, the residual-predicate
+    # attribution join, the decomposition+MAD anomaly chain, the banded
+    # audio-fingerprint search, and the slice-digest checksum
+    "etl_scd2_build",
+    "join_scd2_lookup",
+    "events_attribution_linear",
+    "ts_anomaly_seasonal",
+    "multimodal_audio_pairs",
+    "dq_checksum",
 ]
 
 

@@ -782,3 +782,60 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return common_neighbors(dedup_fuzzy(spark, sf_dir), max_degree=None)
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS (SELECT u AS n, count(*) AS d FROM sym GROUP BY 1),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    incid AS (
+      SELECT corner AS n, count(*) AS t
+      FROM tri, UNNEST(list_value(a, b, c)) AS x(corner)
+      GROUP BY 1
+    )
+    SELECT deg.n AS node, deg.d AS degree,
+           coalesce(incid.t, 0) AS n_triangles,
+           round(2.0 * coalesce(incid.t, 0)::DOUBLE
+                 / (deg.d::DOUBLE * (deg.d::DOUBLE - 1.0)), 6)
+             AS clustering_coeff
+    FROM deg LEFT JOIN incid ON deg.n = incid.n
+    WHERE deg.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9f: per-node local clustering coefficient of the basket
+    co-occurrence graph (operators/graph.py::clustering_coefficient) —
+    `graph_triangles`' density probe resolved to nodes: cc≈1 marks
+    near-clique duplicate groups, cc≈0 marks hub-chained false
+    positives, per node where the global count only averages the two.
+    Same degree-oriented wedge machinery with the midpoint carried
+    through the closing join; incidence is a row-local 3-corner explode
+    + one hash agg; exact integers under one 6dp division."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        clustering_coefficient,
+    )
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        affinity_basket_pairs,
+    )
+
+    pairs = affinity_basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    return clustering_coefficient(pairs, src="part_a", dst="part_b")

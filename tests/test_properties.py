@@ -1225,3 +1225,23 @@ def test_assortativity_sign_tracks_topology(spark):
         spark.createDataFrame(star + tri, ["key_a", "key_b"]).repartition(7)
     ).collect()[0]
     assert row3.assortativity == row2.assortativity
+
+
+def test_clustering_coefficient_poles(spark):
+    """4-clique: every node cc = 1. Star: center cc = 0 (leaves drop,
+    degree 1). Triangle-with-tail: the junction node mixes."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(10, i) for i in range(11, 16)]
+    tail = [(20, 21), (21, 22), (20, 22), (22, 23)]
+    df = spark.createDataFrame(clique + star + tail, ["key_a", "key_b"])
+    cc = {r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+          for r in clustering_coefficient(df).collect()}
+    for n in range(1, 5):
+        assert cc[n] == (3, 3, 1.0)
+    assert cc[10] == (5, 0, 0.0)
+    assert 11 not in cc  # leaves have degree 1 -> undefined, dropped
+    assert cc[22] == (3, 1, round(2 * 1 / (3 * 2.0), 6))
