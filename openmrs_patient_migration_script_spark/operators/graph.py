@@ -245,6 +245,11 @@ def triangle_count(
     # both rows, symmetrization then duplicates them, and every incident
     # wedge/triangle is overcounted. least/greatest folds the pair to a
     # single canonical row first.
+    # e feeds sym (itself consumed by deg and both orientation joins) and
+    # oriented feeds THREE join sides — without checkpoints every consumer
+    # replays the whole upstream pair-generation pipeline (observed: a
+    # 25-shuffle plan for this count and 68 for the per-node coefficient
+    # over the basket graph). Two small materializations collapse that.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -252,6 +257,7 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
@@ -264,6 +270,7 @@ def triangle_count(
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
@@ -631,6 +638,9 @@ def clustering_coefficient(
     exact integers; the coefficient is one 6dp-rounded double division.
     Nodes with degree < 2 drop (undefined); triangle-free nodes emit 0.
     """
+    # same multi-consumer checkpoints as triangle_count (see there):
+    # without them the edge-generation pipeline replays per consumer —
+    # observed as a 68-shuffle plan on the basket graph
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -638,9 +648,13 @@ def clustering_coefficient(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+    deg = (
+        sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+        .localCheckpoint(eager=True)
+    )
     oriented = (
         sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
@@ -649,6 +663,7 @@ def clustering_coefficient(
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")

@@ -759,3 +759,14 @@ def test_scd2_build_shares_one_exchange_across_window_passes(spark):
     n = nodes(plan_of(spark, "etl_scd2_build"))
     assert n.count("Exchange") == 1, n
     assert n.count("Sort") == 1, n
+
+
+def test_graph_wedge_pipelines_materialize_shared_frames(spark):
+    # edges/degrees/oriented feed multiple consumers; without the
+    # checkpoints the pair-generation pipeline replayed per consumer
+    # (observed: 68 Exchanges for the per-node coefficient). Pin the
+    # collapsed shape.
+    n = nodes(plan_of(spark, "graph_clustering_coeff"))
+    assert n.count("Exchange") <= 8, n.count("Exchange")
+    n2 = nodes(plan_of(spark, "graph_triangles"))
+    assert n2.count("Exchange") <= 4, n2.count("Exchange")
