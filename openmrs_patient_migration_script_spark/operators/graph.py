@@ -516,6 +516,10 @@ def common_neighbors(
     bound when the cap fires, same contract as max_df in the shingle
     joins).
     """
+    # e feeds sym AND the final anti-join; sym feeds deg and both wedge
+    # sides; deg feeds the cap filter and both degree attachments — the
+    # triangle-family checkpoint rule applies (12-shuffle replay observed
+    # without it)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -523,9 +527,12 @@ def common_neighbors(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     adj = sym
     if max_degree is not None:
         # drop wedges whose MIDPOINT is a super-node: the midpoint is the

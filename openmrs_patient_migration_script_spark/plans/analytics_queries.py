@@ -1789,7 +1789,15 @@ def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = e.select(
         "event_type", (hash_bucket(F.col("user_id")) % 2).alias("arm")
     )
-    cells = t.groupBy("event_type", "arm").agg(F.count("*").alias("o"))
+    # cells feeds FOUR consumers (row totals, column totals, grand total,
+    # the term join) and the dof probe below — without a checkpoint each
+    # replays the full contingency aggregation over the event scan
+    # (observed: a 10-shuffle, 5-scan plan). The table is |types|x|arms|
+    # rows; materializing it is free.
+    cells = (
+        t.groupBy("event_type", "arm").agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("arm").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").cast("double").alias("n"))
@@ -1803,7 +1811,10 @@ def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((d * d) / expected * 1e6, 0).cast("long").alias("t6")
         )
     )
-    dims = t.agg(
+    # dof off the checkpointed cells (types x arms rows), not the raw
+    # event stream — the multi-distinct Expand over 600k rows becomes one
+    # over a dozen
+    dims = cells.agg(
         ((F.countDistinct("event_type") - 1) * (F.countDistinct("arm") - 1)).alias(
             "dof"
         )
