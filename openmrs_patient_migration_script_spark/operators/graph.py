@@ -604,6 +604,7 @@ def degree_assortativity(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)  # sym feeds deg AND the ends join
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("_d")).localCheckpoint(

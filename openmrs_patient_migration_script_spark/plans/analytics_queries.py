@@ -1904,10 +1904,18 @@ def events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout turns `present` into a metadata-only listing per
     partition."""
     e = load_table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.min(F.to_date("ts")).alias("_dmin"), F.max(F.to_date("ts")).alias("_dmax")
+    # ONE event scan: bounds and the user list both derive from the
+    # deduped user-day set (min/max calendar day == min/max event date),
+    # so the checkpoint replaces three full scans of the feed
+    present = (
+        e.select("user_id", F.to_date("ts").alias("missing_day"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    users = e.select("user_id").distinct()
+    bounds = present.agg(
+        F.min("missing_day").alias("_dmin"), F.max("missing_day").alias("_dmax")
+    )
+    users = present.select("user_id").distinct()
     spine = (
         users.crossJoin(F.broadcast(bounds))
         .select(
@@ -1917,9 +1925,6 @@ def events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    present = e.select(
-        "user_id", F.to_date("ts").alias("missing_day")
-    ).distinct()
     return spine.join(present, ["user_id", "missing_day"], "left_anti")
 
 
