@@ -59,3 +59,9 @@ def test_retrieval_pipeline():
     stdout = _run("retrieval_pipeline.py")
     assert "retrieval: READY" in stdout
     assert "recall" in stdout
+
+
+def test_observability_pipeline():
+    stdout = _run("observability_pipeline.py")
+    assert "observability: READY" in stdout
+    assert "duplicate key tuples" in stdout
