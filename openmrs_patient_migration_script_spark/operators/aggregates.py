@@ -245,9 +245,11 @@ def group_skew_kurtosis(
         skewness = A / (B·√B)        excess kurtosis = C / B² − 3
 
     (the n-powers cancel exactly, so no per-n rescaling). ``x`` must be
-    an integer-valued LONG; int64 per-row powers bound |x| < ~55k for
-    the 4th power — scale fixed-point business values accordingly
-    (cents of a bounded metric fit; rescale the units otherwise). The
+    an integer-valued LONG with |x| ≤ ~3e9 (the square must fit int64);
+    the 3rd/4th powers multiply as DECIMAL(38,0) so they can NEVER
+    overflow — int64 x⁴ silently wraps past |x| ≈ 55k in non-ANSI
+    Spark and hard-errors in DuckDB/ANSI, a trap the sf0.1 verify
+    actually caught (cents of a ~550-unit value crossed the line). The
     DECIMAL→double casts and the IEEE multiply/divide/sqrt chain are
     deterministic, so the 6dp results are bit-identical across engines
     and partition orders. Groups with n < 3 or zero variance drop."""
@@ -259,12 +261,12 @@ def group_skew_kurtosis(
             F.sum(F.col("_x").cast("decimal(38,0)")).alias("s1"),
             F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("s2"),
             F.sum(
-                (F.col("_x") * F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+                (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+                * F.col("_x").cast("decimal(38,0)")
             ).alias("s3"),
             F.sum(
-                (F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x")).cast(
-                    "decimal(38,0)"
-                )
+                (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
+                * (F.col("_x") * F.col("_x")).cast("decimal(38,0)")
             ).alias("s4"),
         )
     )

@@ -1388,8 +1388,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, count(*) AS n,
              sum(CAST(x AS DECIMAL(38,0))) AS s1,
              sum(CAST(x * x AS DECIMAL(38,0))) AS s2,
-             sum(CAST(x * x * x AS DECIMAL(38,0))) AS s3,
-             sum(CAST(x * x * x * x AS DECIMAL(38,0))) AS s4
+             sum(CAST(x * x AS DECIMAL(38,0))
+                 * CAST(x AS DECIMAL(38,0))) AS s3,
+             sum(CAST(x * x AS DECIMAL(38,0))
+                 * CAST(x * x AS DECIMAL(38,0))) AS s4
       FROM s GROUP BY 1
     ),
     d AS (

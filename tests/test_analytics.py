@@ -664,3 +664,26 @@ def test_coverage_gaps_sees_the_day_with_no_rows(spark):
     present = df.select("user_id", F.to_date("ts").alias("missing_day")).distinct()
     gaps = spine.join(present, ["user_id", "missing_day"], "left_anti").collect()
     assert [(r.user_id, str(r.missing_day)) for r in gaps] == [(1, "2024-01-03")]
+
+
+def test_skew_kurtosis_survives_values_past_the_int64_quartic_bound(spark):
+    """sf0.1 regression: cents of a ~550-unit value put x^4 past int64 —
+    the old int64 product silently wrapped in non-ANSI Spark and
+    hard-errored in DuckDB/ANSI. The decimal products must return the
+    same (scale-invariant) moments as a rescaled copy of the data."""
+    rows = [("g", float(v)) for v in [560.21, 100.0, 200.0, 300.0, 450.5, 12.25]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_skew_kurtosis,
+    )
+
+    cents = group_skew_kurtosis(
+        df, ["g"], F.round(F.col("v") * 100).cast("long")
+    ).collect()[0]
+    # standardized moments are scale-invariant: the exact same values in
+    # 1e4-scaled units must agree to the shared 6dp rounding
+    tenk = group_skew_kurtosis(
+        df, ["g"], F.round(F.col("v") * 10000).cast("long")
+    ).collect()[0]
+    assert abs(cents.skewness - tenk.skewness) <= 2e-6
+    assert abs(cents.kurtosis - tenk.kurtosis) <= 2e-6
