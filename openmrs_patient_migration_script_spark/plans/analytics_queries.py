@@ -1981,3 +1981,37 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hi_event_id"),
         F.count("*").alias("n_compressed"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ),
+    per_day AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT d AS day, new_users,
+           sum(new_users) OVER (ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cumulative_users
+    FROM per_day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12c: the user growth curve — per day, how many users appeared
+    for the FIRST time and the cumulative distinct total to date. A
+    naive distinct-count-over-window re-scans every prefix (and Spark
+    rightly refuses DISTINCT window aggregates); the first-seen rewrite
+    makes it two tiny exact aggregations — each user collapses to one
+    (user, first day) row, days collapse to (day, new_users), and the
+    running sum is a day-count window. The final global window runs
+    over #days rows (a calendar, not the data), so the single
+    partition-less sort is bounded metadata at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )

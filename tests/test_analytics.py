@@ -687,3 +687,22 @@ def test_skew_kurtosis_survives_values_past_the_int64_quartic_bound(spark):
     ).collect()[0]
     assert abs(cents.skewness - tenk.skewness) <= 2e-6
     assert abs(cents.kurtosis - tenk.kurtosis) <= 2e-6
+
+
+def test_cumulative_users_counts_each_user_once(spark, sf_dir):
+    """Growth-curve invariants: the final cumulative value equals the
+    exact distinct-user count, and the curve is the running sum of
+    first appearances (monotone non-decreasing)."""
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        events_cumulative_users,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    rows = events_cumulative_users(spark, sf_dir).orderBy("day").collect()
+    total_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1].cumulative_users == total_users
+    assert sum(r.new_users for r in rows) == total_users
+    assert all(a.cumulative_users <= b.cumulative_users
+               for a, b in zip(rows, rows[1:]))
