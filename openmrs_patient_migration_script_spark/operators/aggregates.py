@@ -325,7 +325,15 @@ def group_gini(
     sums = ranked.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
         F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
-        F.sum((F.col("_i") * F.col("_x")).cast("decimal(38,0)")).alias("_w"),
+        # rank·value multiplies as decimal — an int64 product wraps once
+        # n·x passes 2^63 (the skewness-fourth-power overflow class);
+        # exact while i·x < 10^38.
+        F.sum(
+            (
+                F.col("_i").cast("decimal(19,0)")
+                * F.col("_x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_w"),
     )
     nd = F.col("n").cast("double")
     sd = F.col("_s").cast("double")

@@ -73,7 +73,7 @@ def fuzzy_dedup_pairs(
         on = [f"_blk{i}" for i in range(len(exprs))]
         pairs = a.join(b, on=on, how="inner").filter(F.col("key_a") < F.col("key_b"))
         return (
-            pairs.withColumn("dist", F.levenshtein("text_a", "text_b"))
+            pairs.withColumn("dist", F.levenshtein("text_a", "text_b").cast("long"))
             .filter(F.col("dist") <= max_distance)
             .select("key_a", "key_b", "dist")
         )
@@ -254,9 +254,9 @@ def ngram_jaccard_pairs(
     # exchange and drops one consumer off the checkpointed index
     sizes = df.select(
         F.col(key_col).alias("key"),
-        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
-            "n_sh"
-        ),
+        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n)))
+        .cast("long")
+        .alias("n_sh"),
     )
     sh = df.select(
         F.col(key_col).alias("key"),
@@ -325,9 +325,9 @@ def containment_pairs(
     """
     sizes = df.select(
         F.col(key_col).alias("key"),
-        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias(
-            "n_sh"
-        ),
+        F.size(F.array_distinct(_shingles(F.col(text_col), shingle_n)))
+        .cast("long")
+        .alias("n_sh"),
     )
     sh = df.select(
         F.col(key_col).alias("key"),
@@ -444,7 +444,7 @@ def simhash_pairs(
     return (
         joined.filter(F.col("band_idx") == first_agree)
         .filter(ham <= max_hamming)
-        .select("key_a", "key_b", ham.cast("int").alias("hamming"))
+        .select("key_a", "key_b", ham.cast("long").alias("hamming"))
     )
 
 

@@ -594,5 +594,5 @@ def scd2_build(
         *[F.col(c) for c in payload_cols],
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
-        F.row_number().over(w2).alias("version"),
+        F.row_number().over(w2).cast("long").alias("version"),
     )

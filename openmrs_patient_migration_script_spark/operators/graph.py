@@ -406,9 +406,11 @@ def label_propagation(
     Determinism is the whole design: plain LPA is notoriously
     order-dependent (async updates, random tie-breaks). This variant is
     a pure function of the graph — SYNCHRONOUS rounds (all nodes update
-    from the previous round's labels), a FIXED round count, and the
-    tie-break "highest count, then smallest label" expressed as one
-    ``max_by(label, (cnt, -label))`` struct ordering. An unrolled SQL
+    from the previous round's labels), a FIXED round count, the node's
+    own label included in its neighborhood vote (the standard
+    stabilizer — pure-neighbor votes oscillate on 2-node components),
+    and the tie-break "highest count, then smallest label" expressed as
+    one ``max_by(label, (cnt, -label))`` struct ordering. An unrolled SQL
     oracle replays every round exactly; on bipartite-ish regions where
     sync LPA can oscillate, the fixed round count makes the result
     well-defined (and identically replayed) rather than run-dependent.
@@ -437,7 +439,17 @@ def label_propagation(
         nbr = sym.join(
             labels.select(F.col("node").alias("u"), "label"), "u"
         ).select(F.col("v").alias("node"), "label")
-        cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        # The node's OWN current label joins the vote — the standard
+        # synchronous-LPA stabilizer. Without it, 2-node components
+        # oscillate (each node adopts the other's label every round, so
+        # any ODD round count leaves an isolated pair in two swapped
+        # singleton communities); with it, the 1-1-vs-self tie resolves
+        # to min(a, b) in round one and stays fixed.
+        cnt = (
+            nbr.unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
         labels = (
             cnt.groupBy("node")
             .agg(

@@ -155,7 +155,7 @@ def make_media_table(
 _IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
-        StructField("n_bytes", IntegerType()),
+        StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mean_intensity", DoubleType()),
@@ -258,7 +258,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 _AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
-        StructField("n_bytes", IntegerType()),
+        StructField("n_bytes", LongType()),
         StructField("sample_rate", IntegerType()),
         StructField("n_channels", IntegerType()),
         StructField("duration_s", IntegerType()),

@@ -74,8 +74,8 @@ def scrub_text(
     return df.select(
         F.col(key_col),
         scrubbed.alias("scrubbed_text"),
-        n_emails.alias("n_emails"),
-        n_nums.alias("n_numbers"),
+        n_emails.cast("long").alias("n_emails"),
+        n_nums.cast("long").alias("n_numbers"),
     )
 
 
@@ -226,10 +226,15 @@ def t_closeness_audit(
     full = dom.join(c, [*quasi_cols, sensitive_col], "left").withColumn(
         "_c", F.coalesce(F.col("_c"), F.lit(0))
     )
+    # Operands cast to decimal BEFORE the products: c·N and cs·n_g are
+    # count×count terms that pass 2^63 long before 38 digits (the same
+    # overflow class the skewness fourth power hit) — int64 products
+    # would silently wrap in non-ANSI Spark. Exact while N < 10^19 rows.
     num_term = F.abs(
-        (F.col("_c") * F.col("_bn") - F.col("_cs") * F.col("_n")).cast(
-            "decimal(38,0)"
-        )
+        (
+            F.col("_c").cast("decimal(19,0)") * F.col("_bn").cast("decimal(19,0)")
+            - F.col("_cs").cast("decimal(19,0)") * F.col("_n").cast("decimal(19,0)")
+        ).cast("decimal(38,0)")
     )
     agged = full.groupBy(*quasi_cols, "_n", "_bn").agg(
         F.sum(num_term).alias("_num")

@@ -431,9 +431,9 @@ def table_checksum(
     slice between source and target before paying for `table_diff`'s
     row-level full-outer join, and recurse only into slices that
     disagree. Each row hashes to a 60-bit md5-derived integer over its
-    typed column values (NULLs coalesced to an explicit sentinel so NULL
-    and 'missing' cannot collide — the `dp_noisy_counts` rule); the
-    slice digest is the triple
+    typed column values, each value LENGTH-PREFIXED (prefix-free
+    encoding — no delimiter injection) with NULL as a sentinel no
+    encoded value can equal; the slice digest is the triple
 
         n_rows     — catches cardinality drift,
         xor_hash   — order-free, catches any single-row value change,
@@ -451,10 +451,19 @@ def table_checksum(
     recomputes it from SQL and must match bit-for-bit. ONE partial-
     combined hash agg; the shuffle carries a triple per slice.
     """
-    row_str = F.concat_ws(
-        ":",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols],
-    )
+    # Each value is LENGTH-PREFIXED before joining, so the row string is a
+    # prefix-free encoding: rows ('a:b','c') and ('a','b:c') can no longer
+    # hash identically (plain concat_ws made the delimiter injectable —
+    # a false-negative class in a digest whose purpose is verification).
+    # NULL encodes as 'N', which cannot collide with any real value
+    # because every non-NULL encoding starts with a digit.
+    def _enc(c: str) -> F.Column:
+        sv = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(sv).cast("string"), F.lit(":"), sv), F.lit("N")
+        )
+
+    row_str = F.concat_ws(":", *[_enc(c) for c in cols])
     h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
     keys = [F.col(c) for c in (group_cols or [])]
     agged = (

@@ -192,7 +192,9 @@ def balance_classes(
     `temperature_resample` (fractional rebalance) bracket but don't hit:
     every label keeps exactly ``min(class sizes)`` rows (or ``target_n``
     if given), chosen by content-addressed hash order so the kept set is
-    reproducible across runs and partitionings.
+    reproducible across runs and partitionings. The FULL row survives —
+    the balanced output carries every input column, not a (key, label)
+    projection, so callers keep their payloads.
 
     When ``target_n`` is None the minority size is collected driver-side
     — ONE number off a partial-combined count agg (bounded metadata, the
@@ -206,13 +208,8 @@ def balance_classes(
         row = counts.agg(F.min("_n").alias("_m")).collect()[0]
         target_n = int(row["_m"]) if row["_m"] is not None else 0
     if target_n <= 0:
-        return df.select(F.col(key_col), F.col(label_col)).limit(0)
-    return cap_per_group(
-        df.select(F.col(key_col), F.col(label_col)),
-        label_col,
-        key_col,
-        target_n,
-    )
+        return df.limit(0)
+    return cap_per_group(df, label_col, key_col, target_n)
 
 
 def temperature_resample(

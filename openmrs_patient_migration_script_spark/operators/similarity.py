@@ -1079,7 +1079,7 @@ def label_centroids(
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
     ).select(
         label_col,
-        "dim",
+        F.col("dim").cast("long").alias("dim"),
         F.round(F.col("v").cast("double") * 1e6, 0).cast("long").alias("sv"),
     )
     agg = scaled.groupBy(label_col, "dim").agg(

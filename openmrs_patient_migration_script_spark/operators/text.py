@@ -110,14 +110,16 @@ def keywords_topk(
     ranking materialized as each doc's ``k`` most characteristic terms
     (the doc-tagging / retrieval-summary step of a corpus pipeline).
 
-    The RANK is integer-exact by design: rows order by (tf DESC, df ASC,
-    token ASC) — within a document this is exactly the order
-    ``tf·ln((1+N)/(1+df))`` induces wherever it orders strictly (the
-    idf factor is strictly decreasing in df and the comparison is
-    per-token), with ties broken lexically. Ranking on the rounded
-    float ``tfidf`` instead would inherit the cross-engine ln() ulp
-    wobble at sort boundaries — the hash-flake class the exact-mean
-    recipe exists to kill. The 6dp tfidf column rides along for display.
+    The RANK agrees with the ``tfidf`` column it emits BY CONSTRUCTION:
+    the sort key is the 6dp tfidf itself, integer-scaled to a long
+    (lossless — the column is already rounded to 6dp), with (df ASC,
+    token ASC) tie-breaks. An earlier draft ranked tf-primary
+    (tf DESC, df ASC), which is NOT the order tf·idf induces across
+    tokens with different tf — a ubiquitous tf=2 token (idf≈0) would
+    outrank a distinctive tf=1/df=1 term, contradicting the displayed
+    tfidf. Cross-engine ln() ulp wobble is absorbed by the same 6dp
+    rounding the tfidf column already carries, so ranking on it adds
+    no new hash exposure.
 
     Plan: the `tf_idf` shape (vocab-sized df shuffle, broadcast back)
     plus ONE window shuffle of the (doc, token) pairs on the
@@ -125,10 +127,12 @@ def keywords_topk(
     partition to ``k`` rows before the exchange."""
     scored = tf_idf(df, key_col, text_col, n_docs=n_docs, materialize_tf=True)
     w = Window.partitionBy(key_col).orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+        F.round(F.col("tfidf") * 1e6).cast("long").desc(),
+        F.col("df").asc(),
+        F.col("token").asc(),
     )
     return (
-        scored.withColumn("kw_rank", F.row_number().over(w))
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("kw_rank") <= k)
         .select(key_col, "kw_rank", "token", "tf", "df", "tfidf")
     )
@@ -202,8 +206,8 @@ def quality_exprs(text_col) -> dict[str, F.Column]:
     punct_chars = F.length(F.regexp_replace(F.lower(text_col), "[a-z0-9 ]", ""))
     stop_ratio = F.round(stop_cnt / n_tokens, 6)
     return {
-        "n_tokens": n_tokens,
-        "n_chars": n_chars,
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
         "mean_tok_len": F.round(
             F.length(F.regexp_replace(text_col, " ", "")) / n_tokens, 6
         ),
@@ -246,7 +250,7 @@ def language_id(
     # codegen'd, so Catalyst's subexpression elimination never sees them).
     scored = df.select(
         F.col(key_col),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
     )
     return scored.select(
         key_col,
@@ -372,12 +376,14 @@ def gopher_rules(
     )
     ok_alpha = F.lit(100) * n_alpha >= F.lit(alpha_ratio_pct) * n_words
     ok_stop = n_stop >= min_distinct_stopwords
+    # size() emits int32; the oracle's len() is int64 — emit long so the
+    # two engines agree at the value-hash layer, not just on column names.
     return df.select(
         F.col(key_col),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         sum_len.alias("sum_word_len"),
-        n_alpha.alias("n_alpha_words"),
-        n_stop.alias("n_distinct_stopwords"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_distinct_stopwords"),
         ok_count.alias("ok_word_count"),
         ok_len.alias("ok_mean_word_len"),
         ok_alpha.alias("ok_alpha_share"),
@@ -727,12 +733,14 @@ def token_estimates(df: DataFrame, key_col: str = "doc_id", text_col: str = "tex
     lower = F.lower(F.col(text_col))
     return df.select(
         F.col(key_col),
-        F.size(F.filter(F.split(lower, " "), lambda t: t != F.lit(""))).alias(
-            "n_ws_tokens"
-        ),
+        F.size(F.filter(F.split(lower, " "), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_ws_tokens"),
         F.size(
             F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PIECE_PATTERN}', 0)")
-        ).alias("n_bpe_pieces"),
+        )
+        .cast("long")
+        .alias("n_bpe_pieces"),
     )
 
 
@@ -770,9 +778,9 @@ def chunk_documents(
     piece = F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
     return exploded.select(
         "key",
-        "chunk_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
-        F.size(piece).alias("n_chunk_tokens"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
 
 

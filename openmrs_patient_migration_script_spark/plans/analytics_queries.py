@@ -126,7 +126,7 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, min(ts) AS signup_ts
       FROM events WHERE event_type = 'signup' GROUP BY user_id
     )
-    SELECT date_trunc('week', signup_ts) AS cohort_week,
+    SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
            CAST(floor(date_diff('day', signup_ts, ts) / 7) AS BIGINT) AS week_offset,
            count(DISTINCT e.user_id) AS n_active
     FROM events e JOIN signup USING (user_id)
@@ -152,7 +152,9 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(signup), "user_id")
         .filter(F.col("ts") >= F.col("signup_ts"))
         .groupBy(
-            F.date_trunc("week", F.col("signup_ts")).alias("cohort_week"),
+            F.date_trunc("week", F.col("signup_ts"))
+            .cast("date")
+            .alias("cohort_week"),
             F.floor(F.datediff(F.col("ts"), F.col("signup_ts")) / 7).alias(
                 "week_offset"
             ),
@@ -1254,7 +1256,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     g AS (
-      SELECT user_id, sum(c) AS n_events, count(*)::BIGINT AS n_types,
+      SELECT user_id, sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
              list_sort(list(c)) AS cs
       FROM c GROUP BY user_id
     )
@@ -1494,7 +1496,7 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, ts,
-           sum(new_s) OVER w2 AS session_seq,
+           (sum(new_s) OVER w2)::BIGINT AS session_seq,
            max(CASE WHEN new_s = 1 THEN ts END) OVER w2 AS session_start
     FROM flagged
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1682,7 +1684,9 @@ def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_seconds=3600,
     )
-    agg = attributed.groupBy(F.hour("view_ts").alias("view_hour")).agg(
+    agg = attributed.groupBy(
+        F.hour("view_ts").cast("long").alias("view_hour")
+    ).agg(
         F.count("*").alias("n_views"),
         F.count("purchase_id").alias("_nc"),
     )
@@ -1701,7 +1705,7 @@ def funnel_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_active_users",
     oracle="""
     WITH ud AS (
-      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),
     dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
     cal AS (SELECT DISTINCT day FROM ud),
@@ -1729,9 +1733,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-merged across the window) or HLL for approximate counters —
     documented swaps, same declared semantics."""
     e = load_table(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
+    ud = e.select("user_id", F.to_date(F.col("ts")).alias("day")).distinct()
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     contrib = (
         ud.select(
@@ -1740,7 +1742,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
         )
         .select(
-            "user_id", F.expr("day + make_interval(0, 0, 0, k)").alias("wday")
+            "user_id", F.expr("date_add(day, k)").alias("wday")
         )
         .distinct()
     )
@@ -1836,7 +1838,8 @@ def ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            count(*) OVER w AS n_1h,
-           sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sum_cents_1h
+           (sum((2 * CAST(round(value * 1000000) AS BIGINT) + 10000)
+                // 20000) OVER w)::BIGINT AS sum_cents_1h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_ms(ts)
@@ -1866,9 +1869,11 @@ def win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count("*").over(w).alias("n_1h"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias(
-            "sum_cents_1h"
-        ),
+        F.sum(
+            F.expr("(2 * cast(round(value * 1000000) as long) + 10000) div 20000")
+        )
+        .over(w)
+        .alias("sum_cents_1h"),
     )
 
 
@@ -1993,8 +1998,9 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d, count(*) AS new_users FROM first_seen GROUP BY 1
     )
     SELECT d AS day, new_users,
-           sum(new_users) OVER (ORDER BY d
-                                ROWS UNBOUNDED PRECEDING) AS cumulative_users
+           (sum(new_users) OVER (ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT
+             AS cumulative_users
     FROM per_day
     """,
 )

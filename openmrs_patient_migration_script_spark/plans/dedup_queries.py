@@ -108,7 +108,7 @@ _CONTAIN_PCT = 80  # emit pairs where >= 80% of a's shingles appear in b
              sb.n_sh AS n_a
       FROM inter JOIN sizes sb ON sb.doc_id = key_hi
     )
-    SELECT key_a, key_b, inter_cnt, n_a
+    SELECT key_a, key_b, inter_cnt, n_a::BIGINT AS n_a
     FROM oriented
     WHERE inter_cnt * 100 >= {_CONTAIN_PCT} * n_a
     """,
@@ -294,7 +294,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bits GROUP BY doc_id
     )
     SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-           bit_count(xor(a.f, b.f)) AS hamming
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.f, b.f)) <= 3
     """,
@@ -426,9 +426,12 @@ def _labelprop_oracle(n_iter: int = 3) -> str:
     for i in range(1, n_iter + 1):
         sql += f""",
     c{i} AS (
-      SELECT e.v AS node, l{i - 1}.label, count(*) AS cnt
-      FROM e JOIN l{i - 1} ON e.u = l{i - 1}.node
-      GROUP BY 1, 2
+      SELECT node, label, count(*) AS cnt FROM (
+        SELECT e.v AS node, l{i - 1}.label
+        FROM e JOIN l{i - 1} ON e.u = l{i - 1}.node
+        UNION ALL
+        SELECT node, label FROM l{i - 1}
+      ) GROUP BY 1, 2
     ),
     l{i} AS (
       SELECT node, label FROM (
@@ -451,8 +454,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection between reachability and centrality: a thin bridge edge
     merges two clusters under connected components but NOT under the
     neighborhood-majority rule. Deterministic by construction (sync
-    rounds, fixed count, (cnt desc, label asc) tie-break), so the
-    3-round unrolled oracle replays it exactly. Two keyed shuffles per
+    rounds, fixed count, self-label in the vote, (cnt desc, label asc)
+    tie-break), so the 3-round unrolled oracle replays it exactly —
+    and the self-vote makes isolated pairs CONVERGE to min(a, b)
+    instead of oscillating with round parity. Two keyed shuffles per
     round; lineage checkpoint-truncated each round."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         label_propagation,

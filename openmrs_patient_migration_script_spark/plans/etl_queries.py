@@ -460,11 +460,12 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_rollup_incremental",
     oracle="""
-    SELECT date_trunc('day', ts) AS day, event_type,
+    SELECT CAST(ts AS DATE) AS day, event_type,
            count(*)::BIGINT AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
-           sum(CAST(round(value * 100) AS BIGINT))::DOUBLE
-             / (100.0 * count(*)) AS avg_value
+           sum((2 * CAST(round(value * 1000000) AS BIGINT) + 10000)
+               // 20000)::BIGINT AS sum_cents,
+           sum((2 * CAST(round(value * 1000000) AS BIGINT) + 10000)
+               // 20000)::DOUBLE / (100.0 * count(*)) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -487,8 +488,15 @@ def etl_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16").cast("timestamp")
-    grp = [F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")]
-    cents = F.round(F.col("value") * 100)
+    # day is DATE on BOTH engines (the r4 hash-fail: Spark date_trunc emits
+    # TIMESTAMP while DuckDB's returns DATE), and cents derive from the
+    # exact 6dp-scaled long by integer HALF_UP — round(value*100) rounds
+    # the shortest-decimal repr on Spark but the binary double on DuckDB,
+    # which splits on .5-cent boundaries. micro→cents is engine-identical.
+    grp = [F.to_date(F.col("ts")).alias("day"), F.col("event_type")]
+    cents = F.expr(
+        "(2 * cast(round(value * 1000000) as long) + 10000) div 20000"
+    )
     hist = rollup_partial(e.filter(F.col("ts") < cut), grp, cents)
     delta = rollup_partial(e.filter(F.col("ts") >= cut), grp, cents)
     merged = combine_rollups([hist, delta], ["day", "event_type"])

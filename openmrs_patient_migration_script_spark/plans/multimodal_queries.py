@@ -82,7 +82,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
               ELSE 44100 END)
              * (1 + ('0x' || substr(md5(text), 15, 2))::INTEGER % 300)
-             * (1 + ('0x' || substr(md5(text), 19, 1))::INTEGER % 2) AS n_samples,
+             * (1 + ('0x' || substr(md5(text), 19, 1))::INTEGER % 2)
+             ::BIGINT AS n_samples,
            round(-(('0x' || substr(md5(text), 20, 4))::INTEGER % 6000) / 100.0, 6)
              AS rms_db
     FROM documents
@@ -109,7 +110,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT a.key AS key_a, b.key AS key_b,
-           bit_count(xor(a.f, b.f)) AS hamming
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.key < b.key
     WHERE bit_count(xor(a.f, b.f)) <= 3
     """,
@@ -216,7 +217,7 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT key + 1000000, f FROM fp0
     )
     SELECT a.key AS key_a, b.key AS key_b,
-           bit_count(xor(a.f, b.f)) AS hamming
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.key < b.key
     WHERE bit_count(xor(a.f, b.f)) <= 3
     """,

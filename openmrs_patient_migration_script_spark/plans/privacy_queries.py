@@ -190,10 +190,12 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agged AS (
       SELECT c_nationkey, bal_band, n, bign,
-             sum(CAST(abs(c * bign - cs * n) AS DECIMAL(38,0))) AS num
+             sum(CAST(abs(CAST(c AS DECIMAL(19,0)) * CAST(bign AS DECIMAL(19,0))
+                          - CAST(cs AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0))) AS num
       FROM fulld GROUP BY 1, 2, 3, 4
     )
-    SELECT c_nationkey, bal_band, n AS group_size,
+    SELECT c_nationkey, bal_band, n::BIGINT AS group_size,
            round(num::DOUBLE / (2.0 * n::DOUBLE * bign::DOUBLE), 6) AS tvd
     FROM agged
     WHERE num::DOUBLE / (2.0 * n::DOUBLE * bign::DOUBLE) > 0.2

@@ -537,11 +537,14 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT c_nationkey,
              concat_ws(':',
-               coalesce(c_custkey::VARCHAR, '\\N'),
-               coalesce(c_name, '\\N'),
-               coalesce(c_mktsegment, '\\N'),
-               coalesce(CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR,
-                        '\\N')) AS rs
+               coalesce(len(c_custkey::VARCHAR)::VARCHAR || ':'
+                        || c_custkey::VARCHAR, 'N'),
+               coalesce(len(c_name)::VARCHAR || ':' || c_name, 'N'),
+               coalesce(len(c_mktsegment)::VARCHAR || ':' || c_mktsegment, 'N'),
+               coalesce(len(CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR)
+                        ::VARCHAR || ':'
+                        || CAST(round(c_acctbal * 100) AS BIGINT)::VARCHAR,
+                        'N')) AS rs
       FROM customer
     )
     SELECT c_nationkey, count(*) AS n_rows,

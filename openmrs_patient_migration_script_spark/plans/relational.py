@@ -809,7 +809,10 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
-        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("balance_quartile")
+        "c_custkey",
+        "c_mktsegment",
+        # long: ntile() emits int32; the oracle's is int64
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
     )
 
 
@@ -1384,10 +1387,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_id",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CASE WHEN GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1
-                THEN 3
-                WHEN GROUPING(l_linestatus) = 1 THEN 1
-                ELSE 0 END AS gid,
+           CAST(CASE WHEN GROUPING(l_returnflag) = 1
+                          AND GROUPING(l_linestatus) = 1 THEN 3
+                     WHEN GROUPING(l_linestatus) = 1 THEN 1
+                     ELSE 0 END AS BIGINT) AS gid,
            (GROUPING(l_returnflag) = 0 AND GROUPING(l_linestatus) = 0)
              AS is_leaf,
            count(*) AS n_rows
@@ -1491,7 +1494,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_d = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(
             F.aggregate(
                 F.slice(vec_d, 1, 4), F.lit(0.0), lambda acc, x: acc + x * 2.0
@@ -1501,7 +1504,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)), 6
         ).alias("l2_norm"),
-        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).cast("long").alias("n_pos"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
     )
 
@@ -1582,7 +1585,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.size(m).alias("n_keys"),
+        F.size(m).cast("long").alias("n_keys"),
         F.array_join(F.map_keys(m), ",").alias("key_list"),
         F.element_at(m, "k").alias("k_value"),
     )

@@ -403,7 +403,7 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("_v").alias("dim", "v"), "_n"
     ).select(
         "vec_id",
-        "dim",
+        F.col("dim").cast("long").alias("dim"),
         F.round(F.col("v") / F.sqrt(F.col("_n")), 6).alias("unit_val"),
     )
 
@@ -531,7 +531,9 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "else -((-2 * _s + 1000 * n_members) div (2000 * n_members)) end"
     )
     return a.select(
-        "cell", "n_members", (half_up / F.lit(1000.0)).alias("avg_cos")
+        F.col("cell").cast("long").alias("cell"),
+        "n_members",
+        (half_up / F.lit(1000.0)).alias("avg_cos"),
     ).orderBy("cell")
 
 

@@ -89,7 +89,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS tfidf,
              row_number() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+               ORDER BY CAST(round(round(tf.tf * ln((1.0 + n.n_docs)
+                             / (1.0 + dfreq.df)), 6) * 1000000) AS BIGINT) DESC,
+                        dfreq.df ASC, tf.token ASC
              ) AS kw_rank
       FROM tf JOIN dfreq USING (token) CROSS JOIN n
     )
@@ -100,10 +102,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6b: top-3 keywords per document (operators/text.py::
     keywords_topk) — TF-IDF materialized as each doc's most
-    characteristic terms. The rank key is INTEGER-exact
-    (tf desc, df asc, token) — the order tfidf induces without exposing
-    the sort to cross-engine ln() ulp wobble; the 6dp tfidf rides along
-    for display. `tf_idf`'s broadcast shape plus one doc-keyed window
+    characteristic terms. The rank key is the 6dp tfidf itself,
+    integer-scaled to a long (df asc, token asc tie-breaks) — so
+    kw_rank provably agrees with the tfidf column; the 6dp rounding
+    both engines already share absorbs ln() ulp wobble. `tf_idf`'s broadcast shape plus one doc-keyed window
     shuffle with WindowGroupLimit pruning to k=3 per partition."""
     from openmrs_patient_migration_script_spark.operators.text import keywords_topk
 
@@ -400,8 +402,9 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           round(avg(n_tokens), 6) AS avg_tokens,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           ((2 * 1000000 * sum(n_tokens) + count(*)) // (2 * count(*)))
+             / 1000000.0 AS avg_tokens,
            ((2 * sum(cast(round(quality_score * 1000000, 0) AS BIGINT))
              + count(*)) // (2 * count(*))) / 1000000.0 AS avg_quality
     FROM per_doc GROUP BY lang
@@ -423,9 +426,10 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(sum/n, 6) of identical doubles can split at a .5-at-6dp
     boundary (Spark rounds the shortest decimal repr HALF_UP, DuckDB
     scales the binary value), which is the intermittent hash mismatch
-    observed in round 3. avg(n_tokens) is safe as-is: integral avg sums
-    exactly on both engines and the group sizes here keep the quotient
-    off boundary reprs."""
+    observed in round 3. avg_tokens gets the SAME exact-integer
+    treatment (the r3/r4 driver fails proved a float avg() of integral
+    n_tokens is NOT safe either): ``(2·10⁶·Σtokens + n) div (2·n)`` is
+    a lossless long expression on both engines, divided once."""
     from openmrs_patient_migration_script_spark.operators.text import quality_exprs
 
     d = load_table(spark, sf_dir, "documents")
@@ -438,14 +442,16 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.sum("qs_scaled").alias("_qs"),
     )
     return agg.select(
         "lang",
         "n_docs",
         "total_tokens",
-        "avg_tokens",
+        (
+            F.expr("(2 * 1000000 * total_tokens + n_docs) div (2 * n_docs)")
+            / F.lit(1e6)
+        ).alias("avg_tokens"),
         (
             F.expr("(2 * _qs + n_docs) div (2 * n_docs)") / F.lit(1e6)
         ).alias("avg_quality"),
@@ -464,7 +470,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(toks) AS n_words,
              coalesce(list_aggregate(list_transform(toks, x -> len(x)), 'sum'),
-                      0) AS sum_word_len,
+                      0)::BIGINT AS sum_word_len,
              len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
                AS n_alpha_words,
              len(list_intersect(list_distinct(toks), {_SQL_STOPLIST}))

@@ -79,7 +79,7 @@ def rank_topk_windows(window_counts: DataFrame, k: int = 3) -> DataFrame:
         F.desc("n_events"), F.col("event_type")
     )
     return (
-        window_counts.withColumn("rank", F.row_number().over(w))
+        window_counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("window_start", "rank", "event_type", "n_events")
     )

@@ -34,6 +34,61 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _type_class(t) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    value-hash distinguishes. Round-4 lesson: rows/values can agree while
+    the hash fails on representation — int32 (Spark ``size()``) vs int64
+    (DuckDB ``len()``), TIMESTAMP (Spark ``date_trunc``) vs DATE (DuckDB's),
+    and DuckDB HUGEINT (``sum(BIGINT)``, decimal128 in Arrow / float64 in
+    pandas) vs Spark long. Timestamp timezone-ness is NOT distinguished
+    (Spark's session-tz timestamps hash-match DuckDB naive ones — proven
+    by every green timestamp query), nor is string width."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_type_class(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def dtype_problems(spark_df, duck_tbl) -> list[str]:
+    """Strict dtype gate: compare the Arrow type class of every shared
+    column between the Spark result and the DuckDB result. This is the
+    check ``compare()`` is blind to (it int64-normalizes and numerically
+    diffs), and exactly the class behind all three r4 driver hash-fails."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    s_schema = to_arrow_schema(spark_df.schema)
+    d_schema = duck_tbl.schema
+    s_types = {f.name: _type_class(f.type) for f in s_schema}
+    d_types = {f.name: _type_class(f.type) for f in d_schema}
+    out = []
+    for c in sorted(set(s_types) & set(d_types)):
+        if s_types[c] != d_types[c]:
+            out.append(f"dtype col {c}: spark={s_types[c]} duck={d_types[c]}")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -90,7 +145,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            spark_df = fn(spark, sf_dir)
+            spark_pdf = spark_df.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
@@ -101,12 +157,15 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            duck_tbl = con.execute(ORACLES[name]).arrow()
+            duck_pdf = duck_tbl.to_pandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = dtype_problems(spark_df, duck_tbl) + compare(
+            name, spark_pdf, duck_pdf
+        )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
