@@ -126,6 +126,16 @@ HEADLINE = [
     "ts_anomaly_seasonal",
     "multimodal_audio_pairs",
     "dq_checksum",
+    # round-5: the remaining shuffle-heavy shapes with no headline twin —
+    # wedge-closure triangle counting and per-node clustering coefficient
+    # (the Σdeg² shapes), banded 60-bit simhash pair search, the
+    # groups×domain t-closeness audit, and the 3-step windowed
+    # sequence-pattern match
+    "graph_triangles",
+    "graph_clustering_coeff",
+    "dedup_simhash_pairs",
+    "privacy_t_closeness",
+    "events_pattern_match",
 ]
 
 

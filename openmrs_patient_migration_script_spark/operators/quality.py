@@ -94,20 +94,35 @@ def referential_orphans(
     """One relation's FK audit → a single row
     (relation, child_rows, orphan_rows).
 
-    LEFT JOIN against the deduplicated parent key set, then one conditional
-    aggregate — child_rows and orphan_rows come out of the same pass.
-    NULL child keys count as orphans (a NULL FK can't resolve to a parent).
+    The child side PRE-AGGREGATES to (key, count) before the join — the
+    existence check only needs each distinct FK once, so the join
+    shuffle carries the distinct-key table (for lineitem→orders, ~4×
+    fewer rows than the fact table) instead of every child row, and the
+    map-side partial combine absorbs hot keys, so a skewed FK
+    distribution never skews the join (the r4 scale probe fitted this
+    shape at exponent 1.04 — the row-carrying left join was the one
+    at-linear shape in SCALING.md; the pre-agg restores headroom and
+    needs no salting). Orphan/total counts then come from one
+    conditional SUM over the joined key table. NULL child keys count as
+    orphans (a NULL FK can't resolve to a parent; NULL forms its own
+    group and never equi-matches).
     """
     keys = parent.select(F.col(parent_key).alias("_pk")).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
-    joined = child.select(F.col(child_key).alias("_ck")).join(
-        keys, F.col("_ck") == F.col("_pk"), "left"
+    per_key = (
+        child.select(F.col(child_key).alias("_ck"))
+        .groupBy("_ck")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
+    joined = per_key.join(keys, F.col("_ck") == F.col("_pk"), "left")
     return joined.agg(
         F.lit(relation).alias("relation"),
-        F.count(F.lit(1)).alias("child_rows"),
-        F.count(F.when(F.col("_pk").isNull(), 1)).alias("orphan_rows"),
+        F.coalesce(F.sum("_n"), F.lit(0).cast("long")).alias("child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_pk").isNull(), F.col("_n"))),
+            F.lit(0).cast("long"),
+        ).alias("orphan_rows"),
     )
 
 

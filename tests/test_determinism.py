@@ -47,7 +47,45 @@ STRICT_FLOAT_QUERIES = {
     "ts_cusum",
     "agg_correlation",
     "ts_twap",
+    # r5: the three r4 driver-hash queries, rebuilt on the exact-integer
+    # recipes (HALF_UP means, micro→cents HALF_UP, long counts) — plus
+    # the window twin of the cents recipe
+    "etl_rollup_incremental",
+    "text_gopher_filter",
+    "win_trailing_time",
+    "funnel_conversion_rate",
 }
+
+
+# The r3/r4 driver-hash flake class: queries that FAILED the driver's
+# value-hash while passing value-level local comparison, now rebuilt on
+# exact integer arithmetic. Re-run each repeatedly across alternating
+# shuffle partitionings so the class stays dead — one pass can miss a
+# partial-agg-order flake that only some merge trees expose.
+FLAKE_CLASS_QUERIES = (
+    "text_stats_by_lang",
+    "text_gopher_filter",
+    "etl_rollup_incremental",
+)
+FLAKE_PARTITIONINGS = ("2", "3", "5", "7", "13", "32")
+
+
+@pytest.mark.parametrize("name", FLAKE_CLASS_QUERIES)
+def test_fixed_hash_flakes_bit_stable(spark, name):
+    fn = QUERIES[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for parts in FLAKE_PARTITIONINGS:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results.append(_canon(fn(spark, SF).collect(), strict_floats=True))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for parts, r in zip(FLAKE_PARTITIONINGS[1:], results[1:]):
+        assert r == results[0], (
+            f"{name} not bit-stable: shuffle.partitions={parts} differs "
+            f"from {FLAKE_PARTITIONINGS[0]}"
+        )
 
 
 def _canon(rows, strict_floats: bool = False) -> list[tuple]:
