@@ -486,3 +486,105 @@ def simhash(
 def hamming_distance(a, b, bits: int = 32):
     """Popcount of XOR via bit_count (Spark 3.3+)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 5,
+    min_docs: int = 2,
+    flag_pct: int = 50,
+) -> DataFrame:
+    """Cross-document repeated-SPAN audit — the exact-substring dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022): a ``span_tokens``-gram that recurs in
+    ``min_docs``+ documents marks boilerplate / license blocks / quoted
+    chains that survive document-level near-dup filters. Per document
+    this returns how MUCH of it is such repeated material:
+
+        (key, n_tokens, n_occurrences, n_spans, n_tokens_covered,
+         flagged)
+
+    where ``n_spans`` counts maximal contiguous covered runs after
+    merging overlapping/adjacent k-gram hits, ``n_tokens_covered`` is
+    the exact union size of the hit intervals, and ``flagged`` is the
+    integer comparison ``100·covered >= flag_pct·n_tokens`` (the
+    "mostly duplicated text" drop rule).
+
+    Plan, inverted-index family (same scale story as
+    `ngram_jaccard_pairs`): positions explode row-locally; the
+    document-frequency agg shuffles the distinct (shingle, doc) pairs
+    (map-side combine) down to the shingle vocabulary; repeated-shingle
+    keys equi-join back onto the occurrence stream; ONE doc-keyed
+    window then merges intervals with integer gap arithmetic — covered
+    tokens per occurrence = ``min(gap, k)`` (``k`` for the first), a
+    new span wherever ``gap > k``. No pair materialization anywhere:
+    cost is linear in occurrences, so a shingle hitting M documents
+    contributes M rows, never M² (contrast pair-emitting dedup — this
+    op reads coverage per doc, not links between docs).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= span_tokens)
+    sh = base.select(
+        "key",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.col("n_tokens") - F.lit(span_tokens - 1)
+                ),
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.array_join(
+                        F.slice(F.col("_t"), i, span_tokens), " "
+                    ).alias("shingle"),
+                ),
+            )
+        ).alias("_s"),
+    ).select("key", "n_tokens", F.col("_s.start").alias("start"), F.col("_s.shingle").alias("shingle"))
+    rep = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("key").alias("_dc"))
+        .filter(F.col("_dc") >= min_docs)
+        .select("shingle")
+    )
+    occ = sh.join(rep, "shingle")
+    w = Window.partitionBy("key").orderBy("start")
+    g = occ.select(
+        "key",
+        "n_tokens",
+        "start",
+        (F.col("start") - F.lag("start").over(w)).alias("_gap"),
+    )
+    k = F.lit(span_tokens).cast("long")
+    agged = g.groupBy("key", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.sum(
+            F.when(F.col("_gap").isNull() | (F.col("_gap") > k), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(
+            F.when(F.col("_gap").isNull(), k).otherwise(
+                F.least(F.col("_gap"), k)
+            )
+        )
+        .cast("long")
+        .alias("n_tokens_covered"),
+    )
+    return agged.select(
+        F.col("key"),
+        "n_tokens",
+        "n_occurrences",
+        "n_spans",
+        "n_tokens_covered",
+        (
+            F.lit(100) * F.col("n_tokens_covered")
+            >= F.lit(flag_pct) * F.col("n_tokens")
+        ).alias("flagged"),
+    )

@@ -844,3 +844,76 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = affinity_basket_pairs(spark, sf_dir).select("part_a", "part_b")
     return clustering_coefficient(pairs, src="part_a", dst="part_b")
+
+
+_SPAN_K = 5
+_SPAN_FLAG_PCT = 50
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, len(t)::BIGINT AS n_tokens FROM base
+      WHERE len(t) >= {_SPAN_K}
+    ),
+    sh AS (
+      SELECT doc_id, n_tokens, i::BIGINT AS start,
+             array_to_string(list_slice(t, i, i + {_SPAN_K} - 1), ' ')
+               AS shingle
+      FROM sized, UNNEST(generate_series(1, n_tokens - {_SPAN_K} + 1))
+             AS g(i)
+    ),
+    rep AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(DISTINCT doc_id) AS dc FROM sh GROUP BY 1
+      ) WHERE dc >= 2
+    ),
+    occ AS (SELECT sh.* FROM sh JOIN rep USING (shingle)),
+    g AS (
+      SELECT doc_id, n_tokens, start,
+             start - lag(start) OVER (PARTITION BY doc_id ORDER BY start)
+               AS gap
+      FROM occ
+    ),
+    agged AS (
+      SELECT doc_id, n_tokens,
+             count(*) AS n_occurrences,
+             sum(CASE WHEN gap IS NULL OR gap > {_SPAN_K} THEN 1
+                      ELSE 0 END)::BIGINT AS n_spans,
+             sum(CASE WHEN gap IS NULL THEN {_SPAN_K}
+                      ELSE least(gap, {_SPAN_K}) END)::BIGINT
+               AS n_tokens_covered
+      FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens, n_occurrences, n_spans, n_tokens_covered,
+           (100 * n_tokens_covered >= {_SPAN_FLAG_PCT} * n_tokens) AS flagged
+    FROM agged
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3e (r5): cross-document repeated-span audit
+    (operators/dedup.py::repeated_span_stats) — the exact-substring
+    dedup signal (Lee et al., ACL 2022): per document, how much of it
+    is 5-gram material that recurs in other documents (merged interval
+    count + exact union coverage + the 100·covered >= 50·n_tokens drop
+    flag). Inverted-index plan: the
+    document-frequency agg shuffles distinct (shingle, doc) pairs down
+    to the shingle vocabulary, repeated keys equi-join back onto the
+    occurrence stream, and ONE doc-keyed window merges intervals with
+    integer gap arithmetic — linear in occurrences, no pair
+    materialization. All-integer outputs keep the oracle byte-exact."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repeated_span_stats(
+        docs, "doc_id", "text",
+        span_tokens=_SPAN_K, min_docs=2, flag_pct=_SPAN_FLAG_PCT,
+    )
+    return stats.withColumnRenamed("key", "doc_id")

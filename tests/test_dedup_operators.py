@@ -240,3 +240,43 @@ def test_common_neighbors_planted_wedges_and_cap(spark):
     hub = spark.createDataFrame([(0, i) for i in range(1, 6)], ["key_a", "key_b"])
     assert common_neighbors(hub, max_degree=10).count() == 10  # C(5,2)
     assert common_neighbors(hub, max_degree=4).count() == 0
+
+
+def test_repeated_span_stats_planted_boilerplate(spark):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    boiler = "all rights reserved contact us at example dot com"  # 9 tokens
+    rows = [
+        # two docs sharing the 9-token boilerplate (plus unique tails
+        # long enough to keep coverage under the 50% flag line)
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota"
+            " kappa lam mu"),
+        (2, "unique preamble here first second third fourth fifth sixth"
+            " seventh " + boiler),
+        # doc with NO cross-doc repetition
+        (3, "totally original content nothing shared anywhere at all ok"),
+        # short doc fully made of the boilerplate -> flagged
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["key"]: r
+        for r in repeated_span_stats(
+            df, "doc_id", "text", span_tokens=5, min_docs=2, flag_pct=50
+        ).collect()
+    }
+    # doc 3 shares nothing -> absent from the audit entirely
+    assert 3 not in out
+    # the 9-token boilerplate = 5 overlapping 5-gram starts -> ONE merged
+    # span covering exactly 9 tokens in every doc that carries it
+    for d in (1, 2, 4):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["n_tokens_covered"] == 9
+        assert out[d]["n_occurrences"] == 5
+    # coverage flag: doc 4 is 100% boilerplate (flagged), docs 1-2 carry
+    # it as a minority of their tokens (9/21 and 9/19 -> under 50%)
+    assert out[4]["flagged"] is True
+    assert out[1]["flagged"] is False
+    assert out[2]["flagged"] is False
