@@ -151,15 +151,20 @@ def dp_noisy_counts(
     noise is a row-local expression over the group key after the agg, so
     the shuffle carries exactly the distinct-group count.
     """
-    # NULL group keys must hash IDENTICALLY everywhere: concat_ws silently
-    # skips NULLs (making ('en', NULL) collide with ('en',)), while SQL's
-    # `||` nulls the whole key out — both wrong. Coalesce each key part to
-    # an explicit sentinel instead; oracles replay it as
-    # coalesce(col, '\\N').
-    key_str = F.concat_ws(
-        ":",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in group_cols],
-    )
+    # Key parts are LENGTH-PREFIXED (the `table_checksum` rule): a plain
+    # delimiter join lets crafted keys collide — ('a:b','c') and
+    # ('a','b:c') would draw CORRELATED noise, a real DP leak since the
+    # mechanism's independence assumption dies with the collision. NULL
+    # encodes as 'N', which no real value's digit-led encoding can equal
+    # (concat_ws silently skipping NULLs and `||` nulling the whole key
+    # out are both wrong). Oracles replay the same encoding.
+    def _enc(c: str) -> F.Column:
+        sv = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(sv).cast("string"), F.lit(":"), sv), F.lit("N")
+        )
+
+    key_str = F.concat_ws(":", *[_enc(c) for c in group_cols])
     noise = None
     for r in range(repeats):
         h = F.conv(

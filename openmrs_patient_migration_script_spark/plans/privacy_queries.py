@@ -140,9 +140,13 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     noised AS (
       SELECT lang, source,
              true_count
-             + (bit_count(('0x' || substr(md5('dp-release-1:0:' || coalesce(lang, '\\N') || ':' || coalesce(source, '\\N')),
+             + (bit_count(('0x' || substr(md5('dp-release-1:0:'
+                 || coalesce(len(lang)::VARCHAR || ':' || lang, 'N') || ':'
+                 || coalesce(len(source)::VARCHAR || ':' || source, 'N')),
                                           1, 15))::BIGINT) - 30)
-             + (bit_count(('0x' || substr(md5('dp-release-1:1:' || coalesce(lang, '\\N') || ':' || coalesce(source, '\\N')),
+             + (bit_count(('0x' || substr(md5('dp-release-1:1:'
+                 || coalesce(len(lang)::VARCHAR || ':' || lang, 'N') || ':'
+                 || coalesce(len(source)::VARCHAR || ':' || source, 'N')),
                                           1, 15))::BIGINT) - 30)
                AS noisy_count
       FROM counts
