@@ -495,6 +495,7 @@ def repeated_span_stats(
     span_tokens: int = 5,
     min_docs: int = 2,
     flag_pct: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-document repeated-SPAN audit — the exact-substring dedup
     signal of Lee et al., "Deduplicating Training Data Makes Language
@@ -523,6 +524,11 @@ def repeated_span_stats(
     cost is linear in occurrences, so a shingle hitting M documents
     contributes M rows, never M² (contrast pair-emitting dedup — this
     op reads coverage per doc, not links between docs).
+
+    ``materialize`` (default on) localCheckpoints the exploded
+    occurrence stream, which BOTH the document-frequency agg and the
+    join-back consume — without it the corpus scan + shingle explode
+    run twice (the `containment_pairs` rule).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     base = df.select(
@@ -547,6 +553,8 @@ def repeated_span_stats(
             )
         ).alias("_s"),
     ).select("key", "n_tokens", F.col("_s.start").alias("start"), F.col("_s.shingle").alias("shingle"))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     rep = (
         sh.groupBy("shingle")
         .agg(F.count_distinct("key").alias("_dc"))

@@ -305,6 +305,28 @@ def _containment_shape(docs, k: int):
     return containment_pairs(d_k, "doc_id", "text", min_shared=2, max_df=50)
 
 
+def _repeated_spans_shape(docs, k: int):
+    """Cross-doc repeated-span audit at k copies — token-suffix-tagged
+    copies like the containment shape, so cross-copy shingles never
+    match and repeated-shingle volume stays linear in k; cost is the
+    shingle-vocab DF agg + the occurrence join + one doc-keyed window."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return repeated_span_stats(d_k, "doc_id", "text", span_tokens=5)
+
+
 def _pq_shape(emb, k: int):
     """PQ ADC scan over sign-flip-decorrelated copies (the
     cosine_pairs_lsh replication rule): codebooks seed from the grown
@@ -527,6 +549,9 @@ def main() -> None:
             "label_propagation": lambda: _labelprop_shape(c_k),
             # checkpointed RANGE-window trend + broadcast seasonal profile
             "seasonal_decompose": lambda: _seasonal_shape(ev_k),
+            # r5: exact-substring repeated-span audit (inverted index +
+            # doc-keyed interval-merge window)
+            "repeated_spans": lambda: _repeated_spans_shape(docs, k),
         }
 
     results: dict[str, dict[int, float]] = {}
