@@ -590,11 +590,13 @@ def main() -> None:
         "Reading the exponents: every shape is sublinear over the span —",
         "wall time grows slower than data while the hardware stays fixed at",
         "local[32], because fixed per-job overhead (JVM, planning, task",
-        "launch) still amortizes. The highest rows (fk_audit,",
-        "profile_multi_distinct, triangle_count) approach linear soonest:",
-        "their shuffle volume is proportional to input (join rows;",
-        "per-partition distinct values under the Expand; wedge rows), so",
-        "data cost dominates overhead earliest.",
+        "launch) still amortizes. The highest rows (triangle_count and the",
+        "iterative graph loops, profile_multi_distinct) approach linear",
+        "soonest: their shuffle volume is proportional to input (wedge rows;",
+        "per-partition distinct values under the Expand), so data cost",
+        "dominates overhead earliest. fk_audit, the one at-linear shape in",
+        "the round-4 probe (1.04), now pre-aggregates its child side to",
+        "distinct keys and fits well sublinear.",
         "That is the expected asymptote — on a real cluster where executors",
         "scale WITH data, a ~1.0 exponent at fixed hardware translates to",
         "~flat wall time; an exponent well above 1.0 here would indicate a",
