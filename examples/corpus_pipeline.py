@@ -1,8 +1,9 @@
 """Training-corpus preparation in one call — the engine's LLM-data
 surface (operators/corpus.py) over the harness `documents` table.
 
-    quality filter → language ID → exact dedup → MinHash near-dup
-    cluster removal → deterministic train/val/test split
+    quality filter → language ID → exact dedup → repeated-span
+    boilerplate gate → MinHash near-dup cluster removal →
+    deterministic train/val/test split
 
 Run:  python examples/corpus_pipeline.py [sf_dir]
 """
@@ -27,7 +28,11 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_in = docs.count()
 
-    out = prepare_corpus(docs)  # production hash defaults (xxhash64 LSH)
+    # production hash defaults (xxhash64 LSH); the opt-in repeated-span
+    # gate additionally drops docs that are >=60% cross-document 5-gram
+    # material (license blocks / boilerplate that document-level near-dup
+    # passes miss — the Lee et al. exact-substring signal)
+    out = prepare_corpus(docs, max_repeated_pct=60)
     summary = (
         out.groupBy("split")
         .agg(

@@ -59,12 +59,18 @@ def prepare_corpus(
     bands: int = 4,
     double_hash=None,
     hash_buckets: bool = True,
+    max_repeated_pct: int | None = None,
 ) -> DataFrame:
     """Returns (key, predicted_lang, quality_score, split) for every kept
     document. ``double_hash``/``hash_buckets`` pass through to the LSH
     stage (the declared query uses the md5 double-hash + raw-struct bucket
     form so a SQL oracle can replay the banding join exactly; production
-    keeps the cheaper xxhash64 defaults)."""
+    keeps the cheaper xxhash64 defaults). ``max_repeated_pct`` (opt-in)
+    additionally drops documents whose cross-document repeated-5-gram
+    coverage reaches that percentage (`dedup.repeated_span_stats` — the
+    exact-substring boilerplate signal document-level near-dup passes
+    miss); it runs AFTER exact dedup and BEFORE LSH, since
+    boilerplate-heavy docs are exactly the ones that flood LSH buckets."""
     q = quality_exprs(F.col(text_col))
     scores, _ = langid_exprs(F.col(text_col))
     langs = sorted(scores)
@@ -105,6 +111,20 @@ def prepare_corpus(
         .drop("_chash")
         .localCheckpoint(eager=True)
     )
+
+    if max_repeated_pct is not None:
+        from openmrs_patient_migration_script_spark.operators.dedup import (
+            repeated_span_stats,
+        )
+
+        boiler = (
+            repeated_span_stats(
+                survivors, "key", "text", flag_pct=max_repeated_pct
+            )
+            .filter(F.col("flagged"))
+            .select("key")
+        )
+        survivors = survivors.join(boiler, "key", "left_anti")
 
     pairs = minhash_candidate_pairs(
         survivors,

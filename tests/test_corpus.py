@@ -173,3 +173,40 @@ def test_repetition_metrics_null_text_matches_oracle_semantics(spark):
     assert abs(got[3].tok_distinct_ratio - 1 / 3) < 1e-6
     # single-token doc: no bigrams -> ratio 0
     assert got[4].bigram_distinct_ratio == 0.0
+
+
+def test_repeated_span_gate_drops_boilerplate_doc(spark):
+    """max_repeated_pct (opt-in) drops docs mostly made of spans that
+    recur in OTHER documents, while docs carrying the boilerplate as a
+    minority survive, and the default (None) changes nothing."""
+    boiler = "all rights reserved contact us at example dot com"  # 9 tokens
+    tail_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )  # 20 unique tokens
+    tail_b = (
+        "first second third fourth fifth sixth seventh eighth ninth tenth "
+        "eleventh twelfth thirteenth fourteenth fifteenth sixteenth "
+        "seventeenth eighteenth nineteenth twentieth"
+    )  # 20 different unique tokens
+    rows = [
+        (1, boiler + " " + tail_a),        # 29 tokens, 9 repeated -> 31%
+        (2, tail_b + " " + boiler),        # 29 tokens, 9 repeated -> 31%
+        (3, boiler + " unique tiny bit"),  # 12 tokens, 9 repeated -> 75%
+        (4, "completely different words about streaming shuffle partitions "
+            "broadcast join watermark state store checkpoint lineage"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_off = {
+        r.key for r in prepare_corpus(docs, min_quality=0.0).collect()
+    }
+    kept_on = {
+        r.key
+        for r in prepare_corpus(
+            docs, min_quality=0.0, max_repeated_pct=50
+        ).collect()
+    }
+    assert 3 in kept_off
+    assert 3 not in kept_on
+    # the knob only removes the flagged doc, nothing else
+    assert kept_off - kept_on == {3}
