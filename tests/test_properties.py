@@ -1245,3 +1245,66 @@ def test_clustering_coefficient_poles(spark):
     assert cc[10] == (5, 0, 0.0)
     assert 11 not in cc  # leaves have degree 1 -> undefined, dropped
     assert cc[22] == (3, 1, round(2 * 1 / (3 * 2.0), 6))
+
+
+# random small-vocabulary documents: repeated spans arise naturally from
+# the tiny alphabet, exercising overlap/merge/boundary paths
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _naive_repeated_spans(docs: list[list[str]], k: int, min_docs: int):
+    """Plain-Python reference for repeated_span_stats: k-gram -> doc-set
+    index, then per-doc interval union of repeated-k-gram hits."""
+    grams: dict[tuple, set] = {}
+    for di, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[i : i + k]), set()).add(di)
+    rep = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = {}
+    for di, toks in enumerate(docs):
+        starts = [
+            i for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) in rep
+        ]
+        if not starts:
+            continue
+        covered: set = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        spans = 1 + sum(
+            1 for a, b in zip(starts, starts[1:]) if b - a > k
+        )
+        out[di] = (len(toks), len(starts), spans, len(covered))
+    return out
+
+
+@settings(**SETTINGS)
+@given(_span_docs)
+def test_repeated_span_stats_matches_naive(spark, docs):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    K = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["key"]: (
+            r["n_tokens"],
+            r["n_occurrences"],
+            r["n_spans"],
+            r["n_tokens_covered"],
+        )
+        for r in repeated_span_stats(
+            df, "doc_id", "text", span_tokens=K, min_docs=2
+        ).collect()
+    }
+    assert got == _naive_repeated_spans(docs, K, 2)

@@ -122,6 +122,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 diff = (sa - da).abs().max()
                 if not ((sa.isna() == da.isna()).all() and (diff == 0 or pd.isna(diff))):
                     problems.append(f"float col {c}: max abs diff {diff}")
+                else:
+                    # signed zero: Spark's round() goes through Java
+                    # BigDecimal (no -0.0) while DuckDB keeps the sign, so
+                    # a tiny negative rounding to zero can emit 0.0 vs
+                    # -0.0 — numerically equal (blind spot above) but
+                    # byte/string-different at a hash layer.
+                    import numpy as np
+
+                    # order-free: compare the COUNT of negative zeros on
+                    # each side (row pairing among all-column ties is not
+                    # guaranteed by the sort)
+                    zs = (sa == 0) & sa.notna()
+                    zd = (da == 0) & da.notna()
+                    neg_s = int(np.signbit(sa[zs].to_numpy(dtype="float64")).sum())
+                    neg_d = int(np.signbit(da[zd].to_numpy(dtype="float64")).sum())
+                    if neg_s != neg_d:
+                        problems.append(
+                            f"float col {c}: signed-zero count differs "
+                            f"(spark -0.0×{neg_s} vs duck -0.0×{neg_d})"
+                        )
             else:
                 if not sc.astype(str).equals(dc.astype(str)):
                     n_bad = int((sc.astype(str) != dc.astype(str)).sum())
