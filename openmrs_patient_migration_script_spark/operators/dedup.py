@@ -160,6 +160,35 @@ def minhash_signatures(
     return sh.groupBy("key").agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, hash_buckets: bool
+) -> DataFrame:
+    """(key, band, bucket) rows from a MinHash signature table — the
+    LSH banding shared by the self-join and cross-corpus paths. bucket =
+    hash of the band's signature slice (compact shuffle key) or the raw
+    slice as a struct — identical join semantics; the struct form lets a
+    SQL oracle reproduce the join exactly."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        bucket = (
+            F.xxhash64(*cols)
+            if hash_buckets
+            # uniform field names so all bands share one struct type
+            else F.struct(*[c.alias(f"s{j}") for j, c in enumerate(cols)])
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return sig.select(
+        "key", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("key", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     key_col: str,
@@ -195,28 +224,71 @@ def minhash_candidate_pairs(
     )
     if materialize:
         sig = sig.localCheckpoint(eager=True)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        # bucket = hash of the band's signature slice (compact shuffle key)
-        # or the raw slice as a struct — identical join semantics; the
-        # struct form lets a SQL oracle reproduce the join exactly.
-        bucket = (
-            F.xxhash64(*cols)
-            if hash_buckets
-            # uniform field names so all bands share one struct type
-            else F.struct(*[c.alias(f"s{j}") for j, c in enumerate(cols)])
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    buckets = sig.select(
-        "key", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("key", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(sig, num_hashes, bands, hash_buckets)
     a = buckets.select(F.col("key").alias("key_a"), "band", "bucket")
     b2 = buckets.select(F.col("key").alias("key_b"), "band", "bucket")
     return (
         a.join(b2, ["band", "bucket"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def minhash_pairs_against(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    key_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn=None,
+    double_hash=None,
+    hash_buckets: bool = True,
+) -> DataFrame:
+    """X3f: INCREMENTAL cross-corpus MinHash dedup — candidate pairs
+    between a NEW batch and an already-indexed corpus, the shape a daily
+    ingest actually runs: yesterday's corpus keeps its (tiny) signature
+    table; only today's batch pays the shingle→minhash aggregation, and
+    the band join is batch×index instead of corpus×corpus. The self-join
+    form (`minhash_candidate_pairs`) re-banding the whole corpus per
+    ingest would re-shuffle 100 TB daily for a GB of new data.
+
+    Returns distinct (batch_key, index_key) candidate pairs (one row per
+    batch doc × colliding index doc). Both tables MUST be signed with the
+    same hash family/params — enforced here by deriving both signature
+    tables from the same arguments; production persists the index
+    signatures (a row of ``num_hashes`` longs per doc) and passes them
+    through `minhash_signatures`' output schema unchanged.
+
+    Scale: the join shuffles on (band, bucket) like the self-join; the
+    index side's bucket table is signature-sized (#docs × bands rows),
+    never corpus-sized, and AQE splits hot buckets (boilerplate bands).
+    No key ordering filter — the tables are disjoint by contract (a key
+    present in both sides would legitimately pair with itself, which is
+    exactly what an ingest wants to detect).
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands})"
+        )
+    sig_i = minhash_signatures(
+        index_df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash
+    )
+    sig_b = minhash_signatures(
+        batch_df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash
+    )
+    bi = _band_buckets(sig_i, num_hashes, bands, hash_buckets).select(
+        F.col("key").alias("index_key"), "band", "bucket"
+    )
+    bb = _band_buckets(sig_b, num_hashes, bands, hash_buckets).select(
+        F.col("key").alias("batch_key"), "band", "bucket"
+    )
+    return (
+        bb.join(bi, ["band", "bucket"])
+        .select("batch_key", "index_key")
         .distinct()
     )
 

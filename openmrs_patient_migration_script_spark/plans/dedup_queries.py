@@ -917,3 +917,66 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_tokens=_SPAN_K, min_docs=2, flag_pct=_SPAN_FLAG_PCT,
     )
     return stats.withColumnRenamed("key", "doc_id")
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS mh
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig_str
+      FROM sig GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT b.doc_id AS batch_key, a.doc_id AS index_key
+    FROM bands b
+    JOIN bands a ON b.band = a.band AND b.sig_str = a.sig_str
+    WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3f (r5): incremental cross-corpus dedup
+    (operators/dedup.py::minhash_pairs_against) — the daily-ingest
+    shape: odd doc_ids stand in for today's batch, even doc_ids for the
+    indexed corpus, and only batch×index band collisions surface (the
+    self-join would re-band the whole corpus per ingest). Same
+    md5-double-hash + raw-struct-bucket declared form as
+    `dedup_minhash`, so the DuckDB oracle replays the banding join
+    exactly; production keeps seeded-xxhash64 + hashed buckets and a
+    PERSISTED index signature table."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        minhash_pairs_against,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+    index = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return minhash_pairs_against(
+        index, batch, "doc_id", "text",
+        num_hashes=16, bands=4, double_hash=md5_pair, hash_buckets=False,
+    )

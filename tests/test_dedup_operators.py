@@ -280,3 +280,43 @@ def test_repeated_span_stats_planted_boilerplate(spark):
     assert out[4]["flagged"] is True
     assert out[1]["flagged"] is False
     assert out[2]["flagged"] is False
+
+
+def test_minhash_incremental_matches_cross_slice_of_self_join(spark):
+    """Cross-corpus banding == the batch×index slice of the full
+    self-join on the union (same hash family) — and batch-internal
+    pairs are NOT reported (they belong to the batch's own dedup)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_pairs_against,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the corpus grows daily with near duplicate entries")
+    rows = [
+        (2, base + " v1"),          # index
+        (4, "totally different text about spark shuffles joins windows "
+            "aggregates broadcasts and adaptive execution plans"),  # index
+        (1, base + " v2"),          # batch: near-dup of index doc 2
+        (3, base + " v3"),          # batch: near-dup of 1 AND 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r.batch_key, r.index_key)
+        for r in minhash_pairs_against(index, batch, "doc_id", "text").collect()
+    }
+    full = {
+        tuple(sorted((r.key_a, r.key_b)))
+        for r in minhash_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    cross = {
+        (b, i) for (x, y) in full
+        for (b, i) in [(x, y) if x % 2 == 1 else (y, x)]
+        if b % 2 == 1 and i % 2 == 0
+    }
+    assert got == cross
+    # the planted cross near-dups are found; batch-internal (1,3) is not
+    assert (1, 2) in got and (3, 2) in got
+    assert all(i % 2 == 0 and b % 2 == 1 for b, i in got)
