@@ -65,3 +65,12 @@ def test_observability_pipeline():
     stdout = _run("observability_pipeline.py")
     assert "observability: READY" in stdout
     assert "duplicate key tuples" in stdout
+
+
+def test_ingest_dedup():
+    stdout = _run("ingest_dedup.py")
+    assert "exact containment:" in stdout
+    assert "near-dup containment:" in stdout
+    assert "boilerplate gate:" in stdout
+    assert "admitted" in stdout
+    assert "ingest: DONE" in stdout
