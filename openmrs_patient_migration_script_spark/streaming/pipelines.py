@@ -636,3 +636,85 @@ def stream_cdc_apply(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_dedup(
+    batch_docs: DataFrame,
+    index_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus-ingest dedup (r5) — the continuous form of
+    `examples/ingest_dedup.py`: a document feed is admitted micro-batch
+    by micro-batch, each batch deduped against (a) the STATIC indexed
+    corpus via exact content hash + `minhash_pairs_against` banding, and
+    (b) everything this stream already ADMITTED in earlier batches, so
+    a near-dup arriving twice across micro-batches lands once.
+
+    Exactly-once by CONSTRUCTION, not a ledger: each batch's admitted
+    docs write to ``_batch_id=<id>`` with overwrite, and the
+    already-admitted read EXCLUDES the current batch id — so a replayed
+    batch sees the identical prior-state, recomputes the identical
+    admit set, and overwrites its own directory with identical bytes
+    (the `write_stream_idempotent` pattern with the self-exclusion the
+    grown-index read requires: without it, a replay would collide a
+    batch's docs with their own half-written admission).
+
+    Per micro-batch cost: the batch pays shingle→minhash; the index
+    side contributes its signature-table-sized bucket rows (at 100 TB,
+    persist the index signatures once — `minhash_pairs_against`'s
+    documented contract). Returns the started StreamingQuery.
+    """
+    import os
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        minhash_pairs_against,
+    )
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = os.path.join(out_dir, f"_batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replayed batch → already durable AND complete
+        prior_dirs = [
+            os.path.join(out_dir, d)
+            for d in (os.listdir(out_dir) if os.path.exists(out_dir) else [])
+            if d.startswith("_batch_id=")
+            and d != f"_batch_id={batch_id}"
+            and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+        ]
+        index = index_df
+        if prior_dirs:
+            admitted_prior = spark.read.parquet(*prior_dirs).select(
+                F.col(key_col), F.col(text_col)
+            )
+            index = index.select(key_col, text_col).unionByName(admitted_prior)
+        else:
+            index = index.select(key_col, text_col)
+        # exact: content-hash anti-join (byte-identical re-crawls)
+        idx_hashes = index.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+        fresh = (
+            batch_df.withColumn("_h", F.md5(F.col(text_col)))
+            .join(idx_hashes, "_h", "left_anti")
+            .drop("_h")
+        )
+        # near-dup: band the batch against the (grown) index
+        pairs = minhash_pairs_against(
+            index, fresh, key_col, text_col,
+            num_hashes=num_hashes, bands=bands,
+        )
+        dup_keys = pairs.select(F.col("batch_key").alias(key_col)).distinct()
+        admitted = fresh.join(dup_keys, key_col, "left_anti")
+        admitted.write.mode("overwrite").parquet(target)
+
+    writer = batch_docs.writeStream.foreachBatch(admit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -763,3 +763,69 @@ def test_trending_topk_over_streamed_state_matches_batch(spark):
     )
     cols = ["window_start", "rank", "event_type", "n_events"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_ingest_dedup_admits_once_across_batches(spark, tmp_path):
+    """Streaming ingest dedup: batch 1's admitted docs join the index for
+    batch 2 (a cross-batch near-dup lands once); exact re-crawls and
+    index near-dups are dropped; re-running on the same checkpoint is a
+    no-op."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stream_ingest_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the corpus "
+            "grows daily with near duplicate boilerplate entries arriving")
+    other = ("completely different material about adaptive query execution "
+             "broadcast joins shuffle partitions and watermark state")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    index = spark.createDataFrame([(100, base + " indexed")], schema)
+    b0 = [
+        (1, base + " v2"),     # near-dup of the INDEX -> dropped
+        (2, other + " one"),   # novel -> admitted
+    ]
+    b1 = [
+        (3, other + " two"),   # near-dup of ADMITTED doc 2 -> dropped
+        (4, base + " indexed"),  # exact re-crawl of the index -> dropped
+        (5, "entirely new words praising deterministic oracle checked "
+            "engines with exact integer arithmetic everywhere today"),
+    ]
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([b0, b1]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_ingest_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*"),
+            index,
+            out,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {2, 5}
+    snapshot = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(out)
+        for f in fs
+    )
+    run()  # same checkpoint: no new batches, nothing rewritten
+    assert sorted(
+        os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs
+    ) == snapshot
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 5}
