@@ -448,8 +448,15 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "total_tokens",
+        # the 2e6-scaled numerator multiplies as DECIMAL: a long wraps
+        # once a language's token total passes ~4.6e12 (certain at 100 TB;
+        # DuckDB's HUGEINT side is already 128-bit) — the skewness-
+        # overflow class. div returns the long quotient (≤ max doc len).
         (
-            F.expr("(2 * 1000000 * total_tokens + n_docs) div (2 * n_docs)")
+            F.expr(
+                "cast((cast(2000000 as decimal(38,0)) * total_tokens"
+                " + n_docs) div (2 * n_docs) as long)"
+            )
             / F.lit(1e6)
         ).alias("avg_tokens"),
         (
