@@ -136,6 +136,11 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "privacy_t_closeness",
     "events_pattern_match",
+    # round-5 second wave: the session's two new dedup plan families —
+    # the doc-keyed interval-merge window over the shingle inverted index
+    # and the batch×index cross-corpus band join
+    "dedup_repeated_spans",
+    "dedup_minhash_incremental",
 ]
 
 
