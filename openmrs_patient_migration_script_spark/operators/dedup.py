@@ -668,3 +668,86 @@ def repeated_span_stats(
             >= F.lit(flag_pct) * F.col("n_tokens")
         ).alias("flagged"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 10,
+    max_paras: int = 4096,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet preprocessing step
+    (Wenzek et al., LREC 2020): split each document into paragraphs,
+    keep only the globally FIRST occurrence of each repeated paragraph,
+    and reassemble the surviving text per document. Catches the
+    boilerplate (headers, license blocks, navigation chrome) that
+    document-level dedup misses because the surrounding text differs.
+
+    The corpus here is flat token text, so "paragraph" is a
+    non-overlapping ``para_tokens``-token chunk (documented stand-in
+    for newline-delimited paragraphs; the mechanics are identical).
+    Returns (key, n_paras, n_kept, text_dedup) where ``text_dedup``
+    rejoins the kept paragraphs in original order ('' if every
+    paragraph of the doc appeared earlier elsewhere).
+
+    First-occurrence is the global min of the packed position
+    ``key·max_paras + pos`` per paragraph STRING (no hashing — exact
+    text identity), guarded in-plan by ``assert_true(pos < max_paras)``
+    so the packing cannot alias two occurrences.
+
+    Scale: the explode is row-local; the first-occurrence agg is one
+    shuffle on the paragraph string with map-side combine (a
+    boilerplate paragraph repeated a billion times partial-aggregates
+    to one row per map task — no skew lever needed, same argument as
+    `dedup_exact_keep_first`); the join-back keys on the near-unique
+    aggregated side; the reassembly is one shuffle on the doc key.
+    No pair materialization anywhere — cost is linear in paragraphs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        toks.alias("_t"),
+        F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int").alias("_np"),
+    )
+    d = d.select(
+        "key",
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.col("_np") - 1)).alias("pos"),
+    )
+    guard = F.assert_true(
+        F.col("pos") < max_paras,
+        F.lit(f"paragraph_dedup: document exceeds {max_paras} paragraphs"),
+    )
+    # assert_true is NULL whenever the check passes, so the filter keeps
+    # every row and only exists to fail the job loudly on a violation
+    # (the operators/joins.py guard pattern).
+    paras = d.where(guard.isNull()).select(
+        "key",
+        "pos",
+        F.array_join(
+            F.slice("_t", F.col("pos") * para_tokens + 1, para_tokens), " "
+        ).alias("para"),
+        (F.col("key") * max_paras + F.col("pos")).cast("long").alias("occ"),
+    )
+    firsts = paras.groupBy("para").agg(F.min("occ").alias("first_occ"))
+    tagged = paras.join(firsts, "para").withColumn(
+        "kept", F.col("occ") == F.col("first_occ")
+    )
+    return tagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

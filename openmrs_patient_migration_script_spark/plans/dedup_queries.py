@@ -980,3 +980,56 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, batch, "doc_id", "text",
         num_hashes=16, bands=4, double_hash=md5_pair, hash_buckets=False,
     )
+
+
+@query(
+    "dedup_paragraph",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS pos
+      FROM t
+    ),
+    paras AS (
+      SELECT doc_id, pos,
+             array_to_string(
+               toks[pos * 10 + 1 : least(pos * 10 + 10, len(toks))], ' ')
+               AS para,
+             doc_id * 4096 + pos AS occ
+      FROM e
+    ),
+    firsts AS (
+      SELECT para, min(occ) AS first_occ FROM paras GROUP BY para
+    )
+    SELECT p.doc_id AS key,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE p.occ = f.first_occ) AS BIGINT)
+             AS n_kept,
+           coalesce(
+             string_agg(p.para, ' ' ORDER BY p.pos)
+               FILTER (WHERE p.occ = f.first_occ),
+             '') AS text_dedup
+    FROM paras p JOIN firsts f USING (para)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3g: CCNet-style paragraph-level exact dedup (Wenzek et al.,
+    LREC 2020) — keep the globally first occurrence of each repeated
+    paragraph and reassemble the surviving text per document. The
+    sub-document complement to `dedup_exact` (whole doc) and
+    `dedup_repeated_spans` (k-gram coverage signal): this one EDITS the
+    corpus. One map-side-combining shuffle on the paragraph string, one
+    join-back, one doc-keyed reassembly — linear in paragraphs
+    (operators/dedup.py::paragraph_dedup)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    return paragraph_dedup(
+        load_table(spark, sf_dir, "documents"), para_tokens=10
+    )

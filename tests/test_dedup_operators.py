@@ -320,3 +320,50 @@ def test_minhash_incremental_matches_cross_slice_of_self_join(spark):
     # the planted cross near-dups are found; batch-internal (1,3) is not
     assert (1, 2) in got and (3, 2) in got
     assert all(i % 2 == 0 and b % 2 == 1 for b, i in got)
+
+
+def test_paragraph_dedup_keeps_first_and_reassembles(spark):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    boiler = "b1 b2 b3"  # 3-token paragraph with para_tokens=3
+    df = _docs(
+        spark,
+        [
+            (1, f"{boiler} u1 u2 u3"),          # boiler first seen here
+            (2, f"{boiler} v1 v2 v3"),          # boiler repeated -> dropped
+            (3, f"w1 w2 w3 {boiler}"),          # repeated at pos 1
+            (4, boiler),                        # entirely boilerplate
+        ],
+    )
+    out = {
+        r["key"]: r
+        for r in paragraph_dedup(
+            df, key_col="key", para_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "b1 b2 b3 u1 u2 u3"
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"] == "v1 v2 v3"
+    assert out[3]["n_kept"] == 1 and out[3]["text_dedup"] == "w1 w2 w3"
+    assert out[4]["n_kept"] == 0 and out[4]["text_dedup"] == ""
+
+
+def test_paragraph_dedup_short_tail_paragraph_distinct(spark):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    # a short tail chunk must not collide with a full chunk sharing its
+    # prefix tokens
+    df = _docs(spark, [(1, "a b c a b"), (2, "a b")])
+    out = {
+        r["key"]: r
+        for r in paragraph_dedup(
+            df, key_col="key", para_tokens=3
+        ).collect()
+    }
+    # doc 1: paras "a b c", "a b"(tail); doc 2: "a b" repeats doc 1's tail
+    assert out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 0
