@@ -751,3 +751,78 @@ def paragraph_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def fellegi_sunter_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    block_cols: list[str],
+    fields: list[dict],
+    t_match: int = 4000,
+    t_possible: int = 1500,
+) -> DataFrame:
+    """Probabilistic record linkage — the Fellegi-Sunter model (JASA
+    1969), the standard patient-matching decision rule: block candidate
+    pairs on a cheap key, compare each field, and sum per-field
+    log-likelihood-ratio weights (integer milli-units here, so the
+    score is exact and reassociation-free); classify by thresholds.
+
+    ``fields``: list of dicts with keys
+      - ``col``: column name present in both inputs,
+      - ``w_match`` / ``w_miss``: integer weights for exact agree /
+        disagree (≈ 1000·ln(m/u) and 1000·ln((1-m)/(1-u))),
+      - optional ``close``: ``(max_levenshtein, w_close)`` for a
+        partial-agreement middle level (string fields).
+
+    Returns (key_a, key_b, pattern, score, match_class) for pairs at or
+    above ``t_possible``; ``pattern`` is one char per field —
+    E(xact) / C(lose) / M(iss) — the agreement vector γ of the model.
+
+    Scale: the block key is the ONLY shuffle key; the quadratic
+    comparator is bounded by the largest block (same contract as
+    `fuzzy_dedup_pairs`); weights and classification are row-local; the
+    ``t_possible`` cut happens before any further shuffle, so
+    non-matches (the overwhelming majority of candidate pairs at
+    100 TB) never leave the comparator stage.
+    """
+    sel_a = [F.col(key_col).alias("key_a")] + [
+        F.col(f["col"]).alias(f"_a_{f['col']}") for f in fields
+    ]
+    sel_b = [F.col(key_col).alias("key_b")] + [
+        F.col(f["col"]).alias(f"_b_{f['col']}") for f in fields
+    ]
+    left = a.select(*sel_a, *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)])
+    right = b.select(*sel_b, *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)])
+    pairs = left.join(right, [f"_blk_{i}" for i in range(len(block_cols))])
+
+    levels, scores = [], []
+    for f in fields:
+        fa, fb = F.col(f"_a_{f['col']}"), F.col(f"_b_{f['col']}")
+        close = f.get("close")
+        lvl = F.when(fa == fb, F.lit("E"))
+        if close is not None:
+            max_d, _ = close
+            lvl = lvl.when(F.levenshtein(fa, fb) <= max_d, F.lit("C"))
+        lvl = lvl.otherwise(F.lit("M"))
+        levels.append(lvl)
+        sc = F.when(lvl == "E", F.lit(f["w_match"]))
+        if close is not None:
+            sc = sc.when(lvl == "C", F.lit(close[1]))
+        scores.append(sc.otherwise(F.lit(f["w_miss"])))
+
+    total = scores[0]
+    for s in scores[1:]:
+        total = total + s
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        F.concat(*levels).alias("pattern"),
+        total.cast("long").alias("score"),
+    ).filter(F.col("score") >= t_possible)
+    return scored.withColumn(
+        "match_class",
+        F.when(F.col("score") >= t_match, F.lit("match")).otherwise(
+            F.lit("possible")
+        ),
+    )

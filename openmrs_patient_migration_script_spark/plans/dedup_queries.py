@@ -1033,3 +1033,102 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(
         load_table(spark, sf_dir, "documents"), para_tokens=10
     )
+
+
+@query(
+    "link_fellegi_sunter",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(c_custkey AS BIGINT) AS rid, {_NAME_SQL} AS name,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             c_mktsegment AS segment
+      FROM customer
+    ),
+    b AS (
+      SELECT CAST(c_custkey + 1000000 AS BIGINT) AS rid,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN substring({_NAME_SQL}, 1, 8) || 'z'
+                  ELSE {_NAME_SQL} END AS name,
+             CAST(CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+                       ELSE c_nationkey END AS BIGINT) AS nation,
+             CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    ),
+    p AS (
+      SELECT a.rid AS key_a, b.rid AS key_b,
+             CASE WHEN a.name = b.name THEN 'E'
+                  WHEN levenshtein(a.name, b.name) <= 1 THEN 'C'
+                  ELSE 'M' END AS l1,
+             CASE WHEN a.nation = b.nation THEN 'E' ELSE 'M' END AS l2,
+             CASE WHEN a.segment = b.segment THEN 'E' ELSE 'M' END AS l3
+      FROM a JOIN b ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+    ),
+    s AS (
+      SELECT key_a, key_b, l1 || l2 || l3 AS pattern,
+             CAST(CASE l1 WHEN 'E' THEN 4000 WHEN 'C' THEN 2500
+                          ELSE -1500 END
+                + CASE l2 WHEN 'E' THEN 1200 ELSE -800 END
+                + CASE l3 WHEN 'E' THEN 700 ELSE -600 END AS BIGINT)
+               AS score
+      FROM p
+    )
+    SELECT key_a, key_b, pattern, score,
+           CASE WHEN score >= 4000 THEN 'match' ELSE 'possible' END
+             AS match_class
+    FROM s WHERE score >= 1500
+    """,
+)
+def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/X2b: probabilistic record linkage across two registries — the
+    Fellegi-Sunter decision model, the canonical patient-matching rule
+    the reference's identifier-precedence migration approximates by
+    hand. Registry B is a deterministically perturbed copy of customer
+    (every 5th name edited, every 11th nation shifted, every 7th
+    segment replaced), so true twins appear at all agreement patterns.
+    Block on the name prefix; integer milli-log weights keep the score
+    exact (operators/dedup.py::fellegi_sunter_pairs)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    name = F.translate(
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+        "0123456789",
+        "abcdefghij",
+    )
+    k = F.col("c_custkey")
+    rega = c.select(
+        k.cast("long").alias("rid"),
+        name.alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.substring(name, 1, 7).alias("blk"),
+    )
+    bname = F.when(
+        k % 5 == 0, F.concat(F.substring(name, 1, 8), F.lit("z"))
+    ).otherwise(name)
+    regb = c.select(
+        (k + 1000000).cast("long").alias("rid"),
+        bname.alias("name"),
+        F.when(k % 11 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("nation"),
+        F.when(k % 7 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.substring(bname, 1, 7).alias("blk"),
+    )
+    return fellegi_sunter_pairs(
+        rega,
+        regb,
+        "rid",
+        ["blk"],
+        fields=[
+            {"col": "name", "w_match": 4000, "w_miss": -1500, "close": (1, 2500)},
+            {"col": "nation", "w_match": 1200, "w_miss": -800},
+            {"col": "segment", "w_match": 700, "w_miss": -600},
+        ],
+    )

@@ -367,3 +367,44 @@ def test_paragraph_dedup_short_tail_paragraph_distinct(spark):
     # doc 1: paras "a b c", "a b"(tail); doc 2: "a b" repeats doc 1's tail
     assert out[1]["n_kept"] == 2
     assert out[2]["n_kept"] == 0
+
+
+def test_fellegi_sunter_patterns_and_classes(spark):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "abcdefghi", 7, "AUTO"), (2, "abcdexxyy", 3, "HOUSE")],
+        ["rid", "name", "nation", "segment"],
+    ).withColumn("blk", F.substring("name", 1, 5))
+    b = spark.createDataFrame(
+        [
+            (101, "abcdefghi", 7, "AUTO"),     # exact twin of 1 -> EEE
+            (102, "abcdefghz", 7, "AUTO"),     # name 1 edit      -> CEE
+            (103, "abcdefghi", 9, "STEEL"),    # name-only match  -> EMM
+            (104, "abcdeqqqq", 1, "FOOD"),     # all miss         -> below cut
+        ],
+        ["rid", "name", "nation", "segment"],
+    ).withColumn("blk", F.substring("name", 1, 5))
+    fields = [
+        {"col": "name", "w_match": 4000, "w_miss": -1500, "close": (1, 2500)},
+        {"col": "nation", "w_match": 1200, "w_miss": -800},
+        {"col": "segment", "w_match": 700, "w_miss": -600},
+    ]
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in fellegi_sunter_pairs(a, b, "rid", ["blk"], fields).collect()
+    }
+    assert out[(1, 101)]["pattern"] == "EEE"
+    assert out[(1, 101)]["score"] == 5900
+    assert out[(1, 101)]["match_class"] == "match"
+    assert out[(1, 102)]["pattern"] == "CEE"
+    assert out[(1, 102)]["score"] == 4400
+    assert out[(1, 102)]["match_class"] == "match"
+    assert out[(1, 103)]["pattern"] == "EMM"
+    assert out[(1, 103)]["score"] == 2600
+    assert out[(1, 103)]["match_class"] == "possible"
+    # (1,104) scores -1500-800-600 < t_possible; (2,*) blocks differ
+    assert (1, 104) not in out
+    assert all(k[0] != 2 for k in out)
