@@ -450,3 +450,103 @@ def asof_join_nearest(
         ).alias("matched_dir")
     )
     return both.select(*out_cols)
+
+
+def bloom_build_words(
+    build: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 3
+) -> list[int]:
+    """Build a bloom filter over ``build[key_col]`` as a list of
+    ``num_bits/64`` longs — distributed: bit positions explode row-local
+    (seeded xxhash64, the Kirsch-Mitzenmacher trick is unnecessary at
+    k=3), ``bit_or`` aggregates per word with map-side combine, and ONLY
+    the aggregated words (≤ num_bits/64 rows, e.g. 1024 for 2^16 bits)
+    reach the driver — the same bounded-collect contract as the
+    histogram cuts in operators/etl.py, and the same mechanism Spark's
+    own AQE runtime filter uses (bloom_filter_agg → scalar subquery).
+
+    Size ``num_bits`` to the build-side key count (≈ 10 bits/key for
+    ~1% false positives); the false-positive rate only costs wasted
+    shuffle rows, never correctness — callers re-join exactly.
+    """
+    m, k = num_bits, num_hashes
+    pos = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words_rows = (
+        pos.groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            )
+        ).alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in words_rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], col, num_bits: int = 1 << 16, num_hashes: int = 3
+):
+    """Row-local membership test against `bloom_build_words` output —
+    all ``num_hashes`` bits must be set. Pure JVM expressions (literal
+    array + element_at + bitwise AND), so it pushes into the scan stage
+    and whole-stage codegen."""
+    m = num_bits
+    arr = F.lit(words)
+    checks = []
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with an explicit bloom-filter pre-filter — the
+    selective-dimension join at 100 TB: when the build side's keys are
+    few but the fact side is huge, shuffling every fact row to discover
+    that 99% find no partner IS the bottleneck. The bloom filter drops
+    non-candidates inside the fact SCAN (row-local, before any
+    exchange); the real semi join afterwards removes the bloom's false
+    positives, so the result is EXACTLY ``fact ⋉ build`` — the filter
+    can only be wrong in the direction the join corrects.
+
+    Spark's AQE injects this pattern automatically in some shapes
+    (spark.sql.optimizer.runtime.bloomFilter.enabled); this operator
+    makes it explicit, deterministic, and available when the build side
+    is a computed frame the optimizer can't see through.
+    """
+    words = bloom_build_words(build, build_key, num_bits, num_hashes)
+    pre = fact.filter(
+        bloom_might_contain(words, F.col(fact_key), num_bits, num_hashes)
+    )
+    # left_semi already emits each fact row at most once — no distinct
+    # (an extra Exchange) needed on the build side.
+    return pre.join(
+        build.select(F.col(build_key).alias(fact_key)),
+        on=fact_key,
+        how="left_semi",
+    )

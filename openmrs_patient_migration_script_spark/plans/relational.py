@@ -2152,3 +2152,36 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["view_id", "view_ts", "view_value"],
         right_id="view_id",
     )
+
+
+@query(
+    "join_bloom_semi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    )
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: semi join behind an explicit bloom-filter pre-filter — the
+    selective-dimension fact join at 100 TB: the filter drops
+    non-candidate fact rows INSIDE the scan stage (row-local literal
+    bitmap test, whole-stage codegen), so the exchange carries ~10% of
+    the fact table here instead of all of it; the real semi join then
+    removes the bloom's false positives, making the result exactly the
+    IN-subquery the oracle runs
+    (operators/joins.py::bloom_semi_join)."""
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 250000)
+    )
+    return bloom_semi_join(li, o, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -770,3 +770,48 @@ def test_graph_wedge_pipelines_materialize_shared_frames(spark):
     assert n.count("Exchange") <= 8, n.count("Exchange")
     n2 = nodes(plan_of(spark, "graph_triangles"))
     assert n2.count("Exchange") <= 4, n2.count("Exchange")
+
+
+def test_bloom_semi_prefilter_reduces_candidates(spark):
+    """join_bloom_semi: the bloom test must drop non-candidate fact rows
+    BEFORE the exchange (row-local filter), and the final result must be
+    exactly the plain semi join (false positives corrected)."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        bloom_build_words,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 250000)
+    )
+    words = bloom_build_words(o, "o_orderkey")
+    total = li.count()
+    candidates = li.filter(
+        bloom_might_contain(words, F.col("l_orderkey"))
+    ).count()
+    exact = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey").count()
+    assert got == exact
+    # the pre-filter must do real work: strictly fewer candidates than
+    # fact rows, and no candidate lost (bloom has no false negatives)
+    assert exact <= candidates < total
+
+
+def test_bloom_semi_filter_is_preshuffle(spark):
+    """The bloom membership test must sit under the fact side's exchange
+    in the optimized plan — a Filter on the scan side, not post-join."""
+    plan = plan_of(spark, "join_bloom_semi")
+    ns = nodes(plan)
+    assert "Exchange" in ns or "BroadcastExchange" in ns
+    # the literal bitmap test shows up as element_at(...) inside a Filter
+    assert "element_at" in plan and "Filter" in ns
