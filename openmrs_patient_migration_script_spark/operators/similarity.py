@@ -1268,3 +1268,123 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space, then call a vector a semantic duplicate if some
+    LOWER-ID vector in the SAME cluster has cosine ≥ ``threshold`` —
+    the paper's within-cluster greedy, which never compares across
+    clusters. Returns (id, cell, n_dup_lower, kept): ``kept`` is the
+    paper's surviving subset, ``n_dup_lower`` the duplicate count that
+    made the drop decision.
+
+    Mechanics, all content-addressed so an SQL oracle replays them:
+    the coarse quantizer is the md5-bucket-ordered seed rows (the IVF/PQ
+    convention — no trained state); assignment argmaxes the
+    6dp-scaled-INT cosine with ties to the lowest cell (reassociation-
+    free); the within-cluster comparator counts lower-id neighbors at
+    or above the same integer threshold.
+
+    Scale: this is the whole point of the paper — the quadratic
+    comparator runs per CLUSTER, so cost is Σ|cluster|² instead of n²;
+    ``n_clusters`` grows with the corpus (50k clusters on LAION in the
+    paper) to keep clusters bounded. One mapInPandas assignment pass
+    (model in closure, no shuffle), ONE shuffle on the cell, one numpy
+    matmul per cluster. ``max_cluster_rows`` fails loudly if a cluster
+    outgrows a task (the bounded-group contract); at real scale raise
+    ``n_clusters``, don't raise the bound.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    seeds = (
+        corpus.select(
+            id_col, vec_col, hash_bucket(F.col(id_col), 1_000_000).alias("_b")
+        )
+        .orderBy("_b", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("semantic_dedup: empty corpus — cannot seed clusters")
+    S = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    t_int = int(round(threshold * 1e6))
+    id_type = corpus.schema[id_col].dataType
+
+    asg_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cell", IntegerType()),
+            StructField(vec_col, corpus.schema[vec_col].dataType),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            ci = np.round(np.round(mat @ S.T, 6) * 1e6).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": np.argmax(ci, axis=1).astype(np.int32),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    asg = corpus.select(id_col, vec_col).mapInPandas(assign, asg_schema)
+
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("cell", IntegerType()),
+            StructField("n_dup_lower", LongType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(pdf)} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows} — raise n_clusters"
+            )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ci = np.round(np.round(mat @ mat.T, 6) * 1e6).astype(np.int64)
+        # row j counts lower-id rows i<j at/above threshold
+        dup = np.tril(ci >= t_int, -1).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "n_dup_lower": dup,
+                "kept": dup == 0,
+            }
+        )
+
+    return asg.groupBy("cell").applyInPandas(per_cluster, out_schema)

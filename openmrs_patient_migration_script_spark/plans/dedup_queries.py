@@ -1132,3 +1132,69 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"col": "segment", "w_match": 700, "w_miss": -600},
         ],
     )
+
+
+_SEM_THRESHOLD_INT = 400000  # 0.4 at the shared 6dp-int cosine scale
+_SEM_CLUSTERS = 64
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT v, rn - 1 AS cell FROM (
+        SELECT v, row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                          % 1000000, vec_id
+               ) AS rn
+        FROM vec
+      ) WHERE rn <= {_SEM_CLUSTERS}
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY CAST(round(round(list_cosine_similarity(e.v, s.v),
+                               6) * 1000000) AS BIGINT) DESC, s.cell
+               ) AS rn
+        FROM vec e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT b.vec_id, count(*)::BIGINT AS n_dup_lower
+      FROM asg a
+      JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vec va ON va.vec_id = a.vec_id
+      JOIN vec vb ON vb.vec_id = b.vec_id
+      WHERE CAST(round(round(list_cosine_similarity(va.v, vb.v), 6)
+                 * 1000000) AS BIGINT) >= {_SEM_THRESHOLD_INT}
+      GROUP BY b.vec_id
+    )
+    SELECT g.vec_id, g.cell,
+           CAST(coalesce(d.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+           d.vec_id IS NULL AS kept
+    FROM asg g LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e: SemDeDup — semantic dedup via embedding clustering (Abbas et
+    al. 2023): the within-cluster greedy that makes embedding-space
+    dedup sub-quadratic (contrast `dedup_embedding`, the exact all-pairs
+    form: same threshold, but Σ|cluster|² work instead of n²). Coarse
+    quantizer is content-addressed (md5-ordered seeds), assignment and
+    comparator both run on 6dp-int cosines, so the oracle replays every
+    decision exactly (operators/similarity.py::semantic_dedup)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, n_clusters=_SEM_CLUSTERS, threshold=0.4)
+    # cell is int32 in the operator (compact shuffle key); the oracle's
+    # row_number arithmetic is BIGINT — align at the output boundary
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"),
+        "n_dup_lower", "kept",
+    )

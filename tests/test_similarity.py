@@ -345,3 +345,47 @@ def test_mmr_rerank_trades_relevance_for_diversity(spark):
     assert mmr[1] == 1          # best hit keeps slot 1
     assert mmr[2] == 4          # slot 2 jumps neighborhoods
     assert mmr[3] in (2, 3)     # cluster resumes afterwards
+
+
+def test_semantic_dedup_drops_within_cluster_duplicates(spark):
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.98, 0.199] + [0.0] * (dim - 2)   # cos(base, near) ~ 0.98
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    rows = [(1, base), (2, near), (3, ortho), (4, base)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
+    }
+    # 1 is the lowest-id member of its neighborhood -> kept
+    assert out[1]["kept"] is True and out[1]["n_dup_lower"] == 0
+    # 4 is an exact copy of 1; 2 is a near-copy: both dropped IF they
+    # landed in 1's cluster (with 2 seeds from 4 vectors they do unless
+    # the seed order separates them — pin the semantics, not the seeds)
+    same_cell = {k: v["cell"] for k, v in out.items()}
+    for vid in (2, 4):
+        if same_cell[vid] == same_cell[1]:
+            assert out[vid]["kept"] is False and out[vid]["n_dup_lower"] >= 1
+    # the orthogonal vector is never anyone's duplicate
+    assert out[3]["kept"] is True
+
+
+def test_semantic_dedup_cluster_bound_fails_loud(spark):
+    import pytest as _pytest
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(
+            df, n_clusters=1, threshold=0.99, max_cluster_rows=5
+        ).collect()
