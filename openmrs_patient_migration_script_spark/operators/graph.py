@@ -717,3 +717,66 @@ def clustering_coefficient(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "key_a",
+    dst: str = "key_b",
+    n_rounds: int = 6,
+) -> DataFrame:
+    """k-core of the undirected pair graph via ``n_rounds`` of parallel
+    peeling (Matula & Beck's algorithm, synchronous form): each round
+    drops every node whose CURRENT degree is below ``k``, together with
+    its edges; what survives all rounds is the k-core once a fixpoint is
+    reached. In a dedup candidate graph the 2-core separates the densely
+    confirmed duplicate blocks from the chains and isolated pairs that
+    one false-positive comparator hit can fabricate.
+
+    Returns (node, core_deg): nodes still standing after ``n_rounds``
+    with their degree INSIDE the surviving subgraph. Fixed rounds (not
+    run-to-convergence) keep the recurrence replayable by an unrolled
+    SQL oracle — the pagerank/label-propagation determinism contract;
+    callers needing a guaranteed fixpoint raise ``n_rounds`` (each
+    no-op round is two semi joins) or check `k_core_converged`.
+
+    Plan shape per round: one degree agg (node-keyed, map-side combine)
+    + two semi joins of the edge list against the surviving node set —
+    all shuffles keyed on node ids, O(|E|) per round, lineage truncated
+    per round (the module contract for iterative loops).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
+def k_core_converged(edges: DataFrame, k: int, n_rounds: int, src: str = "key_a", dst: str = "key_b") -> bool:
+    """True if one extra peeling round changes nothing — the fixpoint
+    check for `k_core`'s fixed-round contract (bounded: compares two
+    node-count scalars, not frames)."""
+    a = k_core(edges, k=k, src=src, dst=dst, n_rounds=n_rounds)
+    b = k_core(edges, k=k, src=src, dst=dst, n_rounds=n_rounds + 1)
+    return (
+        a.count() == b.count()
+        and a.join(b, ["node", "core_deg"], "left_anti").count() == 0
+    )

@@ -1198,3 +1198,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("cell").cast("long").alias("cell"),
         "n_dup_lower", "kept",
     )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled synchronous peeling, ONE reference to the previous round
+    per CTE: in a symmetrized edge list ``count(*) OVER (PARTITION BY
+    v)`` IS deg(v), so each round filters both endpoints with two
+    windows over a single scan. (The naive form — a degree CTE plus two
+    semi joins — references the previous round twice, and DuckDB's CTE
+    inlining re-expands the whole prefix per reference: 2^rounds planner
+    blowup, measured minutes at six rounds vs 0.05 s for this form.)"""
+    sql = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS u, c_custkey * 2 AS v FROM customer, mx
+      WHERE c_custkey * 2 <= m
+      UNION ALL
+      SELECT c_custkey AS u, c_custkey * 3 AS v FROM customer, mx
+      WHERE c_custkey * 3 <= m
+    ),
+    s0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    s{i} AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               count(*) OVER (PARTITION BY u) AS du,
+               count(*) OVER (PARTITION BY v) AS dv
+        FROM {prev}
+      ) WHERE du >= {k} AND dv >= {k}
+    )"""
+        prev = f"s{i}"
+    sql += f"""
+    SELECT u AS node, count(*)::BIGINT AS core_deg FROM {prev} GROUP BY u"""
+    return sql
+
+
+@query("graph_kcore", oracle=_kcore_oracle(k=2, rounds=6))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9h: 2-core via parallel peeling (operators/graph.py::k_core) —
+    the density filter that separates structurally confirmed groups
+    (cycles, cliques) from trees and chains a few spurious edges can
+    fabricate. Runs on the varied-degree "doubling graph" over custkeys
+    (u—2u, u—3u edges: degrees 0-4, so leaves cascade for real
+    multi-round peeling — the fuzzy-pair fixture is 18-regular and
+    peels degenerately). Six synchronous rounds, replayed exactly by
+    the unrolled window-form oracle; both scales reach the fixpoint by
+    round 2 (pinned in tests/test_dedup_operators.py)."""
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    e2 = c.filter(F.col("c_custkey") * 2 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 2).alias("key_b"),
+    )
+    e3 = c.filter(F.col("c_custkey") * 3 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 3).alias("key_b"),
+    )
+    return k_core(e2.unionByName(e3), k=2, n_rounds=6)

@@ -408,3 +408,52 @@ def test_fellegi_sunter_patterns_and_classes(spark):
     # (1,104) scores -1500-800-600 < t_possible; (2,*) blocks differ
     assert (1, 104) not in out
     assert all(k[0] != 2 for k in out)
+
+
+def test_k_core_peels_tail_and_keeps_cycle(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        k_core,
+        k_core_converged,
+    )
+
+    # square 1-2-3-4-1 with a pendant chain 4-5-6: the chain peels over
+    # TWO rounds (6 first, then 5), the cycle survives with degree 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6)],
+        ["key_a", "key_b"],
+    )
+    out = {r["node"]: r["core_deg"] for r in k_core(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert k_core_converged(edges, k=2, n_rounds=6)
+    # k=3: the square has no 3-core at all
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_graph_kcore_fixture_converges_within_declared_rounds(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    from openmrs_patient_migration_script_spark.plans.dedup_queries import (
+        graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    declared = graph_kcore(spark, sf)
+    # one extra round changes nothing: the declared 6-round form IS the
+    # true 2-core on this fixture, not a truncation of it
+    from openmrs_patient_migration_script_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    c = load_table(spark, sf, "customer")
+    mx = c.agg(F2.max("c_custkey")).collect()[0][0]
+    e = c.filter(F2.col("c_custkey") * 2 <= mx).select(
+        F2.col("c_custkey").alias("key_a"),
+        (F2.col("c_custkey") * 2).alias("key_b"),
+    ).unionByName(
+        c.filter(F2.col("c_custkey") * 3 <= mx).select(
+            F2.col("c_custkey").alias("key_a"),
+            (F2.col("c_custkey") * 3).alias("key_b"),
+        )
+    )
+    seven = k_core(e, k=2, n_rounds=7)
+    assert declared.exceptAll(seven).count() == 0
+    assert seven.exceptAll(declared).count() == 0
