@@ -268,3 +268,64 @@ def temperature_resample(
         )
         .drop("_keep_frac")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    max_weight: int = 16,
+    buckets: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted random sampling without replacement — Efraimidis &
+    Spirakis's A-ES ("Weighted random sampling with a reservoir", IPL
+    2006): every item draws key u^(1/w) and the k largest keys win.
+    Exploited identity: for INTEGER weight w, u^(1/w) is distributed
+    exactly as the MAX of w iid uniforms — so instead of float pow
+    (whose cross-engine ulps make the selection boundary
+    irreproducible), each item draws w integer "tickets"
+    (content-addressed: md5(key·max_weight + t)) and keeps the largest.
+    The scheme is then EXACT integer arithmetic end-to-end and an SQL
+    oracle replays the very same sample.
+
+    Returns (key, weight, ticket) for the k winners; ties break on the
+    lower key (md5 collisions at 1e9 buckets are the only source).
+
+    Scale: the ticket explode is row-local and bounded by ``max_weight``
+    (assert_true in-plan — at 100 TB cap weights, don't explode them);
+    the top-k is one TakeOrderedAndProject, no global sort. P(selected)
+    is monotone in w with the exact A-ES law, unlike cheap
+    "multiply-the-hash" heuristics which distort the tail.
+    """
+    w = F.col("weight")
+    guard = F.assert_true(
+        (w >= 1) & (w <= max_weight),
+        F.lit(f"weighted_sample: weight outside [1, {max_weight}]"),
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        weight_col.cast("long").alias("weight"),
+    ).where(guard.isNull())
+    tickets = base.select(
+        "key",
+        "weight",
+        F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("_t"),
+    ).select(
+        "key",
+        "weight",
+        (
+            F.conv(
+                F.substring(
+                    F.md5((F.col("key") * max_weight + F.col("_t")).cast("string")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("_u"),
+    )
+    best = tickets.groupBy("key", "weight").agg(F.max("_u").alias("ticket"))
+    return best.orderBy(F.col("ticket").desc(), F.col("key")).limit(k)

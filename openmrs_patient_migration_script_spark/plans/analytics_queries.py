@@ -2021,3 +2021,48 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS key, CAST(1 + n_chars % 5 AS BIGINT) AS weight
+      FROM documents
+    ),
+    t AS (
+      SELECT key, weight,
+             unnest(generate_series(1, weight)) AS tick
+      FROM w
+    ),
+    u AS (
+      SELECT key, weight,
+             ('0x' || substr(md5(CAST(key * 16 + tick AS VARCHAR)), 1, 8))
+               ::BIGINT % 1000000000 AS uval
+      FROM t
+    ),
+    best AS (
+      SELECT key, weight, max(uval) AS ticket
+      FROM u GROUP BY key, weight
+    )
+    SELECT key, weight, ticket FROM best
+    ORDER BY ticket DESC, key LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10f: weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES) — quality-weighted corpus subsampling: longer documents get
+    proportionally more chance without ever sorting on float pow. The
+    u^(1/w) key is drawn as the max of w integer ticket hashes (the
+    exact same distribution for integer weights), so the winning set is
+    engine-reproducible and the oracle replays it byte-exact
+    (operators/sampling.py::weighted_sample). Row-local bounded explode
+    + one map-side-combining max agg + TakeOrdered top-k."""
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, "doc_id", F.lit(1) + F.col("n_chars") % 5, k=100
+    )

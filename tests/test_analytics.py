@@ -706,3 +706,28 @@ def test_cumulative_users_counts_each_user_once(spark, sf_dir):
     assert sum(r.new_users for r in rows) == total_users
     assert all(a.cumulative_users <= b.cumulative_users
                for a, b in zip(rows, rows[1:]))
+
+
+def test_weighted_sample_enriches_heavy_items_and_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 900 weight-1 rows vs 100 weight-8 rows: A-ES gives the heavy group
+    # ~8x the per-item odds, so its share of a 100-row sample must be
+    # far above its 10% population share (deterministic given the hash)
+    rows = [(i, 1) for i in range(900)] + [(i, 8) for i in range(900, 1000)]
+    df = spark.createDataFrame(rows, ["key", "w"])
+    out = weighted_sample(df, "key", F.col("w"), k=100).collect()
+    assert len(out) == 100
+    heavy = sum(1 for r in out if r["key"] >= 900)
+    assert heavy > 25
+    # every row keeps its weight and an in-range ticket
+    assert all(1 <= r["weight"] <= 8 and 0 <= r["ticket"] < 10**9 for r in out)
+    # out-of-range weights fail loudly in-plan, not silently sample
+    bad = spark.createDataFrame([(1, 0)], ["key", "w"])
+    with _pytest.raises(Exception, match="weight outside"):
+        weighted_sample(bad, "key", F.col("w"), k=10).collect()
