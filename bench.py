@@ -141,6 +141,17 @@ HEADLINE = [
     # and the batch×index cross-corpus band join
     "dedup_repeated_spans",
     "dedup_minhash_incremental",
+    # round-5 third wave: this session's new plan families — paragraph
+    # first-occurrence dedup (reassembly groupBy), blocked Fellegi-Sunter
+    # linkage scoring, the bloom-prefiltered semi join, per-cluster
+    # SemDeDup (applyInPandas matmul), six-round k-core peeling, and the
+    # ticket-explode weighted sample
+    "dedup_paragraph",
+    "link_fellegi_sunter",
+    "join_bloom_semi",
+    "dedup_semantic",
+    "graph_kcore",
+    "sample_weighted",
 ]
 
 

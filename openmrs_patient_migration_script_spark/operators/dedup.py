@@ -676,6 +676,7 @@ def paragraph_dedup(
     text_col: str = "text",
     para_tokens: int = 10,
     max_paras: int = 4096,
+    materialize: bool = True,
 ) -> DataFrame:
     """Paragraph-level exact dedup — the CCNet preprocessing step
     (Wenzek et al., LREC 2020): split each document into paragraphs,
@@ -703,6 +704,9 @@ def paragraph_dedup(
     `dedup_exact_keep_first`); the join-back keys on the near-unique
     aggregated side; the reassembly is one shuffle on the doc key.
     No pair materialization anywhere — cost is linear in paragraphs.
+    ``materialize`` (default on) localCheckpoints the exploded
+    paragraph stream its two consumers share, so the corpus scan +
+    explode run once.
     """
     toks = F.split(F.col(text_col), " ")
     d = df.select(
@@ -730,6 +734,11 @@ def paragraph_dedup(
         ).alias("para"),
         (F.col("key") * max_paras + F.col("pos")).cast("long").alias("occ"),
     )
+    if materialize:
+        # both the first-occurrence agg and the join-back consume `paras`;
+        # without this the corpus scan + explode run twice (the
+        # `containment_pairs`/`repeated_span_stats` multi-consumer rule)
+        paras = paras.localCheckpoint(eager=True)
     firsts = paras.groupBy("para").agg(F.min("occ").alias("first_occ"))
     tagged = paras.join(firsts, "para").withColumn(
         "kept", F.col("occ") == F.col("first_occ")

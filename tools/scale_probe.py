@@ -374,6 +374,98 @@ def _mad_shape(ev_k):
     )
 
 
+def _paragraph_shape(docs, k: int):
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    return paragraph_dedup(d_k, "doc_id", "text", para_tokens=10)
+
+
+def _linkage_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    name = F.translate(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+        "0123456789",
+        "abcdefghij",
+    )
+    a = c_k.select(
+        F.col("c_custkey").alias("rid"), name.alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.substring(name, 1, 10).alias("blk"),
+    )
+    b = a.withColumn("rid", F.col("rid") + 100 * KEY_SHIFT)
+    return fellegi_sunter_pairs(
+        a, b, "rid", ["blk"],
+        fields=[
+            {"col": "name", "w_match": 4000, "w_miss": -1500, "close": (1, 2500)},
+            {"col": "nation", "w_match": 1200, "w_miss": -800},
+            {"col": "segment", "w_match": 700, "w_miss": -600},
+        ],
+    )
+
+
+def _bloom_shape(li_k, o_k):
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    build = o_k.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 250000)
+    )
+    return bloom_semi_join(li_k, build, "l_orderkey", "o_orderkey")
+
+
+def _semdedup_shape(emb, k: int):
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(_perturbed_copies(emb, k), n_clusters=64 * k)
+
+
+def _kcore_shape(customer, k: int):
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    mx = customer.agg(F.max("c_custkey")).collect()[0][0]
+    e = customer.filter(F.col("c_custkey") * 2 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 2).alias("key_b"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") * 3 <= mx).select(
+            F.col("c_custkey").alias("key_a"),
+            (F.col("c_custkey") * 3).alias("key_b"),
+        )
+    )
+    e_k = replicate(e, ["key_a", "key_b"], k, KEY_SHIFT)
+    return k_core(e_k, k=2, n_rounds=6)
+
+
+def _weighted_sample_shape(d_k):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        d_k, "doc_id", F.lit(1) + F.col("n_chars") % 5, k=100
+    )
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
@@ -552,6 +644,24 @@ def main() -> None:
             # r5: exact-substring repeated-span audit (inverted index +
             # doc-keyed interval-merge window)
             "repeated_spans": lambda: _repeated_spans_shape(docs, k),
+            # r5 second session ----------------------------------------------
+            # paragraph-level dedup: copy-tagged tokens keep cross-copy
+            # paragraphs disjoint, so first-occurrence volume is linear
+            "paragraph_dedup": lambda: _paragraph_shape(docs, k),
+            # Fellegi-Sunter blocked linkage: key-shifted copies form new
+            # blocks of the same bounded size — comparator volume linear
+            "fellegi_sunter": lambda: _linkage_shape(c_k),
+            # bloom-prefiltered semi join: same-shift fact+build copies
+            "bloom_semi_join": lambda: _bloom_shape(li_k, o_k),
+            # SemDeDup: sign-flip copies preserve within-copy cosines;
+            # clusters grow with the corpus (the paper's rule), so the
+            # per-cluster quadratic stays bounded
+            "semantic_dedup": lambda: _semdedup_shape(emb, k),
+            # 2-core peeling: the base doubling graph replicated as k
+            # DISJOINT key-shifted edge lists — identical topology per copy
+            "k_core_peeling": lambda: _kcore_shape(customer, k),
+            # A-ES weighted sample: bounded explode + max agg + top-k
+            "weighted_sample": lambda: _weighted_sample_shape(d_k),
         }
 
     results: dict[str, dict[int, float]] = {}
