@@ -504,3 +504,107 @@ def etl_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", "n", "sum_cents",
         (F.col("sum_cents").cast("double") / (F.lit(100.0) * F.col("n"))).alias("avg_value"),
     )
+
+
+@query(
+    "etl_bitemporal_lookup",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+      FROM orders
+    ),
+    versions AS (
+      SELECT o_orderkey, od AS valid_from, od AS tx_from,
+             o_totalprice AS amount, 0 AS version FROM base
+      UNION ALL
+      SELECT o_orderkey, od, od + 30, o_totalprice + 1000.0, 1
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, od - 10, od + 60, o_totalprice - 500.0, 2
+      FROM base WHERE o_orderkey % 5 = 0
+    ),
+    known AS (
+      SELECT * FROM versions
+      WHERE tx_from <= DATE '1996-07-31'
+        AND valid_from <= DATE '1996-06-30'
+    )
+    SELECT o_orderkey, CAST(version AS BIGINT) AS version,
+           valid_from, tx_from, amount
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY valid_from DESC, tx_from DESC, version DESC
+             ) AS rn
+      FROM known
+    ) WHERE rn = 1
+    """,
+)
+def etl_bitemporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: bitemporal point-in-time lookup — the two-axis extension of
+    `join_scd2_lookup`: VALID time (when the fact was true in the world)
+    × TRANSACTION time (when the system learned it). The migration-audit
+    question it answers: "what did we believe on T about the state at
+    V?" — late corrections (same validity, later tx) and retroactive
+    backdated changes (earlier validity, later tx) both resolve without
+    touching rows recorded after T, so a replayed audit is reproducible
+    forever. Version history is synthesized deterministically from
+    orders (every 3rd key restated 30 days later, every 5th backdated);
+    the lookup is one row-local explode + row-local axis filters + ONE
+    key-window argmax — the same single-Exchange shape as the SCD2
+    lookup, amounts row-local doubles (no reassociation)."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    base = o.select("o_orderkey", od.alias("od"), "o_totalprice")
+    ver = F.array(
+        F.struct(
+            F.col("od").alias("valid_from"),
+            F.col("od").alias("tx_from"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit(0).alias("version"),
+        ),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.struct(
+                F.col("od").alias("valid_from"),
+                F.date_add("od", 30).alias("tx_from"),
+                (F.col("o_totalprice") + 1000.0).alias("amount"),
+                F.lit(1).alias("version"),
+            ),
+        ),
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.struct(
+                F.date_add("od", -10).alias("valid_from"),
+                F.date_add("od", 60).alias("tx_from"),
+                (F.col("o_totalprice") - 500.0).alias("amount"),
+                F.lit(2).alias("version"),
+            ),
+        ),
+    )
+    from pyspark.sql import Window
+
+    known = (
+        base.select(
+            "o_orderkey",
+            F.explode(F.filter(ver, lambda v: v.isNotNull())).alias("v"),
+        )
+        .select("o_orderkey", "v.*")
+        .filter(
+            (F.col("tx_from") <= F.lit("1996-07-31").cast("date"))
+            & (F.col("valid_from") <= F.lit("1996-06-30").cast("date"))
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("valid_from").desc(), F.col("tx_from").desc(), F.col("version").desc()
+    )
+    return (
+        known.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("version").cast("long").alias("version"),
+            "valid_from",
+            "tx_from",
+            "amount",
+        )
+    )

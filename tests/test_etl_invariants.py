@@ -322,3 +322,40 @@ def test_scd2_build_then_lookup_reproduces_the_change_log(spark, sf_dir):
     ).count()
     assert mismatches == 0
     assert back.count() == e.count()  # disjoint intervals: exactly one hit
+
+
+def test_bitemporal_lookup_axis_semantics(spark, tmp_path):
+    """Planted version histories: a correction is visible only once its
+    TRANSACTION date passes; a backdated retro change loses to a later
+    validity; facts valid after V drop entirely; V is inclusive."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans.etl_queries import (
+        etl_bitemporal_lookup,
+    )
+
+    rows = [
+        # k=15: v0/v1/v2 all known by T=1996-07-31; v1 (same validity,
+        # later tx) beats v0; v2's validity (od-10) is older -> loses
+        (15, 1, "O", 100.0, dt.datetime(1996, 1, 1), "1-URGENT"),
+        # k=5: retro version's tx (od+60 = 8-24) is AFTER T -> invisible
+        (5, 1, "O", 200.0, dt.datetime(1996, 6, 25), "1-URGENT"),
+        # k=3: valid_from 7-15 is after V=6-30 -> no qualifying version
+        (3, 1, "O", 300.0, dt.datetime(1996, 7, 15), "1-URGENT"),
+        # k=1: valid_from == V exactly -> inclusive
+        (1, 1, "O", 400.0, dt.datetime(1996, 6, 30), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["o_orderkey"]: r
+        for r in etl_bitemporal_lookup(spark, str(tmp_path)).collect()
+    }
+    assert out[15]["version"] == 1 and out[15]["amount"] == 1100.0
+    assert out[5]["version"] == 0 and out[5]["amount"] == 200.0
+    assert 3 not in out
+    assert out[1]["version"] == 0 and out[1]["amount"] == 400.0
