@@ -74,3 +74,18 @@ def test_ingest_dedup():
     assert "boilerplate gate:" in stdout
     assert "admitted" in stdout
     assert "ingest: DONE" in stdout
+
+
+def test_semantic_dedup_sweep():
+    stdout = _run("semantic_dedup_sweep.py")
+    # every layer line reports, and no layer grows the corpus
+    import re
+
+    exact = re.search(r"exact:\s+(\d+) -> (\d+)", stdout)
+    para = re.search(r"paragraph:\s+(\d+) -> (\d+)", stdout)
+    mh = re.search(r"minhash:\s+(\d+) -> (\d+)", stdout)
+    sem = re.search(r"semantic:\s+(\d+) vectors -> (\d+) kept", stdout)
+    assert exact and para and mh and sem
+    for m in (exact, para, mh, sem):
+        assert int(m.group(2)) <= int(m.group(1))
+    assert int(sem.group(2)) > 0
