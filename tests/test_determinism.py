@@ -66,6 +66,12 @@ FLAKE_CLASS_QUERIES = (
     "text_stats_by_lang",
     "text_gopher_filter",
     "etl_rollup_incremental",
+    # r5 new ops whose decisions ride on hash/argmax boundaries — pinned
+    # bit-stable before the driver ever grades them: SemDeDup's
+    # 6dp-int cosine argmax + within-cluster dup counting, and the
+    # A-ES top-k ticket boundary
+    "dedup_semantic",
+    "sample_weighted",
 )
 FLAKE_PARTITIONINGS = ("2", "3", "5", "7", "13", "32")
 
