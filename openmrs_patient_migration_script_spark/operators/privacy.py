@@ -278,3 +278,59 @@ def enforce_k_anonymity(
         .filter(F.col("_gs") >= k)
         .drop("_gs")
     )
+
+
+def generalize_to_k(
+    df: DataFrame,
+    key_col: str,
+    levels: list[dict],
+    k: int = 25,
+) -> DataFrame:
+    """k-anonymity by FULL-DOMAIN GENERALIZATION (Samarati/Sweeney's
+    ladder) — the utility-preserving complement of
+    `enforce_k_anonymity`'s suppression: instead of dropping small
+    groups, every row's quasi-identifiers coarsen together up the given
+    ladder (wider value bands, geography rollups) until the WHOLE
+    release satisfies k-anonymity; the last level must be fully
+    suppressed ('*') so a level always exists.
+
+    ``levels``: finest→coarsest, each a dict mapping the SAME output
+    column names to string-typed generalization expressions. Returns
+    (key, <quasi cols...>, level) with the chosen level applied.
+
+    Plan: each level's min group size is one tiny hash agg (quasi-key
+    shuffle, map-side combined, groups not rows); the chosen level is a
+    CASE over those one-row frames cross-joined in as broadcast scalars
+    (the scalar-subquery shape — NO driver decision, so the plan is one
+    job at any scale); the rewrite itself is a row-local CASE. The
+    rows never shuffle.
+    """
+    names = list(levels[0].keys())
+    if any(list(lv.keys()) != names for lv in levels):
+        raise ValueError("generalize_to_k: levels must share column names")
+
+    mins = None
+    for i, lv in enumerate(levels):
+        m = (
+            df.groupBy(*[e.alias(n) for n, e in lv.items()])
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.min("_c").alias(f"_min_{i}"))
+        )
+        mins = m if mins is None else mins.crossJoin(m)
+
+    chosen = None
+    for i in range(len(levels)):
+        cond = F.col(f"_min_{i}") >= k
+        chosen = F.when(cond, F.lit(i)) if chosen is None else chosen.when(cond, F.lit(i))
+    chosen = chosen.otherwise(F.lit(len(levels) - 1)).alias("_lvl")
+
+    tagged = df.crossJoin(F.broadcast(mins)).withColumn("_lvl", chosen)
+    out_cols = [F.col(key_col).alias("key")]
+    for n in names:
+        expr = None
+        for i, lv in enumerate(levels):
+            c = F.when(F.col("_lvl") == i, lv[n])
+            expr = c if expr is None else expr.when(F.col("_lvl") == i, lv[n])
+        out_cols.append(expr.alias(n))
+    out_cols.append(F.col("_lvl").cast("long").alias("level"))
+    return tagged.select(*out_cols)

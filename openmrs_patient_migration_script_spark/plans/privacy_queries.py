@@ -265,3 +265,71 @@ def privacy_enforce_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enforce_k_anonymity(
         c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
     )
+
+
+@query(
+    "privacy_generalize_ladder",
+    oracle="""
+    WITH l0 AS (SELECT min(c) AS m FROM (
+           SELECT count(*) AS c FROM customer
+           GROUP BY c_nationkey, floor(c_acctbal / 1000))),
+    l1 AS (SELECT min(c) AS m FROM (
+           SELECT count(*) AS c FROM customer
+           GROUP BY c_nationkey, floor(c_acctbal / 5000))),
+    l2 AS (SELECT min(c) AS m FROM (
+           SELECT count(*) AS c FROM customer
+           GROUP BY c_nationkey // 5, floor(c_acctbal / 5000))),
+    lvl AS (SELECT CASE WHEN l0.m >= 25 THEN 0
+                        WHEN l1.m >= 25 THEN 1
+                        WHEN l2.m >= 25 THEN 2
+                        ELSE 3 END AS lvl
+            FROM l0, l1, l2)
+    SELECT c_custkey AS key,
+           CASE WHEN lvl <= 1 THEN CAST(c_nationkey AS VARCHAR)
+                WHEN lvl = 2 THEN 'R' || CAST(c_nationkey // 5 AS VARCHAR)
+                ELSE '*' END AS nation_g,
+           CASE WHEN lvl = 0
+                  THEN 'B' || CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+                                   AS VARCHAR)
+                WHEN lvl IN (1, 2)
+                  THEN 'B' || CAST(CAST(floor(c_acctbal / 5000) AS BIGINT)
+                                   AS VARCHAR)
+                ELSE '*' END AS bal_g,
+           CAST(lvl AS BIGINT) AS level
+    FROM customer, lvl
+    """,
+)
+def privacy_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14g: k-anonymity by full-domain generalization (Samarati/Sweeney
+    ladder) — coarsen quasi-identifiers (balance band width, nation →
+    region → '*') up the ladder until min group size reaches k=25,
+    instead of suppressing rows (`privacy_enforce_kanon`). The chosen
+    level is data-dependent — finer at bigger scale factors — and both
+    engines derive it from the same per-level min-group scalars, so the
+    hash check proves the whole decision procedure, not one frozen
+    level (operators/privacy.py::generalize_to_k)."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        generalize_to_k,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    nat = F.col("c_nationkey").cast("string")
+    reg = F.concat(F.lit("R"), F.expr("CAST(c_nationkey div 5 AS STRING)"))
+    b1000 = F.concat(
+        F.lit("B"), F.floor(F.col("c_acctbal") / 1000).cast("long").cast("string")
+    )
+    b5000 = F.concat(
+        F.lit("B"), F.floor(F.col("c_acctbal") / 5000).cast("long").cast("string")
+    )
+    star = F.lit("*")
+    return generalize_to_k(
+        c,
+        "c_custkey",
+        levels=[
+            {"nation_g": nat, "bal_g": b1000},
+            {"nation_g": nat, "bal_g": b5000},
+            {"nation_g": reg, "bal_g": b5000},
+            {"nation_g": star, "bal_g": star},
+        ],
+        k=25,
+    )

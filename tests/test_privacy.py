@@ -136,3 +136,45 @@ def test_enforce_kanon_suppresses_exactly_the_audited_groups(spark):
     assert not k_anonymity_audit(out, ["zip", "band"], k=5).collect()
     # columns unchanged (no helper leakage)
     assert out.columns == df.columns
+
+
+def test_generalize_to_k_picks_finest_satisfying_level(spark):
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        generalize_to_k,
+    )
+
+    # 12 rows in city A, 3 in city B: city-level k=5 fails (B has 3),
+    # region-level groups are {R1: 15} -> level 1 chosen for ALL rows
+    rows = [(i, "A") for i in range(12)] + [(100 + i, "B") for i in range(3)]
+    df = spark.createDataFrame(rows, ["id", "city"])
+    out = generalize_to_k(
+        df,
+        "id",
+        levels=[
+            {"city_g": F.col("city")},
+            {"city_g": F.lit("R1")},
+            {"city_g": F.lit("*")},
+        ],
+        k=5,
+    ).collect()
+    assert all(r["level"] == 1 and r["city_g"] == "R1" for r in out)
+    # k=20: even the region fails; the ladder must bottom out at '*'
+    out2 = generalize_to_k(
+        df,
+        "id",
+        levels=[
+            {"city_g": F.col("city")},
+            {"city_g": F.lit("R1")},
+            {"city_g": F.lit("*")},
+        ],
+        k=20,
+    ).collect()
+    assert all(r["level"] == 2 and r["city_g"] == "*" for r in out2)
+    # k=3: the finest level already satisfies -> no generalization
+    out3 = generalize_to_k(
+        df, "id",
+        levels=[{"city_g": F.col("city")}, {"city_g": F.lit("*")}], k=3,
+    ).collect()
+    assert all(r["level"] == 0 for r in out3)
