@@ -805,14 +805,49 @@ def fellegi_sunter_pairs(
     right = b.select(*sel_b, *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)])
     pairs = left.join(right, [f"_blk_{i}" for i in range(len(block_cols))])
 
+    # Exact-equality comparisons are ~free; Levenshtein dominates the
+    # per-pair cost (probe: the comparator ran at-linear without this).
+    # Sound short-circuit: a close field's edit distance only needs
+    # computing when the pair could still reach t_possible with the
+    # close weight — i.e. when the EXACT scores of the equality-only
+    # fields plus this field's w_close plus every OTHER close field's
+    # best case clears the threshold. When it can't, classifying the
+    # pair 'M' is output-identical: with 'C' it would score even lower
+    # than any kept pair and be filtered all the same. CaseWhen and AND
+    # evaluate left-to-right with short-circuit in codegen, so the
+    # guard really does skip the levenshtein call.
+    cheap_sum = None
+    for f in fields:
+        if f.get("close") is None:
+            fa, fb = F.col(f"_a_{f['col']}"), F.col(f"_b_{f['col']}")
+            sc = F.when(fa == fb, F.lit(f["w_match"])).otherwise(
+                F.lit(f["w_miss"])
+            )
+            cheap_sum = sc if cheap_sum is None else cheap_sum + sc
+    if cheap_sum is None:
+        cheap_sum = F.lit(0)
+    close_best = {
+        f["col"]: max(f["w_match"], f["close"][1])
+        for f in fields
+        if f.get("close") is not None
+    }
+
     levels, scores = [], []
     for f in fields:
         fa, fb = F.col(f"_a_{f['col']}"), F.col(f"_b_{f['col']}")
         close = f.get("close")
         lvl = F.when(fa == fb, F.lit("E"))
         if close is not None:
-            max_d, _ = close
-            lvl = lvl.when(F.levenshtein(fa, fb) <= max_d, F.lit("C"))
+            max_d, w_close = close
+            others_best = sum(
+                v for c, v in close_best.items() if c != f["col"]
+            )
+            reachable = (
+                cheap_sum + F.lit(w_close + others_best) >= F.lit(t_possible)
+            )
+            lvl = lvl.when(
+                reachable & (F.levenshtein(fa, fb) <= max_d), F.lit("C")
+            )
         lvl = lvl.otherwise(F.lit("M"))
         levels.append(lvl)
         sc = F.when(lvl == "E", F.lit(f["w_match"]))
