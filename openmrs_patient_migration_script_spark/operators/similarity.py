@@ -1388,3 +1388,60 @@ def semantic_dedup(
         )
 
     return asg.groupBy("cell").applyInPandas(per_cluster, out_schema)
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: for every
+    vector, its ``k`` most-cosine-similar OTHER vectors — the backbone
+    structure of graph-based ANN indexes, semantic-dedup clustering, and
+    label-propagation over embeddings. Returns (key, neighbor, cos_sim,
+    rank) with rank 1..k per key and the shared 6dp-rounded-cosine /
+    (cos DESC, id ASC) tie convention, so an SQL oracle replays the
+    graph exactly.
+
+    By default pairs come from the exact block-grid
+    (`cosine_pairs_blocked`, threshold −1: ALL pairs — Θ(n²·d) work
+    partitioned over the grid, the exact semantic's inherent cost).
+    At 100 TB pass ``candidates`` (LSH/IVF candidate pairs with a
+    ``cos_sim`` column, `cosine_pairs_lsh`) and only candidate edges
+    rank — the standard approximate-kNN-graph construction; the rank
+    window and output contract stay identical.
+
+    Post-pairs plan: one row-local symmetrize (each undirected pair
+    feeds both endpoints' lists) + ONE key-partitioned rank window that
+    WindowGroupLimit prunes to k rows per key before the final filter.
+    """
+    pairs = (
+        cosine_pairs_blocked(
+            corpus, threshold=-1.0, n_blocks=n_blocks,
+            id_col=id_col, vec_col=vec_col,
+        )
+        if candidates is None
+        else candidates
+    )
+    sym = pairs.select(
+        F.col("key_a").alias("key"),
+        F.col("key_b").alias("neighbor"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("key_b").alias("key"),
+            F.col("key_a").alias("neighbor"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

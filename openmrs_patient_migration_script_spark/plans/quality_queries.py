@@ -669,3 +669,57 @@ def dq_pk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dups.unionByName(nulls)
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE NOT (l_linenumber = 3 AND l_orderkey % 7 = 0)
+    ),
+    seq AS (
+      SELECT l_orderkey, l_linenumber,
+             lag(l_linenumber) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS prev
+      FROM li
+    )
+    SELECT l_orderkey AS key,
+           CAST(coalesce(prev, 0) + 1 AS BIGINT) AS gap_start,
+           CAST(l_linenumber - 1 AS BIGINT) AS gap_end,
+           CAST(l_linenumber - coalesce(prev, 0) - 1 AS BIGINT) AS n_missing
+    FROM seq
+    WHERE l_linenumber - coalesce(prev, 0) > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: per-key sequence-gap audit — "did every child row survive
+    the migration?" for 1..n child sequences (line numbers, visit
+    numbers, page numbers): emits each missing run as (key, gap_start,
+    gap_end, n_missing), including leading gaps (sequence must start at
+    1). Gaps are planted deterministically (line 3 of every 7th order
+    dropped) so the audit fires at every scale factor. ONE key-window
+    lag pass — integer arithmetic, no join against a generated full
+    sequence (the generate-and-anti-join form shuffles the synthetic
+    rows too; this shuffles only what exists)."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .filter(~((F.col("l_linenumber") == 3) & (F.col("l_orderkey") % 7 == 0)))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    prev = F.coalesce(F.lag("l_linenumber").over(w), F.lit(0))
+    return (
+        li.withColumn("prev", prev)
+        .filter(F.col("l_linenumber") - F.col("prev") > 1)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            (F.col("prev") + 1).cast("long").alias("gap_start"),
+            (F.col("l_linenumber") - 1).cast("long").alias("gap_end"),
+            (F.col("l_linenumber") - F.col("prev") - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )

@@ -685,3 +685,34 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=_PQ_CODES,
         rerank_n=_PQ_RERANK,
     )
+
+
+@query(
+    "sim_knn_graph",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS key, b.vec_id AS neighbor,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT key, neighbor, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT key, neighbor, cos_sim,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY cos_sim DESC, neighbor) AS rn
+      FROM p
+    ) WHERE rn <= 5
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k: exact k-NN graph over the embedding corpus (k=5) — the
+    backbone of graph-ANN indexes and embedding-space clustering;
+    block-grid all-pairs scoring + one rank window WindowGroupLimit
+    prunes to k per key (operators/similarity.py::knn_graph; at 100 TB
+    the `candidates` hook swaps in LSH pairs for the standard
+    approximate construction)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -389,3 +389,37 @@ def test_semantic_dedup_cluster_bound_fails_loud(spark):
         semantic_dedup(
             df, n_clusters=1, threshold=0.99, max_cluster_rows=5
         ).collect()
+
+
+def test_knn_graph_exact_and_candidate_paths(spark):
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    dim = 8
+    rows = [
+        (1, [1.0, 0.0, 0.0] + [0.0] * (dim - 3)),
+        (2, [0.9, 0.1, 0.0] + [0.0] * (dim - 3)),   # closest to 1
+        (3, [0.0, 1.0, 0.0] + [0.0] * (dim - 3)),
+        (4, [0.0, 0.0, 1.0] + [0.0] * (dim - 3)),   # orthogonal to all
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    g = knn_graph(df, k=2).collect()
+    by_key = {}
+    for r in g:
+        by_key.setdefault(r["key"], []).append(r)
+    # every node gets exactly k=2 ranked neighbors (n-1 >= k here)
+    assert all(len(v) == 2 for v in by_key.values())
+    assert all(
+        [x["rank"] for x in sorted(v, key=lambda x: x["rank"])] == [1, 2]
+        for v in by_key.values()
+    )
+    # 1's nearest is 2 and vice versa; the graph is symmetric in pairs
+    top1 = {k: min(v, key=lambda x: x["rank"])["neighbor"] for k, v in by_key.items()}
+    assert top1[1] == 2 and top1[2] == 1
+    # candidates hook: ranking restricted to LSH candidate pairs only
+    cand = cosine_pairs_lsh(df, threshold=0.5, num_planes=2, num_tables=4)
+    g2 = knn_graph(df, k=2, candidates=cand)
+    assert set(g2.columns) == {"key", "neighbor", "cos_sim", "rank"}
+    assert g2.filter("rank > 2").count() == 0
