@@ -152,6 +152,13 @@ HEADLINE = [
     "dedup_semantic",
     "graph_kcore",
     "sample_weighted",
+    # round-5 fourth wave: the bitemporal two-axis lookup, the in-plan
+    # generalization-ladder decision, the block-grid k-NN graph, and the
+    # sequence-gap lag audit
+    "etl_bitemporal_lookup",
+    "privacy_generalize_ladder",
+    "sim_knn_graph",
+    "dq_sequence_gaps",
 ]
 
 
