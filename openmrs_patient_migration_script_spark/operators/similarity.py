@@ -1426,6 +1426,10 @@ def knn_graph(
         if candidates is None
         else candidates
     )
+    # the symmetrize union consumes `pairs` twice; un-checkpointed, the
+    # whole block-grid matmul (or the candidate generation) would run
+    # twice (the containment_pairs multi-consumer rule)
+    pairs = pairs.localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("key_a").alias("key"),
         F.col("key_b").alias("neighbor"),
