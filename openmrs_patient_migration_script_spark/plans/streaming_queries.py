@@ -246,3 +246,26 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (v.view_ts <= p.purchase_ts),
     )
     return joined.select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts")
+
+
+@query(
+    "stream_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(DISTINCT user_id) AS n_distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 (batch form): exact distinct users per 1-hour window — the
+    streaming twin (`streaming/pipelines.py::distinct_users_windowed`)
+    chains TWO stateful operators (watermarked dropDuplicates on
+    (window, user) → windowed count), keeping state O(distinct keys in
+    flight) instead of buffering events; runtime parity pinned in
+    tests/test_streaming.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_distinct_users"))
+        .select(F.col("w.start").alias("window_start"), "n_distinct_users")
+    )

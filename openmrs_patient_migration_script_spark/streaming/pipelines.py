@@ -718,3 +718,28 @@ def stream_ingest_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def distinct_users_windowed(
+    events: DataFrame, watermark: str = WATERMARK
+) -> DataFrame:
+    """ST9: EXACT distinct users per tumbling window via CHAINED stateful
+    operators — `dropDuplicates` on (window, user) feeding a windowed
+    count. Two stateful operators in one streaming plan (Spark 3.4+
+    append-mode chaining): the dedup state holds one row per (window,
+    user) and evicts with the watermark (the window column carries event
+    time), the downstream count state is one row per window. The
+    pattern's point at scale: exact distinct-count state is O(distinct
+    keys in flight), never O(events) — the stream twin of
+    `agg_distinct`'s map-side-combined exactness.
+    """
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(F.col("w.start").alias("window_start"), "n_distinct_users")
+    )

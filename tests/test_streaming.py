@@ -829,3 +829,48 @@ def test_stream_ingest_dedup_admits_once_across_batches(spark, tmp_path):
         os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs
     ) == snapshot
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 5}
+
+
+def test_distinct_users_stream_chains_two_stateful_ops(spark):
+    """ST9: the chained dropDuplicates→windowed-count plan must (a) match
+    the batch exact distinct count row-for-row and (b) actually run TWO
+    stateful operators in one streaming query."""
+    import json
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        distinct_users_windowed,
+    )
+
+    stream = distinct_users_windowed(read_events_stream(spark, SF))
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    progress = [json.loads(str(p)) for p in q.recentProgress]
+    n_state_ops = max(
+        (len(p.get("stateOperators", [])) for p in progress), default=0
+    )
+    assert n_state_ops == 2, f"expected 2 chained stateful ops, saw {n_state_ops}"
+
+    from pyspark.sql import functions as F2
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F2.window("ts", "1 hour").alias("w"))
+        .agg(F2.count_distinct("user_id").alias("n_distinct_users"))
+        .select(F2.col("w.start").alias("window_start"), "n_distinct_users")
+    )
+    cols = ["window_start", "n_distinct_users"]
+    # append mode emits only watermark-closed windows: every emitted row
+    # must match the batch answer exactly, and all but the stream's final
+    # open window(s) must have been emitted
+    got = _rows(spark.table(name), cols)
+    want = _rows(batch, cols)
+    assert set(got) <= set(want)
+    assert len(got) >= len(want) - 2
