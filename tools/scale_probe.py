@@ -456,6 +456,39 @@ def _kcore_shape(customer, k: int):
     return k_core(e_k, k=2, n_rounds=6)
 
 
+def _knn_lsh_shape(emb, k: int):
+    import math as _math
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    e_k = _perturbed_copies(emb, k)
+    cand = cosine_pairs_lsh(
+        e_k,
+        threshold=0.5,
+        num_planes=8 + round(_math.log2(k)),
+        num_tables=8,
+    )
+    return knn_graph(e_k, k=5, candidates=cand)
+
+
+def _gaps_shape(li_k):
+    from pyspark.sql import Window
+
+    li = li_k.select("l_orderkey", "l_linenumber").filter(
+        ~((F.col("l_linenumber") == 3) & (F.col("l_orderkey") % 7 == 0))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    prev = F.coalesce(F.lag("l_linenumber").over(w), F.lit(0))
+    return (
+        li.withColumn("prev", prev)
+        .filter(F.col("l_linenumber") - F.col("prev") > 1)
+        .select("l_orderkey", (F.col("prev") + 1).alias("gap_start"))
+    )
+
+
 def _weighted_sample_shape(d_k):
     from openmrs_patient_migration_script_spark.operators.sampling import (
         weighted_sample,
@@ -662,6 +695,13 @@ def main() -> None:
             "k_core_peeling": lambda: _kcore_shape(customer, k),
             # A-ES weighted sample: bounded explode + max agg + top-k
             "weighted_sample": lambda: _weighted_sample_shape(d_k),
+            # k-NN graph via the LSH-candidates hook — the 100 TB
+            # construction (the exact block-grid form is Θ(n²·d) BY
+            # CONTRACT and is not a scaling shape); planes grow with the
+            # corpus, the cosine_pairs_lsh tuning rule
+            "knn_graph_lsh": lambda: _knn_lsh_shape(emb, k),
+            # per-key sequence-gap lag audit: one keyed window
+            "sequence_gap_audit": _gaps_shape(li_k),
         }
 
     results: dict[str, dict[int, float]] = {}
