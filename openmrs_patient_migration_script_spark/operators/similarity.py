@@ -1277,15 +1277,24 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 200_000,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): cluster the
     embedding space, then call a vector a semantic duplicate if some
-    LOWER-ID vector in the SAME cluster has cosine ≥ ``threshold`` —
-    the paper's within-cluster greedy, which never compares across
-    clusters. Returns (id, cell, n_dup_lower, kept): ``kept`` is the
-    paper's surviving subset, ``n_dup_lower`` the duplicate count that
-    made the drop decision.
+    HIGHER-PRIORITY vector in the SAME cluster has cosine ≥
+    ``threshold`` — the paper's within-cluster greedy, which never
+    compares across clusters. Returns (id, cell, n_dup_lower, kept):
+    ``kept`` is the surviving subset, ``n_dup_lower`` the duplicate
+    count that made the drop decision.
+
+    ``keep`` picks the survivor priority inside a duplicate
+    neighborhood: ``"min_id"`` (deterministic id order — the declared
+    query's oracle-replayable default) or ``"far_centroid"`` (the
+    paper's §3 choice: keep LOW similarity to the cluster centroid —
+    survivors are the cluster's edge examples, which SemDeDup found
+    preserves more diversity than random/id order; ties on 6dp-int
+    centroid cosine break to the lower id).
 
     Mechanics, all content-addressed so an SQL oracle replays them:
     the coarse quantizer is the md5-bucket-ordered seed rows (the IVF/PQ
@@ -1366,6 +1375,9 @@ def semantic_dedup(
         ]
     )
 
+    if keep not in ("min_id", "far_centroid"):
+        raise ValueError(f"keep must be min_id|far_centroid, got {keep!r}")
+
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_cluster_rows:
             raise ValueError(
@@ -1375,8 +1387,20 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if keep == "far_centroid":
+            # priority = ascending 6dp-int cosine to the OWN-cluster
+            # centroid (low similarity survives), id tie-break; rows
+            # re-sort so "lower index" below means "higher priority"
+            centroid = mat.mean(axis=0)
+            n = np.linalg.norm(centroid)
+            if n > 0:
+                centroid = centroid / n
+            cc = np.round(np.round(mat @ centroid, 6) * 1e6).astype(np.int64)
+            order = np.lexsort((pdf[id_col].to_numpy(), cc))
+            pdf = pdf.iloc[order].reset_index(drop=True)
+            mat = mat[order]
         ci = np.round(np.round(mat @ mat.T, 6) * 1e6).astype(np.int64)
-        # row j counts lower-id rows i<j at/above threshold
+        # row j counts higher-priority rows i<j at/above threshold
         dup = np.tril(ci >= t_int, -1).sum(axis=1).astype(np.int64)
         return pd.DataFrame(
             {

@@ -815,3 +815,36 @@ def test_bloom_semi_filter_is_preshuffle(spark):
     assert "Exchange" in ns or "BroadcastExchange" in ns
     # the literal bitmap test shows up as element_at(...) inside a Filter
     assert "element_at" in plan and "Filter" in ns
+
+
+# Whole-surface plan lint: the hard anti-patterns asserted over EVERY
+# declared query, not just the per-query pins above. Allowlists are
+# intentional and documented at the declaration site.
+_CARTESIAN_OK = {
+    "join_cross",  # the intent-explicit broadcast-gated cartesian
+}
+# queries whose DECLARED contract is an Arrow-batched Python stage
+# (mapInPandas / applyInPandas) — ArrowEvalPython-family nodes are the
+# design there, never row-at-a-time BatchEvalPython
+_PYTHON_STAGE_OK_PREFIXES = (
+    "multimodal_", "sim_cosine_topk", "sim_ann_", "cluster_",
+    "sim_mmr_rerank", "stream_stateful", "dedup_embedding",
+    "dedup_semantic", "sim_knn_graph", "embed_",
+)
+
+
+def test_whole_surface_plan_lint(spark):
+    """No unplanned cartesian product and no row-at-a-time Python UDF
+    anywhere in the 220-query surface. A new query regressing into
+    either shape fails HERE even before anyone benchmarks it."""
+    bad = []
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan and name not in _CARTESIAN_OK:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython (row-at-a-time Python UDF)"))
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+            if not name.startswith(_PYTHON_STAGE_OK_PREFIXES):
+                bad.append((name, "unexpected Python stage"))
+    assert not bad, f"plan anti-patterns: {bad}"

@@ -423,3 +423,37 @@ def test_knn_graph_exact_and_candidate_paths(spark):
     g2 = knn_graph(df, k=2, candidates=cand)
     assert set(g2.columns) == {"key", "neighbor", "cos_sim", "rank"}
     assert g2.filter("rank > 2").count() == 0
+
+
+def test_semantic_dedup_far_centroid_keeps_edge_example(spark):
+    import pytest as _pytest
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 4
+    # three near-duplicates along e1; id 3 sits FURTHEST from the group
+    # centroid, so far_centroid must keep 3 (min_id would keep 1)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.0447, 0.0, 0.0]),
+        (3, [0.97, 0.2431, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    far = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, n_clusters=1, threshold=0.97, keep="far_centroid"
+        ).collect()
+    }
+    assert far[3] is True and far[1] is False and far[2] is False
+    mid = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, n_clusters=1, threshold=0.97, keep="min_id"
+        ).collect()
+    }
+    assert mid[1] is True and mid[2] is False and mid[3] is False
+    with _pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(df, keep="random")
