@@ -65,7 +65,12 @@ def main() -> None:
     docs = docs.join(losers, docs.doc_id == losers.node, "left_anti")
     n3 = docs.count()
 
-    # 4. semantic: embedding-space SemDeDup on the survivors' vectors
+    # 4. semantic: embedding-space SemDeDup. In this harness the
+    # embeddings table is keyed independently (vec_id has no doc_id
+    # linkage), so the layer runs on the whole vector corpus; in a real
+    # pipeline the first three layers' survivors gate it:
+    #   emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id",
+    #            "left_semi")
     emb = load_table(spark, sf_dir, "embeddings")
     sem = semantic_dedup(emb, n_clusters=16, threshold=0.4)
     kept = sem.filter("kept").count()

@@ -746,12 +746,25 @@ def k_core(
     all shuffles keyed on node ids, O(|E|) per round, lineage truncated
     per round (the module contract for iterative loops).
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # canonicalize BEFORE symmetrizing (the triangle_count rule): a pair
+    # reported in both orientations or repeated would double a node's
+    # degree and fabricate cores; self-loops likewise add 2 to deg(u).
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
-        .localCheckpoint(eager=False)
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    # eager checkpoints: each round's edge list has TWO consumers (the
+    # degree agg and the semi joins) — lazy would let them recompute the
+    # upstream independently (the repo-wide multi-consumer rule)
+    sym = (
+        canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=True)
     )
     for _ in range(n_rounds):
         keep = (
@@ -763,7 +776,7 @@ def k_core(
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")

@@ -539,6 +539,18 @@ def bloom_semi_join(
     makes it explicit, deterministic, and available when the build side
     is a computed frame the optimizer can't see through.
     """
+    fact_type = dict(fact.dtypes).get(fact_key)
+    build_type = dict(build.dtypes).get(build_key)
+    if fact_type != build_type:
+        # xxhash64 is TYPE-sensitive (int hashes as 4 bytes, long as 8):
+        # equal values of different widths set/probe DIFFERENT bits, so a
+        # dtype mismatch would silently drop matching fact rows — the one
+        # wrong direction the final join cannot correct. Fail loud; the
+        # caller casts one side.
+        raise ValueError(
+            f"bloom_semi_join: key dtypes differ ({fact_key}: {fact_type} "
+            f"vs {build_key}: {build_type}) — cast to a common type first"
+        )
     words = bloom_build_words(build, build_key, num_bits, num_hashes)
     pre = fact.filter(
         bloom_might_contain(words, F.col(fact_key), num_bits, num_hashes)

@@ -324,6 +324,19 @@ def generalize_to_k(
         chosen = F.when(cond, F.lit(i)) if chosen is None else chosen.when(cond, F.lit(i))
     chosen = chosen.otherwise(F.lit(len(levels) - 1)).alias("_lvl")
 
+    # fail-loud guard (the repo-wide in-plan assert convention): if even
+    # the coarsest level's min group is under k — fewer than k rows
+    # total, or a last level that is not fully suppressed — RELEASING
+    # the table would violate the very property this operator promises.
+    last_ok = F.assert_true(
+        F.col(f"_min_{len(levels) - 1}") >= k,
+        F.lit(
+            "generalize_to_k: no ladder level satisfies k="
+            f"{k} — coarsen the last level (or the table has < k rows)"
+        ),
+    )
+    mins = mins.where(last_ok.isNull())
+
     tagged = df.crossJoin(F.broadcast(mins)).withColumn("_lvl", chosen)
     out_cols = [F.col(key_col).alias("key")]
     for n in names:

@@ -1453,7 +1453,7 @@ def knn_graph(
     # the symmetrize union consumes `pairs` twice; un-checkpointed, the
     # whole block-grid matmul (or the candidate generation) would run
     # twice (the containment_pairs multi-consumer rule)
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("key_a").alias("key"),
         F.col("key_b").alias("neighbor"),

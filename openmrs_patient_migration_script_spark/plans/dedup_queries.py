@@ -1217,7 +1217,12 @@ def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
       SELECT c_custkey AS u, c_custkey * 3 AS v FROM customer, mx
       WHERE c_custkey * 3 <= m
     ),
-    s0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    canon AS (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM e WHERE u <> v
+    ),
+    s0 AS (SELECT u, v FROM canon
+           UNION ALL SELECT v AS u, u AS v FROM canon)"""
     prev = "s0"
     for i in range(1, rounds + 1):
         sql += f""",
@@ -1245,7 +1250,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-round peeling — the fuzzy-pair fixture is 18-regular and
     peels degenerately). Six synchronous rounds, replayed exactly by
     the unrolled window-form oracle; both scales reach the fixpoint by
-    round 2 (pinned in tests/test_dedup_operators.py)."""
+    round 2 (pinned in tests/test_dedup_operators.py). Both engines
+    canonicalize the edge list first (self-loops out, duplicates and
+    both-orientation reports collapsed) — custkey 0's doubling edges
+    are self-loops that would otherwise fabricate a deg-4 core."""
     from openmrs_patient_migration_script_spark.operators.graph import k_core
 
     c = load_table(spark, sf_dir, "customer")

@@ -457,3 +457,15 @@ def test_graph_kcore_fixture_converges_within_declared_rounds(spark):
     seven = k_core(e, k=2, n_rounds=7)
     assert declared.exceptAll(seven).count() == 0
     assert seven.exceptAll(declared).count() == 0
+
+
+def test_k_core_canonicalizes_duplicate_and_self_edges(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    # one undirected edge reported in BOTH orientations plus a self-loop:
+    # uncanonicalized symmetrization would give deg=2 everywhere and
+    # fabricate a 2-core out of a single edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3)], ["key_a", "key_b"]
+    )
+    assert k_core(edges, k=2).count() == 0

@@ -848,3 +848,23 @@ def test_whole_surface_plan_lint(spark):
             if not name.startswith(_PYTHON_STAGE_OK_PREFIXES):
                 bad.append((name, "unexpected Python stage"))
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+def test_bloom_semi_rejects_mismatched_key_dtypes(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame([(1,)], ["k"]).withColumn(
+        "k", F.col("k").cast("int")
+    )
+    build = spark.createDataFrame([(1,)], ["k"]).withColumn(
+        "k", F.col("k").cast("long")
+    )
+    # xxhash64 is width-sensitive: int(1) and bigint(1) probe different
+    # bits, so a silent mismatch would DROP matching rows — must raise
+    with _pytest.raises(ValueError, match="dtypes differ"):
+        bloom_semi_join(fact, build, "k", "k")

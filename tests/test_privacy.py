@@ -160,16 +160,17 @@ def test_generalize_to_k_picks_finest_satisfying_level(spark):
         k=5,
     ).collect()
     assert all(r["level"] == 1 and r["city_g"] == "R1" for r in out)
-    # k=20: even the region fails; the ladder must bottom out at '*'
+    # k=13: city (12,3) and a split region (12,3) both fail; the ladder
+    # must bottom out at '*' (15 rows >= 13, so the release is legal)
     out2 = generalize_to_k(
         df,
         "id",
         levels=[
             {"city_g": F.col("city")},
-            {"city_g": F.lit("R1")},
+            {"city_g": F.when(F.col("city") == "A", "R1").otherwise("R2")},
             {"city_g": F.lit("*")},
         ],
-        k=20,
+        k=13,
     ).collect()
     assert all(r["level"] == 2 and r["city_g"] == "*" for r in out2)
     # k=3: the finest level already satisfies -> no generalization
@@ -178,3 +179,19 @@ def test_generalize_to_k_picks_finest_satisfying_level(spark):
         levels=[{"city_g": F.col("city")}, {"city_g": F.lit("*")}], k=3,
     ).collect()
     assert all(r["level"] == 0 for r in out3)
+
+
+def test_generalize_to_k_fails_loud_when_unsatisfiable(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        generalize_to_k,
+    )
+
+    df = spark.createDataFrame([(i, "A") for i in range(10)], ["id", "city"])
+    with _pytest.raises(Exception, match="no ladder level satisfies"):
+        generalize_to_k(
+            df, "id",
+            levels=[{"c": F.col("city")}, {"c": F.lit("*")}], k=25,
+        ).collect()
