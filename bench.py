@@ -159,6 +159,7 @@ HEADLINE = [
     "privacy_generalize_ladder",
     "sim_knn_graph",
     "dq_sequence_gaps",
+    "agg_weighted_percentile",
 ]
 
 

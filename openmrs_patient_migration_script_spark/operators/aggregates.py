@@ -345,3 +345,60 @@ def group_gini(
             (F.lit(2.0) * wd - (nd + F.lit(1.0)) * sd) / (nd * sd), 6
         ).alias("gini"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    pcts: list[int],
+) -> DataFrame:
+    """Exact weighted percentiles per group — the estimator Spark has no
+    native form of (`percentile` weights every row equally): percentile
+    p is the smallest value v whose CUMULATIVE weight reaches p% of the
+    group's total. The workhorse of importance-weighted evaluation and
+    duplicate-count-weighted corpus stats, where a row stands for
+    ``weight`` originals.
+
+    Determinism without a tie policy: the cumulative weight uses a
+    RANGE frame ordered by the value, so every row of a tie-run carries
+    the run's FULL weight-through-v — whether any row of value v
+    qualifies depends only on weight(<= v), never on intra-tie order,
+    and the answer is the min qualifying value. Weights cast to long and
+    the threshold compares ``100·cum >= p·total`` — all-integer, no
+    float quantile formula to disagree across engines.
+
+    Plan: ONE group-keyed Exchange (the window sort), then the
+    percentile columns fold in the same hash aggregate — adding more
+    percentiles adds expressions, not passes. Weights must be
+    non-negative (in-plan assert).
+    """
+    from pyspark.sql import Window
+
+    w_long = F.col(weight_col).cast("long")
+    guard = F.assert_true(
+        w_long >= 0, F.lit("weighted_percentiles: negative weight")
+    )
+    base = df.where(guard.isNull()).select(
+        *group_cols, F.col(value_col).alias("_v"), w_long.alias("_w")
+    )
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = base.select(
+        *group_cols,
+        "_v",
+        F.sum("_w").over(win).alias("_cum"),
+        F.sum("_w").over(tot).alias("_tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.col("_tot") * p, F.col("_v"))
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)

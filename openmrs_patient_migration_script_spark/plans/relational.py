@@ -2185,3 +2185,50 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(li, o, "l_orderkey", "o_orderkey").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, l_linestatus, v,
+             sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+             sum(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS t
+      FROM base
+    )
+    SELECT l_returnflag, l_linestatus,
+           min(CASE WHEN c * 100 >= t * 25 THEN v END) AS p25,
+           min(CASE WHEN c * 100 >= t * 50 THEN v END) AS p50,
+           min(CASE WHEN c * 100 >= t * 75 THEN v END) AS p75
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: exact weighted percentiles (quantity-weighted price quartiles
+    per flag/status) — Spark's native `percentile` weighs rows equally;
+    this is the importance-weighted estimator (a row stands for w
+    originals). RANGE-frame cumulative weights make the answer
+    independent of intra-tie order, and the 100·cum >= p·total compare
+    is all-integer (operators/aggregates.py::weighted_percentiles). One
+    group-keyed Exchange; extra percentiles are extra expressions, not
+    extra passes."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        weighted_percentiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+        pcts=[25, 50, 75],
+    )

@@ -731,3 +731,28 @@ def test_weighted_sample_enriches_heavy_items_and_guards(spark):
     bad = spark.createDataFrame([(1, 0)], ["key", "w"])
     with _pytest.raises(Exception, match="weight outside"):
         weighted_sample(bad, "key", F.col("w"), k=10).collect()
+
+
+def test_weighted_percentiles_tie_runs_and_weights(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        weighted_percentiles,
+    )
+
+    # group g: values 1(w=1), 2(w=1), 2(w=1), 10(w=7): total 10
+    #   p50 -> cumulative reaches 5 only at 10 -> weighted median 10
+    #   p25 -> weight(<=2) = 3 >= 2.5 -> 2
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 2.0, 1), ("g", 10.0, 7)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    out = weighted_percentiles(df, ["k"], "v", "w", pcts=[25, 50]).collect()[0]
+    assert out["p25"] == 2.0 and out["p50"] == 10.0
+    # unweighted twin: equal weights reduce to the plain lower-bound
+    # percentile (median of 1,2,2,10 -> 2)
+    eq = df.withColumn("w", F.lit(1))
+    out2 = weighted_percentiles(eq, ["k"], "v", "w", pcts=[50]).collect()[0]
+    assert out2["p50"] == 2.0
+    bad = spark.createDataFrame([("g", 1.0, -1)], ["k", "v", "w"])
+    with _pytest.raises(Exception, match="negative weight"):
+        weighted_percentiles(bad, ["k"], "v", "w", pcts=[50]).collect()
