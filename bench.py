@@ -160,6 +160,7 @@ HEADLINE = [
     "sim_knn_graph",
     "dq_sequence_gaps",
     "agg_weighted_percentile",
+    "dq_migration_certificate",
 ]
 
 

@@ -723,3 +723,158 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+@query(
+    "dq_migration_certificate",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_orderstatus,
+             cast(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 1000
+               AS bk
+      FROM orders
+    ),
+    tgt AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN bk % 89 = 1 THEN price + 1 ELSE price END AS price,
+             o_orderdate
+      FROM b WHERE bk % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_orderstatus, price, o_orderdate
+      FROM b WHERE bk % 83 = 2
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price, o_orderdate
+      FROM b WHERE bk % 101 = 3 AND bk % 97 <> 0
+    ),
+    d AS (
+      SELECT CASE WHEN s.o_orderkey IS NULL AND s_tag IS NULL
+                    THEN 'extra_in_target'
+                  WHEN t.o_orderkey IS NULL AND t_tag IS NULL
+                    THEN 'missing_in_target'
+                  WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                    OR s.price IS DISTINCT FROM t.price
+                    OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
+                    THEN 'mismatch' END AS status
+      FROM (SELECT *, 1 AS s_tag FROM b) s
+      FULL OUTER JOIN (SELECT *, 1 AS t_tag FROM tgt) t
+        ON s.o_orderkey = t.o_orderkey
+    ),
+    counts AS (
+      SELECT count(*) FILTER (WHERE status = 'missing_in_target')
+               AS n_missing,
+             count(*) FILTER (WHERE status = 'extra_in_target') AS n_extra,
+             count(*) FILTER (WHERE status = 'mismatch') AS n_mismatch
+      FROM d
+    ),
+    dups AS (
+      SELECT count(*) AS n_dup_keys FROM (
+        SELECT o_orderkey FROM tgt GROUP BY 1 HAVING count(*) > 1
+      )
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM b) AS n_source,
+             (SELECT count(*) FROM tgt) AS n_target
+    )
+    SELECT n_source, n_target, n_missing, n_extra, n_mismatch, n_dup_keys,
+           (n_missing = 0 AND n_extra = 0 AND n_mismatch = 0
+            AND n_dup_keys = 0 AND n_source = n_target) AS certified
+    FROM sizes, counts, dups
+    """,
+)
+def dq_migration_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: the migration CERTIFICATE — the reference's end-state
+    deliverable ("did the migration move everything, exactly once,
+    unchanged?") as ONE row: source/target sizes, the three diff
+    exception counts, duplicate-key count, and the certified verdict
+    their conjunction implies. Composes `table_diff` + a PK-duplicate
+    agg over the dq_table_diff defect fixture extended with planted
+    duplicate keys, so every counter fires. All component aggregates are
+    one-row frames cross-joined as broadcast scalars; the only
+    fact-sized work is the diff's co-partitioned full outer join."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        table_diff,
+    )
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+        hash_bucket(F.col("o_orderkey"), 1000).alias("bk"),
+    )
+    cols = ["o_orderkey", "o_orderstatus", "price", "o_orderdate"]
+    tgt = (
+        b.filter(F.col("bk") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("bk") % 89 == 1, F.col("price") + 1)
+            .otherwise(F.col("price"))
+            .alias("price"),
+            "o_orderdate",
+        )
+        .unionByName(
+            b.filter(F.col("bk") % 83 == 2).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "price",
+                "o_orderdate",
+            )
+        )
+        .unionByName(
+            b.filter((F.col("bk") % 101 == 3) & (F.col("bk") % 97 != 0))
+            .select(*cols)
+        )
+    )
+    src = b.select(*cols)
+    diff = table_diff(src, tgt, "o_orderkey", cols[1:])
+    counts = diff.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "missing_in_target", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_missing"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "extra_in_target", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_extra"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "mismatch", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+    dups = (
+        tgt.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_keys"))
+    )
+    sizes = src.agg(F.count(F.lit(1)).cast("long").alias("n_source")).crossJoin(
+        tgt.agg(F.count(F.lit(1)).cast("long").alias("n_target"))
+    )
+    row = sizes.crossJoin(F.broadcast(counts)).crossJoin(F.broadcast(dups))
+    return row.select(
+        "n_source",
+        "n_target",
+        "n_missing",
+        "n_extra",
+        "n_mismatch",
+        "n_dup_keys",
+        (
+            (F.col("n_missing") == 0)
+            & (F.col("n_extra") == 0)
+            & (F.col("n_mismatch") == 0)
+            & (F.col("n_dup_keys") == 0)
+            & (F.col("n_source") == F.col("n_target"))
+        ).alias("certified"),
+    )

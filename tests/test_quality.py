@@ -397,3 +397,35 @@ def test_pk_violation_audit_catches_dups_and_null_parts(spark):
         F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
     ).count()
     assert nulls == 2
+
+
+def test_migration_certificate_clean_path_certifies(spark):
+    """A defect-free target must certify: all counters 0 (not NULL — the
+    empty-diff sum trap) and certified=true."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        table_diff,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], ["k", "s", "v"]
+    )
+    diff = table_diff(src, src, "k", ["s", "v"])
+    counts = diff.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "missing_in_target", 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_missing"),
+    ).collect()[0]
+    assert counts["n_missing"] == 0
+    # and the declared defect fixture must NOT certify, with every
+    # counter firing
+    from openmrs_patient_migration_script_spark.plans.quality_queries import (
+        dq_migration_certificate,
+    )
+
+    row = dq_migration_certificate(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["certified"] is False
+    assert row["n_missing"] > 0 and row["n_extra"] > 0
+    assert row["n_mismatch"] > 0 and row["n_dup_keys"] > 0
