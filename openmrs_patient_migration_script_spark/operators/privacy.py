@@ -328,8 +328,12 @@ def generalize_to_k(
     # the coarsest level's min group is under k — fewer than k rows
     # total, or a last level that is not fully suppressed — RELEASING
     # the table would violate the very property this operator promises.
+    # NULL min = zero input rows: an empty release is vacuously
+    # k-anonymous (and the crossJoin below returns the empty frame), so
+    # the guard only fires on a NON-empty table no level can cover
+    last_min = F.col(f"_min_{len(levels) - 1}")
     last_ok = F.assert_true(
-        F.col(f"_min_{len(levels) - 1}") >= k,
+        last_min.isNull() | (last_min >= k),
         F.lit(
             "generalize_to_k: no ladder level satisfies k="
             f"{k} — coarsen the last level (or the table has < k rows)"
