@@ -746,12 +746,13 @@ def main() -> None:
         "per-partition distinct values under the Expand), so data cost",
         "dominates overhead earliest. fk_audit, the one at-linear shape in",
         "the round-4 probe (1.04), now pre-aggregates its child side to",
-        "distinct keys and fits well sublinear. fellegi_sunter, the table's",
-        "top row, is constant work PER CANDIDATE PAIR — blocked pair volume",
-        "grows exactly with rows (bounded blocks), and the comparator",
-        "already short-circuits its Levenshtein behind the cheap-field",
-        "threshold guard (that guard took the 16x wall from 91 s to ~30 s);",
-        "the remaining cost parallelizes on the block key.",
+        "distinct keys and fits well sublinear. The top rows — triangle",
+        "counting (wedge volume, the documented arboricity-bounded shape)",
+        "and fellegi_sunter — are constant work per WEDGE / per CANDIDATE",
+        "PAIR: volume grows exactly with rows, so wall time tracks data on",
+        "fixed cores; the linkage comparator already short-circuits its",
+        "Levenshtein behind the cheap-field threshold guard (91 s -> ~28 s",
+        "at 16x), and both parallelize on their shuffle key.",
         "That is the expected asymptote — on a real cluster where executors",
         "scale WITH data, a ~1.0 exponent at fixed hardware translates to",
         "~flat wall time; an exponent well above 1.0 here would indicate a",
