@@ -161,6 +161,7 @@ HEADLINE = [
     "dq_sequence_gaps",
     "agg_weighted_percentile",
     "dq_migration_certificate",
+    "dedup_clusters_incremental",
 ]
 
 

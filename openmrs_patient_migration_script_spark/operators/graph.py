@@ -793,3 +793,38 @@ def k_core_converged(edges: DataFrame, k: int, n_rounds: int, src: str = "key_a"
         a.count() == b.count()
         and a.join(b, ["node", "core_deg"], "left_anti").count() == 0
     )
+
+
+def connected_components_incremental(
+    index: DataFrame,
+    new_edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental connected components — the daily-ingest shape for the
+    graph side (the `minhash_pairs_against` argument applied to cluster
+    maintenance): merge TODAY'S edges into yesterday's persisted
+    (node, cluster) labels without re-running components over the whole
+    historical edge list.
+
+    Correctness: each stored cluster is replayed as a STAR (node—cluster
+    edges) — a star preserves exactly the old graph's connectivity
+    between its members while collapsing any diameter to 2, so
+    components over (stars ∪ new edges) equal components over
+    (old edges ∪ new edges), with |index| + |new| edge rows instead of
+    the historical |E|. New clusters that merge old ones converge in
+    O(1) extra rounds because every old cluster is already a star.
+    Returns the updated (node, cluster) for every node in either input
+    — the next run's index.
+    """
+    star = index.select(
+        F.col("node").alias(src), F.col("cluster").alias(dst)
+    ).filter(F.col(src) != F.col(dst))
+    merged = star.unionByName(new_edges.select(src, dst))
+    out = connected_components(merged, src=src, dst=dst, **cc_kwargs)
+    # indexed SINGLETONS (node == cluster) produce no star edge; if today
+    # brought them no edge either, they keep their old label — without
+    # this union they would silently drop from the next index
+    untouched = index.join(out.select("node"), "node", "left_anti")
+    return out.unionByName(untouched.select("node", "cluster"))

@@ -1267,3 +1267,56 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 3).alias("key_b"),
     )
     return k_core(e2.unionByName(e3), k=2, n_rounds=6)
+
+
+@query(
+    "dedup_clusters_incremental",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9i: INCREMENTAL duplicate-cluster maintenance — yesterday's
+    persisted (node, cluster) index replayed as stars + only TODAY'S new
+    pairs (here: every pair touching an odd key, with the even-key
+    subgraph as the index), so the daily run pays |index| + |new| edge
+    rows instead of the historical edge list (operators/graph.py::
+    connected_components_incremental — the `minhash_pairs_against`
+    argument applied to cluster maintenance). The oracle is the FULL
+    transitive closure over all pairs: the hash match proves
+    incremental == full re-run, the same invariant
+    `etl_rollup_incremental` pins for aggregates."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    hist = pairs.filter(
+        (F.col("key_a") % 2 == 0) & (F.col("key_b") % 2 == 0)
+    )
+    today = pairs.filter(
+        (F.col("key_a") % 2 == 1) | (F.col("key_b") % 2 == 1)
+    )
+    index = connected_components(hist)
+    return connected_components_incremental(index, today)

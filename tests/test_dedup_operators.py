@@ -469,3 +469,40 @@ def test_k_core_canonicalizes_duplicate_and_self_edges(spark):
         [(1, 2), (2, 1), (3, 3)], ["key_a", "key_b"]
     )
     assert k_core(edges, k=2).count() == 0
+
+
+def test_incremental_components_equal_full_rerun(spark):
+    """Star-replay correctness: components(index ∪ today's edges) via the
+    incremental operator must equal components(ALL edges) — including a
+    bridge edge that merges two indexed clusters, and indexed singletons
+    with no new edge must survive with their old label."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["key_a", "key_b"]
+    )
+    index = connected_components(hist, local_threshold=0)
+    # seed an indexed singleton (appears in no edge at all)
+    index = index.unionByName(
+        spark.createDataFrame([(99, 99)], ["node", "cluster"])
+    )
+    today = spark.createDataFrame(
+        [(3, 10), (20, 21)], ["key_a", "key_b"]  # bridge + brand-new pair
+    )
+    inc = {
+        r["node"]: r["cluster"]
+        for r in connected_components_incremental(
+            index, today, local_threshold=0
+        ).collect()
+    }
+    full = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            hist.unionByName(today), local_threshold=0
+        ).collect()
+    }
+    assert {k: v for k, v in inc.items() if k != 99} == full
+    assert inc[99] == 99
