@@ -1305,13 +1305,21 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument applied to cluster maintenance). The oracle is the FULL
     transitive closure over all pairs: the hash match proves
     incremental == full re-run, the same invariant
-    `etl_rollup_incremental` pins for aggregates."""
+    `etl_rollup_incremental` pins for aggregates. Bench note: the wall
+    cost at test scale is FIXED job overhead (two components calls,
+    each a checkpoint + count + collect + rebuild on the size-gated
+    driver path), not data volume — at index sizes past the gate the
+    distributed loop takes over and the star replay is what bounds its
+    rounds."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         connected_components,
         connected_components_incremental,
     )
 
-    pairs = dedup_fuzzy(spark, sf_dir)
+    # the fuzzy block join feeds hist AND today, and each components
+    # call adds its own count/collect jobs — checkpoint once (the
+    # multi-consumer rule) so the levenshtein join runs once
+    pairs = dedup_fuzzy(spark, sf_dir).localCheckpoint(eager=True)
     hist = pairs.filter(
         (F.col("key_a") % 2 == 0) & (F.col("key_b") % 2 == 0)
     )
