@@ -84,10 +84,13 @@ _GRADE_FIRST = [
 
 
 def _graded_names() -> set[str]:
-    """Names with a fully-green entry in ANY CORRECTNESS_r*.json on disk —
-    the self-maintaining half of the rotation: each round the driver
-    writes a new file, so whatever it graded moves to the back and the
-    never-graded remainder surfaces automatically."""
+    """Names with a fully-green, NON-VACUOUS entry in ANY
+    CORRECTNESS_r*.json on disk — the self-maintaining half of the
+    rotation: each round the driver writes a new file, so whatever it
+    graded moves to the back and the never-graded remainder surfaces
+    automatically. A 0-row pass (join_anti r2, multimodal_phash_pairs
+    r5) verified nothing, so it does NOT count as graded — the query
+    stays queued until it grades green on real rows."""
     import glob
     import json
 
@@ -104,6 +107,7 @@ def _graded_names() -> set[str]:
                 and rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match") is not False
+                and rec.get("spark_rows", 0) > 0
             ):
                 seen.add(name)
     return seen

@@ -104,10 +104,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_phash_pairs",
     oracle="""
-    WITH fp AS (
+    WITH fp0 AS (
       SELECT doc_id AS key,
              ('0x' || substr(md5(text), 1, 15))::BIGINT AS f
       FROM documents
+    ),
+    fp AS (
+      SELECT key, f FROM fp0
+      UNION ALL SELECT key + 1000000, f FROM fp0
     )
     SELECT a.key AS key_a, b.key AS key_b,
            CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
@@ -122,10 +126,14 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::simhash_pairs): pigeonhole bands → equi-join →
     exact bit_count re-check, no all-pairs scan ever. The declared form
     fingerprints with the content-addressed fake (only byte-identical
-    payloads collide, so the pairs are the corpus's planted exact-dup
-    images and the oracle is a brute-force SQL replay); the REAL aHash —
-    8x8 block means over decoded BMP pixels, resize/brightness-stable —
-    runs through the identical plan and is pinned on generated BMPs in
+    payloads collide) plus an id-shifted re-ingested copy of every image
+    — the fixture corpus has no byte-identical payloads, so r5's grade
+    passed vacuously at 0 rows; the copies (the second-crawl shape
+    `multimodal_audio_pairs` already plants) make every image pair with
+    its own copy at Hamming 0, and the oracle replays fingerprint AND
+    pairing as brute-force SQL. The REAL aHash — 8x8 block means over
+    decoded BMP pixels, resize/brightness-stable — runs through the
+    identical plan and is pinned on generated BMPs in
     tests/test_multimodal.py."""
     from openmrs_patient_migration_script_spark.operators.dedup import simhash_pairs
     from openmrs_patient_migration_script_spark.operators.multimodal import (
@@ -133,7 +141,11 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    fps = image_phash(make_media_table(d))
+    media = make_media_table(d)
+    reingested = media.withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    fps = image_phash(media.unionByName(reingested))
     return simhash_pairs(
         fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
     )
