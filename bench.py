@@ -186,13 +186,32 @@ def main() -> None:
         n: round(min(run_one(spark, n, sf_dir) for _ in range(2)), 3) for n in names
     }
     total = round(sum(timings.values()), 3)
+    # The driver captures a fixed-size tail of stdout: r5's 85-query map
+    # made the single JSON line overflow it -> BENCH_r05 "parsed": null
+    # (no machine-readable bench grade that round). The printed line now
+    # carries only the total + the top-10 heaviest queries (~500 bytes);
+    # the full per-query map goes to bench_detail.json, which the repo
+    # tracks so cross-round per-query history stays diffable.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": top10,
                 "sf": sf,
             }
         )
