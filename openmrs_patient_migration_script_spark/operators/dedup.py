@@ -15,6 +15,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def require_integral_key(df: DataFrame, key_col: str, op: str) -> None:
+    """Fail-loud dtype guard for operators that PACK the key into integer
+    arithmetic (``key·C + i``): with a string key, Spark's implicit
+    string→double cast yields NULL for every non-numeric value, and the
+    operator's whole output silently degrades (paragraph_dedup drops
+    all paragraphs; weighted_sample degenerates to a null-ticket
+    arbitrary sample). The bloom_semi_join guard pattern."""
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{op}: key column {key_col!r} must be an integral type "
+            f"(got {dtype}) — its value is packed into integer "
+            "arithmetic, and a non-integral key would go NULL silently; "
+            "pre-map string keys to longs (etl.surrogate_keys)"
+        )
+
+
 def dedup_exact_keep_first(
     df: DataFrame, keys: list[str], order_by: str | list[str]
 ) -> DataFrame:
@@ -236,7 +253,7 @@ def minhash_candidate_pairs(
 
 
 def minhash_pairs_against(
-    index_df: DataFrame,
+    index_df: DataFrame | None,
     batch_df: DataFrame,
     key_col: str,
     text_col: str,
@@ -246,6 +263,7 @@ def minhash_pairs_against(
     hash_fn=None,
     double_hash=None,
     hash_buckets: bool = True,
+    index_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """X3f: INCREMENTAL cross-corpus MinHash dedup — candidate pairs
     between a NEW batch and an already-indexed corpus, the shape a daily
@@ -258,9 +276,18 @@ def minhash_pairs_against(
     Returns distinct (batch_key, index_key) candidate pairs (one row per
     batch doc × colliding index doc). Both tables MUST be signed with the
     same hash family/params — enforced here by deriving both signature
-    tables from the same arguments; production persists the index
-    signatures (a row of ``num_hashes`` longs per doc) and passes them
-    through `minhash_signatures`' output schema unchanged.
+    tables from the same arguments when ``index_signatures`` is absent.
+
+    ``index_signatures`` is the daily-ingest fast path: pass the
+    PERSISTED index signature table (exactly `minhash_signatures`'
+    output schema — ``key`` plus ``mh_0..mh_{num_hashes-1}``, one row of
+    ``num_hashes`` longs per doc) and the index side pays ZERO
+    shingle→minhash work this call; only the batch is signed. The schema
+    is validated fail-loud (a column-set mismatch means the table was
+    signed with different params, which would silently produce empty
+    band joins). With it set, ``index_df`` may be None. The caller owns
+    the hash-family contract: signatures persisted under one
+    hash_fn/double_hash/shingle_n must be probed with the same family.
 
     Scale: the join shuffles on (band, bucket) like the self-join; the
     index side's bucket table is signature-sized (#docs × bands rows),
@@ -274,9 +301,23 @@ def minhash_pairs_against(
             f"num_hashes ({num_hashes}) must divide evenly into bands "
             f"({bands})"
         )
-    sig_i = minhash_signatures(
-        index_df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash
-    )
+    if index_signatures is not None:
+        expected = {"key"} | {f"mh_{i}" for i in range(num_hashes)}
+        got = set(index_signatures.columns)
+        if got != expected:
+            raise ValueError(
+                "index_signatures schema mismatch: expected exactly "
+                f"{sorted(expected)}, got {sorted(got)} — was the table "
+                f"signed with num_hashes={num_hashes}?"
+            )
+        sig_i = index_signatures
+    elif index_df is None:
+        raise ValueError("provide index_df or index_signatures")
+    else:
+        sig_i = minhash_signatures(
+            index_df, key_col, text_col, num_hashes, shingle_n, hash_fn,
+            double_hash,
+        )
     sig_b = minhash_signatures(
         batch_df, key_col, text_col, num_hashes, shingle_n, hash_fn, double_hash
     )
@@ -707,7 +748,16 @@ def paragraph_dedup(
     ``materialize`` (default on) localCheckpoints the exploded
     paragraph stream its two consumers share, so the corpus scan +
     explode run once.
+
+    ``key_col`` must be an integral type: the packed first-occurrence
+    address is ``key·max_paras + pos``, and Spark's implicit
+    string→double cast would turn a string key into NULL ``occ`` for
+    EVERY row — ``kept`` would be NULL everywhere and all paragraphs
+    silently dropped. Fail loud instead (the bloom_semi_join guard
+    pattern); callers with string keys pre-map them to longs
+    (`etl.surrogate_keys` is the standard bridge).
     """
+    require_integral_key(df, key_col, "paragraph_dedup")
     toks = F.split(F.col(text_col), " ")
     d = df.select(
         F.col(key_col).alias("key"),
@@ -794,7 +844,24 @@ def fellegi_sunter_pairs(
     ``t_possible`` cut happens before any further shuffle, so
     non-matches (the overwhelming majority of candidate pairs at
     100 TB) never leave the comparator stage.
+
+    The Levenshtein short-circuit's soundness requires ``w_close >=
+    w_miss`` for every close field (the model's own semantics — partial
+    agreement never scores BELOW disagreement): suppressing 'C' to 'M'
+    must only ever lower the score. Pathological inverted weights
+    (w_miss > w_close) would let a suppressed pair score HIGHER as 'M'
+    and clear ``t_possible`` with the wrong pattern — validated
+    fail-loud here rather than silently mis-patterned.
     """
+    for f in fields:
+        if f.get("close") is not None and f["close"][1] < f["w_miss"]:
+            raise ValueError(
+                f"fellegi_sunter_pairs: field {f['col']!r} has w_close "
+                f"({f['close'][1]}) < w_miss ({f['w_miss']}) — inverted "
+                "weights break the Levenshtein short-circuit (a "
+                "suppressed close match would score higher as a miss) "
+                "and contradict the F-S partial-agreement semantics"
+            )
     sel_a = [F.col(key_col).alias("key_a")] + [
         F.col(f["col"]).alias(f"_a_{f['col']}") for f in fields
     ]

@@ -297,7 +297,17 @@ def weighted_sample(
     the top-k is one TakeOrderedAndProject, no global sort. P(selected)
     is monotone in w with the exact A-ES law, unlike cheap
     "multiply-the-hash" heuristics which distort the tail.
+
+    ``key_col`` must be integral: the ticket address is
+    ``md5(key·max_weight + t)``, and a string key would go NULL under
+    Spark's implicit cast — every ticket NULL, the "top-k" an
+    arbitrary null-ordering sample. Fail loud instead.
     """
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        require_integral_key,
+    )
+
+    require_integral_key(df, key_col, "weighted_sample")
     w = F.col("weight")
     guard = F.assert_true(
         (w >= 1) & (w <= max_weight),

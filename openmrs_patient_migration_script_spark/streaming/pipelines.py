@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -665,48 +666,97 @@ def stream_ingest_dedup(
     grown-index read requires: without it, a replay would collide a
     batch's docs with their own half-written admission).
 
-    Per micro-batch cost: the batch pays shingle→minhash; the index
-    side contributes its signature-table-sized bucket rows (at 100 TB,
-    persist the index signatures once — `minhash_pairs_against`'s
-    documented contract). Returns the started StreamingQuery.
-    """
-    import os
+    State discovery walks ``out_dir`` through the Hadoop FileSystem API
+    (resolved from the path's own scheme), so the admitted-so-far ledger
+    works on HDFS/S3/ABFS exactly as on local disk — the 100 TB
+    deployment surface, not just the laptop one.
 
+    Per micro-batch cost: the STATIC index pays shingle→minhash and
+    content-hashing exactly ONCE, at stream start (signatures are
+    localCheckpointed and passed via `minhash_pairs_against`'s
+    ``index_signatures`` fast path); each micro-batch signs only its
+    own docs plus the previously-ADMITTED tail (delta-sized by
+    construction — admitted docs are the survivors, a small fraction of
+    the feed). Near-dups arriving within the SAME micro-batch are also
+    collapsed (exact: min-key per content hash; near: min-key per
+    banded candidate pair) before admission — both rules deterministic,
+    so a replay still rewrites identical bytes. Returns the started
+    StreamingQuery.
+    """
     from openmrs_patient_migration_script_spark.operators.dedup import (
+        minhash_candidate_pairs,
         minhash_pairs_against,
+        minhash_signatures,
     )
+
+    # one-time static-index preparation (the whole point of the
+    # index_signatures contract): signatures + content hashes are
+    # computed here, at stream start, never again per micro-batch
+    static_sigs = minhash_signatures(
+        index_df, key_col, text_col, num_hashes
+    ).localCheckpoint(eager=True)
+    static_hashes = (
+        index_df.select(F.md5(F.col(text_col)).alias("_h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _hadoop(spark):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(out_dir)
+        return jvm, path.getFileSystem(conf)
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        target = os.path.join(out_dir, f"_batch_id={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        jvm, fs = _hadoop(spark)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        target = f"{out_dir}/_batch_id={batch_id}"
+        if fs.exists(hpath(f"{target}/_SUCCESS")):
             return  # replayed batch → already durable AND complete
-        prior_dirs = [
-            os.path.join(out_dir, d)
-            for d in (os.listdir(out_dir) if os.path.exists(out_dir) else [])
-            if d.startswith("_batch_id=")
-            and d != f"_batch_id={batch_id}"
-            and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
-        ]
-        index = index_df
+        prior_dirs = []
+        if fs.exists(hpath(out_dir)):
+            for st in fs.listStatus(hpath(out_dir)):
+                name = st.getPath().getName()
+                if (
+                    name.startswith("_batch_id=")
+                    and name != f"_batch_id={batch_id}"
+                    and fs.exists(hpath(st.getPath(), "_SUCCESS"))
+                ):
+                    prior_dirs.append(st.getPath().toString())
+        idx_hashes, idx_sigs = static_hashes, static_sigs
         if prior_dirs:
             admitted_prior = spark.read.parquet(*prior_dirs).select(
                 F.col(key_col), F.col(text_col)
             )
-            index = index.select(key_col, text_col).unionByName(admitted_prior)
-        else:
-            index = index.select(key_col, text_col)
-        # exact: content-hash anti-join (byte-identical re-crawls)
-        idx_hashes = index.select(F.md5(F.col(text_col)).alias("_h")).distinct()
-        fresh = (
+            idx_hashes = idx_hashes.unionByName(
+                admitted_prior.select(F.md5(F.col(text_col)).alias("_h"))
+            ).distinct()
+            idx_sigs = idx_sigs.unionByName(
+                minhash_signatures(admitted_prior, key_col, text_col, num_hashes)
+            )
+        # intra-batch exact self-dedup: deterministic min-key winner per
+        # content hash (two byte-identical docs in one batch land once)
+        w = Window.partitionBy("_h").orderBy(key_col)
+        hashed = (
             batch_df.withColumn("_h", F.md5(F.col(text_col)))
-            .join(idx_hashes, "_h", "left_anti")
-            .drop("_h")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        # near-dup: band the batch against the (grown) index
+        # exact vs index: content-hash anti-join (byte-identical re-crawls)
+        fresh = hashed.join(idx_hashes, "_h", "left_anti").drop("_h")
+        # intra-batch near-dup self-dedup: band the batch against itself
+        # and drop the higher key of every candidate pair (deterministic)
+        self_pairs = minhash_candidate_pairs(
+            fresh, key_col, text_col, num_hashes=num_hashes, bands=bands
+        )
+        losers = self_pairs.select(F.col("key_b").alias(key_col)).distinct()
+        fresh = fresh.join(losers, key_col, "left_anti")
+        # near-dup vs the (grown) index: signatures-fast-path band join
         pairs = minhash_pairs_against(
-            index, fresh, key_col, text_col,
-            num_hashes=num_hashes, bands=bands,
+            None, fresh, key_col, text_col,
+            num_hashes=num_hashes, bands=bands, index_signatures=idx_sigs,
         )
         dup_keys = pairs.select(F.col("batch_key").alias(key_col)).distinct()
         admitted = fresh.join(dup_keys, key_col, "left_anti")

@@ -506,3 +506,91 @@ def test_incremental_components_equal_full_rerun(spark):
     }
     assert {k: v for k, v in inc.items() if k != 99} == full
     assert inc[99] == 99
+
+
+def test_minhash_pairs_against_precomputed_index_signatures(spark):
+    """ADVICE r5: the index_signatures fast path must (a) reproduce the
+    recompute path's pairs exactly, (b) fail loud on a schema that was
+    signed with different params, and (c) require at least one index
+    representation."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        minhash_pairs_against,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the corpus grows daily with near duplicate entries")
+    rows = [
+        (2, base + " v1"),
+        (4, "totally different text about spark shuffles joins windows "
+            "aggregates broadcasts and adaptive execution plans"),
+        (1, base + " v2"),
+        (3, base + " v3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    index = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    recomputed = {
+        (r.batch_key, r.index_key)
+        for r in minhash_pairs_against(index, batch, "doc_id", "text").collect()
+    }
+    sigs = minhash_signatures(index, "doc_id", "text", num_hashes=16)
+    fast = {
+        (r.batch_key, r.index_key)
+        for r in minhash_pairs_against(
+            None, batch, "doc_id", "text", index_signatures=sigs
+        ).collect()
+    }
+    assert fast == recomputed and fast  # identical AND non-vacuous
+    wrong = minhash_signatures(index, "doc_id", "text", num_hashes=8)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        minhash_pairs_against(
+            None, batch, "doc_id", "text", index_signatures=wrong
+        )
+    with pytest.raises(ValueError, match="index_df or index_signatures"):
+        minhash_pairs_against(None, batch, "doc_id", "text")
+
+
+def test_integral_key_guards_fail_loud_on_string_keys(spark):
+    """ADVICE r5: key-packing operators must reject non-integral keys
+    instead of silently NULLing every packed address (paragraph_dedup
+    dropped ALL paragraphs; weighted_sample sampled on null tickets)."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc-a", "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="integral"):
+        paragraph_dedup(docs, key_col="doc_id")
+    items = spark.createDataFrame([("k-1", 3), ("k-2", 5)], ["key", "w"])
+    with pytest.raises(ValueError, match="integral"):
+        weighted_sample(items, "key", F.col("w"), k=1)
+
+
+def test_fellegi_sunter_rejects_inverted_close_weights(spark):
+    """ADVICE r5: w_close < w_miss would let the Levenshtein
+    short-circuit emit a wrongly-patterned higher score — reject it."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    a = spark.createDataFrame([(1, "abcde", 7)], ["rid", "name", "nation"])
+    b = spark.createDataFrame([(2, "abcdz", 7)], ["rid", "name", "nation"])
+    fields = [
+        {"col": "name", "w_match": 4000, "w_miss": 500, "close": (1, -100)},
+        {"col": "nation", "w_match": 1200, "w_miss": -800},
+    ]
+    with pytest.raises(ValueError, match="w_close"):
+        fellegi_sunter_pairs(a, b, "rid", ["nation"], fields)

@@ -874,3 +874,44 @@ def test_distinct_users_stream_chains_two_stateful_ops(spark):
     want = _rows(batch, cols)
     assert set(got) <= set(want)
     assert len(got) >= len(want) - 2
+
+
+def test_stream_ingest_dedup_collapses_intra_batch_dups(spark, tmp_path):
+    """ADVICE r5: near/exact duplicates arriving within the SAME
+    micro-batch must land once (deterministic min-key winner), not both
+    — previously only cross-batch dups were caught."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stream_ingest_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the corpus "
+            "grows daily with near duplicate boilerplate entries arriving")
+    other = ("completely different material about adaptive query execution "
+             "broadcast joins shuffle partitions and watermark state")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    index = spark.createDataFrame(
+        [(100, "indexed corpus text with its own unrelated vocabulary about "
+               "parquet footers row groups statistics and bloom filters")],
+        schema,
+    )
+    batch = [
+        (11, other + " alpha"),  # admitted: wins the exact pair with 14
+        (12, base + " v1"),      # admitted: wins the near pair with 13
+        (13, base + " v2"),      # dropped: intra-batch near-dup of 12
+        (14, other + " alpha"),  # dropped: byte-identical copy of 11
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_ingest_dedup(
+        spark.readStream.schema(schema).parquet(src), index, out, ckpt
+    )
+    q.awaitTermination(120)
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {11, 12}
