@@ -35,8 +35,9 @@ def test_media_table_schema(spark):
 
 
 def test_decode_media_is_a_marked_stub():
+    # JPEG genuinely needs a codec library; PNG is REAL as of r6
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0jfif-payload", "image/jpeg")
 
 
 def test_fake_decode_deterministic_and_bounded():
@@ -200,7 +201,11 @@ def test_real_decoder_unknown_format_fails_loud():
         decode_media,
     )
 
-    with pytest.raises(NotImplementedError, match="JPEG/PNG/MP3/MP4"):
+    with pytest.raises(NotImplementedError, match="JPEG/MP3/MP4"):
+        decode_media(b"\xff\xd8\xff\xe0....", "image/jpeg")
+    # a PNG payload that is truncated/chunkless fails loud too (the
+    # real r6 decoder never guesses at malformed containers)
+    with pytest.raises(NotImplementedError, match="IHDR"):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
 
 
@@ -474,3 +479,138 @@ def test_scene_cuts_real_wav_finds_the_planted_transition(spark):
     )
     assert [c for c, _ in cuts] == [5, 10]
     assert all(d > 25.0 for _, d in cuts)
+
+
+def _png_bytes(arr, color_type=2, filters=None, interlace=0, bit_depth=8):
+    """Minimal stdlib PNG encoder for decoder tests: ``arr`` is an
+    (H, W, C) uint8 numpy array; ``filters`` picks the per-scanline
+    filter type (int or list per row) so every unfilter branch —
+    None/Sub/Up/Average/Paeth — gets exercised against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    arr = arr.astype(np.int32)
+    if filters is None:
+        filters = [0] * h
+    if isinstance(filters, int):
+        filters = [filters] * h
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in zip(range(h), filters):
+        cur = arr[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ftype == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) & 0xFF
+        else:
+            raise ValueError(ftype)
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_exact_all_filter_types():
+    """r6 REAL PNG path: zlib inflate + unfiltering reproduces the exact
+    pixel array for every scanline filter type, all supported color
+    types, and the documented unsupported shapes fail loud."""
+    import numpy as np
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        _png_pixels,
+        decode_media,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    for f in (0, 1, 2, 3, 4):
+        got = _png_pixels(_png_bytes(rgb, color_type=2, filters=f))
+        assert np.array_equal(got, rgb), f"filter {f} mismatch"
+    mixed = _png_pixels(_png_bytes(rgb, color_type=2, filters=[0, 4, 1, 3, 2, 4]))
+    assert np.array_equal(mixed, rgb)
+    gray = rng.randint(0, 256, (4, 7, 1)).astype(np.uint8)
+    assert np.array_equal(_png_pixels(_png_bytes(gray, color_type=0, filters=4)), gray)
+    rgba = rng.randint(0, 256, (3, 3, 4)).astype(np.uint8)
+    assert np.array_equal(
+        _png_pixels(_png_bytes(rgba, color_type=6, filters=4)), rgba[:, :, :3]
+    )
+    d = decode_media(_png_bytes(rgb, color_type=2, filters=4), "image/png")
+    assert (d["width"], d["height"]) == (5, 6)
+    assert abs(d["mean_intensity"] - round(float(rgb.mean()) / 255.0, 6)) < 1e-9
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _png_pixels(_png_bytes(rgb, interlace=1))
+    with pytest.raises(NotImplementedError, match="bit_depth"):
+        _png_pixels(_png_bytes(rgb, bit_depth=16))
+
+
+def test_png_through_image_features_and_ahash_plan(spark):
+    """The r6 PNG decode pinned through the SAME mapInPandas plans the
+    BMP path uses: image_features(decoder=decode_media) yields exact
+    dims/means, and ahash of a PNG equals ahash of the byte-different
+    BMP encoding the same pixels (perceptual identity across formats)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openmrs_patient_migration_script_spark.operators.multimodal import (
+        ahash_image,
+        decode_media,
+        image_features,
+    )
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    png = _png_bytes(gray[..., None].repeat(3, axis=2), color_type=2, filters=4)
+    bmp = _bmp_from_gray(gray)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("media_type", StringType()),
+            StructField("n_bytes", IntegerType()),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", len(png))], schema
+    )
+    r = image_features(media, decoder=decode_media).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert abs(r["mean_intensity"] - round(float(gray.mean()) / 255.0, 6)) < 1e-9
+    assert ahash_image(png) == ahash_image(bmp)
