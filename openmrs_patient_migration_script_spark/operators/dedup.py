@@ -820,6 +820,7 @@ def fellegi_sunter_pairs(
     fields: list[dict],
     t_match: int = 4000,
     t_possible: int = 1500,
+    salt_blocks: int = 1,
 ) -> DataFrame:
     """Probabilistic record linkage — the Fellegi-Sunter model (JASA
     1969), the standard patient-matching decision rule: block candidate
@@ -852,6 +853,17 @@ def fellegi_sunter_pairs(
     (w_miss > w_close) would let a suppressed pair score HIGHER as 'M'
     and clear ``t_possible`` with the wrong pattern — validated
     fail-loud here rather than silently mis-patterned.
+
+    ``salt_blocks`` (r6): the hot-block lever. AQE's skew-join split
+    keys on shuffle BYTES, which misses linkage's failure mode — a
+    block of B rows is tiny on the wire but B² comparator pairs after
+    the join (the classic empty-postcode block), all in ONE task. With
+    ``salt_blocks > 1`` the blocked pair join runs through
+    `operators.skew.salted_join` (row-identical by construction):
+    ``a``'s rows scatter over N salts and ``b`` replicates N×, so the
+    hot block's quadratic fan-out splits across N tasks. Cost is the
+    b-side replication — engage it when block-size stats show
+    max(B)² · cost_per_pair ≫ a task's fair share, not by default.
     """
     for f in fields:
         if f.get("close") is not None and f["close"][1] < f["w_miss"]:
@@ -870,7 +882,15 @@ def fellegi_sunter_pairs(
     ]
     left = a.select(*sel_a, *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)])
     right = b.select(*sel_b, *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)])
-    pairs = left.join(right, [f"_blk_{i}" for i in range(len(block_cols))])
+    blk_keys = [f"_blk_{i}" for i in range(len(block_cols))]
+    if salt_blocks > 1:
+        from openmrs_patient_migration_script_spark.operators.skew import (
+            salted_join,
+        )
+
+        pairs = salted_join(left, right, blk_keys, "inner", salts=salt_blocks)
+    else:
+        pairs = left.join(right, blk_keys)
 
     # Exact-equality comparisons are ~free; Levenshtein dominates the
     # per-pair cost (probe: the comparator ran at-linear without this).

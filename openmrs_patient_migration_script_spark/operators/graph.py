@@ -828,3 +828,62 @@ def connected_components_incremental(
     # this union they would silently drop from the next index
     untouched = index.join(out.select("node"), "node", "left_anti")
     return out.unionByName(untouched.select("node", "cluster"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "key_a",
+    dst: str = "key_b",
+    node_col: str = "node",
+) -> DataFrame:
+    """X9j (r6): bounded breadth-first search — (node, hop) with hop =
+    the minimum number of edges from ANY source node, for nodes within
+    ``max_hops`` (sources themselves at hop 0). The traversal primitive
+    the graph family lacked: blast-radius queries over a dedup candidate
+    graph ("every record within 2 links of a known-bad cluster"),
+    contamination spread, neighborhood sampling for GNN-style training
+    data.
+
+    Plan: frontier-expansion rounds — each round joins the CURRENT
+    frontier (not the visited set) to the symmetrized edge list, drops
+    already-visited nodes with an anti-join, tags survivors with the
+    round number, and localCheckpoints both sides (lineage stays
+    O(1)-deep, the `connected_components` rule). BFS's min-hop property
+    makes per-round min-labels unnecessary: a node first reached in
+    round h IS at distance h, so each node is written exactly once.
+
+    Scale: round r shuffles |frontier_r|-adjacent edge rows on the node
+    key — total work Σ|N(frontier_r)| ≤ |E| per direction, never
+    visited×edges (the frontier, not the accumulated set, probes the
+    edge list); the visited anti-join is node-keyed. ``max_hops`` bounds
+    rounds; the early-exit empty check is a boundary-only driver action
+    (the `k_core` pattern)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select(node_col)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier[node_col] == sym["u"])
+            .select(F.col("v").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select(node_col)
+    return visited

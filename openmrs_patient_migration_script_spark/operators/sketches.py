@@ -256,3 +256,93 @@ def rollup_bitmap_distinct(
         .groupBy(*keep_cols)
         .agg(F.sum(F.bitmap_count(F.col("merged"))).alias("distinct_exact"))
     )
+
+
+def _cms_bucket(item_col, row: int, width: int):
+    """Content-addressed Count-Min bucket: row ``row``'s hash of the item
+    is the first 8 md5 hex chars of ``item || ':' || row`` mod width —
+    pure SQL on both engines, so the whole sketch (and every estimate
+    read from it) replays exactly in a DuckDB oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(item_col, F.lit(f":{row}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of an item stream (Cormode & Muthukrishnan 2005)
+    — the mergeable FREQUENCY sketch completing the family: HLL/Theta
+    answer distinct, KLL answers quantiles, CMS answers "how many times
+    did X occur" over arbitrary re-aggregations with fixed state.
+
+    Returns the sketch as (row, bucket, cnt) cells — at most
+    ``depth × width`` rows regardless of input size. Mergeability is
+    literal addition: cells of two sketches (per-partition, per-day,
+    per-source) sum by (row, bucket), which is exactly what the
+    map-side-combined groupBy already does — at 100 TB each task
+    partial-aggregates its partition's stream into ≤ depth·width cells
+    locally and the shuffle carries sketches, never the stream. Point
+    estimates overcount only (min over rows bounds the collision
+    error by ε=e/width with prob 1-δ, δ=e^-depth)."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for each probe item: the
+    estimate is min over the sketch's ``depth`` rows of the addressed
+    cell (0 when the cell is absent — the item was never seen). The
+    probe side re-derives the same content-addressed buckets, joins the
+    ≤ depth·width-row sketch (broadcast — it is sketch-sized by
+    construction), and takes one min agg; ``depth`` and ``width`` must
+    match the build call (same hash family contract as
+    minhash_pairs_against's index_signatures)."""
+    probe_cells = probes.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", "c.row", "c.bucket")
+    joined = probe_cells.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est")
+    )

@@ -898,3 +898,83 @@ def bigram_surprisal(
             F.expr("(2 * _ss + n_bigrams) div (2 * n_bigrams)") / F.lit(1e6)
         ).alias("avg_surprisal"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 500,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """X6c (r6): sparse TF-IDF cosine document-similarity pairs — the
+    text-side twin of `dedup_embedding`: pairwise cosine over the
+    corpus's own sparse tfidf vectors, via the token inverted index
+    (shuffle on the token, never an all-pairs doc join), for topical
+    near-dup / related-document detection where no embedding model ran.
+
+    EXACT integer arithmetic end-to-end: tfidf weights are scaled to
+    longs (round(tfidf·1e6) — the lossless move `keywords_topk` ranks
+    with), so numerators (Σ w_a·w_b over shared tokens) and squared
+    norms are exact BIGINT sums, reassociation-free under any partial
+    aggregation order, and the threshold test
+    ``cos ≥ tn/td  ⟺  td²·num² ≥ tn²·na·nb`` runs entirely in exact
+    wide-integer arithmetic (decimal(38,0) here, HUGEINT in the
+    oracle) — no float boundary anywhere in the DECISION; the reported
+    ``cos`` double is derived from the exact ints afterwards.
+
+    ``max_df`` is the skew/volume guard (the `ngram_jaccard_pairs`
+    prefix-filtering contract): tokens in more than ``max_df`` docs are
+    excluded from the vector space BEFORE the self-join — a ubiquitous
+    token contributes ~no discrimination but df² pair rows. This is a
+    semantic parameter (similarity over the discriminative vocabulary),
+    replayed identically by the oracle. Scale: posting-list self-join
+    shuffles on token (bounded df² fan-out per token), the pair agg
+    shuffles on the pair key; both partial-combine."""
+    scored = tf_idf(df, key_col, text_col, n_docs=n_docs, materialize_tf=True)
+    w = (
+        scored.filter(F.col("df") <= max_df)
+        .select(
+            F.col(key_col).alias("key"),
+            "token",
+            F.round(F.col("tfidf") * 1e6).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("key").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a = w.select(F.col("key").alias("key_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("key").alias("key_b"), "token", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "token")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    dec = "decimal(38,0)"
+    paired = (
+        num.join(norms.select(F.col("key").alias("key_a"),
+                              F.col("norm2").alias("na")), "key_a")
+        .join(norms.select(F.col("key").alias("key_b"),
+                           F.col("norm2").alias("nb")), "key_b")
+    )
+    lhs = (
+        F.lit(threshold_den * threshold_den).cast(dec)
+        * F.col("num").cast(dec)
+        * F.col("num").cast(dec)
+    )
+    rhs = (
+        F.lit(threshold_num * threshold_num).cast(dec)
+        * F.col("na").cast(dec)
+        * F.col("nb").cast(dec)
+    )
+    return paired.filter(lhs >= rhs).select(
+        "key_a",
+        "key_b",
+        "num",
+        F.round(
+            F.col("num") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("cos_sim"),
+    )

@@ -1328,3 +1328,50 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = connected_components(hist)
     return connected_components_incremental(index, today)
+
+
+@query(
+    "graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v FROM pairs
+      UNION ALL SELECT key_b, key_a FROM pairs
+    ),
+    bfs(node, hop) AS (
+      SELECT key, 0 FROM named WHERE key % 97 = 0
+      UNION
+      SELECT e.v, bfs.hop + 1
+      FROM bfs JOIN e ON e.u = bfs.node
+      WHERE bfs.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9j (r6): bounded BFS over the fuzzy-pair graph
+    (operators/graph.py::bfs_hops) — min-hop distance from the seed set
+    (every 97th customer) out to 3 links: the blast-radius / traversal
+    primitive (which records are within k links of a known-bad seed).
+    Frontier-sized shuffles per round, never visited×edges. The oracle
+    is a recursive CTE with UNION dedup on (node, hop) and the hop < 3
+    bound — each recursion step references the working table exactly
+    once, dodging the per-reference CTE re-expansion trap the k-core
+    oracle documents."""
+    from openmrs_patient_migration_script_spark.operators.graph import bfs_hops
+
+    c = load_table(spark, sf_dir, "customer")
+    seeds = c.select(F.col("c_custkey").alias("node")).filter(
+        F.col("c_custkey") % 97 == 0
+    )
+    edges = dedup_fuzzy(spark, sf_dir)
+    return bfs_hops(edges, seeds, max_hops=3)

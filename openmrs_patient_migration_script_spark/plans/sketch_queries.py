@@ -130,3 +130,72 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     b = bitmap_slices(o, ["o_orderpriority", "o_orderstatus"], "o_custkey")
     return rollup_bitmap_distinct(b, ["o_orderpriority"])
+
+
+@query(
+    "sketch_count_min",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tc AS (
+      SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+    ),
+    cells AS (
+      SELECT r, ('0x' || substr(md5(token || ':' || r), 1, 8))::BIGINT % 1024
+               AS bucket,
+             sum(cnt) AS cell_cnt
+      FROM tc, UNNEST(generate_series(0, 3)) AS g(r)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT token, cnt FROM tc
+      ORDER BY cnt DESC, token LIMIT 20
+    )
+    SELECT p.token AS item, p.cnt AS exact_cnt,
+           min(coalesce(c.cell_cnt, 0))::BIGINT AS cms_est
+    FROM probes p
+    CROSS JOIN UNNEST(generate_series(0, 3)) AS g(r)
+    LEFT JOIN cells c
+      ON c.r = g.r
+     AND c.bucket = ('0x' || substr(md5(p.token || ':' || g.r), 1, 8))::BIGINT
+                    % 1024
+    GROUP BY 1, 2
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (r6): Count-Min frequency sketch — the mergeable-summary
+    family's missing axis (HLL/Theta: distinct; KLL: quantiles; bitmap:
+    exact distinct; CMS: occurrence COUNTS). Builds a 4×1024-cell
+    sketch of the corpus token stream (operators/sketches.py::cms_build
+    — map-side combine means each task ships ≤ 4096 cells, never the
+    stream), then point-queries the true top-20 tokens
+    (cms_estimate): output (item, exact_cnt, cms_est) demonstrates the
+    ε-overcount contract (est ≥ exact always; the suite pins the bound).
+    The bucket hash is content-addressed md5, so sketch AND estimates
+    replay exactly in the DuckDB oracle — same declared-exact move the
+    theta/KLL rollups use. At 100 TB: the sketch is the shuffle payload
+    (fixed 4096 rows), estimates are a broadcast join against it."""
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from openmrs_patient_migration_script_spark.operators.text import (
+        token_counts,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cms = cms_build(toks, "token", depth=4, width=1024).localCheckpoint(eager=True)
+    tc = token_counts(d)
+    top = (
+        tc.orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+        .select(F.col("token"), F.col("cnt").alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    est = cms_estimate(cms, top.select("token"), "token", depth=4, width=1024)
+    return est.join(
+        top.select(F.col("token").alias("item"), "exact_cnt"), "item"
+    ).select("item", "exact_cnt", "cms_est")

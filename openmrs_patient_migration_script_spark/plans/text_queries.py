@@ -764,3 +764,60 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id AS key, tf.token,
+             CAST(round(round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)),
+                              6) * 1000000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      WHERE dfreq.df <= 100
+    ),
+    wp AS (SELECT * FROM w WHERE w > 0),
+    norms AS (SELECT key, sum(w * w) AS norm2 FROM wp GROUP BY key),
+    num AS (
+      SELECT a.key AS key_a, b.key AS key_b, sum(a.w * b.w) AS num
+      FROM wp a JOIN wp b ON a.token = b.token AND a.key < b.key
+      GROUP BY 1, 2
+    )
+    SELECT key_a, key_b, CAST(num AS BIGINT) AS num,
+           round(num / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cos_sim
+    FROM num
+    JOIN norms na ON na.key = num.key_a
+    JOIN norms nb ON nb.key = num.key_b
+    WHERE 4 * num::HUGEINT * num::HUGEINT
+          >= na.norm2::HUGEINT * nb.norm2::HUGEINT
+    """,
+)
+def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6c (r6): sparse TF-IDF cosine document pairs at cos >= 0.5
+    (operators/text.py::tfidf_cosine_pairs) — the text-side twin of
+    `dedup_embedding`: related-document detection from the corpus's own
+    term statistics, no embedding model required. Inverted-index join
+    (shuffle on token, df<=100 prefix-filter guard), EXACT integer
+    numerators/norms (the keywords_topk 1e6 scaling), and the threshold
+    decided in wide-integer arithmetic (decimal(38,0) in Spark, HUGEINT
+    in the oracle) so no float boundary can flip a pair between
+    engines; the reported cos_sim double is derived from the exact ints
+    after the decision."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold_num=1, threshold_den=2, max_df=100
+    )

@@ -756,3 +756,102 @@ def test_weighted_percentiles_tie_runs_and_weights(spark):
     bad = spark.createDataFrame([("g", 1.0, -1)], ["k", "v", "w"])
     with _pytest.raises(Exception, match="negative weight"):
         weighted_percentiles(bad, ["k"], "v", "w", pcts=[50]).collect()
+
+
+def test_count_min_overcounts_only_and_merges_by_addition(spark):
+    """CMS contract (r6): every point estimate >= the true count (min
+    over rows can only overcount via collisions), exact for items whose
+    cells collide with nothing, and the sketch of a union equals the
+    cell-wise SUM of the parts' sketches (mergeability IS addition)."""
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"tok{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, ["item"])
+    cms = cms_build(df, "item", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(7)] + [("rare",), ("absent",)], ["item"]
+    )
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(cms, probes, "item", depth=4, width=256).collect()
+    }
+    true = {f"tok{i}": 100 for i in range(7)} | {"rare": 3, "absent": 0}
+    for k, t in true.items():
+        assert est[k] >= t, f"{k}: est {est[k]} < true {t}"
+    # 703 items into 4x256 cells: collisions are rare; the heavy items
+    # must estimate exactly here (no other item shares all 4 cells)
+    assert est["tok0"] == 100 and est["rare"] == 3 and est["absent"] == 0
+    # mergeability: sum of the halves' cells == cells of the whole
+    h1 = spark.createDataFrame(rows[:350], ["item"])
+    h2 = spark.createDataFrame(rows[350:], ["item"])
+    merged = (
+        cms_build(h1, "item", depth=4, width=256)
+        .unionByName(cms_build(h2, "item", depth=4, width=256))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()} == whole
+
+
+def test_tfidf_cosine_pairs_exact_on_planted_docs(spark):
+    """Planted fixture: two docs sharing their rare vocabulary must pair
+    with cosine ~1; a doc with disjoint rare terms pairs with nobody.
+    The integer threshold decision must agree with the float cosine."""
+    import math
+
+    from openmrs_patient_migration_script_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "common common common common"),
+            (5, "common common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in tfidf_cosine_pairs(docs, max_df=10).collect()
+    }
+    assert (1, 2) in out  # 3 of 4 terms shared at equal weights
+    assert (4, 5) in out  # identical docs -> cosine 1.0
+    assert abs(out[(4, 5)]["cos_sim"] - 1.0) < 1e-6
+    assert all(3 not in k for k in out)  # disjoint vocabulary
+    # hand-check (1,2): idf of the 3 shared terms (df=2) and the two
+    # uniques (df=1) with N=5; cos = 3*w2^2 / (3*w2^2 + w1^2)
+    w2 = round(round(1 * math.log(6.0 / 3.0), 6) * 1e6)
+    w1 = round(round(1 * math.log(6.0 / 2.0), 6) * 1e6)
+    want = 3 * w2 * w2 / (3 * w2 * w2 + w1 * w1)
+    assert abs(out[(1, 2)]["cos_sim"] - round(want, 6)) < 1e-6
+
+
+def test_bfs_hops_min_distance_cycle_and_bound(spark):
+    """bfs_hops: min-hop from the seed set, cycles terminate, nodes past
+    max_hops are absent, isolated seeds emit hop 0."""
+    from openmrs_patient_migration_script_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),     # chain off seed 1
+            (2, 1),                             # cycle back
+            (10, 11), (11, 10),                 # 2-cycle off seed 10
+            (20, 21),                           # unreachable island
+        ],
+        ["key_a", "key_b"],
+    )
+    seeds = spark.createDataFrame([(1,), (10,), (99,)], ["node"])
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 10: 0, 99: 0, 2: 1, 11: 1, 3: 2}
+    # node 4 is 3 hops out -> absent at max_hops=2; island absent
+    assert 4 not in got and 20 not in got and 21 not in got

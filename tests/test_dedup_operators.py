@@ -594,3 +594,36 @@ def test_fellegi_sunter_rejects_inverted_close_weights(spark):
     ]
     with pytest.raises(ValueError, match="w_close"):
         fellegi_sunter_pairs(a, b, "rid", ["nation"], fields)
+
+
+def test_fellegi_sunter_salted_blocks_row_identical(spark):
+    """r6 hot-block lever: salt_blocks>1 must reproduce the plain
+    blocked join's output exactly (salted_join row-identity), splitting
+    the quadratic fan-out without changing one pair."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fellegi_sunter_pairs,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"name{i % 3:04d}x", i % 5, "HOT") for i in range(40)],
+        ["rid", "name", "nation", "blk"],
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"name{i % 3:04d}x", i % 5, "HOT") for i in range(40)],
+        ["rid", "name", "nation", "blk"],
+    )
+    fields = [
+        {"col": "name", "w_match": 4000, "w_miss": -1500, "close": (1, 2500)},
+        {"col": "nation", "w_match": 1200, "w_miss": -800},
+    ]
+    plain = {
+        tuple(r)
+        for r in fellegi_sunter_pairs(a, b, "rid", ["blk"], fields).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in fellegi_sunter_pairs(
+            a, b, "rid", ["blk"], fields, salt_blocks=8
+        ).collect()
+    }
+    assert salted == plain and plain  # identical AND non-vacuous
