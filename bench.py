@@ -162,6 +162,11 @@ HEADLINE = [
     "agg_weighted_percentile",
     "dq_migration_certificate",
     "dedup_clusters_incremental",
+    # round-6 wave: CMS frequency sketch, sparse tfidf cosine pairs
+    # (inverted-index self-join), bounded BFS traversal
+    "sketch_count_min",
+    "text_cosine_pairs",
+    "graph_bfs",
 ]
 
 

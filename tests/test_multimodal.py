@@ -220,16 +220,28 @@ def test_read_media_dir_end_to_end_real_decode(spark, tmp_path):
     )
     from openmrs_patient_migration_script_spark.sources.files import read_media_dir
 
+    import numpy as np
+
     wav = _wav_bytes(sr=8000, n=4000, amp=16384, channels=1)
     bmp = _bmp_bytes(width=2, height=2, value=100)
+    png = _png_bytes(
+        np.full((3, 4, 3), 200, dtype=np.uint8), color_type=2, filters=4
+    )
     (tmp_path / "clip.wav").write_bytes(wav)
     (tmp_path / "pic.bmp").write_bytes(bmp)
+    (tmp_path / "pic2.png").write_bytes(png)
     (tmp_path / "huge.bin").write_bytes(b"x" * 65536)
 
     media = read_media_dir(spark, str(tmp_path), max_bytes=16384)
     rows = {r["media_type"]: r for r in media.collect()}
-    assert set(rows) == {"audio/wav", "image/bmp"}  # huge.bin filtered
+    assert set(rows) == {"audio/wav", "image/bmp", "image/png"}  # huge.bin filtered
     assert rows["audio/wav"]["n_bytes"] == len(wav)
+
+    png_feat = image_features(
+        media.filter("media_type = 'image/png'"), decoder=decode_media
+    ).collect()[0]
+    assert (png_feat["width"], png_feat["height"]) == (4, 3)
+    assert abs(png_feat["mean_intensity"] - round(200 / 255.0, 6)) < 1e-6
 
     audio = audio_features(
         media.filter("media_type = 'audio/wav'"), decoder=decode_media
