@@ -402,3 +402,47 @@ def weighted_percentiles(
         for p in pcts
     ]
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def group_spearman(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """F3/A-family (r6): per-group Spearman rank correlation — the
+    monotone-association readout (robust to outliers and any monotone
+    rescaling, where Pearson is not): Pearson over tie-averaged ranks.
+
+    Ranks are carried as EXACT integers: rank2 = 2·(average tie rank) =
+    2·rank_min + (tie_count − 1), so the whole pipeline after the rank
+    windows is `group_corr`'s exact-decimal sufficient-statistics agg —
+    no reassociative float sum anywhere, and the constant factor 2
+    cancels in the correlation. The underlying x/y columns may be ANY
+    orderable type (doubles included): only their ranks enter the
+    arithmetic, which is what makes Spearman the safe cross-engine
+    correlation for float-valued business metrics.
+
+    Plan: two rank windows partitioned by the SAME group key (one
+    Exchange, two sorts), then one group-keyed hash agg carrying six
+    numbers per group. Group size bounds the rank magnitude (rank2 ≤
+    2n), and the decimal(38,0) sums keep Σrank² exact far past any
+    realistic group (overflow needs n > ~10¹²)."""
+    from pyspark.sql import Window
+
+    d = df.select(*group_cols, x.alias("_xv"), y.alias("_yv"))
+    wx = Window.partitionBy(*group_cols).orderBy("_xv")
+    wy = Window.partitionBy(*group_cols).orderBy("_yv")
+    tx = Window.partitionBy(*group_cols, "_xv")
+    ty = Window.partitionBy(*group_cols, "_yv")
+    ranked = d.select(
+        *group_cols,
+        (2 * F.rank().over(wx) + F.count("*").over(tx) - 1)
+        .cast("long")
+        .alias("_rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(ty) - 1)
+        .cast("long")
+        .alias("_ry"),
+    )
+    out = group_corr(ranked, group_cols, F.col("_rx"), F.col("_ry"))
+    return out.withColumnRenamed("corr", "spearman")

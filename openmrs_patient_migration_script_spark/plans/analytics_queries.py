@@ -2066,3 +2066,154 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d, "doc_id", F.lit(1) + F.col("n_chars") % 5, k=100
     )
+
+
+@query(
+    "agg_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             (2 * rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity)
+              + count(*) OVER (PARTITION BY l_suppkey, l_quantity)
+              - 1)::BIGINT AS rx,
+             (2 * rank() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice)
+              + count(*) OVER (PARTITION BY l_suppkey, l_extendedprice)
+              - 1)::BIGINT AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_suppkey, count(*)::BIGINT AS n,
+             sum(rx)::DECIMAL(38,0) AS sx, sum(ry)::DECIMAL(38,0) AS sy,
+             sum(rx * rx)::DECIMAL(38,0) AS sxx,
+             sum(ry * ry)::DECIMAL(38,0) AS syy,
+             sum(rx * ry)::DECIMAL(38,0) AS sxy
+      FROM r GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS spearman
+    FROM s
+    WHERE n >= 2
+      AND n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+      AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0
+    """,
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3e (r6): per-supplier Spearman rank correlation between quantity
+    and extended price (operators/aggregates.py::group_spearman) — the
+    monotone-association readout robust to outliers and float-valued
+    metrics: only RANKS (tie-averaged, carried as exact 2x integers)
+    enter the arithmetic, then `group_corr`'s exact-decimal Pearson
+    closes the form. Two same-key rank windows (one Exchange) + one
+    six-number-per-group hash agg."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_spearman,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_spearman(
+        li, ["l_suppkey"], F.col("l_quantity"), F.col("l_extendedprice")
+    )
+
+
+@query(
+    "ab_mann_whitney",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    vc AS (
+      SELECT value, count(*)::BIGINT AS t,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+               AS cnt_a
+      FROM ev GROUP BY value
+    ),
+    ranked AS (
+      SELECT value, t, cnt_a,
+             (2 * (1 + sum(t) OVER (ORDER BY value
+                                    ROWS UNBOUNDED PRECEDING) - t)
+              + t - 1)::BIGINT AS rank2
+      FROM vc
+    ),
+    s AS (
+      SELECT sum(cnt_a * rank2)::BIGINT AS r2_a,
+             sum(cnt_a)::BIGINT AS n_a,
+             sum(t - cnt_a)::BIGINT AS n_b,
+             sum(t * t * t - t)::BIGINT AS tie_term,
+             sum(t)::BIGINT AS n
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           (r2_a - n_a * (n_a + 1)) AS u2_a,
+           round(((r2_a - n_a * (n_a + 1))::DOUBLE / 2.0
+                  - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                 / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                        * ((n::DOUBLE + 1.0)
+                           - tie_term::DOUBLE
+                             / (n::DOUBLE * (n::DOUBLE - 1.0)))),
+                 4) AS z_stat
+    FROM s
+    """,
+)
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18b (r6): Mann-Whitney U between event arms — the
+    nonparametric two-sample test completing the experimentation
+    family (Welch t: mean shift under normality; chi-squared: rates;
+    U: stochastic dominance with no distribution assumption — the
+    robust default for skewed revenue-like metrics).
+
+    Scale design: ranks are NEVER assigned per event row (a global row
+    window is a single-partition sort). The arms aggregate to the
+    DISTINCT-VALUE table first (vocabulary-sized), the tie-averaged
+    rank of each distinct value derives from a running sum over that
+    small table, and the rank-sum R_a recomposes as Σ cnt_a(v)·rank2(v)
+    — exact integers throughout (rank2 = 2·avg rank; u2_a = 2·U_a).
+    The tie-corrected z evaluates row-locally on doubles cast from the
+    exact sums (IEEE-correctly-rounded ops → 4dp is engine-stable)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_type", "value")
+    )
+    vc = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "cnt_a"
+        ),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.select(
+        "t",
+        "cnt_a",
+        (2 * (1 + F.sum("t").over(w) - F.col("t")) + F.col("t") - 1)
+        .cast("long")
+        .alias("rank2"),
+    )
+    s = ranked.agg(
+        F.sum(F.col("cnt_a") * F.col("rank2")).alias("r2_a"),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("t") - F.col("cnt_a")).alias("n_b"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+        F.sum("t").alias("n"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = F.col("n").cast("double")
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        F.round(
+            (u2.cast("double") / 2.0 - na * nb / 2.0)
+            / F.sqrt(
+                na * nb / 12.0
+                * ((n + 1.0) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+            ),
+            4,
+        ).alias("z_stat"),
+    )

@@ -855,3 +855,80 @@ def test_bfs_hops_min_distance_cycle_and_bound(spark):
     assert got == {1: 0, 10: 0, 99: 0, 2: 1, 11: 1, 3: 2}
     # node 4 is 3 hops out -> absent at max_hops=2; island absent
     assert 4 not in got and 20 not in got and 21 not in got
+
+
+def test_group_spearman_monotone_ties_and_outlier_robustness(spark):
+    """Spearman pins: any monotone transform gives exactly 1.0 (where
+    Pearson would not), reversal gives -1.0, and tie-averaged ranks
+    match the hand formula."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        group_spearman,
+    )
+
+    rows = (
+        # g=1: y = exp(x) — monotone, wildly non-linear -> rho = 1
+        [(1, float(i), float(10 ** i)) for i in range(1, 7)]
+        # g=2: y reversed -> rho = -1
+        + [(2, float(i), float(-i)) for i in range(1, 7)]
+        # g=3: x has a tie pair; hand-computed below
+        + [(3, 1.0, 1.0), (3, 2.0, 2.0), (3, 2.0, 3.0), (3, 4.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r["g"]: r["spearman"]
+        for r in group_spearman(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert out[1] == 1.0
+    assert out[2] == -1.0
+    # g=3: x ranks (1, 2.5, 2.5, 4), y ranks (1, 2, 3, 4);
+    # rho = cov/sd ratio on those ranks = 3.9/sqrt(3.8*4.2... compute:
+    # mean 2.5 both; cov*4 = (-1.5)(-1.5)+0*(-.5)+0*.5+1.5*1.5 = 4.5;
+    # varx*4 = 2.25+0+0+2.25 = 4.5; vary*4 = 2.25+.25+.25+2.25 = 5;
+    # rho = 4.5/sqrt(4.5*5) = 0.948683
+    assert abs(out[3] - 0.948683) < 1e-6
+
+
+def test_mann_whitney_hand_computed_u(spark):
+    """MWU against a hand-worked example with a cross-arm tie:
+    view = [1, 3, 5], click = [2, 3, 4]."""
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        ab_mann_whitney,
+    )
+    from openmrs_patient_migration_script_spark.sources import load_table as _lt
+
+    # drive the declared query through a temp fixture dir
+    import os
+
+    rows = [
+        (1, "view", 1.0), (2, "view", 3.0), (3, "view", 5.0),
+        (4, "click", 2.0), (5, "click", 3.0), (6, "click", 4.0),
+    ]
+    # ranks: 1->1, 2->2, 3s->3.5 avg, 4->5, 5->6
+    # R_view = 1 + 3.5 + 6 = 10.5 ; U_view = 10.5 - 3*4/2 = 4.5 ; u2 = 9
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        ev = spark.createDataFrame(
+            [(i, None, i, t, v, None) for (i, t, v) in rows],
+            StructType([
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]),
+        )
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        r = ab_mann_whitney(spark, d).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u2_a"] == 9  # 2*U_view = 2*4.5
