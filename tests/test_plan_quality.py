@@ -868,3 +868,35 @@ def test_bloom_semi_rejects_mismatched_key_dtypes(spark):
     # bits, so a silent mismatch would DROP matching rows — must raise
     with _pytest.raises(ValueError, match="dtypes differ"):
         bloom_semi_join(fact, build, "k", "k")
+
+
+def test_cms_estimate_probe_join_is_broadcast(spark):
+    """r6 CMS: the estimate join must broadcast the (<= depth*width-row)
+    sketch — a shuffled join against a 4096-cell table would be wrong by
+    construction."""
+    plan = plan_of(spark, "sketch_count_min")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_cosine_pairs_inverted_index_join(spark):
+    """r6 cosine pairs: the pair generation must be the token-keyed
+    equi-join (SortMergeJoin/ShuffledHashJoin on the posting lists),
+    never a cartesian/BNL over documents."""
+    plan = plan_of(spark, "text_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mann_whitney_window_is_vocab_sized(spark):
+    """r6 MWU: the only window in the plan runs AFTER the value-level
+    aggregation (the distinct-value table), never over raw event rows —
+    a global row-window over events would be the single-partition-sort
+    anti-pattern the query exists to avoid."""
+    plan = plan_of(spark, "ab_mann_whitney")
+    order = nodes(plan)
+    assert order.count("Window") == 1
+    # the aggregation to distinct values (keys [value]) must exist and
+    # feed the window: a raw-row ranking plan would have no groupBy
+    # between the scan and the Window
+    assert re.search(r"Keys \[1\]: \[value", plan), plan
