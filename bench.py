@@ -167,6 +167,8 @@ HEADLINE = [
     "sketch_count_min",
     "text_cosine_pairs",
     "graph_bfs",
+    "agg_spearman",
+    "ab_mann_whitney",
 ]
 
 
