@@ -169,6 +169,8 @@ HEADLINE = [
     "graph_bfs",
     "agg_spearman",
     "ab_mann_whitney",
+    "text_tfidf_incremental",
+    "dq_blocking_quality",
 ]
 
 

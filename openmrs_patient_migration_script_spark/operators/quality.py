@@ -557,3 +557,90 @@ def observed_write(
     out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     out.write.format(fmt).mode(mode).save(path)
     return obs.get
+
+
+def blocking_quality(
+    a: DataFrame,
+    b: DataFrame,
+    true_pairs: DataFrame,
+    a_key: str,
+    b_key: str,
+    block_expr_a,
+    block_expr_b,
+    true_a: str = "key_a",
+    true_b: str = "key_b",
+) -> DataFrame:
+    """E21 (r6): blocking-scheme evaluation for record linkage — the two
+    standard metrics (Christen, "Data Matching", 2012) that decide
+    whether a blocking key is safe to deploy BEFORE paying the
+    comparator:
+
+    - reduction ratio  RR = 1 − |candidates| / (|a|·|b|)  (how much of
+      the quadratic pair space the blocking prunes);
+    - pairs completeness  PC = |true ∩ candidates| / |true|  (how many
+      REAL matches survive the pruning — the recall the comparator can
+      never get back).
+
+    ``true_pairs``: ground-truth matches as (``true_a``, ``true_b``)
+    key columns referencing ``a_key`` / ``b_key`` — labeled matches, or
+    planted re-ingest twins in a pipeline-certification run.
+
+    Scale design: |candidates| is NEVER materialized — it is
+    Σ_blk cnt_a(blk)·cnt_b(blk) over the two block-histogram tables
+    (vocabulary-sized shuffles; the pair join this avoids is exactly
+    the explosion the metric exists to warn about). The PC side joins
+    the true pairs (match-sized, ≪ corpus) to each side's block key.
+    All counts exact BIGINT; the two ratios are single divisions of
+    exact ints, rounded 6dp."""
+    ba = a.select(F.col(a_key).alias("_ka"), block_expr_a.alias("_blk_a"))
+    bb = b.select(F.col(b_key).alias("_kb"), block_expr_b.alias("_blk_b"))
+    ha = ba.groupBy(F.col("_blk_a").alias("_blk")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    hb = bb.groupBy(F.col("_blk_b").alias("_blk")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cand = ha.join(hb, "_blk").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0).cast("long")).alias(
+            "n_candidates"
+        )
+    )
+    sizes = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    tp = (
+        true_pairs.select(
+            F.col(true_a).alias("_ka"), F.col(true_b).alias("_kb")
+        )
+        .join(ba, "_ka")
+        .join(bb, "_kb")
+    )
+    truth = tp.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("_blk_a") == F.col("_blk_b"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_true_found"),
+    )
+    out = sizes.crossJoin(cand).crossJoin(truth)
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_candidates",
+        "n_true",
+        "n_true_found",
+        F.round(
+            1.0
+            - F.col("n_candidates").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("n_true_found").cast("double")
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("pairs_completeness"),
+    )

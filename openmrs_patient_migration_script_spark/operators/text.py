@@ -978,3 +978,74 @@ def tfidf_cosine_pairs(
             F.col("num") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
         ).alias("cos_sim"),
     )
+
+
+def tf_idf_against(
+    batch: DataFrame,
+    index_df_counts: DataFrame,
+    index_n_docs: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X6d (r6): INCREMENTAL TF-IDF — score a NEW batch of documents
+    against the corpus-wide statistics WITHOUT re-scanning the corpus:
+    the daily-ingest twin of `tf_idf`, and the same persisted-state
+    contract as `minhash_pairs_against(index_signatures=)` — yesterday's
+    corpus keeps its (vocabulary-sized) document-frequency table, only
+    today's batch pays tokenize→count.
+
+    ``index_df_counts``: the persisted (token, df) table of the indexed
+    corpus — exactly `tf_idf`'s df side, one row per vocabulary term
+    (validated fail-loud). ``index_n_docs``: its document count. The
+    batch's own df-contribution is merged in (full-outer sum), so
+    scores use the GLOBAL (index + batch) statistics — by construction
+    identical to re-running `tf_idf` on the union, which is the
+    invariant the declared oracle checks (the `etl_rollup_incremental`
+    pattern applied to text statistics).
+
+    Scale: the batch is tokenized once (batch-sized); the df merge is a
+    vocab×vocab outer join (vocabulary-sized shuffles); the merged df
+    table broadcasts back onto the batch tf table. Nothing touches the
+    historical corpus."""
+    if set(index_df_counts.columns) != {"token", "df"}:
+        raise ValueError(
+            "index_df_counts must be exactly (token, df) — got "
+            f"{sorted(index_df_counts.columns)}; persist tf_idf's "
+            "doc-frequency side unchanged"
+        )
+    tf = (
+        batch.select(
+            F.col(key_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(key_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    batch_df_counts = tf.groupBy("token").agg(F.count("*").alias("df_b"))
+    merged = (
+        index_df_counts.join(batch_df_counts, "token", "full_outer")
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    joined = tf.join(F.broadcast(merged), "token")
+    n_batch = batch.select(F.countDistinct(key_col).alias("_nb"))
+    joined = joined.crossJoin(F.broadcast(n_batch))
+    return joined.select(
+        key_col,
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log(
+                (1.0 + F.lit(float(index_n_docs)) + F.col("_nb"))
+                / (1.0 + F.col("df"))
+            ),
+            6,
+        ).alias("tfidf"),
+    )

@@ -821,3 +821,52 @@ def text_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         d, "doc_id", "text", threshold_num=1, threshold_den=2, max_df=100
     )
+
+
+@query(
+    "text_tfidf_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+           round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    WHERE tf.doc_id % 5 = 0
+    """,
+)
+def text_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6d (r6): incremental TF-IDF (operators/text.py::tf_idf_against)
+    — today's batch (every 5th doc) scored against the GLOBAL corpus
+    statistics using only the indexed corpus's PERSISTED (token, df)
+    table + its doc count; the historical text is never re-read. The
+    oracle is the full recompute over the whole corpus restricted to
+    the batch docs — hash equality proves incremental == full, the
+    `etl_rollup_incremental` invariant applied to text statistics.
+    Same persisted-state contract as minhash_pairs_against's
+    index_signatures fast path."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        tf_idf_against,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    # the persisted state a production pipeline reads off disk: the
+    # index's (token, df) document-frequency table and its doc count
+    index_df_counts = (
+        index.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    return tf_idf_against(batch, index_df_counts, index.count())

@@ -466,3 +466,75 @@ def test_observed_write_one_pass_metrics(spark, tmp_path):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     ).collect()[0][0]
     assert got["sum_cents"] == recount
+
+
+def test_blocking_quality_hand_computed(spark):
+    """Hand-worked fixture: blocks {x: 2 a-rows × 1 b-row, y: 1 × 1} →
+    candidates = 3 of 9; truth = 3 pairs of which the pair whose b-side
+    fell into block z is lost → PC = 2/3."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        blocking_quality,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["key", "blk"]
+    )
+    b = spark.createDataFrame(
+        [(11, "x"), (12, "z"), (13, "y")], ["key", "blk"]
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13)], ["key_a", "key_b"]
+    )
+    r = blocking_quality(
+        a, b, truth, "key", "key", F.col("blk"), F.col("blk")
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["n_candidates"] == 3  # x: 2*1, y: 1*1, z unmatched
+    assert (r["n_true"], r["n_true_found"]) == (3, 2)
+    assert abs(r["reduction_ratio"] - round(1 - 3 / 9, 6)) < 1e-9
+    assert abs(r["pairs_completeness"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_tf_idf_against_equals_full_recompute(spark):
+    """The incremental invariant: scoring a batch against the index's
+    persisted (token, df) table must equal the full tf_idf over the
+    union, restricted to batch docs; a wrong state schema fails loud."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.text import (
+        tf_idf,
+        tf_idf_against,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "beta beta epsilon"),
+            (10, "alpha zeta"),
+            (11, "gamma gamma eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    state = (
+        index.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    inc = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tf_idf_against(batch, state, index.count()).collect()
+    }
+    full = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tf_idf(docs, n_docs=5).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == full and inc
+    with pytest.raises(ValueError, match="token, df"):
+        tf_idf_against(batch, state.withColumnRenamed("df", "n"), 3)
