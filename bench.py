@@ -171,6 +171,8 @@ HEADLINE = [
     "ab_mann_whitney",
     "text_tfidf_incremental",
     "dq_blocking_quality",
+    "sim_ann_recall",
+    "text_dedup_clusters",
 ]
 
 

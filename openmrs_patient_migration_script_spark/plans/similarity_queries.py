@@ -716,3 +716,121 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    scored_exact AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored_exact
+      ) WHERE rn <= {_K}
+    ),
+    planes AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {_LSH_M * _LSH_L - 1})) AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+      FROM vec, planes pl GROUP BY vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_LSH_M} AS tbl,
+             sum(((s >= 0)::INT) << (p % {_LSH_M})) AS bkt
+      FROM dots GROUP BY vec_id, p // {_LSH_M}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, b.vec_id
+      FROM buckets qb JOIN buckets b USING (tbl, bkt)
+      WHERE qb.vec_id % 50 = 0 AND b.vec_id <> qb.vec_id
+    ),
+    scored_ann AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec qv ON qv.vec_id = c.query_id
+      JOIN vec cv ON cv.vec_id = c.vec_id
+    ),
+    ann AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored_ann
+      ) WHERE rn <= {_K}
+    )
+    SELECT exact.query_id,
+           count(*)::BIGINT AS n_exact,
+           coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_hits,
+           round(coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS recall
+    FROM exact
+    LEFT JOIN ann USING (query_id, vec_id)
+    GROUP BY exact.query_id
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4j (r6): ANN recall certification — per-query recall@k of the
+    LSH path against the exact brute-force top-k: the similarity-family
+    twin of `dq_blocking_quality` (both answer "what does the
+    approximate/pruned path LOSE?" with an exact, auditable number
+    BEFORE production trusts it). Both pipelines are deterministic and
+    content-addressed (md5 SRP planes), so the recall itself is
+    hash-checkable — the oracle replays exact top-k AND the full LSH
+    pipeline AND the set intersection. Scale: the expensive sides are
+    the two existing operators unchanged; the certification overlay is
+    one (query_id, vec_id)-keyed left join + per-query count over
+    2·K·|queries| rows — certification-sized, never corpus-sized."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    exact = cosine_topk_vectorized(emb, queries, k=_K).select(
+        "query_id", "vec_id"
+    )
+    ann = ann_topk_lsh(
+        emb, queries, k=_K, num_planes=_LSH_M, num_tables=_LSH_L,
+        hash_mode="md5",
+    ).select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    joined = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["vec_id"] == ann["ann_vec_id"]),
+        "left",
+    ).select(exact["query_id"], exact["vec_id"], ann["ann_vec_id"])
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )

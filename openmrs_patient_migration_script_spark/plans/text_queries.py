@@ -870,3 +870,73 @@ def text_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
     )
     return tf_idf_against(batch, index_df_counts, index.count())
+
+
+@query(
+    "text_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id AS key, tf.token,
+             CAST(round(round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)),
+                              6) * 1000000) AS BIGINT) AS w
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      WHERE dfreq.df <= 100
+    ),
+    wp AS (SELECT * FROM w WHERE w > 0),
+    norms AS (SELECT key, sum(w * w) AS norm2 FROM wp GROUP BY key),
+    num AS (
+      SELECT a.key AS key_a, b.key AS key_b, sum(a.w * b.w) AS num
+      FROM wp a JOIN wp b ON a.token = b.token AND a.key < b.key
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT key_a, key_b
+      FROM num
+      JOIN norms na ON na.key = num.key_a
+      JOIN norms nb ON nb.key = num.key_b
+      WHERE 4 * num::HUGEINT * num::HUGEINT
+            >= na.norm2::HUGEINT * nb.norm2::HUGEINT
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    """,
+)
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6e (r6): related-document GROUPS from the corpus's own term
+    statistics — connected components (operators/graph.py) over the
+    `text_cosine_pairs` similarity graph: the no-embedding-model twin
+    of `dedup_clusters`, closing the same pair→cluster arc the minhash
+    family has (candidate pairs are only half the dedup story; the
+    survivorship pass needs GROUPS). Oracle = the cosine-pair pipeline
+    feeding the same transitive-closure CTE `dedup_clusters` uses."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+    from openmrs_patient_migration_script_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold_num=1, threshold_den=2, max_df=100
+    )
+    return connected_components(pairs.select("key_a", "key_b"))

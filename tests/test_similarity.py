@@ -457,3 +457,30 @@ def test_semantic_dedup_far_centroid_keeps_edge_example(spark):
     assert mid[1] is True and mid[2] is False and mid[3] is False
     with _pytest.raises(ValueError, match="keep must be"):
         semantic_dedup(df, keep="random")
+
+
+def test_sim_ann_recall_certification_bounds(spark):
+    """The recall certification must report one row per query with
+    n_exact == K and recall in [0, 1]; and its recall must equal a
+    direct set-intersection recomputation from the two underlying
+    queries."""
+    from openmrs_patient_migration_script_spark.plans.similarity_queries import (
+        _K,
+        sim_ann_lsh,
+        sim_ann_recall,
+        sim_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim_ann_recall(spark, sf).collect()
+    assert rows and all(r["n_exact"] == _K for r in rows)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    exact = {}
+    for r in sim_cosine_topk(spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann = {}
+    for r in sim_ann_lsh(spark, sf).collect():
+        ann.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in rows:
+        want = len(exact[r["query_id"]] & ann.get(r["query_id"], set()))
+        assert r["n_hits"] == want
