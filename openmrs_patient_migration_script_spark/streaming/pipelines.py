@@ -793,3 +793,57 @@ def distinct_users_windowed(
         .agg(F.count(F.lit(1)).alias("n_distinct_users"))
         .select(F.col("w.start").alias("window_start"), "n_distinct_users")
     )
+
+
+def stream_cms_maintain(
+    stream_df: DataFrame,
+    item_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    trigger_available_now: bool = True,
+):
+    """ST10 (r6): streaming Count-Min maintenance — the serving loop of
+    the CMS family (operators/sketches.py): each micro-batch's item
+    stream folds into its own ≤ depth×width cell table, persisted under
+    ``_batch_id=<id>`` with overwrite (the `stream_ingest_dedup`
+    exactly-once construction: a replayed batch rewrites identical
+    bytes, never double-counts), and the CURRENT sketch is the
+    cell-wise SUM across batch directories (`stream_cms_read`) — CMS
+    mergeability IS addition, so the maintained state needs no
+    read-modify-write and no state store beyond the directory layout.
+
+    At 100 TB/day: each micro-batch ships ≤ 4096 cells regardless of
+    volume; the reader folds B batch files into one 4096-cell table —
+    heavy-hitter serving reads KBs, never the stream."""
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        cms_build,
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(out_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        target = f"{out_dir}/_batch_id={batch_id}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{target}/_SUCCESS")):
+            return  # replay → already durable and complete
+        cells = cms_build(batch_df, item_col, depth=depth, width=width)
+        cells.write.mode("overwrite").parquet(target)
+
+    writer = stream_df.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_cms_read(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold every persisted micro-batch cell table into the CURRENT
+    sketch: cell-wise addition by (row, bucket) — feed the result to
+    `cms_estimate` for point queries."""
+    cells = spark.read.parquet(f"{out_dir}/_batch_id=*")
+    return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -915,3 +915,70 @@ def test_stream_ingest_dedup_collapses_intra_batch_dups(spark, tmp_path):
     q.awaitTermination(120)
     admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert admitted == {11, 12}
+
+
+def test_stream_cms_maintain_merges_across_batches_and_replays(spark, tmp_path):
+    """ST10 (r6): the maintained streaming sketch (cell-wise sum across
+    micro-batch deltas) must equal the one-shot batch CMS of all data;
+    a replay on the same checkpoint rewrites nothing."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stream_cms_maintain,
+        stream_cms_read,
+    )
+
+    schema = StructType([StructField("item", StringType())])
+    b0 = [(f"tok{i % 5}",) for i in range(200)]
+    b1 = [(f"tok{i % 5}",) for i in range(100)] + [("rare",)] * 2
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([b0, b1]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_cms_maintain(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*"),
+            "item",
+            out,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    whole = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(whole, "item").collect()
+    }
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in stream_cms_read(spark, out).collect()
+    }
+    assert got == want
+    snapshot = sorted(
+        os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs
+    )
+    run()  # replay: no new batches, nothing rewritten
+    assert sorted(
+        os.path.join(d, f) for d, _, fs in os.walk(out) for f in fs
+    ) == snapshot
+    probes = spark.createDataFrame([("tok0",), ("rare",)], ["item"])
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(
+            stream_cms_read(spark, out), probes, "item"
+        ).collect()
+    }
+    assert est["tok0"] >= 60 and est["rare"] >= 2
