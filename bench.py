@@ -173,6 +173,8 @@ HEADLINE = [
     "dq_blocking_quality",
     "sim_ann_recall",
     "text_dedup_clusters",
+    "sim_pq_recall",
+    "graph_degree_dist",
 ]
 
 

@@ -1375,3 +1375,84 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = dedup_fuzzy(spark, sf_dir)
     return bfs_hops(edges, seeds, max_hops=3)
+
+
+@query(
+    "graph_degree_dist",
+    oracle="""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS u, c_custkey * 2 AS v FROM customer, mx
+      WHERE c_custkey * 2 <= m
+      UNION ALL
+      SELECT c_custkey AS u, c_custkey * 3 AS v FROM customer, mx
+      WHERE c_custkey * 3 <= m
+    ),
+    canon AS (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM e WHERE u <> v
+    ),
+    sym AS (
+      SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u)
+    SELECT CAST(length(bin(d)) - 1 AS INTEGER) AS deg_bin,
+           CAST(2 ** (length(bin(d)) - 1) AS BIGINT) AS bin_lo,
+           count(*)::BIGINT AS n_nodes,
+           min(d) AS min_deg, max(d) AS max_deg
+    FROM deg GROUP BY 1, 2
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9k (r6): log2-binned degree distribution — the first diagnostic
+    run on ANY candidate graph (a heavy tail = hot blocking keys = the
+    skew every downstream wedge/pair operator pays for;
+    `dq_blocking_quality` quantifies the block, this shows the graph it
+    produces). Runs on the varied-degree doubling graph (the k-core
+    fixture — the fuzzy-pair graph is 18-regular and collapses to one
+    bin), canonicalized the same way (self-loops out, both-orientation
+    reports collapsed). The bin index floor(log2(d)) is computed in
+    EXACT integer arithmetic on both engines — binary-string length
+    minus one (Spark conv(d,10,2), DuckDB bin(d)) — so no float log
+    boundary can flip a bin. One degree agg + one bounded bin agg; at
+    100 TB the output is ~64 rows regardless of graph size."""
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    e2 = c.filter(F.col("c_custkey") * 2 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 2).alias("key_b"),
+    )
+    e3 = c.filter(F.col("c_custkey") * 3 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 3).alias("key_b"),
+    )
+    edges = e2.unionByName(e3)
+    canon = (
+        edges.select(
+            F.least("key_a", "key_b").alias("u"),
+            F.greatest("key_a", "key_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    bin_idx = (F.length(F.conv(F.col("d"), 10, 2)) - 1).cast("int")
+    return (
+        deg.select("d", bin_idx.alias("deg_bin"))
+        .groupBy("deg_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .select(
+            "deg_bin",
+            F.pow(F.lit(2.0), F.col("deg_bin")).cast("long").alias("bin_lo"),
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+    )

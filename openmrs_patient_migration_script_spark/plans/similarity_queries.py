@@ -834,3 +834,76 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+from openmrs_patient_migration_script_spark.plans.registry import (  # noqa: E402
+    ORACLES as _ORACLES,
+)
+
+
+@query(
+    "sim_pq_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, vec_id FROM ({_ORACLES["sim_cosine_topk"]}) x
+    ),
+    ann AS (
+      SELECT query_id, vec_id FROM ({_ORACLES["sim_ann_pq"]}) y
+    )
+    SELECT exact.query_id,
+           count(*)::BIGINT AS n_exact,
+           coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_hits,
+           round(coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS recall
+    FROM exact
+    LEFT JOIN ann USING (query_id, vec_id)
+    GROUP BY exact.query_id
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4k (r6): PQ recall certification — the `sim_ann_recall` overlay
+    applied to the product-quantization path, showing the certification
+    pattern GENERALIZES across the ANN family (LSH r6, PQ r6; the same
+    join works for IVF): per-query recall@k of integer-ADC top-k +
+    re-rank against the exact baseline. The oracle composes the two
+    declared pipelines' oracles as subqueries — both content-addressed,
+    so the recall is hash-exact. Same certification-sized cost: one
+    (query,vec)-keyed join over 2·K·|queries| rows."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        pq_topk,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    exact = cosine_topk_vectorized(emb, queries, k=_K).select(
+        "query_id", "vec_id"
+    )
+    ann = pq_topk(
+        emb, queries, k=_K, n_subspaces=_PQ_SUBS, n_codes=_PQ_CODES,
+        rerank_n=_PQ_RERANK,
+    ).select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    joined = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["vec_id"] == ann["ann_vec_id"]),
+        "left",
+    ).select(exact["query_id"], exact["vec_id"], ann["ann_vec_id"])
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -37,6 +37,7 @@ NEEDS_DATA = {
     "cluster_kmeans",  # k-means cannot seed centroids from nothing
     "sim_ann_ivf",  # IVF coarse quantizer seeds from the corpus
     "sim_ann_pq",  # PQ codebooks seed from the corpus
+    "sim_pq_recall",  # certifies sim_ann_pq, same corpus-seeded codebooks
     "dedup_semantic",  # SemDeDup's coarse quantizer seeds from the corpus
 }
 
