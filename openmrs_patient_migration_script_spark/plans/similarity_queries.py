@@ -718,6 +718,54 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def _recall_overlay(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared certification overlay: per-query recall@k of an approximate
+    top-k (`ann`: query_id, vec_id) against the exact top-k (`exact`,
+    same schema) — one (query, vec)-keyed left join + per-query count
+    over 2·K·|queries| rows, certification-sized regardless of corpus
+    size. Used by the LSH / PQ / IVF recall certifications."""
+    ann = ann.select("query_id", F.col("vec_id").alias("ann_vec_id"))
+    joined = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["vec_id"] == ann["ann_vec_id"]),
+        "left",
+    ).select(exact["query_id"], exact["vec_id"], ann["ann_vec_id"])
+    hits = F.coalesce(
+        F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+        F.lit(0),
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.cast("long").alias("n_hits"),
+        F.round(hits / F.count(F.lit(1)).cast("double"), 6).alias("recall"),
+    )
+
+
+def _recall_oracle(exact_sql: str, ann_sql: str) -> str:
+    """The SQL replay of `_recall_overlay`, composing two declared
+    pipelines' oracles as subqueries (both content-addressed, so the
+    recall itself is hash-exact)."""
+    return f"""
+    WITH exact AS (
+      SELECT query_id, vec_id FROM ({exact_sql}) x
+    ),
+    ann AS (
+      SELECT query_id, vec_id FROM ({ann_sql}) y
+    )
+    SELECT exact.query_id,
+           count(*)::BIGINT AS n_exact,
+           coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_hits,
+           round(coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS recall
+    FROM exact
+    LEFT JOIN ann USING (query_id, vec_id)
+    GROUP BY exact.query_id
+    """
+
+
 @query(
     "sim_ann_recall",
     oracle=f"""
@@ -810,30 +858,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_lsh(
         emb, queries, k=_K, num_planes=_LSH_M, num_tables=_LSH_L,
         hash_mode="md5",
-    ).select("query_id", F.col("vec_id").alias("ann_vec_id"))
-    joined = exact.join(
-        ann,
-        (exact["query_id"] == ann["query_id"])
-        & (exact["vec_id"] == ann["ann_vec_id"]),
-        "left",
-    ).select(exact["query_id"], exact["vec_id"], ann["ann_vec_id"])
-    return joined.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.coalesce(
-            F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_hits"),
-        F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
-                F.lit(0),
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("recall"),
     )
+    return _recall_overlay(exact, ann)
 
 
 from openmrs_patient_migration_script_spark.plans.registry import (  # noqa: E402
@@ -843,24 +869,7 @@ from openmrs_patient_migration_script_spark.plans.registry import (  # noqa: E40
 
 @query(
     "sim_pq_recall",
-    oracle=f"""
-    WITH exact AS (
-      SELECT query_id, vec_id FROM ({_ORACLES["sim_cosine_topk"]}) x
-    ),
-    ann AS (
-      SELECT query_id, vec_id FROM ({_ORACLES["sim_ann_pq"]}) y
-    )
-    SELECT exact.query_id,
-           count(*)::BIGINT AS n_exact,
-           coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END),
-                    0)::BIGINT AS n_hits,
-           round(coalesce(sum(CASE WHEN ann.vec_id IS NOT NULL
-                                   THEN 1 ELSE 0 END), 0)
-                 / count(*)::DOUBLE, 6) AS recall
-    FROM exact
-    LEFT JOIN ann USING (query_id, vec_id)
-    GROUP BY exact.query_id
-    """,
+    oracle=_recall_oracle(_ORACLES["sim_cosine_topk"], _ORACLES["sim_ann_pq"]),
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4k (r6): PQ recall certification — the `sim_ann_recall` overlay
@@ -883,27 +892,34 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_topk(
         emb, queries, k=_K, n_subspaces=_PQ_SUBS, n_codes=_PQ_CODES,
         rerank_n=_PQ_RERANK,
-    ).select("query_id", F.col("vec_id").alias("ann_vec_id"))
-    joined = exact.join(
-        ann,
-        (exact["query_id"] == ann["query_id"])
-        & (exact["vec_id"] == ann["ann_vec_id"]),
-        "left",
-    ).select(exact["query_id"], exact["vec_id"], ann["ann_vec_id"])
-    return joined.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.coalesce(
-            F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_hits"),
-        F.round(
-            F.coalesce(
-                F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
-                F.lit(0),
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("recall"),
     )
+    return _recall_overlay(exact, ann)
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=_recall_oracle(_ORACLES["sim_cosine_topk"], _ORACLES["sim_ann_ivf"]),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4l (r6): IVF recall certification — completes the ANN-family
+    certification trio (LSH `sim_ann_recall`, PQ `sim_pq_recall`, IVF
+    here): per-query recall@k of the nprobe-pruned coarse-cell scan +
+    exact re-rank against the exact brute-force top-k. Every IVF stage
+    is content-addressed (md5-bucket seeds, cosine-argmax windows), so
+    the recall is hash-exact; the oracle composes the two declared
+    pipelines' oracles as subqueries. Certification-sized cost: one
+    (query, vec)-keyed join over 2·K·|queries| rows — at 100 TB this
+    runs on a held-out query sample while the certified path serves."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    exact = cosine_topk_vectorized(emb, queries, k=_K).select(
+        "query_id", "vec_id"
+    )
+    ann = ivf_topk(
+        emb, queries, k=_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    )
+    return _recall_overlay(exact, ann)

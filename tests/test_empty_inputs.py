@@ -38,6 +38,7 @@ NEEDS_DATA = {
     "sim_ann_ivf",  # IVF coarse quantizer seeds from the corpus
     "sim_ann_pq",  # PQ codebooks seed from the corpus
     "sim_pq_recall",  # certifies sim_ann_pq, same corpus-seeded codebooks
+    "sim_ivf_recall",  # certifies sim_ann_ivf, same corpus-seeded cells
     "dedup_semantic",  # SemDeDup's coarse quantizer seeds from the corpus
 }
 

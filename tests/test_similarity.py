@@ -484,3 +484,27 @@ def test_sim_ann_recall_certification_bounds(spark):
     for r in rows:
         want = len(exact[r["query_id"]] & ann.get(r["query_id"], set()))
         assert r["n_hits"] == want
+
+def test_ivf_recall_certification_matches_recomputation(spark):
+    """`sim_ivf_recall` must report one row per query with n_exact == K,
+    recall in [0, 1], and n_hits equal to a direct set-intersection
+    recomputation from the two underlying declared queries."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    from openmrs_patient_migration_script_spark.plans.similarity_queries import (
+        _K,
+        sim_ivf_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim_ivf_recall(spark, sf).collect()
+    assert rows and all(r["n_exact"] == _K for r in rows)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    exact = {}
+    for r in QUERIES["sim_cosine_topk"](spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann = {}
+    for r in QUERIES["sim_ann_ivf"](spark, sf).collect():
+        ann.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in rows:
+        want = len(exact[r["query_id"]] & ann.get(r["query_id"], set()))
+        assert r["n_hits"] == want
