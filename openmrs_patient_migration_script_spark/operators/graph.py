@@ -887,3 +887,159 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select(node_col)
     return visited
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """X9l (r6): exact Newman-Girvan modularity of a community
+    assignment — the CERTIFICATION metric for `label_propagation` (and
+    any other partition), the same pattern as `sim_ann_recall` /
+    `dq_blocking_quality`: every approximate or heuristic path in the
+    repo ships with an exact auditable number. Per community c this
+    returns its node count, degree sum d_c, intra-community edge count
+    e_c, and its modularity contribution
+
+        q_term_c = e_c / m  -  (d_c / 2m)^2
+                 = (4·m·e_c - d_c^2) / (4·m^2)
+
+    whose sum over communities is Q in [-0.5, 1] (Newman & Girvan 2004,
+    public literature). The numerator ``q_num = 4·m·e_c - d_c^2`` is
+    carried as DECIMAL(38,0) — exact integer arithmetic at any edge
+    count below 10^18 (the `privacy_t_closeness` overflow rule), so the
+    only float op is one final division rounded to 6dp.
+
+    ``labels`` is (node, community); ``edges`` any pair list (it is
+    canonicalized here exactly as `label_propagation` canonicalizes:
+    self-loops dropped, orientation collapsed, duplicates removed, so
+    m / degrees / intra counts all describe the same simple graph the
+    communities were fit on).
+
+    Scale: two node-keyed joins (labels onto each edge endpoint), one
+    node-keyed degree agg, then community-keyed aggs — every shuffle is
+    on the node or community key; m is a one-row broadcast. Output is
+    #communities rows."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds m, degrees, and intra counts
+    )
+    lab = labels.select("node", "community").localCheckpoint(eager=True)
+    m_df = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
+
+    sym = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    comm = (
+        lab.join(deg, lab["node"] == deg["u"], "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    intra = (
+        canon.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    dec = "decimal(19,0)"
+    out = (
+        comm.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+        )
+        .crossJoin(F.broadcast(m_df))
+    )
+    q_num = (
+        F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("intra_edges").cast(dec)
+        - F.col("degree_sum").cast(dec) * F.col("degree_sum").cast(dec)
+    ).cast("decimal(38,0)")
+    denom = F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")
+    return out.select(
+        "community",
+        "n_nodes",
+        "degree_sum",
+        "intra_edges",
+        q_num.alias("q_num"),
+        F.round(q_num.cast("double") / denom, 6).alias("q_term"),
+    )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "key_a",
+    dst: str = "key_b",
+    weight: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """X9m (r6): bounded single-source(-set) shortest paths — min total
+    WEIGHT from any source over paths of at most ``max_hops`` edges
+    (Bellman-Ford relaxation rounds), the weighted upgrade of
+    `bfs_hops`: cheapest-link-cost blast radius, trust propagation,
+    weighted contamination spread. Returns (node, dist) for every node
+    a ≤max_hops-edge path reaches, sources at dist 0.
+
+    Unlike BFS, a node's tentative distance can IMPROVE in a later
+    round (a 2-hop path may be cheaper than a 1-hop edge), so the loop
+    keeps the full tentative-distance table and re-relaxes every round:
+    dist_i = min(dist_{i-1}, min over edges (u,v,w) of dist_{i-1}[u]+w)
+    — after round i the table holds the exact min over all ≤i-edge
+    paths (the Bellman-Ford invariant, public literature). Weights must
+    be non-negative (asserted in-plan is impossible on a column; the
+    declared query derives integer weights ≥ 1).
+
+    Scale, per round: one node-keyed join (tentative dists onto the
+    symmetrized edge list) + one node-keyed min agg — shuffles carry
+    reached-nodes + their adjacency, never paths (the oracle's
+    path-enumeration form is the REPLAY, not the plan). Rounds are
+    bounded by ``max_hops``; lineage localCheckpoint-truncates per
+    round (the `connected_components` rule)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = dist.join(sym, dist[node_col] == sym["u"]).select(
+            F.col("v").alias(node_col),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy(node_col)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

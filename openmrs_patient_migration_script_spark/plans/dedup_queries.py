@@ -1456,3 +1456,127 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_deg",
         )
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH lab AS (
+      SELECT node, community FROM ({_labelprop_oracle()}) t
+    ),
+    named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS u, b.key AS v
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    mm AS (SELECT count(*)::BIGINT AS m FROM pairs),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+    comm AS (
+      SELECT lab.community,
+             count(*)::BIGINT AS n_nodes,
+             coalesce(sum(deg.d), 0)::BIGINT AS degree_sum
+      FROM lab LEFT JOIN deg ON lab.node = deg.u
+      GROUP BY lab.community
+    ),
+    intra AS (
+      SELECT la.community, count(*)::BIGINT AS intra_edges
+      FROM pairs p
+      JOIN lab la ON p.u = la.node
+      JOIN lab lb ON p.v = lb.node
+      WHERE la.community = lb.community
+      GROUP BY la.community
+    )
+    SELECT c.community, c.n_nodes, c.degree_sum,
+           coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+           (4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
+            - c.degree_sum::HUGEINT * c.degree_sum)::DECIMAL(38,0) AS q_num,
+           round((4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
+                  - c.degree_sum::HUGEINT * c.degree_sum)::DOUBLE
+                 / (4.0 * mm.m * mm.m), 6) AS q_term
+    FROM comm c LEFT JOIN intra i USING (community), mm
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9l (r6): exact modularity audit of the `graph_label_propagation`
+    communities (operators/graph.py::modularity) — the certification
+    metric that closes the community-detection loop the way
+    `sim_ann_recall` closes ANN and `dq_blocking_quality` closes
+    blocking: LPA is a heuristic, so every partition it emits ships
+    with the exact Newman-Girvan Q decomposition per community
+    (n_nodes, degree_sum, intra_edges, q_num = 4·m·e_c − d_c² as
+    DECIMAL(38,0), q_term rounded at the one final division). The
+    oracle recomputes the communities via the unrolled 3-round LPA
+    replay and the metric from scratch. Node/community-keyed shuffles
+    only; #communities output rows."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir).localCheckpoint(eager=True)
+    labels = label_propagation(pairs, n_iter=3)
+    return modularity(pairs, labels)
+
+
+@query(
+    "graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v,
+             1 + (key_a + key_b) % 7 AS w FROM pairs
+      UNION ALL
+      SELECT key_b, key_a, 1 + (key_a + key_b) % 7 FROM pairs
+    ),
+    walk(node, d, hop) AS (
+      SELECT key, 0::BIGINT, 0 FROM named WHERE key % 97 = 0
+      UNION
+      SELECT e.v, walk.d + e.w, walk.hop + 1
+      FROM walk JOIN e ON e.u = walk.node
+      WHERE walk.hop < 3
+    )
+    SELECT node, min(d)::BIGINT AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9m (r6): bounded weighted shortest paths over the fuzzy-pair
+    graph (operators/graph.py::sssp_bounded) — min total edge weight
+    from the seed set (every 97th customer) over paths of ≤ 3 edges,
+    with deterministic integer weights w = 1 + (key_a + key_b) % 7.
+    `graph_bfs`'s weighted upgrade: a 2-hop detour can now beat a
+    direct edge, which is exactly what the Bellman-Ford re-relaxation
+    rounds (and NOT a frontier-only loop) compute. The oracle
+    enumerates all ≤3-edge walks in a recursive CTE (UNION-deduped on
+    (node, d, hop), each step referencing the working table once — the
+    `graph_bfs` anti-blowup rule) and takes the per-node min; the plan
+    never materializes walks — tentative-distance table re-relaxed
+    round-per-hop, node-keyed shuffles only."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    seeds = c.select(F.col("c_custkey").alias("node")).filter(
+        F.col("c_custkey") % 97 == 0
+    )
+    edges = dedup_fuzzy(spark, sf_dir).select(
+        "key_a",
+        "key_b",
+        (1 + (F.col("key_a") + F.col("key_b")) % 7).cast("long").alias("w"),
+    )
+    return sssp_bounded(edges, seeds, max_hops=3)

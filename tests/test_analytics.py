@@ -932,3 +932,78 @@ def test_mann_whitney_hand_computed_u(spark):
         r = ab_mann_whitney(spark, d).collect()[0]
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert r["u2_a"] == 9  # 2*U_view = 2*4.5
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    """Exact Newman-Girvan decomposition on the textbook fixture: two
+    triangles joined by one bridge edge, perfectly partitioned. m = 7,
+    each community: e_c = 3, d_c = 7 -> q_num = 4*7*3 - 49 = 35,
+    q_term = 35/196; Q = sum = 5/14. Duplicate + reversed edge rows
+    must canonicalize away."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # triangle A
+            (4, 5), (5, 6), (4, 6),          # triangle B
+            (3, 4),                          # bridge
+            (2, 1), (3, 1), (4, 4),          # reversed dups + self-loop
+        ],
+        ["key_a", "key_b"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        ["node", "community"],
+    )
+    rows = {r["community"]: r for r in modularity(edges, labels).collect()}
+    for c in (1, 4):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["intra_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert int(rows[c]["q_num"]) == 35
+        assert abs(rows[c]["q_term"] - round(35 / 196, 6)) < 1e-9
+    assert abs(sum(r["q_term"] for r in rows.values()) - round(5 / 14, 6)) < 1e-6
+
+
+def test_modularity_single_community_is_zero_and_isolated_nodes(spark):
+    """Everything in one community => Q = 0 exactly (q_num = 4m^2-(2m)^2);
+    a labeled node with no edges contributes degree 0 via the left join."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        modularity,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["key_a", "key_b"])
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (42, 9)], ["node", "community"]
+    )
+    (r,) = modularity(edges, labels).collect()
+    assert r["n_nodes"] == 4 and r["intra_edges"] == 2 and r["degree_sum"] == 4
+    assert int(r["q_num"]) == 0 and r["q_term"] == 0.0
+
+
+def test_sssp_bounded_relaxation_beats_direct_edge(spark):
+    """A 3-hop unit-weight path (cost 3) must beat the direct weight-10
+    edge once max_hops admits it; at max_hops=1 the direct edge wins.
+    Parallel edges keep the cheapest; nodes past the bound are absent."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1), (2, 3, 1), (3, 4, 1),   # cheap chain
+            (1, 4, 10),                         # expensive direct edge
+            (1, 2, 5),                          # parallel edge, pricier
+            (4, 5, 1),                          # reached via the pricey edge
+        ],
+        ["key_a", "key_b", "w"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    d3 = {r["node"]: r["dist"] for r in sssp_bounded(edges, seeds, 3).collect()}
+    # node 5: 1-4-5 (2 hops, cost 11); the cheap 4-hop route 1-2-3-4-5
+    # (cost 4) exceeds the bound, so 11 stands
+    assert d3 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 11}
+    d1 = {r["node"]: r["dist"] for r in sssp_bounded(edges, seeds, 1).collect()}
+    assert d1 == {1: 0, 2: 1, 4: 10}
