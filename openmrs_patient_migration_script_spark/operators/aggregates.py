@@ -446,3 +446,47 @@ def group_spearman(
     )
     out = group_corr(ranked, group_cols, F.col("_rx"), F.col("_ry"))
     return out.withColumnRenamed("corr", "spearman")
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, decomposed
+    per cell — the data-mix dependence audit (is `source` informative
+    about `lang`? a high MI means per-source language skew the sampler
+    must stratify over; MI = 0 means the mix factorizes). Returns one
+    row per occupied (a, b) cell: exact joint and marginal counts plus
+
+        mi_term = (n_ab / N) · ln( n_ab·N / (n_a·n_b) )
+
+    rounded at 6dp; MI = sum(mi_term) ≥ 0 in nats. Every input to the
+    float chain is an exact BIGINT and the chain is fixed row-local
+    IEEE arithmetic (the `text_pmi` rule), so the rounded term is
+    partition-order free and engine-exact.
+
+    Scale: ONE hash agg over the data to the occupied-cell table; both
+    marginals and the total re-aggregate the CELL table (bounded by the
+    category-domain product, never data-sized) and broadcast back."""
+    cells = (
+        df.groupBy(F.col(col_a).alias("val_a"), F.col(col_b).alias("val_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=True)  # feeds both marginals + the total
+    )
+    ma = cells.groupBy("val_a").agg(F.sum("n_ab").cast("long").alias("n_a"))
+    mb = cells.groupBy("val_b").agg(F.sum("n_ab").cast("long").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").cast("long").alias("n_total"))
+    joined = (
+        cells.join(F.broadcast(ma), "val_a")
+        .join(F.broadcast(mb), "val_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        (F.col("n_ab") / F.col("n_total").cast("double"))
+        * F.log(
+            (F.col("n_ab").cast("double") * F.col("n_total"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        6,
+    )
+    return joined.select(
+        "val_a", "val_b", "n_ab", "n_a", "n_b", "n_total",
+        mi_term.alias("mi_term"),
+    )

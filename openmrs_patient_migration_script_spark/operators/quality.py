@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _canonical_str(col: Column, dtype: str) -> Column:
@@ -643,4 +644,85 @@ def blocking_quality(
             / F.col("n_true").cast("double"),
             6,
         ).alias("pairs_completeness"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    ref_pred: Column,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit between two slices of
+    one table — `distribution_psi`'s rank-based twin: PSI sums per-bin
+    log-ratio mass, KS reports the maximum ECDF gap, which catches a
+    pure location shift that spreads thinly over many bins. Computed
+    EXACTLY on the binned ECDF (the declared semantics — the bin grid
+    is the monitor's resolution): per bin, the gap numerator
+
+        gap_num = | cum_ref·t_cur − cum_cur·t_ref |
+
+    is exact DECIMAL(38,0) integer arithmetic (no float ECDF), and
+    ks_term = gap_num / (t_ref·t_cur) is the one final rounded
+    division. KS statistic = max(ks_term) over the emitted rows; the
+    per-bin decomposition (not just the max) is returned so the drift
+    location is auditable — the same certification-table shape as
+    `graph_modularity` / `dq_blocking_quality`.
+
+    Scale: one conditional-aggregation scan (the A8 FILTER shape) to
+    n_bins+2 count rows; the cumulative window orders those BOUNDED
+    domain rows only (metadata, not data — the `events_cumulative_users`
+    rule), totals broadcast back as a one-row frame."""
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(-1)
+        ),
+        F.lit(n_bins).cast("long"),
+    )
+    binned = df.select(bin_col.alias("bin"), ref_pred.alias("is_ref"))
+    g = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    domain = df.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(F.lit(-1).cast("long"), F.lit(n_bins).cast("long"))
+        ).alias("bin")
+    )
+    full = domain.join(g, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("c_ref"), F.lit(0)).cast("long").alias("c_ref"),
+        F.coalesce(F.col("c_cur"), F.lit(0)).cast("long").alias("c_cur"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = full.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).cast("long").alias("cum_ref"),
+        F.sum("c_cur").over(w).cast("long").alias("cum_cur"),
+    )
+    totals = full.agg(
+        F.sum("c_ref").cast("long").alias("t_ref"),
+        F.sum("c_cur").cast("long").alias("t_cur"),
+    )
+    dec = "decimal(19,0)"
+    gap_num = F.abs(
+        F.col("cum_ref").cast(dec) * F.col("t_cur").cast(dec)
+        - F.col("cum_cur").cast(dec) * F.col("t_ref").cast(dec)
+    ).cast("decimal(38,0)")
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        "cum_ref",
+        "cum_cur",
+        gap_num.alias("gap_num"),
+        F.round(
+            gap_num.cast("double")
+            / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
+            6,
+        ).alias("ks_term"),
     )

@@ -2217,3 +2217,39 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "agg_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS val_a, source AS val_b, count(*)::BIGINT AS n_ab
+      FROM documents GROUP BY lang, source
+    ),
+    ma AS (SELECT val_a, sum(n_ab)::BIGINT AS n_a FROM cells GROUP BY val_a),
+    mb AS (SELECT val_b, sum(n_ab)::BIGINT AS n_b FROM cells GROUP BY val_b),
+    t AS (SELECT sum(n_ab)::BIGINT AS n_total FROM cells)
+    SELECT cells.val_a, cells.val_b, n_ab, n_a, n_b, n_total,
+           round((n_ab / n_total::DOUBLE)
+                 * ln((n_ab::DOUBLE * n_total) / (n_a::DOUBLE * n_b)),
+                 6) AS mi_term
+    FROM cells JOIN ma USING (val_a) JOIN mb USING (val_b), t
+    """,
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3d (r6): mutual information between `lang` and `source` on the
+    corpus, decomposed per occupied cell
+    (operators/aggregates.py::mutual_information) — the data-mix
+    dependence audit: MI ≈ 0 means the language mix factorizes across
+    sources (sample sources independently); high MI means per-source
+    language skew that `corpus_mixture` / `sample_balance` must
+    stratify over. Exact BIGINT joint/marginal counts; the one float
+    chain per cell is fixed row-local IEEE ops rounded at 6dp (the
+    `text_pmi` rule). One data-sized hash agg; marginals re-aggregate
+    the bounded cell table and broadcast back."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")

@@ -966,3 +966,68 @@ def dq_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_expr_a=F.substring("name", 1, 7),
         block_expr_b=F.substring("name", 1, 7),
     )
+
+
+@query(
+    "dq_drift_ks",
+    oracle="""
+    WITH binned AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 60000.0) AS BIGINT),
+                            -1), 10) AS bin,
+             o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+      FROM orders
+    ),
+    g0 AS (
+      SELECT bin,
+             count(*) FILTER (WHERE is_ref) AS c_ref,
+             count(*) FILTER (WHERE NOT is_ref) AS c_cur
+      FROM binned GROUP BY bin
+    ),
+    dom AS (SELECT CAST(range AS BIGINT) AS bin FROM range(-1, 11)),
+    g AS (
+      SELECT dom.bin, coalesce(g0.c_ref, 0)::BIGINT AS c_ref,
+             coalesce(g0.c_cur, 0)::BIGINT AS c_cur
+      FROM dom LEFT JOIN g0 USING (bin)
+    ),
+    cum AS (
+      SELECT bin, c_ref, c_cur,
+             sum(c_ref) OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_ref,
+             sum(c_cur) OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cur
+      FROM g
+    ),
+    t AS (SELECT sum(c_ref)::BIGINT AS t_ref, sum(c_cur)::BIGINT AS t_cur FROM g)
+    SELECT bin, c_ref, c_cur, cum_ref, cum_cur,
+           abs(cum_ref::HUGEINT * t_cur
+               - cum_cur::HUGEINT * t_ref)::DECIMAL(38,0) AS gap_num,
+           round(abs(cum_ref::HUGEINT * t_cur - cum_cur::HUGEINT * t_ref)::DOUBLE
+                 / (t_ref::DOUBLE * t_cur::DOUBLE), 6) AS ks_term
+    FROM cum, t
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13c (r6): exact two-sample Kolmogorov-Smirnov drift audit on the
+    binned order-value ECDF, pre-1998 reference vs the rest
+    (operators/quality.py::ks_drift) — `dq_drift_psi`'s rank-based
+    twin on the identical slice/grid, so the two monitors are directly
+    comparable: PSI sums per-bin log-ratio mass (sensitive to reshaping),
+    KS takes the max ECDF gap (sensitive to location shift spread
+    thinly over many bins). The gap numerator |cum_ref·t_cur −
+    cum_cur·t_ref| is exact DECIMAL(38,0) integer arithmetic; the one
+    float division rounds at 6dp. One conditional-agg scan; the
+    cumulative window runs over the FIXED n_bins+2 domain rows
+    (metadata, not data); KS statistic = max(ks_term)."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        ks_drift,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return ks_drift(
+        o,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        lo=0.0,
+        width=60000.0,
+        n_bins=10,
+    )

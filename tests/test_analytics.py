@@ -1007,3 +1007,27 @@ def test_sssp_bounded_relaxation_beats_direct_edge(spark):
     assert d3 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 11}
     d1 = {r["node"]: r["dist"] for r in sssp_bounded(edges, seeds, 1).collect()}
     assert d1 == {1: 0, 2: 1, 4: 10}
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    """A product-form (independent) table has mi_term == 0 in every cell;
+    a perfectly diagonal 2-class table sums to MI = ln 2."""
+    import math
+
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    indep = spark.createDataFrame(
+        [("en", "web")] * 4 + [("en", "book")] * 4
+        + [("de", "web")] * 2 + [("de", "book")] * 2,
+        ["lang", "source"],
+    )
+    out = mutual_information(indep, "lang", "source").collect()
+    assert len(out) == 4 and all(r["mi_term"] == 0.0 for r in out)
+    diag = spark.createDataFrame(
+        [("en", "web")] * 3 + [("de", "book")] * 3, ["lang", "source"]
+    )
+    out2 = mutual_information(diag, "lang", "source").collect()
+    assert abs(sum(r["mi_term"] for r in out2) - math.log(2)) < 1e-5
+    assert all(r["n_total"] == 6 for r in out2)

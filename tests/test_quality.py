@@ -538,3 +538,30 @@ def test_tf_idf_against_equals_full_recompute(spark):
     assert inc == full and inc
     with pytest.raises(ValueError, match="token, df"):
         tf_idf_against(batch, state.withColumnRenamed("df", "n"), 3)
+
+
+def test_ks_drift_separated_and_identical_slices(spark):
+    """Fully separated slices reach ks_term = 1.0 at the boundary bin;
+    identical slices give gap_num = 0 in every bin. Exact integers: the
+    gap numerator is cum_ref*t_cur - cum_cur*t_ref."""
+    from openmrs_patient_migration_script_spark.operators.quality import ks_drift
+
+    rows = [(float(v), True) for v in (1, 2, 3)] + [
+        (float(v), False) for v in (11, 12, 13)
+    ]
+    df = spark.createDataFrame(rows, ["x", "ref"])
+    out = {
+        r["bin"]: r
+        for r in ks_drift(
+            df, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=3
+        ).collect()
+    }
+    # bins: 0 -> [0,5) holds all ref; 2 -> [10,15) holds all cur
+    assert out[0]["cum_ref"] == 3 and out[0]["cum_cur"] == 0
+    assert int(out[0]["gap_num"]) == 9 and out[0]["ks_term"] == 1.0
+    assert max(r["ks_term"] for r in out.values()) == 1.0
+    same = spark.createDataFrame(
+        [(float(v), s) for v in (1, 6, 11) for s in (True, False)], ["x", "ref"]
+    )
+    out2 = ks_drift(same, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=3).collect()
+    assert all(int(r["gap_num"]) == 0 and r["ks_term"] == 0.0 for r in out2)
