@@ -490,3 +490,66 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "val_a", "val_b", "n_ab", "n_a", "n_b", "n_total",
         mi_term.alias("mi_term"),
     )
+
+
+def cuped(
+    units: DataFrame,
+    arm_col: str = "arm",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013,
+    public literature): per experiment arm, the raw metric mean and the
+    covariate-adjusted mean
+
+        adj_mean_a = mean(y|a) − θ·(mean(x|a) − mean(x))
+        θ          = cov(x, y) / var(x)        (pooled, both arms)
+
+    where ``x`` is the PRE-experiment covariate and ``y`` the
+    experiment metric, both EXACT integer columns per unit (scale
+    currency to cents first — the `group_ols` rule): θ's numerator and
+    denominator are then the exact closed forms n·Σxy − Σx·Σy and
+    n·Σx² − (Σx)², carried as DECIMAL power sums with no reassociative
+    float summation; the per-arm double chain is fixed row-local IEEE
+    arithmetic rounded at 6dp. Degenerate var(x) = 0 yields θ = 0 (no
+    adjustment) rather than a NULL blow-up.
+
+    Scale: one hash agg over units per arm + one one-row global agg
+    broadcast back — five numbers per arm regardless of unit count."""
+    dec = "decimal(38,0)"
+    xl = F.col(x_col).cast("long")
+    yl = F.col(y_col).cast("long")
+    glob = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xl).cast("long").alias("sx"),
+        F.sum(yl).cast("long").alias("sy"),
+        F.sum(xl.cast(dec) * yl.cast(dec)).cast(dec).alias("sxy"),
+        F.sum(xl.cast(dec) * xl.cast(dec)).cast(dec).alias("sxx"),
+    )
+    arms = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(xl).cast("long").alias("sx_a"),
+        F.sum(yl).cast("long").alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(glob))
+    theta_num = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double")
+    theta_den = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast("double")
+    theta = F.when(theta_den == 0.0, F.lit(0.0)).otherwise(
+        theta_num / theta_den
+    )
+    mean_y = F.col("sy_a").cast("double") / F.col("n_units")
+    mean_x = F.col("sx_a").cast("double") / F.col("n_units")
+    gmean_x = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "arm",
+        "n_units",
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_y - theta * (mean_x - gmean_x), 6).alias("adj_mean_y"),
+    )

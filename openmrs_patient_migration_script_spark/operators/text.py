@@ -1049,3 +1049,62 @@ def tf_idf_against(
             6,
         ).alias("tfidf"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_r: int = 500) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency head — the classic
+    one-number corpus health check (natural text has log-rank/log-freq
+    slope ≈ −1; template spam and boilerplate floods flatten or steepen
+    it; Zipf 1949, public literature). Returns ONE row:
+    (n_tokens, slope, intercept_ln) from an OLS fit of ln(freq) on
+    ln(rank) over the top ``top_r`` tokens.
+
+    Determinism: ranks are exact integers from a (cnt DESC, token)
+    order; ln(rank) / ln(cnt) are scaled to 1e6 integers per row (the
+    `text_bm25` per-term rounding rule) so all five OLS sufficient
+    statistics are EXACT long/decimal sums — the closed-form
+    slope/intercept is then one fixed double chain rounded at 6dp.
+
+    Scale: the token count is the X5 vocabulary-sized agg; the head
+    extraction is a distributed sort-limit (TakeOrderedAndProject —
+    per-partition top-R then a merge of R·partitions rows, never a
+    global sort); the rank window runs over the LIMITED R rows only."""
+    counts = token_counts(df, text_col)
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(top_r)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rank"),
+        "cnt",
+    )
+    lx = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    ly = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
+    dec = "decimal(19,0)"
+    s = ranked.select(lx.alias("lx"), ly.alias("ly")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx").cast(dec) * F.col("ly").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    den = (
+        F.col("n_tokens").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast("double")
+    slope = (
+        F.col("n_tokens").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    ).cast("double") / den
+    intercept = (
+        F.col("sy").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sxy")
+    ).cast("double") / den
+    return s.select(
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept / 1e6, 6).alias("intercept_ln"),
+    )

@@ -2253,3 +2253,76 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mutual_information(d, "lang", "source")
+
+
+@query(
+    "ab_cuped",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                      0)::BIGINT AS x,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                      0)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    gstats AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx
+      FROM units
+    ),
+    arms AS (
+      SELECT arm, count(*)::BIGINT AS n_units,
+             sum(x)::BIGINT AS sx_a, sum(y)::BIGINT AS sy_a
+      FROM units GROUP BY arm
+    )
+    SELECT arm, n_units,
+           round(sy_a::DOUBLE / n_units, 6) AS mean_y,
+           round(theta, 6) AS theta,
+           round(sy_a::DOUBLE / n_units
+                 - theta * (sx_a::DOUBLE / n_units - sx::DOUBLE / n),
+                 6) AS adj_mean_y
+    FROM (
+      SELECT arm, n_units, sx_a, sy_a, sx, n,
+             CASE WHEN (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE = 0.0
+                  THEN 0.0
+                  ELSE (n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                       / (n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+             END AS theta
+      FROM arms, gstats
+    )
+    """,
+)
+def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18c (r6): CUPED variance-reduced experiment readout
+    (operators/aggregates.py::cuped) — the industry-standard A/B
+    adjustment (Deng et al., WSDM 2013): each user's PRE-period spend
+    (Jan 1-15, exact cents) is the covariate for their post-period
+    metric (Jan 16+), arms assigned by user_id parity; the adjusted
+    per-arm mean subtracts θ·(arm's covariate mean − global covariate
+    mean), with θ = cov(x,y)/var(x) from exact DECIMAL power sums —
+    zero reassociative float summation, the `agg_regression` rule, so
+    6dp rounding is partition-order free. One user-keyed agg to unit
+    rows, one arm-keyed agg + a one-row broadcast; var(x) = 0
+    degenerates to θ = 0, pinned in tests."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        cuped,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    return cuped(units)

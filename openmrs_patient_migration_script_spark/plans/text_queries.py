@@ -940,3 +940,56 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", threshold_num=1, threshold_den=2, max_df=100
     )
     return connected_components(pairs.select("key_a", "key_b"))
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    top AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM counts
+      QUALIFY rank <= 500
+    ),
+    sc AS (
+      SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(cnt) * 1000000) AS BIGINT) AS ly
+      FROM top
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_tokens,
+             sum(lx)::BIGINT AS sx, sum(ly)::BIGINT AS sy,
+             sum(lx::HUGEINT * ly)::HUGEINT AS sxy,
+             sum(lx::HUGEINT * lx)::HUGEINT AS sxx
+      FROM sc
+    )
+    SELECT n_tokens,
+           round((n_tokens::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                 / (n_tokens::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE,
+                 6) AS slope,
+           round((sy::HUGEINT * sxx - sx::HUGEINT * sxy)::DOUBLE
+                 / (n_tokens::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                 / 1000000.0, 6) AS intercept_ln
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5l (r6): Zipf-law fit of the token-frequency head
+    (operators/text.py::zipf_fit) — the one-number corpus health check:
+    natural text's log-rank/log-freq line has slope ≈ −1, template
+    floods flatten it, so the slope is the cheapest corpus-drift tripwire
+    to run per ingest batch. Rank/count pairs are exact integers; per-row
+    ln values scale to 1e6 integers (the `text_bm25` rounding rule) so
+    the OLS sufficient statistics are exact long/HUGEINT sums and the
+    closed-form slope/intercept is one fixed double chain rounded 6dp.
+    Vocabulary-sized agg → distributed sort-limit head → one-row fit."""
+    from openmrs_patient_migration_script_spark.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), top_r=500)

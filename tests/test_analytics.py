@@ -1031,3 +1031,25 @@ def test_mutual_information_independent_and_dependent(spark):
     out2 = mutual_information(diag, "lang", "source").collect()
     assert abs(sum(r["mi_term"] for r in out2) - math.log(2)) < 1e-5
     assert all(r["n_total"] == 6 for r in out2)
+
+
+def test_cuped_recovers_pure_arm_effect_and_degenerates_safely(spark):
+    """With y = 2x + effect(arm), theta must come out exactly 2 and the
+    adjusted means must recover the pure arm effect (30 vs 35). All-equal
+    covariate (var(x) = 0) degrades to theta = 0, adj == raw mean."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import cuped
+
+    units = spark.createDataFrame(
+        [(0, 10, 20), (0, 20, 40), (1, 10, 25), (1, 20, 45)],
+        ["arm", "x", "y"],
+    )
+    out = {r["arm"]: r for r in cuped(units).collect()}
+    assert out[0]["theta"] == 2.0 and out[1]["theta"] == 2.0
+    assert out[0]["adj_mean_y"] == 30.0 and out[1]["adj_mean_y"] == 35.0
+    flat = spark.createDataFrame(
+        [(0, 7, 20), (0, 7, 40), (1, 7, 31)], ["arm", "x", "y"]
+    )
+    out2 = {r["arm"]: r for r in cuped(flat).collect()}
+    assert out2[0]["theta"] == 0.0
+    assert out2[0]["adj_mean_y"] == out2[0]["mean_y"] == 30.0
+    assert out2[1]["adj_mean_y"] == 31.0

@@ -210,3 +210,21 @@ def test_repeated_span_gate_drops_boilerplate_doc(spark):
     assert 3 not in kept_on
     # the knob only removes the flagged doc, nothing else
     assert kept_off - kept_on == {3}
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """A planted corpus with counts C/i (exact Zipf, exponent 1) must fit
+    slope == -1 up to the 1e6-scaled-ln rounding, and intercept == ln C."""
+    import math
+
+    from openmrs_patient_migration_script_spark.operators.text import zipf_fit
+
+    c_top = 840
+    rows = [
+        (i, " ".join([f"tok{i:02d}"] * (c_top // i))) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    (r,) = zipf_fit(df, top_r=500).collect()
+    assert r["n_tokens"] == 8
+    assert abs(r["slope"] + 1.0) < 1e-3
+    assert abs(r["intercept_ln"] - math.log(c_top)) < 1e-2
