@@ -553,3 +553,68 @@ def cuped(
         F.round(theta, 6).alias("theta"),
         F.round(mean_y - theta * (mean_x - gmean_x), 6).alias("adj_mean_y"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Pairwise sample-covariance / correlation matrix in long form —
+    the feature-audit / PCA-prep primitive (which numeric columns move
+    together, which are redundant). ``cols`` maps output name → an
+    EXACT-integer column expression (scale currency to cents first, the
+    `group_ols` rule). Returns one row per unordered pair (col_a <
+    col_b by name): (col_a, col_b, n, cov, corr) with
+
+        cov  = (n·Σij − Σi·Σj) / (n·(n−1))
+        corr = (n·Σij − Σi·Σj) / (√(n·Σii − Σi²)·√(n·Σjj − Σj²))
+
+    — every sufficient statistic an exact long/DECIMAL(38,0) sum from
+    ONE aggregation pass (k columns → k + k·(k+1)/2 counters in one
+    scan, the `profile_columns` wide-agg shape), the wide→long reshape
+    a row-local explode, and the only float ops the fixed final
+    division/sqrt chain rounded at 6dp. Partition-order free by
+    construction; adding a column adds counters, never a scan."""
+    names = sorted(cols)
+    dec = "decimal(19,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for a in names:
+        aggs.append(F.sum(cols[a].cast("long")).cast("long").alias(f"_s_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(cols[a].cast("long").cast(dec) * cols[b].cast("long").cast(dec))
+                .cast("decimal(38,0)")
+                .alias(f"_p_{a}_{b}")
+            )
+    wide = df.agg(*aggs)
+    nn = F.col("_n").cast(dec)
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cov_num = (
+                nn * F.col(f"_p_{a}_{b}")
+                - F.col(f"_s_{a}").cast(dec) * F.col(f"_s_{b}").cast(dec)
+            ).cast("double")
+            var_a = (
+                nn * F.col(f"_p_{a}_{a}")
+                - F.col(f"_s_{a}").cast(dec) * F.col(f"_s_{a}").cast(dec)
+            ).cast("double")
+            var_b = (
+                nn * F.col(f"_p_{b}_{b}")
+                - F.col(f"_s_{b}").cast(dec) * F.col(f"_s_{b}").cast(dec)
+            ).cast("double")
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_n").alias("n"),
+                    F.round(
+                        cov_num / (F.col("_n").cast("double") * (F.col("_n") - 1)),
+                        6,
+                    ).alias("cov"),
+                    F.round(
+                        cov_num / (F.sqrt(var_a) * F.sqrt(var_b)), 6
+                    ).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pair_structs)).alias("_p")).select(
+        "_p.*"
+    )

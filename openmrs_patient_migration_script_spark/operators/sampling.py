@@ -339,3 +339,47 @@ def weighted_sample(
     )
     best = tickets.groupBy("key", "weight").agg(F.max("_u").alias("ticket"))
     return best.orderBy(F.col("ticket").desc(), F.col("key")).limit(k)
+
+
+def proportional_stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, pct: int
+) -> DataFrame:
+    """Exact proportional-allocation stratified sample: from EVERY
+    stratum keep exactly ceil(n_s · pct / 100) rows — the survey-
+    sampling / eval-set-construction contract where per-stratum sizes
+    must be exact, not expected (`stratified_hash_sample` is the
+    rate-based Bernoulli twin: O(0) extra cost but binomially noisy
+    sizes; this form trades one per-stratum rank for exactness, and
+    ceil guarantees every non-empty stratum survives — tiny strata are
+    never rounded away). Selection is content-addressed (smallest
+    md5(key) first, key tiebreak), so re-runs and engines agree row-set
+    exactly. Returns (stratum, key, rn, n_stratum).
+
+    Scale: one stratum-keyed count agg broadcast back (strata are
+    bounded-domain) + one per-stratum rank window. The keep threshold
+    is data-dependent, so WindowGroupLimit canNOT prune this window (a
+    literal-cap form would — that is `cap_per_group`); the honest cost
+    is one full sort per stratum partition. ``pct`` is integer percent
+    and the threshold ceil(n·pct/100) = (n·pct + 99) div 100 stays in
+    exact integer arithmetic."""
+    if not (0 < pct <= 100):
+        raise ValueError(f"pct must be in 1..100, got {pct}")
+    counts = df.groupBy(F.col(stratum_col).alias("_st")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_stratum")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    keep = (F.col("n_stratum") * pct + 99) / 100
+    return (
+        ranked.join(
+            F.broadcast(counts), ranked["stratum"] == counts["_st"]
+        )
+        .filter(F.col("rn") <= keep.cast("long"))
+        .select("stratum", "key", "rn", "n_stratum")
+    )

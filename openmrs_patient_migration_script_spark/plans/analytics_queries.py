@@ -2326,3 +2326,41 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return cuped(units)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*)::BIGINT AS n_stratum FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang AS stratum, doc_id AS key,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             )::BIGINT AS rn
+      FROM documents
+    )
+    SELECT r.stratum, r.key, r.rn, c.n_stratum
+    FROM ranked r JOIN counts c ON r.stratum = c.lang
+    WHERE r.rn <= (c.n_stratum * 10 + 99) // 100
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10g (r6): exact proportional-allocation stratified sample —
+    exactly ceil(10% of each language) of the corpus, smallest-md5
+    first (operators/sampling.py::proportional_stratified_sample): the
+    eval-set-construction contract where per-stratum sizes must be
+    EXACT, complementing `sample_hash`'s rate-based Bernoulli form
+    (noisy sizes, zero extra cost) — ceil guarantees tiny strata are
+    never rounded away. Content-addressed selection makes the kept
+    row-set engine-exact. One bounded count agg broadcast + one
+    per-stratum rank window (data-dependent threshold, so no
+    WindowGroupLimit prune — the documented cost of exactness)."""
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        proportional_stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return proportional_stratified_sample(d, "doc_id", "lang", pct=10)

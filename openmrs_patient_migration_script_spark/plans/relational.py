@@ -2240,3 +2240,85 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         pcts=[25, 50, 75],
     )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""
+    WITH sc AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(disc_c)::BIGINT AS s_d, sum(price_c)::BIGINT AS s_p,
+             sum(qty)::BIGINT AS s_q, sum(tax_c)::BIGINT AS s_t,
+             sum(disc_c::HUGEINT * disc_c) AS p_dd,
+             sum(disc_c::HUGEINT * price_c) AS p_dp,
+             sum(disc_c::HUGEINT * qty) AS p_dq,
+             sum(disc_c::HUGEINT * tax_c) AS p_dt,
+             sum(price_c::HUGEINT * price_c) AS p_pp,
+             sum(price_c::HUGEINT * qty) AS p_pq,
+             sum(price_c::HUGEINT * tax_c) AS p_pt,
+             sum(qty::HUGEINT * qty) AS p_qq,
+             sum(qty::HUGEINT * tax_c) AS p_qt,
+             sum(tax_c::HUGEINT * tax_c) AS p_tt
+      FROM sc
+    )
+    SELECT col_a, col_b, n,
+           round(cov_num / (n::DOUBLE * (n - 1)), 6) AS cov,
+           round(cov_num / (sqrt(var_a) * sqrt(var_b)), 6) AS corr
+    FROM (
+      SELECT n, pair.col_a, pair.col_b,
+             (n::HUGEINT * pair.pij - pair.si::HUGEINT * pair.sj)::DOUBLE
+               AS cov_num,
+             (n::HUGEINT * pair.pii - pair.si::HUGEINT * pair.si)::DOUBLE
+               AS var_a,
+             (n::HUGEINT * pair.pjj - pair.sj::HUGEINT * pair.sj)::DOUBLE
+               AS var_b
+      FROM s, unnest([
+        {'col_a': 'disc_c', 'col_b': 'price_c', 'si': s_d, 'sj': s_p,
+         'pij': p_dp, 'pii': p_dd, 'pjj': p_pp},
+        {'col_a': 'disc_c', 'col_b': 'qty', 'si': s_d, 'sj': s_q,
+         'pij': p_dq, 'pii': p_dd, 'pjj': p_qq},
+        {'col_a': 'disc_c', 'col_b': 'tax_c', 'si': s_d, 'sj': s_t,
+         'pij': p_dt, 'pii': p_dd, 'pjj': p_tt},
+        {'col_a': 'price_c', 'col_b': 'qty', 'si': s_p, 'sj': s_q,
+         'pij': p_pq, 'pii': p_pp, 'pjj': p_qq},
+        {'col_a': 'price_c', 'col_b': 'tax_c', 'si': s_p, 'sj': s_t,
+         'pij': p_pt, 'pii': p_pp, 'pjj': p_tt},
+        {'col_a': 'qty', 'col_b': 'tax_c', 'si': s_q, 'sj': s_t,
+         'pij': p_qt, 'pii': p_qq, 'pjj': p_tt}
+      ]) AS t(pair)
+    )
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3e (r6): pairwise covariance/correlation matrix of the lineitem
+    numeric features in long form
+    (operators/aggregates.py::corr_matrix) — the feature-audit / PCA
+    prep primitive (price≈qty·unit-cost shows up as a strong pair;
+    discount/tax should be near-independent). All four columns scale to
+    exact integers (cents), every sufficient statistic is an exact
+    long/DECIMAL(38,0) sum from ONE aggregation pass (4 + 10 counters
+    in one scan — the `profile_columns` wide-agg shape, adding a column
+    adds counters, never a scan), the wide→long reshape is a row-local
+    explode, and the only float ops are the fixed final division/sqrt
+    chain rounded 6dp."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        corr_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        {
+            "qty": F.round(F.col("l_quantity")),
+            "price_c": F.round(F.col("l_extendedprice") * 100),
+            "disc_c": F.round(F.col("l_discount") * 100),
+            "tax_c": F.round(F.col("l_tax") * 100),
+        },
+    )

@@ -1053,3 +1053,56 @@ def test_cuped_recovers_pure_arm_effect_and_degenerates_safely(spark):
     assert out2[0]["theta"] == 0.0
     assert out2[0]["adj_mean_y"] == out2[0]["mean_y"] == 30.0
     assert out2[1]["adj_mean_y"] == 31.0
+
+
+def test_corr_matrix_perfect_and_anti_correlation(spark):
+    """Hand fixture: b = 2a (corr +1), c = -a (corr -1 with a, -1 with b);
+    covariances match the sample formula exactly."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        corr_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, -1), (2, 4, -2), (3, 6, -3), (4, 8, -4)], ["a", "b", "c"]
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in corr_matrix(
+            df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")]["corr"] == 1.0 and out[("a", "c")]["corr"] == -1.0
+    assert out[("b", "c")]["corr"] == -1.0
+    # var(a) = 5/3; cov(a,b) = 2*var(a) = 10/3; cov(a,c) = -5/3
+    assert abs(out[("a", "b")]["cov"] - round(10 / 3, 6)) < 1e-9
+    assert abs(out[("a", "c")]["cov"] + round(5 / 3, 6)) < 1e-9
+    assert all(r["n"] == 4 for r in out.values())
+
+
+def test_proportional_stratified_sample_exact_sizes(spark):
+    """Every stratum keeps exactly ceil(n_s * pct / 100) rows; a 1-row
+    stratum survives (ceil); selection is partition-layout invariant."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        proportional_stratified_sample,
+    )
+
+    rows = [(i, "big") for i in range(95)] + [(100 + i, "mid") for i in range(14)]
+    rows += [(900, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = proportional_stratified_sample(df, "doc_id", "lang", pct=10)
+    sizes = {r["stratum"]: r["cnt"] for r in
+             out.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()}
+    assert sizes == {"big": 10, "mid": 2, "tiny": 1}  # ceil(9.5), ceil(1.4), ceil(0.1)
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in proportional_stratified_sample(
+            df.repartition(7), "doc_id", "lang", pct=10
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        proportional_stratified_sample(df, "doc_id", "lang", pct=0)
