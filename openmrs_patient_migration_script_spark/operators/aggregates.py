@@ -514,22 +514,26 @@ def cuped(
     arithmetic rounded at 6dp. Degenerate var(x) = 0 yields θ = 0 (no
     adjustment) rather than a NULL blow-up.
 
-    Scale: one hash agg over units per arm + one one-row global agg
-    broadcast back — five numbers per arm regardless of unit count."""
+    Scale: ONE hash agg over units, keyed on the arm, carrying the five
+    power sums; the pooled/global sums then re-aggregate the #arms-row
+    table (integer sums regroup exactly) and broadcast back — units are
+    scanned once, never twice."""
     dec = "decimal(38,0)"
     xl = F.col(x_col).cast("long")
     yl = F.col(y_col).cast("long")
-    glob = units.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xl).cast("long").alias("sx"),
-        F.sum(yl).cast("long").alias("sy"),
-        F.sum(xl.cast(dec) * yl.cast(dec)).cast(dec).alias("sxy"),
-        F.sum(xl.cast(dec) * xl.cast(dec)).cast(dec).alias("sxx"),
-    )
     arms = units.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum(xl).cast("long").alias("sx_a"),
         F.sum(yl).cast("long").alias("sy_a"),
+        F.sum(xl.cast(dec) * yl.cast(dec)).cast(dec).alias("sxy_a"),
+        F.sum(xl.cast(dec) * xl.cast(dec)).cast(dec).alias("sxx_a"),
+    ).localCheckpoint(eager=True)  # feeds the arm rows AND the global re-agg
+    glob = arms.agg(
+        F.sum("n_units").cast("long").alias("n"),
+        F.sum("sx_a").cast("long").alias("sx"),
+        F.sum("sy_a").cast("long").alias("sy"),
+        F.sum("sxy_a").cast(dec).alias("sxy"),
+        F.sum("sxx_a").cast(dec).alias("sxx"),
     )
     j = arms.crossJoin(F.broadcast(glob))
     theta_num = (

@@ -691,10 +691,16 @@ def ks_drift(
             F.sequence(F.lit(-1).cast("long"), F.lit(n_bins).cast("long"))
         ).alias("bin")
     )
-    full = domain.join(g, "bin", "left").select(
-        "bin",
-        F.coalesce(F.col("c_ref"), F.lit(0)).cast("long").alias("c_ref"),
-        F.coalesce(F.col("c_cur"), F.lit(0)).cast("long").alias("c_cur"),
+    full = (
+        domain.join(g, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("c_ref"), F.lit(0)).cast("long").alias("c_ref"),
+            F.coalesce(F.col("c_cur"), F.lit(0)).cast("long").alias("c_cur"),
+        )
+        # feeds the cumulative window AND the totals: checkpoint the
+        # n_bins+2 bounded rows so the data-sized count scan runs once
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = full.select(
