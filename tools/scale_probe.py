@@ -499,6 +499,113 @@ def _weighted_sample_shape(d_k):
     )
 
 
+
+def _modularity_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _fuzzy_edges(c_k).localCheckpoint(eager=True)
+    return modularity(edges, label_propagation(edges, n_iter=3))
+
+
+def _sssp_shape(c_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = _fuzzy_edges(c_k).select(
+        "key_a",
+        "key_b",
+        (1 + (F.col("key_a") + F.col("key_b")) % 7).cast("long").alias("w"),
+    )
+    seeds = c_k.select(F.col("c_custkey").alias("node")).filter(
+        F.col("c_custkey") % 97 == 0
+    )
+    return sssp_bounded(edges, seeds, max_hops=3)
+
+
+def _ks_shape(o_k):
+    from openmrs_patient_migration_script_spark.operators.quality import ks_drift
+
+    return ks_drift(
+        o_k,
+        "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        lo=0.0,
+        width=60000.0,
+        n_bins=10,
+    )
+
+
+def _corrmatrix_shape(li_k):
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        corr_matrix,
+    )
+
+    return corr_matrix(
+        li_k,
+        {
+            "qty": F.round(F.col("l_quantity")),
+            "price_c": F.round(F.col("l_extendedprice") * 100),
+            "disc_c": F.round(F.col("l_discount") * 100),
+            "tax_c": F.round(F.col("l_tax") * 100),
+        },
+    )
+
+
+def _cuped_shape(ev_k):
+    from openmrs_patient_migration_script_spark.operators.aggregates import cuped
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = ev_k.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    return cuped(units)
+
+
+def _zipf_shape(docs, k: int):
+    """Zipf fit at k copies — tokens copy-tagged like the surprisal
+    shape so the vocabulary grows with rows (new documents, not
+    replayed ones)."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.text import zipf_fit
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace("text", r"(\w+)", f"$1x{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    return zipf_fit(reduce(lambda a, b: a.unionByName(b), copies), top_r=500)
+
+
+def _mi_shape(d_k):
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    return mutual_information(d_k, "lang", "source")
+
+
+def _stratified_shape(d_k):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        proportional_stratified_sample,
+    )
+
+    return proportional_stratified_sample(d_k, "doc_id", "lang", pct=10)
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
@@ -702,6 +809,23 @@ def main() -> None:
             "knn_graph_lsh": lambda: _knn_lsh_shape(emb, k),
             # per-key sequence-gap lag audit: one keyed window
             "sequence_gap_audit": _gaps_shape(li_k),
+            # --- r6 shapes ---
+            # modularity: two node-keyed label joins + community aggs
+            "modularity_audit": lambda: _modularity_shape(c_k),
+            # Bellman-Ford rounds: tentative-dist join + min agg per hop
+            "sssp_relaxation": lambda: _sssp_shape(c_k),
+            # one conditional-agg scan; window over n_bins+2 rows only
+            "ks_drift_binned": _ks_shape(o_k),
+            # 15 exact counters in ONE scan, row-local explode
+            "corr_matrix_onepass": _corrmatrix_shape(li_k),
+            # user-keyed agg to units, arm-keyed power sums, 2-row re-agg
+            "cuped_readout": _cuped_shape(ev_k),
+            # vocab agg + distributed sort-limit head (grows w/ corpus)
+            "zipf_head_fit": lambda: _zipf_shape(docs, k),
+            # one data agg to cells; marginals re-agg the cell table
+            "mutual_info_cells": _mi_shape(d_k),
+            # count broadcast + one per-stratum rank window
+            "stratified_exact_sample": _stratified_shape(d_k),
         }
 
     results: dict[str, dict[int, float]] = {}
