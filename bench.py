@@ -175,6 +175,18 @@ HEADLINE = [
     "text_dedup_clusters",
     "sim_pq_recall",
     "graph_degree_dist",
+    # round-6 second wave: community/shortest-path graph ops, the exact
+    # KS/MI/corr-matrix/CUPED statistics family, Zipf head fit, exact
+    # stratified allocation, IVF recall certification
+    "graph_modularity",
+    "graph_sssp",
+    "dq_drift_ks",
+    "agg_mutual_info",
+    "ab_cuped",
+    "text_zipf_fit",
+    "agg_corr_matrix",
+    "sample_stratified",
+    "sim_ivf_recall",
 ]
 
 

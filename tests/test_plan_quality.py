@@ -830,6 +830,9 @@ _PYTHON_STAGE_OK_PREFIXES = (
     "multimodal_", "sim_cosine_topk", "sim_ann_", "cluster_",
     "sim_mmr_rerank", "stream_stateful", "dedup_embedding",
     "dedup_semantic", "sim_knn_graph", "embed_",
+    # the PQ/IVF recall certifications compare against the exact
+    # brute-force top-k, which is the Arrow-vectorized matmul path
+    "sim_pq_recall", "sim_ivf_recall",
 )
 
 
