@@ -885,7 +885,16 @@ def main() -> None:
         "levers (AQE skew split, HLL swap for exact distincts, salting)",
         "are documented in the operator docstrings and SHUFFLE.md.",
     ]
-    Path("SCALING.md").write_text("\n".join(lines) + "\n")
+    # Preserve the separately-generated 64x section (scale_probe_64x.py)
+    # across regens — this tool only re-times the 1x/4x/16x table.
+    out_path = Path("SCALING.md")
+    extra = ""
+    if out_path.exists():
+        prev = out_path.read_text()
+        marker = "## 64x probe"
+        if marker in prev:
+            extra = "\n" + prev[prev.index(marker):]
+    out_path.write_text("\n".join(lines) + "\n" + extra)
     print("wrote SCALING.md")
 
 
