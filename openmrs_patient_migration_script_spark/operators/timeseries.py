@@ -795,3 +795,172 @@ def seasonal_anomalies(
             (n_mads * F.col("_mad") / F.lit(float(scale))).alias("threshold"),
         )
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+    period: int = 4,
+    max_group_size: int = 100_000,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per key —
+    the full level + trend + SEASONAL recurrence (Winters 1960, public
+    literature), the family member `holt_linear` is blind to: under a
+    repeating intra-period pattern the double-smoother chases the
+    season up and down forever, while the seasonal state absorbs it.
+    Per observation i (m = ``period``):
+
+        level_i  = α·(v_i − s_{i−m}) + (1−α)·(level_{i−1} + trend_{i−1})
+        trend_i  = β·(level_i − level_{i−1}) + (1−β)·trend_{i−1}
+        season_i = γ·(v_i − level_i) + (1−γ)·s_{i−m}
+
+    seeded from the first m observations: level_m = their mean (built
+    as the explicit left-associated sum ((v1+v2)+…)/m — the exact tree
+    the oracle writes), trend_m = 0, s_j = v_j − level_m. Rows 1..m are
+    warm-up (emitted with NULL states and dropped); keys with ≤ m
+    observations produce no output. Returns (key, order_cols..., level,
+    trend, season, forecast) where forecast = level + trend +
+    s_{i−m+1} is the one-step-ahead prediction.
+
+    Execution contract is `holt_linear`'s: ONE shuffle gathers each
+    key's sorted array, a single sequential `F.aggregate` fold walks it
+    carrying (level, trend, last-m seasonals) — the seasonal buffer
+    rotates via slice+append, the trend/season updates INLINE the new
+    level expression, so the whole state is one fixed IEEE tree a
+    recursive-CTE oracle replays bit-exactly (raw doubles, no round);
+    posexplode restores rows; the bounded-group contract fails loudly
+    in-plan. Unbounded keys re-chunk by (key, epoch) with carried
+    (level, trend, seasonals) seeds — documented, not implemented."""
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(value_col))
+        )
+    )
+    per_key = df.groupBy(F.col(key_col)).agg(seq.alias("seq"))
+    guard = F.assert_true(
+        F.size("seq") <= max_group_size,
+        F.concat(
+            F.lit("holt_winters group for key "),
+            F.col(key_col).cast("string"),
+            F.lit(" has "),
+            F.size("seq").cast("string"),
+            F.lit(f" rows (> {max_group_size})"),
+        ),
+    )
+    per_key = per_key.where(guard.isNull())
+    a, b, g = float(alpha), float(beta), float(gamma)
+    null_out = F.lit(None).cast(
+        "struct<level: double, trend: double, season: double, fcst: double>"
+    )
+
+    def _seed_level(buf, x):
+        # explicit left-associated sum — the identical tree the oracle
+        # writes as ((v1 + v2) + ...) / m
+        tot = F.element_at(buf, 1)
+        for j in range(2, m):
+            tot = tot + F.element_at(buf, j)
+        return (tot + x[value_col]) / F.lit(float(m))
+
+    def _new_level(acc, x):
+        return F.lit(a) * (x[value_col] - F.element_at(acc["seas"], 1)) + F.lit(
+            1.0 - a
+        ) * (acc["level"] + acc["trend"])
+
+    def _new_trend(acc, x):
+        return F.lit(b) * (_new_level(acc, x) - acc["level"]) + F.lit(
+            1.0 - b
+        ) * acc["trend"]
+
+    def _new_season(acc, x):
+        return F.lit(g) * (x[value_col] - _new_level(acc, x)) + F.lit(
+            1.0 - g
+        ) * F.element_at(acc["seas"], 1)
+
+    def _step(acc, x):
+        warm = F.size(acc["buf"]) < m - 1
+        seeding = (F.size(acc["buf"]) == m - 1) & acc["level"].isNull()
+        seed_lv = _seed_level(acc["buf"], x)
+        seed_seas = F.array(
+            *[
+                F.element_at(acc["buf"], j) - seed_lv
+                for j in range(1, m)
+            ],
+            x[value_col] - seed_lv,
+        )
+        upd_out = F.struct(
+            _new_level(acc, x).alias("level"),
+            _new_trend(acc, x).alias("trend"),
+            _new_season(acc, x).alias("season"),
+            (
+                _new_level(acc, x)
+                + _new_trend(acc, x)
+                + F.element_at(acc["seas"], 2)
+            ).alias("fcst"),
+        )
+        return F.struct(
+            F.concat(
+                acc["arr"],
+                F.array(
+                    F.when(warm | seeding, null_out).otherwise(upd_out)
+                ),
+            ).alias("arr"),
+            F.when(warm, F.concat(acc["buf"], F.array(x[value_col])))
+            .otherwise(acc["buf"])
+            .alias("buf"),
+            F.when(warm, F.lit(None).cast("double"))
+            .when(seeding, seed_lv)
+            .otherwise(_new_level(acc, x))
+            .alias("level"),
+            F.when(warm, F.lit(None).cast("double"))
+            .when(seeding, F.lit(0.0))
+            .otherwise(_new_trend(acc, x))
+            .alias("trend"),
+            F.when(warm, F.lit(None).cast("array<double>"))
+            .when(seeding, seed_seas)
+            .otherwise(
+                F.concat(
+                    F.slice(acc["seas"], 2, m - 1),
+                    F.array(_new_season(acc, x)),
+                )
+            )
+            .alias("seas"),
+        )
+
+    folded = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.array()
+            .cast(
+                "array<struct<level: double, trend: double,"
+                " season: double, fcst: double>>"
+            )
+            .alias("arr"),
+            F.array().cast("array<double>").alias("buf"),
+            F.lit(None).cast("double").alias("level"),
+            F.lit(None).cast("double").alias("trend"),
+            F.lit(None).cast("array<double>").alias("seas"),
+        ),
+        _step,
+        lambda acc: acc["arr"],
+    )
+    out = per_key.select(
+        key_col,
+        F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z"),
+    )
+    # no round(): sequential fold, order-deterministic — see `ewma`
+    return out.filter(F.col("z.1.level").isNotNull()).select(
+        key_col,
+        *[F.col(f"z.seq.{c}").alias(c) for c in order_cols],
+        F.col("z.1.level").alias("level"),
+        F.col("z.1.trend").alias("trend"),
+        F.col("z.1.season").alias("season"),
+        F.col("z.1.fcst").alias("forecast"),
+    )

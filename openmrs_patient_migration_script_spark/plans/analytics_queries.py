@@ -2364,3 +2364,81 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return proportional_stratified_sample(d, "doc_id", "lang", pct=10)
+
+
+@query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, value::DOUBLE AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    seed AS (
+      SELECT user_id,
+             (((max(CASE WHEN rn = 1 THEN v END)
+                + max(CASE WHEN rn = 2 THEN v END))
+               + max(CASE WHEN rn = 3 THEN v END))
+              + max(CASE WHEN rn = 4 THEN v END)) / 4.0 AS lv,
+             max(CASE WHEN rn = 1 THEN v END) AS v1,
+             max(CASE WHEN rn = 2 THEN v END) AS v2,
+             max(CASE WHEN rn = 3 THEN v END) AS v3,
+             max(CASE WHEN rn = 4 THEN v END) AS v4
+      FROM ordered WHERE rn <= 4
+      GROUP BY user_id
+      HAVING count(*) = 4
+    ),
+    rec AS (
+      SELECT user_id, CAST(NULL AS BIGINT) AS event_id, 4::BIGINT AS rn,
+             lv AS level, 0.0::DOUBLE AS trend,
+             CAST(NULL AS DOUBLE) AS season, CAST(NULL AS DOUBLE) AS fcst,
+             v1 - lv AS s1, v2 - lv AS s2, v3 - lv AS s3, v4 - lv AS s4
+      FROM seed
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             0.5 * (o.v - r.s1) + 0.5 * (r.level + r.trend),
+             0.5 * ((0.5 * (o.v - r.s1) + 0.5 * (r.level + r.trend))
+                    - r.level) + 0.5 * r.trend,
+             0.5 * (o.v - (0.5 * (o.v - r.s1)
+                           + 0.5 * (r.level + r.trend))) + 0.5 * r.s1,
+             (0.5 * (o.v - r.s1) + 0.5 * (r.level + r.trend))
+               + (0.5 * ((0.5 * (o.v - r.s1) + 0.5 * (r.level + r.trend))
+                         - r.level) + 0.5 * r.trend)
+               + r.s2,
+             r.s2, r.s3, r.s4,
+             0.5 * (o.v - (0.5 * (o.v - r.s1)
+                           + 0.5 * (r.level + r.trend))) + 0.5 * r.s1
+      FROM ordered o
+      JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, level, trend, season, fcst AS forecast
+    FROM rec WHERE rn > 4
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15l (r6): additive Holt-Winters triple exponential smoothing per
+    user (alpha=beta=gamma=0.5, period 4, level seeded at the first-4
+    mean, trend at 0, seasonals at the first-4 residuals) via
+    operators/timeseries.py::holt_winters_additive — the seasonal
+    upgrade `ts_holt_linear` is blind to: under a repeating pattern the
+    double smoother chases the season forever, the seasonal state
+    absorbs it (pinned: a planted exactly-periodic series recovers
+    level/trend/season/next-actual-forecast exactly). Same execution
+    contract as holt/ewma — one key shuffle, one sequential in-row fold
+    carrying (level, trend, last-m seasonals), every update inlining
+    the new-level tree — so the recursive-CTE oracle (seasonal state as
+    m rotating columns, one working-table reference per step) replays
+    the raw doubles bit-exactly, no round()."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = holt_winters_additive(
+        e, "user_id", ["ts", "event_id"], "value",
+        alpha=0.5, beta=0.5, gamma=0.5, period=4, max_group_size=100_000,
+    )
+    return out.select(
+        "user_id", "event_id", "level", "trend", "season", "forecast"
+    )

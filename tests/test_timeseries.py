@@ -327,3 +327,54 @@ def test_autocorr_detects_planted_period(spark):
 
     assert ac(8) == 1.0
     assert ac(4) < -0.5
+
+
+def test_holt_winters_recovers_planted_season_exactly(spark):
+    """On an exactly-periodic series (level 100, zero trend, seasonal
+    pattern with mean 0) the triple smoother must hold level == 100,
+    trend == 0, season == the planted offsets, and the one-step
+    forecast == the next actual — all bit-exact. Warm-up rows (1..m)
+    are dropped; keys with <= m observations emit nothing."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    S = [4.0, -2.0, 6.0, -8.0]
+    rows = [(1, t, 100.0 + S[t % 4]) for t in range(12)]
+    rows += [(2, t, 50.0) for t in range(4)]  # exactly m rows -> dropped
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = holt_winters_additive(df, "k", ["t"], "v", period=4)
+    got = sorted(
+        (r["t"], r["level"], r["trend"], r["season"], r["forecast"])
+        for r in out.collect()
+    )
+    assert [t for t, *_ in got] == list(range(4, 12))
+    assert all(r[0] >= 4 for r in got), "warm-up rows must be dropped"
+    for t, level, trend, season, fcst in got:
+        assert level == 100.0 and trend == 0.0
+        assert season == S[t % 4]
+        assert fcst == 100.0 + S[(t + 1) % 4]
+    assert not any(r for r in out.collect() if r["k"] == 2)
+
+
+def test_holt_winters_absorbs_season_where_holt_chases_it(spark):
+    """The raison d'etre: on a periodic series, holt_linear's one-step
+    forecast keeps a large error forever, holt_winters' goes to ~0."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        holt_linear,
+        holt_winters_additive,
+    )
+
+    S = [10.0, -10.0, 10.0, -10.0]
+    rows = [(1, t, 100.0 + S[t % 4]) for t in range(20)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    actual = {t: 100.0 + S[t % 4] for t in range(20)}
+    hw = {r["t"]: r["forecast"] for r in
+          holt_winters_additive(df, "k", ["t"], "v", period=4).collect()}
+    hl = {r["t"]: r["forecast"] for r in
+          holt_linear(df, "k", ["t"], "v").collect()}
+    # compare forecasts for t+1 made at t, over the settled tail
+    hw_err = max(abs(hw[t] - actual[t + 1]) for t in range(10, 19))
+    hl_err = max(abs(hl[t] - actual[t + 1]) for t in range(10, 19))
+    assert hw_err < 1e-9
+    assert hl_err > 5.0
