@@ -187,6 +187,8 @@ HEADLINE = [
     "agg_corr_matrix",
     "sample_stratified",
     "sim_ivf_recall",
+    "ts_holt_winters",
+    "multimodal_dedup_clusters",
 ]
 
 

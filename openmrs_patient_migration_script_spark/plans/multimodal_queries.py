@@ -304,3 +304,52 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return scene_cuts(make_media_table(d), min_delta_db=25.0)
+
+
+@query(
+    "multimodal_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE fp0 AS (
+      SELECT doc_id AS key,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS f
+      FROM documents
+    ),
+    fp AS (
+      SELECT key, f FROM fp0
+      UNION ALL SELECT key + 1000000, f FROM fp0
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM fp a JOIN fp b ON a.key < b.key
+      WHERE bit_count(xor(a.f, b.f)) <= 3
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    """,
+)
+def multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8i (r6): image duplicate GROUPS — connected components over the
+    `multimodal_phash_pairs` banded-Hamming graph, closing the
+    pair→cluster arc for the image modality exactly as
+    `text_dedup_clusters` closes it for text and `dedup_clusters` for
+    names (the kept-image election then follows `etl_golden_record`).
+    Every image clusters with its re-ingested second-crawl copy, so
+    every cluster is non-vacuous by construction. Pair generation stays
+    banded (pigeonhole equi-join, no all-pairs); the closure is the
+    O(log n)-round star contraction; the oracle replays fingerprints,
+    pairing AND the transitive closure as brute-force SQL."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = multimodal_phash_pairs(spark, sf_dir)
+    return connected_components(pairs)
