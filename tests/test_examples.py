@@ -89,3 +89,13 @@ def test_semantic_dedup_sweep():
     for m in (exact, para, mh, sem):
         assert int(m.group(2)) <= int(m.group(1))
     assert int(sem.group(2)) > 0
+
+
+def test_certification_suite():
+    stdout = _run("certification_suite.py")
+    for path in ("LSH", "PQ ", "IVF"):
+        assert f"ann recall@k [{path}]" in stdout
+    assert "modularity Q =" in stdout
+    assert "drift: KS=" in stdout
+    assert "zipf slope:" in stdout
+    assert "certification: COMPLETE" in stdout
