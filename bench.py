@@ -189,6 +189,8 @@ HEADLINE = [
     "sim_ivf_recall",
     "ts_holt_winters",
     "multimodal_dedup_clusters",
+    "agg_histogram2d",
+    "events_markov_stationary",
 ]
 
 

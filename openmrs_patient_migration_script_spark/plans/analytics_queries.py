@@ -2442,3 +2442,104 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "level", "trend", "season", "forecast"
     )
+
+
+def _markov_oracle(n_iter: int = 4) -> str:
+    """Unrolled integer fixed-point power iteration (the `graph_pagerank`
+    recipe): the transition matrix normalizes to 1e9-unit integer
+    probabilities, the stationary vector iterates in exact integer
+    arithmetic — each round references the previous exactly once."""
+    sql = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    m0 AS (
+      SELECT prev_type AS src, event_type AS dst, count(*)::BIGINT AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outc AS (SELECT src, sum(cnt)::BIGINT AS out_cnt FROM m0 GROUP BY src),
+    m AS (
+      SELECT m0.src, m0.dst,
+             (m0.cnt * 1000000000) // outc.out_cnt AS prob_u
+      FROM m0 JOIN outc USING (src)
+    ),
+    ns AS (SELECT count(DISTINCT src)::BIGINT AS n_states FROM m),
+    p0 AS (
+      SELECT DISTINCT src AS state, 1000000000 // ns.n_states AS pu
+      FROM m, ns
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    p{i} AS (
+      SELECT m.dst AS state,
+             sum((p.pu * m.prob_u) // 1000000000)::BIGINT AS pu
+      FROM p{i - 1} p JOIN m ON m.src = p.state
+      GROUP BY m.dst
+    )"""
+    sql += f"""
+    SELECT state AS event_type, pu AS pi_units,
+           round(pu / 1000000000.0, 6) AS pi
+    FROM p{n_iter}
+    """
+    return sql
+
+
+@query("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11g (r6): steady-state event mix — the stationary distribution of
+    the per-user event-type Markov chain (`events_transitions` IS the
+    chain estimate; this is where it converges: the long-run share of
+    each event type under the observed dynamics, vs the raw frequency
+    mix that new-user cold starts bias). Four power-iteration rounds in
+    EXACT integer fixed-point (probabilities and the vector in 1e9
+    units, per-term floor division — the `graph_pagerank` recipe), so
+    the unrolled CTE oracle replays every iteration bit-exactly, each
+    round referencing the previous once. One data-sized lag window +
+    pair agg builds the matrix; every iteration is a join + agg over
+    the BOUNDED #event-types² matrix (metadata, not data)."""
+    U = 1_000_000_000
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    m0 = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    outc = m0.groupBy(F.col("src").alias("_s")).agg(
+        F.sum("cnt").cast("long").alias("out_cnt")
+    )
+    m = (
+        m0.join(outc, m0["src"] == outc["_s"])
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(cnt * {U}) div out_cnt").cast("long").alias("prob_u"),
+        )
+        .localCheckpoint(eager=True)  # feeds n_states, p0, and every round
+    )
+    ns = m.agg(F.count_distinct("src").cast("long").alias("n_states"))
+    pi = (
+        m.select(F.col("src").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(ns))
+        .select("state", F.expr(f"{U} div n_states").cast("long").alias("pu"))
+    )
+    for _ in range(4):
+        pi = (
+            pi.join(m, pi["state"] == m["src"])
+            .select(
+                F.col("dst").alias("state"),
+                F.expr(f"(pu * prob_u) div {U}").cast("long").alias("pu"),
+            )
+            .groupBy("state")
+            .agg(F.sum("pu").cast("long").alias("pu"))
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.col("pu").alias("pi_units"),
+        F.round(F.col("pu") / float(U), 6).alias("pi"),
+    )

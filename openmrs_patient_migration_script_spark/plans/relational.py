@@ -2322,3 +2322,61 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tax_c": F.round(F.col("l_tax") * 100),
         },
     )
+
+
+@query(
+    "agg_histogram2d",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             least(CAST(floor(value / 100.0) AS BIGINT), 10) AS value_bin,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT hour_of_day, sum(cnt)::BIGINT AS n_x FROM cells GROUP BY 1),
+    my AS (SELECT value_bin, sum(cnt)::BIGINT AS n_y FROM cells GROUP BY 1),
+    t AS (SELECT sum(cnt)::BIGINT AS n_total FROM cells)
+    SELECT cells.hour_of_day, cells.value_bin, cnt, n_x, n_y, n_total,
+           round((cnt::DOUBLE * n_total) / (n_x::DOUBLE * n_y), 6) AS lift
+    FROM cells JOIN mx USING (hour_of_day) JOIN my USING (value_bin), t
+    """,
+)
+def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7c (r6): 2D fixed-grid joint histogram of (hour-of-day, binned
+    event value) with the independence LIFT per cell — the heatmap
+    primitive plus the audit number that makes it actionable:
+    lift = observed / expected-under-independence, so lift >> 1 cells
+    are the (time, size) pockets a sampler or anomaly rule must know
+    about (`agg_mutual_info` summarizes the same dependence in one
+    number; this localizes it). Exact BIGINT cell/marginal counts from
+    ONE data-sized hash agg (marginals re-aggregate the bounded
+    24×12-cell table and broadcast back — the mutual_information
+    layout); the lift is one fixed row-local double chain rounded 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.least(
+                F.floor(F.col("value") / 100.0).cast("long"), F.lit(10).cast("long")
+            ).alias("value_bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    mx = cells.groupBy("hour_of_day").agg(F.sum("cnt").cast("long").alias("n_x"))
+    my = cells.groupBy("value_bin").agg(F.sum("cnt").cast("long").alias("n_y"))
+    t = cells.agg(F.sum("cnt").cast("long").alias("n_total"))
+    lift = F.round(
+        (F.col("cnt").cast("double") * F.col("n_total"))
+        / (F.col("n_x").cast("double") * F.col("n_y")),
+        6,
+    )
+    return (
+        cells.join(F.broadcast(mx), "hour_of_day")
+        .join(F.broadcast(my), "value_bin")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "hour_of_day", "value_bin", "cnt", "n_x", "n_y", "n_total",
+            lift.alias("lift"),
+        )
+    )

@@ -1106,3 +1106,49 @@ def test_proportional_stratified_sample_exact_sizes(spark):
     assert a == b
     with pytest.raises(ValueError):
         proportional_stratified_sample(df, "doc_id", "lang", pct=0)
+
+
+def test_histogram2d_lift_recomputes_from_counts(spark):
+    """Marginals must sum to the total, every cell's lift must equal the
+    direct recomputation cnt*N/(n_x*n_y), and the cnt-weighted mean lift
+    is 1 by construction (sum over cells of cnt*expected/N == N)."""
+    rows = QUERIES["agg_histogram2d"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_total = rows[0]["n_total"]
+    assert sum(r["cnt"] for r in rows) == n_total
+    for r in rows:
+        want = round(r["cnt"] * n_total / (r["n_x"] * r["n_y"]), 6)
+        assert abs(r["lift"] - want) < 1e-9
+    x_marg = {}
+    for r in rows:
+        x_marg.setdefault(r["hour_of_day"], set()).add(r["n_x"])
+    assert all(len(v) == 1 for v in x_marg.values())
+    assert sum(next(iter(v)) for v in x_marg.values()) == n_total
+
+
+def test_markov_stationary_matches_integer_replay(spark):
+    """The declared query's integer fixed-point iteration must equal an
+    independent Python replay of the same floor arithmetic built from
+    the transition counts; mass stays within the bounded floor loss."""
+    sf = "/root/testdata/sf0.001"
+    U = 1_000_000_000
+    trans = {}
+    for r in QUERIES["events_transitions"](spark, sf).collect():
+        trans[(r["prev_type"], r["next_type"])] = r["n"]
+    out = {}
+    for (s, _), n in trans.items():
+        out[s] = out.get(s, 0) + n
+    prob = {(s, d): (n * U) // out[s] for (s, d), n in trans.items()}
+    states = sorted(out)
+    pi = {s: U // len(states) for s in states}
+    for _ in range(4):
+        nxt = {}
+        for (s, d), p in prob.items():
+            nxt[d] = nxt.get(d, 0) + (pi.get(s, 0) * p) // U
+        pi = nxt
+    got = {
+        r["event_type"]: r["pi_units"]
+        for r in QUERIES["events_markov_stationary"](spark, sf).collect()
+    }
+    assert got == pi
+    assert 0 < sum(got.values()) <= U
