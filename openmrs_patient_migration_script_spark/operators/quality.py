@@ -719,6 +719,17 @@ def ks_drift(
         F.col("cum_ref").cast(dec) * F.col("t_cur").cast(dec)
         - F.col("cum_cur").cast(dec) * F.col("t_ref").cast(dec)
     ).cast("decimal(38,0)")
+    # an EMPTY side means "nothing to compare": ks_term is defined 0.0
+    # there (not 0/0 -> engine-dependent NULL/NaN)
+    ks_term = F.when(
+        (F.col("t_ref") == 0) | (F.col("t_cur") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            gap_num.cast("double")
+            / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
+            6,
+        )
+    )
     return cum.crossJoin(F.broadcast(totals)).select(
         "bin",
         "c_ref",
@@ -726,9 +737,5 @@ def ks_drift(
         "cum_ref",
         "cum_cur",
         gap_num.alias("gap_num"),
-        F.round(
-            gap_num.cast("double")
-            / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
-            6,
-        ).alias("ks_term"),
+        ks_term.alias("ks_term"),
     )

@@ -1001,8 +1001,11 @@ def dq_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bin, c_ref, c_cur, cum_ref, cum_cur,
            abs(cum_ref::HUGEINT * t_cur
                - cum_cur::HUGEINT * t_ref)::DECIMAL(38,0) AS gap_num,
-           round(abs(cum_ref::HUGEINT * t_cur - cum_cur::HUGEINT * t_ref)::DOUBLE
-                 / (t_ref::DOUBLE * t_cur::DOUBLE), 6) AS ks_term
+           CASE WHEN t_ref = 0 OR t_cur = 0 THEN 0.0
+                ELSE round(abs(cum_ref::HUGEINT * t_cur
+                               - cum_cur::HUGEINT * t_ref)::DOUBLE
+                           / (t_ref::DOUBLE * t_cur::DOUBLE), 6)
+           END AS ks_term
     FROM cum, t
     """,
 )

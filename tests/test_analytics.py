@@ -1152,3 +1152,25 @@ def test_markov_stationary_matches_integer_replay(spark):
     }
     assert got == pi
     assert 0 < sum(got.values()) <= U
+
+
+def test_proportional_sample_pct_100_keeps_everything(spark):
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        proportional_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], ["doc_id", "lang"]
+    )
+    assert proportional_stratified_sample(df, "doc_id", "lang", pct=100).count() == 20
+
+
+def test_markov_stationary_absorbing_state_collects_mass(spark, sf_dir):
+    """States are only those observed as transition SOURCES; the iterated
+    mass never exceeds the unit and every reported state is a dst of the
+    chain. (An absorbing dst-only state would drain mass — deterministic
+    and replayed by the oracle, pinned here as defined behavior.)"""
+    rows = QUERIES["events_markov_stationary"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["pi_units"] for r in rows) <= 1_000_000_000
+    assert all(r["pi_units"] >= 0 for r in rows)

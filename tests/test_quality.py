@@ -565,3 +565,13 @@ def test_ks_drift_separated_and_identical_slices(spark):
     )
     out2 = ks_drift(same, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=3).collect()
     assert all(int(r["gap_num"]) == 0 and r["ks_term"] == 0.0 for r in out2)
+
+
+def test_ks_drift_one_sided_slice_is_zero_not_nan(spark):
+    """An empty comparison side (t_cur = 0) must report ks_term = 0.0 in
+    every bin — defined behavior, not an engine-dependent 0/0."""
+    from openmrs_patient_migration_script_spark.operators.quality import ks_drift
+
+    df = spark.createDataFrame([(1.0, True), (2.0, True)], ["x", "ref"])
+    out = ks_drift(df, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=2).collect()
+    assert out and all(r["ks_term"] == 0.0 for r in out)
