@@ -57,13 +57,22 @@ def main() -> None:
     print(f"blocking: reduction={bq[rr]} pairs_completeness={bq[pc]}")
 
     mod = QUERIES["graph_modularity"](spark, sf_dir)
-    q = mod.agg(F.round(F.sum("q_term"), 4).alias("q")).collect()[0]["q"]
+    # q_num/q_den are exact DECIMAL(38,0); Q = sum(q_num) / q_den
+    mrow = mod.agg(
+        F.sum("q_num").alias("num"), F.max("q_den").alias("den")
+    ).collect()[0]
+    q = round(float(mrow["num"]) / float(mrow["den"]), 4)
     n_comm = mod.count()
     print(f"communities: {n_comm} with modularity Q = {q}")
 
     ks = (
         QUERIES["dq_drift_ks"](spark, sf_dir)
-        .agg(F.max("ks_term").alias("ks"))
+        .agg(
+            F.max(
+                F.when(F.col("gap_den") > 0, F.col("gap_num") / F.col("gap_den"))
+                .otherwise(F.lit(0.0))
+            ).alias("ks")
+        )
         .collect()[0]["ks"]
     )
     psi = (

@@ -907,10 +907,14 @@ def modularity(
                  = (4·m·e_c - d_c^2) / (4·m^2)
 
     whose sum over communities is Q in [-0.5, 1] (Newman & Girvan 2004,
-    public literature). The numerator ``q_num = 4·m·e_c - d_c^2`` is
-    carried as DECIMAL(38,0) — exact integer arithmetic at any edge
-    count below 10^18 (the `privacy_t_closeness` overflow rule), so the
-    only float op is one final division rounded to 6dp.
+    public literature). The row is FULLY INTEGER-DECIDABLE: both the
+    numerator ``q_num = 4·m·e_c - d_c^2`` and the shared denominator
+    ``q_den = 4·m^2`` are carried as DECIMAL(38,0) — exact integer
+    arithmetic at any edge count below 10^18 (the `privacy_t_closeness`
+    overflow rule). Q = sum(q_num) / q_den; no float ever enters the
+    row (r7 hardening: the previous 6dp-rounded ``q_term`` double was
+    the one engine-rounding-sensitive column in the output — CORRECTNESS_r06
+    hash-flaked on it while every integer column matched).
 
     ``labels`` is (node, community); ``edges`` any pair list (it is
     canonicalized here exactly as `label_propagation` canonicalizes:
@@ -972,14 +976,16 @@ def modularity(
         F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("intra_edges").cast(dec)
         - F.col("degree_sum").cast(dec) * F.col("degree_sum").cast(dec)
     ).cast("decimal(38,0)")
-    denom = F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")
+    q_den = (
+        F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec)
+    ).cast("decimal(38,0)")
     return out.select(
         "community",
         "n_nodes",
         "degree_sum",
         "intra_edges",
         q_num.alias("q_num"),
-        F.round(q_num.cast("double") / denom, 6).alias("q_term"),
+        q_den.alias("q_den"),
     )
 
 

@@ -664,12 +664,17 @@ def ks_drift(
 
         gap_num = | cum_ref·t_cur − cum_cur·t_ref |
 
-    is exact DECIMAL(38,0) integer arithmetic (no float ECDF), and
-    ks_term = gap_num / (t_ref·t_cur) is the one final rounded
-    division. KS statistic = max(ks_term) over the emitted rows; the
-    per-bin decomposition (not just the max) is returned so the drift
-    location is auditable — the same certification-table shape as
-    `graph_modularity` / `dq_blocking_quality`.
+    and its denominator ``gap_den = t_ref·t_cur`` are BOTH exact
+    DECIMAL(38,0) integer arithmetic (no float ECDF, no float at all —
+    r7 hardening: the previous 6dp-rounded ``ks_term`` double was the
+    one engine-rounding-sensitive column; CORRECTNESS_r06 hash-flaked
+    on it while every integer column matched). The KS term per bin is
+    the exact fraction gap_num / gap_den, defined 0 when a side is
+    empty (gap_den = 0 there, and gap_num is identically 0 too); KS
+    statistic = max over bins. The per-bin decomposition (not just the
+    max) is returned so the drift location is auditable — the same
+    certification-table shape as `graph_modularity` /
+    `dq_blocking_quality`.
 
     Scale: one conditional-aggregation scan (the A8 FILTER shape) to
     n_bins+2 count rows; the cumulative window orders those BOUNDED
@@ -719,17 +724,13 @@ def ks_drift(
         F.col("cum_ref").cast(dec) * F.col("t_cur").cast(dec)
         - F.col("cum_cur").cast(dec) * F.col("t_ref").cast(dec)
     ).cast("decimal(38,0)")
-    # an EMPTY side means "nothing to compare": ks_term is defined 0.0
-    # there (not 0/0 -> engine-dependent NULL/NaN)
-    ks_term = F.when(
-        (F.col("t_ref") == 0) | (F.col("t_cur") == 0), F.lit(0.0)
-    ).otherwise(
-        F.round(
-            gap_num.cast("double")
-            / (F.col("t_ref").cast("double") * F.col("t_cur").cast("double")),
-            6,
-        )
-    )
+    # an EMPTY side means "nothing to compare": gap_den = 0 there and
+    # gap_num is identically 0 (cum·0 − 0·t), so the exact-fraction
+    # convention "0 when gap_den = 0" falls out of the integers — no
+    # engine-dependent 0/0 and no float in the row at all
+    gap_den = (
+        F.col("t_ref").cast(dec) * F.col("t_cur").cast(dec)
+    ).cast("decimal(38,0)")
     return cum.crossJoin(F.broadcast(totals)).select(
         "bin",
         "c_ref",
@@ -737,5 +738,5 @@ def ks_drift(
         "cum_ref",
         "cum_cur",
         gap_num.alias("gap_num"),
-        ks_term.alias("ks_term"),
+        gap_den.alias("gap_den"),
     )

@@ -1496,9 +1496,7 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
            (4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
             - c.degree_sum::HUGEINT * c.degree_sum)::DECIMAL(38,0) AS q_num,
-           round((4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
-                  - c.degree_sum::HUGEINT * c.degree_sum)::DOUBLE
-                 / (4.0 * mm.m * mm.m), 6) AS q_term
+           (4::HUGEINT * mm.m * mm.m)::DECIMAL(38,0) AS q_den
     FROM comm c LEFT JOIN intra i USING (community), mm
     """,
 )
@@ -1509,8 +1507,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_ann_recall` closes ANN and `dq_blocking_quality` closes
     blocking: LPA is a heuristic, so every partition it emits ships
     with the exact Newman-Girvan Q decomposition per community
-    (n_nodes, degree_sum, intra_edges, q_num = 4·m·e_c − d_c² as
-    DECIMAL(38,0), q_term rounded at the one final division). The
+    (n_nodes, degree_sum, intra_edges, and the exact fraction q_num =
+    4·m·e_c − d_c² over q_den = 4·m², both DECIMAL(38,0) — the row is
+    fully integer-decidable, no engine-rounding-sensitive float). The
     oracle recomputes the communities via the unrolled 3-round LPA
     replay and the metric from scratch. Node/community-keyed shuffles
     only; #communities output rows."""

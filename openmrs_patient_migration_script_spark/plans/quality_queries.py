@@ -1001,11 +1001,7 @@ def dq_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bin, c_ref, c_cur, cum_ref, cum_cur,
            abs(cum_ref::HUGEINT * t_cur
                - cum_cur::HUGEINT * t_ref)::DECIMAL(38,0) AS gap_num,
-           CASE WHEN t_ref = 0 OR t_cur = 0 THEN 0.0
-                ELSE round(abs(cum_ref::HUGEINT * t_cur
-                               - cum_cur::HUGEINT * t_ref)::DOUBLE
-                           / (t_ref::DOUBLE * t_cur::DOUBLE), 6)
-           END AS ks_term
+           (t_ref::HUGEINT * t_cur)::DECIMAL(38,0) AS gap_den
     FROM cum, t
     """,
 )
@@ -1016,11 +1012,13 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin on the identical slice/grid, so the two monitors are directly
     comparable: PSI sums per-bin log-ratio mass (sensitive to reshaping),
     KS takes the max ECDF gap (sensitive to location shift spread
-    thinly over many bins). The gap numerator |cum_ref·t_cur −
-    cum_cur·t_ref| is exact DECIMAL(38,0) integer arithmetic; the one
-    float division rounds at 6dp. One conditional-agg scan; the
-    cumulative window runs over the FIXED n_bins+2 domain rows
-    (metadata, not data); KS statistic = max(ks_term)."""
+    thinly over many bins). The gap fraction |cum_ref·t_cur −
+    cum_cur·t_ref| / (t_ref·t_cur) is carried as its exact
+    DECIMAL(38,0) numerator/denominator pair — no float in the row
+    (r7: the rounded ks_term double was the one hash-flake-sensitive
+    column). One conditional-agg scan; the cumulative window runs over
+    the FIXED n_bins+2 domain rows (metadata, not data); KS statistic
+    = max(gap_num / gap_den)."""
     from openmrs_patient_migration_script_spark.operators.quality import (
         ks_drift,
     )

@@ -937,9 +937,9 @@ def test_mann_whitney_hand_computed_u(spark):
 def test_modularity_two_triangles_with_bridge(spark):
     """Exact Newman-Girvan decomposition on the textbook fixture: two
     triangles joined by one bridge edge, perfectly partitioned. m = 7,
-    each community: e_c = 3, d_c = 7 -> q_num = 4*7*3 - 49 = 35,
-    q_term = 35/196; Q = sum = 5/14. Duplicate + reversed edge rows
-    must canonicalize away."""
+    each community: e_c = 3, d_c = 7 -> q_num = 4*7*3 - 49 = 35 over
+    q_den = 4*49 = 196; Q = sum(q_num)/q_den = 70/196 = 5/14. Duplicate
+    + reversed edge rows must canonicalize away."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         modularity,
     )
@@ -963,8 +963,9 @@ def test_modularity_two_triangles_with_bridge(spark):
         assert rows[c]["intra_edges"] == 3
         assert rows[c]["degree_sum"] == 7
         assert int(rows[c]["q_num"]) == 35
-        assert abs(rows[c]["q_term"] - round(35 / 196, 6)) < 1e-9
-    assert abs(sum(r["q_term"] for r in rows.values()) - round(5 / 14, 6)) < 1e-6
+        assert int(rows[c]["q_den"]) == 196
+    q = sum(int(r["q_num"]) for r in rows.values()) / 196
+    assert abs(q - 5 / 14) < 1e-12
 
 
 def test_modularity_single_community_is_zero_and_isolated_nodes(spark):
@@ -980,7 +981,7 @@ def test_modularity_single_community_is_zero_and_isolated_nodes(spark):
     )
     (r,) = modularity(edges, labels).collect()
     assert r["n_nodes"] == 4 and r["intra_edges"] == 2 and r["degree_sum"] == 4
-    assert int(r["q_num"]) == 0 and r["q_term"] == 0.0
+    assert int(r["q_num"]) == 0 and int(r["q_den"]) == 16
 
 
 def test_sssp_bounded_relaxation_beats_direct_edge(spark):

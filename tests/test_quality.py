@@ -541,9 +541,10 @@ def test_tf_idf_against_equals_full_recompute(spark):
 
 
 def test_ks_drift_separated_and_identical_slices(spark):
-    """Fully separated slices reach ks_term = 1.0 at the boundary bin;
-    identical slices give gap_num = 0 in every bin. Exact integers: the
-    gap numerator is cum_ref*t_cur - cum_cur*t_ref."""
+    """Fully separated slices reach gap_num == gap_den (KS term 1) at
+    the boundary bin; identical slices give gap_num = 0 in every bin.
+    Exact integers: gap_num = cum_ref*t_cur - cum_cur*t_ref over
+    gap_den = t_ref*t_cur."""
     from openmrs_patient_migration_script_spark.operators.quality import ks_drift
 
     rows = [(float(v), True) for v in (1, 2, 3)] + [
@@ -558,20 +559,25 @@ def test_ks_drift_separated_and_identical_slices(spark):
     }
     # bins: 0 -> [0,5) holds all ref; 2 -> [10,15) holds all cur
     assert out[0]["cum_ref"] == 3 and out[0]["cum_cur"] == 0
-    assert int(out[0]["gap_num"]) == 9 and out[0]["ks_term"] == 1.0
-    assert max(r["ks_term"] for r in out.values()) == 1.0
+    assert int(out[0]["gap_num"]) == 9 and int(out[0]["gap_den"]) == 9
+    assert max(
+        int(r["gap_num"]) / int(r["gap_den"]) for r in out.values()
+    ) == 1.0
     same = spark.createDataFrame(
         [(float(v), s) for v in (1, 6, 11) for s in (True, False)], ["x", "ref"]
     )
     out2 = ks_drift(same, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=3).collect()
-    assert all(int(r["gap_num"]) == 0 and r["ks_term"] == 0.0 for r in out2)
+    assert all(int(r["gap_num"]) == 0 for r in out2)
 
 
 def test_ks_drift_one_sided_slice_is_zero_not_nan(spark):
-    """An empty comparison side (t_cur = 0) must report ks_term = 0.0 in
-    every bin — defined behavior, not an engine-dependent 0/0."""
+    """An empty comparison side (t_cur = 0) must report gap_num = 0 and
+    gap_den = 0 in every bin — the exact-fraction convention makes the
+    KS term 0 there by definition, not an engine-dependent 0/0."""
     from openmrs_patient_migration_script_spark.operators.quality import ks_drift
 
     df = spark.createDataFrame([(1.0, True), (2.0, True)], ["x", "ref"])
     out = ks_drift(df, "x", F.col("ref"), lo=0.0, width=5.0, n_bins=2).collect()
-    assert out and all(r["ks_term"] == 0.0 for r in out)
+    assert out and all(
+        int(r["gap_num"]) == 0 and int(r["gap_den"]) == 0 for r in out
+    )
