@@ -468,6 +468,12 @@ def label_propagation(
 def _local_components(sym: DataFrame) -> DataFrame:
     """Driver-side union-find over a collected (already symmetrized) edge
     list. Labels match the distributed loop exactly: cluster = min member.
+
+    Fetches with ONE collect() job, not toLocalIterator(): the caller's
+    size gate already bounds the edge list (≤ local_threshold rows, tens
+    of MB), and toLocalIterator schedules one sequential job PER
+    PARTITION — measured ~80 jobs per `dedup_clusters_incremental` run
+    at 32 shuffle partitions, pure scheduling latency on a tiny graph.
     """
     parent: dict = {}
 
@@ -479,7 +485,7 @@ def _local_components(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in sym.select("a", "b").toLocalIterator():
+    for a, b in sym.select("a", "b").collect():
         if a not in parent:
             parent[a] = a
         if b not in parent:

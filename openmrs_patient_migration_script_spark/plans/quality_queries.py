@@ -800,13 +800,19 @@ def dq_migration_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders")
+    # b feeds ELEVEN scan sites (tgt's 3 branches consumed by the diff,
+    # the dup agg and the size agg, plus src twice) — without a
+    # materialization the physical plan re-reads the orders parquet 11
+    # times (measured: the whole query is scan-bound at sf0.1). One
+    # eager localCheckpoint = one scan + 10 cheap block-local re-reads
+    # (the multi-consumer rule).
     b = o.select(
         "o_orderkey",
         "o_orderstatus",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         "o_orderdate",
         hash_bucket(F.col("o_orderkey"), 1000).alias("bk"),
-    )
+    ).localCheckpoint(eager=True)
     cols = ["o_orderkey", "o_orderstatus", "price", "o_orderdate"]
     tgt = (
         b.filter(F.col("bk") % 97 != 0)
