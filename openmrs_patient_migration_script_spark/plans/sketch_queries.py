@@ -199,3 +199,116 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(
         top.select(F.col("token").alias("item"), "exact_cnt"), "item"
     ).select("item", "exact_cnt", "cms_est")
+
+
+@query(
+    "sketch_error_audit",
+    oracle="""
+    WITH d AS (
+      SELECT count(DISTINCT o_custkey)::DOUBLE AS nd FROM orders
+    ),
+    q AS (
+      SELECT quantile_disc(o_totalprice::DOUBLE, 0.45) AS p50_lo,
+             quantile_disc(o_totalprice::DOUBLE, 0.50) AS p50,
+             quantile_disc(o_totalprice::DOUBLE, 0.55) AS p50_hi,
+             quantile_disc(o_totalprice::DOUBLE, 0.90) AS p95_lo,
+             quantile_disc(o_totalprice::DOUBLE, 0.95) AS p95,
+             quantile_disc(o_totalprice::DOUBLE, 0.99) AS p95_hi
+      FROM orders
+    )
+    SELECT 'theta_lg12_distinct' AS audit, nd AS exact_value,
+           0.92 * nd AS bound_lo, 1.08 * nd AS bound_hi,
+           TRUE AS within_bound
+    FROM d
+    UNION ALL
+    SELECT 'kll_k200_p50', p50, p50_lo, p50_hi, TRUE FROM q
+    UNION ALL
+    SELECT 'kll_k200_p95', p95, p95_lo, p95_hi, TRUE FROM q
+    """,
+)
+def sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (r7): exact-vs-sketch error audit for the PRODUCTION sketch
+    configurations — the certification entry the sketch family still
+    lacked (the declared rollups deliberately run in exact mode so they
+    hash-match; production drops theta to lg_k=12 and KLL to k=200,
+    whose estimates are NOT cross-engine-replayable: KLL compaction is
+    randomized and theta's estimating-mode state is merge-order
+    sensitive). Same pattern as `dq_profile_hll_audit` /
+    `sim_ann_recall`: emit only ORACLE-REPLAYABLE exact numbers — the
+    exact distinct count and exact discrete percentiles bracketing the
+    target ranks — plus a genuinely computed within-bound verdict per
+    sketch (theta: ±8% of exact distinct, >5× the lg_k=12 RSE of ~1.6%;
+    KLL: the estimate must land between the exact p±5%-rank order
+    statistics, >3× the k=200 rank error of ~1.65%). The oracle asserts
+    each verdict TRUE, so a broken/drifting sketch build flips a
+    boolean and fails the hash gate. The exact percentile brackets
+    reuse the uncompacted-KLL trick the green `sketch_quantile_rollup`
+    pins: k=32768 retains every value at the sf0.01 grading scale, so
+    its quantile IS the exact order statistic (= DuckDB quantile_disc);
+    past ~32k rows it compacts and the brackets become ~0.13%-rank-error
+    estimates — still 40× inside the ±5%-rank bracket margin, so the
+    verdict stays robust at any scale even though the bracket VALUES
+    are then only grading-scale-exact. Cost: one pass with a
+    distinct-Expand plus sketch aggs — an audit run, not a per-ingest
+    plan."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("o_custkey").cast("double").alias("nd"),
+        F.theta_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("_theta"),
+        F.kll_sketch_agg_double(v, F.lit(32768)).alias("_kll_exact"),
+        F.kll_sketch_agg_double(v, F.lit(200)).alias("_kll_prod"),
+    )
+    # zero input rows -> zero audit rows (reading a quantile off the
+    # null sketch an empty agg produces raises in the KLL expression)
+    row = agg.filter(F.col("_n") > 0).select(
+        "nd",
+        F.theta_sketch_estimate("_theta").cast("double").alias("nd_est"),
+        *[
+            F.kll_sketch_get_quantile_double("_kll_exact", F.lit(p)).alias(n)
+            for p, n in [
+                (0.45, "p50_lo"),
+                (0.50, "p50"),
+                (0.55, "p50_hi"),
+                (0.90, "p95_lo"),
+                (0.95, "p95"),
+                (0.99, "p95_hi"),
+            ]
+        ],
+        F.kll_sketch_get_quantile_double("_kll_prod", F.lit(0.5)).alias("e50"),
+        F.kll_sketch_get_quantile_double("_kll_prod", F.lit(0.95)).alias("e95"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("theta_lg12_distinct").alias("audit"),
+            F.col("nd").alias("exact_value"),
+            (F.lit(0.92) * F.col("nd")).alias("bound_lo"),
+            (F.lit(1.08) * F.col("nd")).alias("bound_hi"),
+            (
+                (F.col("nd_est") >= F.lit(0.92) * F.col("nd"))
+                & (F.col("nd_est") <= F.lit(1.08) * F.col("nd"))
+            ).alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("kll_k200_p50").alias("audit"),
+            F.col("p50").alias("exact_value"),
+            F.col("p50_lo").alias("bound_lo"),
+            F.col("p50_hi").alias("bound_hi"),
+            (
+                (F.col("e50") >= F.col("p50_lo"))
+                & (F.col("e50") <= F.col("p50_hi"))
+            ).alias("within_bound"),
+        ),
+        F.struct(
+            F.lit("kll_k200_p95").alias("audit"),
+            F.col("p95").alias("exact_value"),
+            F.col("p95_lo").alias("bound_lo"),
+            F.col("p95_hi").alias("bound_hi"),
+            (
+                (F.col("e95") >= F.col("p95_lo"))
+                & (F.col("e95") <= F.col("p95_hi"))
+            ).alias("within_bound"),
+        ),
+    )
+    return row.select(F.explode(rows).alias("_r")).select("_r.*")
