@@ -1026,6 +1026,18 @@ def sssp_bounded(
     path-enumeration form is the REPLAY, not the plan). Rounds are
     bounded by ``max_hops``; lineage localCheckpoint-truncates per
     round (the `connected_components` rule)."""
+    # the relaxation sums in long: a double weight column would be
+    # silently FLOORED by the cast below (truncated distances, no error)
+    # — fail loud instead, the require_integral_key rule
+    wtype = dict(edges.dtypes).get(weight)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"sssp_bounded: weight column {weight!r} must be an integral "
+            f"type (got {wtype}) — distances accumulate in exact long "
+            "arithmetic and a fractional weight would be silently "
+            "truncated; pre-scale fractional weights to integer units "
+            "(e.g. micros) upstream"
+        )
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).filter(F.col("u") != F.col("v"))

@@ -375,11 +375,14 @@ def proportional_stratified_sample(
         F.col(key_col).alias("key"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
-    keep = (F.col("n_stratum") * pct + 99) / 100
+    # integer `div`, NOT float `/` + cast: the docstring's exact-integer
+    # contract — double division rounds once n_stratum*pct+99 passes 2^53
+    # and the truncating cast could then diverge from the oracle's `// 100`
+    keep = F.expr(f"(n_stratum * CAST({pct} AS BIGINT) + 99) div 100")
     return (
         ranked.join(
             F.broadcast(counts), ranked["stratum"] == counts["_st"]
         )
-        .filter(F.col("rn") <= keep.cast("long"))
+        .filter(F.col("rn") <= keep)
         .select("stratum", "key", "rn", "n_stratum")
     )

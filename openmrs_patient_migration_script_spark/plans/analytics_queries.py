@@ -2148,13 +2148,17 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
            (r2_a - n_a * (n_a + 1)) AS u2_a,
-           round(((r2_a - n_a * (n_a + 1))::DOUBLE / 2.0
-                  - n_a::DOUBLE * n_b::DOUBLE / 2.0)
-                 / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
-                        * ((n::DOUBLE + 1.0)
-                           - tie_term::DOUBLE
-                             / (n::DOUBLE * (n::DOUBLE - 1.0)))),
-                 4) AS z_stat
+           CASE WHEN coalesce(n_a, 0) * coalesce(n_b, 0) = 0
+                  OR tie_term = n * n * n - n
+                THEN 0.0
+                ELSE round(((r2_a - n_a * (n_a + 1))::DOUBLE / 2.0
+                            - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                           / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                                  * ((n::DOUBLE + 1.0)
+                                     - tie_term::DOUBLE
+                                       / (n::DOUBLE * (n::DOUBLE - 1.0)))),
+                           4)
+           END AS z_stat
     FROM s
     """,
 )
@@ -2204,18 +2208,37 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     n = F.col("n").cast("double")
     u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    # degenerate designs pin z to 0.0 instead of an engine-dependent
+    # NULL/NaN 0/0 (the ks_drift rule): an empty arm (n_a·n_b = 0) or a
+    # single shared value (tie_term = n³−n makes the tie-corrected
+    # variance exactly 0 — an INTEGER-decidable condition, no float
+    # threshold). Both conditions are mirrored verbatim in the oracle.
+    degenerate = (
+        (F.coalesce(F.col("n_a"), F.lit(0)) * F.coalesce(F.col("n_b"), F.lit(0)) == 0)
+        | (
+            F.col("tie_term")
+            == F.col("n") * F.col("n") * F.col("n") - F.col("n")
+        )
+    )
     return s.select(
         "n_a",
         "n_b",
         u2.alias("u2_a"),
-        F.round(
-            (u2.cast("double") / 2.0 - na * nb / 2.0)
-            / F.sqrt(
-                na * nb / 12.0
-                * ((n + 1.0) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
-            ),
-            4,
-        ).alias("z_stat"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (u2.cast("double") / 2.0 - na * nb / 2.0)
+                / F.sqrt(
+                    na * nb / 12.0
+                    * (
+                        (n + 1.0)
+                        - F.col("tie_term").cast("double") / (n * (n - 1.0))
+                    )
+                ),
+                4,
+            )
+        )
+        .alias("z_stat"),
     )
 
 

@@ -844,6 +844,25 @@ def stream_cms_maintain(
 def stream_cms_read(spark: SparkSession, out_dir: str) -> DataFrame:
     """Fold every persisted micro-batch cell table into the CURRENT
     sketch: cell-wise addition by (row, bucket) — feed the result to
-    `cms_estimate` for point queries."""
-    cells = spark.read.parquet(f"{out_dir}/_batch_id=*")
+    `cms_estimate` for point queries.
+
+    Reads only batch directories carrying a ``_SUCCESS`` marker (the
+    `admit_batch` ledger-walk rule, via the FileSystem API rather than a
+    path glob): a read concurrent with an in-flight or crashed
+    micro-batch must not fold a partially written cell table — the
+    marker, not the directory, is what `stream_cms_fold` commits."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = []
+    if fs.exists(hpath(out_dir)):
+        for st in fs.listStatus(hpath(out_dir)):
+            name = st.getPath().getName()
+            if name.startswith("_batch_id=") and fs.exists(
+                hpath(st.getPath(), "_SUCCESS")
+            ):
+                dirs.append(st.getPath().toString())
+    if not dirs:
+        return spark.createDataFrame([], "row INT, bucket BIGINT, cnt BIGINT")
+    cells = spark.read.parquet(*dirs)
     return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -1175,3 +1175,60 @@ def test_markov_stationary_absorbing_state_collects_mass(spark, sf_dir):
     assert rows
     assert sum(r["pi_units"] for r in rows) <= 1_000_000_000
     assert all(r["pi_units"] >= 0 for r in rows)
+
+
+def test_mann_whitney_degenerate_designs_pin_z_zero(spark):
+    """A single shared value (tie-corrected variance exactly 0) and an
+    empty arm must both pin z_stat to 0.0 — defined behavior, not an
+    engine-dependent 0/0 (the ks_drift rule). Both conditions are
+    integer-decidable (tie_term = n³−n; n_a·n_b = 0) and mirrored in
+    the oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [(i, None, i, t, v, None) for i, (t, v) in enumerate(rows)],
+                schema,
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            return QUERIES["ab_mann_whitney"](spark, d).collect()[0]
+
+    tied = run([("view", 7.0)] * 3 + [("click", 7.0)] * 2)
+    assert (tied["n_a"], tied["n_b"], tied["z_stat"]) == (3, 2, 0.0)
+    one_armed = run([("view", v) for v in (1.0, 2.0, 3.0)])
+    assert (one_armed["n_b"], one_armed["z_stat"]) == (0, 0.0)
+
+
+def test_sssp_rejects_fractional_weights(spark):
+    """A double weight column must fail loud (distances accumulate in
+    exact long arithmetic — a silent floor would corrupt every path
+    cost), the require_integral_key rule."""
+    import pytest as _pytest
+
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = spark.createDataFrame([(1, 2, 1.5)], ["key_a", "key_b", "w"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    with _pytest.raises(ValueError, match="integral"):
+        sssp_bounded(edges, seeds, 2)

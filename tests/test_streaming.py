@@ -982,3 +982,42 @@ def test_stream_cms_maintain_merges_across_batches_and_replays(spark, tmp_path):
         ).collect()
     }
     assert est["tok0"] >= 60 and est["rare"] >= 2
+
+
+def test_stream_cms_read_ignores_uncommitted_batch_dirs(spark, tmp_path):
+    """ST10 edge: a `_batch_id=` directory WITHOUT a `_SUCCESS` marker
+    (in-flight or crashed micro-batch) must not be folded into the
+    read — the reader walks the FileSystem ledger like `admit_batch`,
+    not a path glob. A partial parquet in the uncommitted dir would
+    either corrupt counts or crash the read outright."""
+    import os
+
+    from openmrs_patient_migration_script_spark.operators.sketches import (
+        cms_build,
+    )
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stream_cms_read,
+    )
+
+    out = str(tmp_path / "out")
+    good = spark.createDataFrame([("a",)] * 3 + [("b",)], ["item"])
+    cms_build(good, "item").write.parquet(f"{out}/_batch_id=0")  # has _SUCCESS
+    # an uncommitted batch: cells written, then the _SUCCESS marker removed
+    bad = spark.createDataFrame([("a",)] * 100, ["item"])
+    cms_build(bad, "item").write.parquet(f"{out}/_batch_id=1")
+    os.remove(f"{out}/_batch_id=1/_SUCCESS")
+
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(good, "item").collect()
+    }
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in stream_cms_read(spark, out).collect()
+    }
+    assert got == want  # only the committed batch folded
+
+    # no committed batch at all -> empty sketch, correct schema
+    empty = stream_cms_read(spark, str(tmp_path / "nothing"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["row", "bucket", "cnt"]
