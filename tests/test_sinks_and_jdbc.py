@@ -102,6 +102,36 @@ def test_jdbc_append_options():
     assert opts["dbtable"] == "person"
 
 
+def test_mysql_dialect_url_tuning():
+    """The MySQL deployment surface (R:5,48) without a server: writes
+    must carry rewriteBatchedStatements=true (batchsize alone still
+    round-trips per row), reads useCursorFetch=true (fetchsize is
+    ignored without it); both idempotent, query-string-aware, and a
+    no-op for the Derby runtime-test dialect."""
+    from openmrs_patient_migration_script_spark.sources.jdbc import (
+        jdbc_append_options,
+        jdbc_scan_options,
+        mysql_tuned_url,
+    )
+
+    w = jdbc_append_options("jdbc:mysql://host/db", "person")
+    assert w["url"] == "jdbc:mysql://host/db?rewriteBatchedStatements=true"
+    # existing query string -> appended with '&'; already-set -> kept
+    assert (
+        mysql_tuned_url("jdbc:mysql://h/d?useSSL=false", for_write=True)
+        == "jdbc:mysql://h/d?useSSL=false&rewriteBatchedStatements=true"
+    )
+    pinned = "jdbc:mysql://h/d?rewriteBatchedStatements=false"
+    assert mysql_tuned_url(pinned, for_write=True) == pinned
+
+    r = jdbc_scan_options("jdbc:mysql://host/db", "enrollment")
+    assert r["url"] == "jdbc:mysql://host/db?useCursorFetch=true"
+    assert r["fetchsize"] == "10000"
+
+    derby = jdbc_append_options("jdbc:derby:memory:db;create=true", "t")
+    assert derby["url"] == "jdbc:derby:memory:db;create=true"
+
+
 def test_engine_facade_sql_and_query_agree(spark):
     from openmrs_patient_migration_script_spark.engine import Engine
 
