@@ -197,6 +197,12 @@ HEADLINE = [
     # audit's honest cost beside the cheap paths it certifies
     "dq_profile_hll_audit",
     "sketch_error_audit",
+    # round-7 second wave: the new plan families — distinct-project semi
+    # joins (IND discovery), the bounded-day changepoint window, and the
+    # four-stage funnel replaying the full corpus pipeline
+    "dq_fk_inference",
+    "ts_changepoint",
+    "corpus_dedup_funnel",
 ]
 
 

@@ -740,3 +740,63 @@ def ks_drift(
         gap_num.alias("gap_num"),
         gap_den.alias("gap_den"),
     )
+
+
+def inclusion_audit(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    candidate: str,
+) -> DataFrame:
+    """E22 (r7): inclusion-dependency audit for ONE candidate FK edge —
+    the discovery side of `referential_orphans` (E7 verifies an edge you
+    already trust; this measures whether an edge EXISTS): what fraction
+    of the child column's distinct values appear in the parent column.
+    n_contained == n_child_distinct means a perfect inclusion dependency
+    (the Metanome-style IND criterion, public literature) — the schema
+    candidate a migration-mapping tool proposes before E7 starts
+    enforcing it.
+
+    Returns one row: (candidate, n_child_distinct, n_parent_distinct,
+    n_contained, is_inclusion). Exact longs; NULLs are excluded on both
+    sides (a NULL can't evidence a reference — `count(DISTINCT)`
+    semantics, identical in the oracle).
+
+    Scale: both sides DISTINCT-PROJECT to bare key columns before
+    anything joins — the shuffle carries each distinct key once (for
+    lineitem→orders that is ~4× fewer rows than the fact table, the
+    `referential_orphans` pre-agg rule), then one semi join between the
+    two distinct sets and three one-row counts cross-joined as
+    broadcast scalars. Works unchanged at 100 TB because nothing ever
+    carries fact rows."""
+    ck = child.select(F.col(child_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    pk = parent.select(F.col(parent_col).alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    # one materialization each: every side feeds its own count AND the
+    # semi join (the multi-consumer rule)
+    ck = ck.localCheckpoint(eager=True)
+    pk = pk.localCheckpoint(eager=True)
+    n_child = ck.agg(F.count(F.lit(1)).cast("long").alias("n_child_distinct"))
+    n_parent = pk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parent_distinct")
+    )
+    n_cont = ck.join(pk, "_k", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contained")
+    )
+    return (
+        n_child.crossJoin(F.broadcast(n_parent))
+        .crossJoin(F.broadcast(n_cont))
+        .select(
+            F.lit(candidate).alias("candidate"),
+            "n_child_distinct",
+            "n_parent_distinct",
+            "n_contained",
+            (F.col("n_contained") == F.col("n_child_distinct")).alias(
+                "is_inclusion"
+            ),
+        )
+    )

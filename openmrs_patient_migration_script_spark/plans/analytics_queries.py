@@ -2566,3 +2566,172 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pu").alias("pi_units"),
         F.round(F.col("pu") / float(U), 6).alias("pi"),
     )
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+             count(*)::BIGINT AS n_day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s_day
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, n_day, s_day,
+             sum(n_day) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS n_left,
+             sum(s_day) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS s_left
+      FROM daily
+    ),
+    t AS (SELECT sum(n_day)::BIGINT AS n, sum(s_day)::BIGINT AS s FROM daily)
+    SELECT day, n_left, (n - n_left)::BIGINT AS n_right, s_left,
+           (s_left::HUGEINT * n - s::HUGEINT * n_left)::DECIMAL(38,0) AS d_num,
+           (n_left::HUGEINT * (n - n_left))::DECIMAL(38,0) AS gain_den
+    FROM cum, t
+    WHERE n_left < n
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15k (r7): exact single change-point decomposition of the daily
+    event-value series — the level-shift LOCATOR completing the drift
+    family (`ts_cusum` raises the per-key alarm, `dq_drift_ks`/`_psi`
+    compare two known periods; this finds WHERE the mean moved with no
+    period given). For every interior day boundary, the between-segment
+    sum of squares decomposes as BSS(t) = D(t)² / (n·n_L·n_R) with
+    D(t) = S_L·n − S·n_L — so the argmax of d_num²/gain_den IS the
+    least-squares change point (binary-segmentation step 1, public
+    literature), and every term is exact integer arithmetic on ×100
+    scaled values (DECIMAL(38,0) — exact through ~1e19 scaled value
+    units, the `privacy_t_closeness` overflow rule). The per-boundary
+    decomposition (not just the argmax) is emitted — the
+    `dq_drift_ks` certification-table shape, fully integer rows.
+
+    Scale: one conditional-agg scan to the BOUNDED per-day table; the
+    cumulative window orders those ~365 metadata rows only (the
+    `events_cumulative_users` rule); totals broadcast back. At 100 TB
+    the plan is unchanged — day count, not row count, sizes every
+    post-scan stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    daily = (
+        ev.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_day"),
+            F.sum("x").cast("long").alias("s_day"),
+        )
+        # feeds the cumulative window AND the totals: one scan of the
+        # data, the bounded day table re-reads locally
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_day").over(w).cast("long").alias("n_left"),
+        F.sum("s_day").over(w).cast("long").alias("s_left"),
+    )
+    tot = daily.agg(
+        F.sum("n_day").cast("long").alias("n"),
+        F.sum("s_day").cast("long").alias("s"),
+    )
+    dec = "decimal(19,0)"
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_left") < F.col("n"))
+        .select(
+            "day",
+            "n_left",
+            (F.col("n") - F.col("n_left")).cast("long").alias("n_right"),
+            "s_left",
+            (
+                F.col("s_left").cast(dec) * F.col("n").cast(dec)
+                - F.col("s").cast(dec) * F.col("n_left").cast(dec)
+            )
+            .cast("decimal(38,0)")
+            .alias("d_num"),
+            (
+                F.col("n_left").cast(dec)
+                * (F.col("n") - F.col("n_left")).cast(dec)
+            )
+            .cast("decimal(38,0)")
+            .alias("gain_den"),
+        )
+    )
+
+
+@query(
+    "agg_woe_iv",
+    oracle="""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor(o_totalprice / 60000.0) AS BIGINT),
+                            0), 9) AS bucket,
+             (o_orderstatus = 'F') AS is_event
+      FROM orders
+    ),
+    g AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE is_event)::BIGINT AS n_event,
+             count(*) FILTER (WHERE NOT is_event)::BIGINT AS n_non
+      FROM b GROUP BY bucket
+    ),
+    t AS (
+      SELECT sum(n_event)::BIGINT AS te, sum(n_non)::BIGINT AS tn FROM g
+    )
+    SELECT bucket, n_event, n_non,
+           round(ln(((n_event + 0.5) / (te::DOUBLE + 0.5))
+                    / ((n_non + 0.5) / (tn::DOUBLE + 0.5))), 6) AS woe,
+           round((n_event / te::DOUBLE - n_non / tn::DOUBLE)
+                 * ln(((n_event + 0.5) / (te::DOUBLE + 0.5))
+                      / ((n_non + 0.5) / (tn::DOUBLE + 0.5))), 6) AS iv_term
+    FROM g, t
+    """,
+)
+def agg_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3g (r7): Weight-of-Evidence / Information-Value decomposition of
+    a bucketed feature against a binary outcome (order value vs final
+    status) — the classic scorecard feature audit (Siddiqi, public
+    literature) and the label-aware counterpart of `agg_mutual_info`:
+    MI asks "are these columns dependent at all", WOE/IV asks "how much
+    does each BUCKET of this feature separate the two outcome classes",
+    which is the per-feature triage a training pipeline runs before
+    fitting anything. Per bucket: exact BIGINT event/non-event counts,
+    the +0.5-smoothed WOE (defined on empty cells — no ±inf, the
+    Laplace move `dq_drift_psi` uses), and the IV term whose sum is the
+    feature's IV. The float chain is fixed row-local IEEE ops over
+    exact longs rounded at 6dp (the `text_pmi` partition-order-free
+    rule). One conditional-agg scan to ≤10 bucket rows; totals are a
+    one-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.greatest(
+                F.floor(F.col("o_totalprice") / 60000.0).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bucket"),
+        (F.col("o_orderstatus") == "F").alias("is_event"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_event"), 1)).cast("long").alias("n_event"),
+        F.count(F.when(~F.col("is_event"), 1)).cast("long").alias("n_non"),
+    ).localCheckpoint(eager=True)  # feeds totals AND the per-bucket rows
+    t = g.agg(
+        F.sum("n_event").cast("long").alias("te"),
+        F.sum("n_non").cast("long").alias("tn"),
+    )
+    ne, nn = F.col("n_event").cast("double"), F.col("n_non").cast("double")
+    te, tn = F.col("te").cast("double"), F.col("tn").cast("double")
+    woe = F.log(
+        ((ne + 0.5) / (te + 0.5)) / ((nn + 0.5) / (tn + 0.5))
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_event",
+        "n_non",
+        F.round(woe, 6).alias("woe"),
+        F.round((ne / te - nn / tn) * woe, 6).alias("iv_term"),
+    )

@@ -151,3 +151,109 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         double_hash=md5_pair,
         hash_buckets=False,
     )
+
+
+# The funnel oracle reuses the corpus_prep CTE chain verbatim (split at
+# its final SELECT) and reads one count off each stage — every CTE is
+# still referenced exactly once, so DuckDB's per-reference CTE inlining
+# cannot re-expand the recursive closure (the graph_kcore oracle trap).
+_PREP_PREFIX = _CORPUS_PREP_ORACLE[: _CORPUS_PREP_ORACLE.rindex("SELECT e.doc_id")]
+_FUNNEL_ORACLE = (
+    _PREP_PREFIX
+    + """kept AS (
+      SELECT e.doc_id
+      FROM (
+        SELECT exact.*,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b
+        FROM exact
+      ) e
+      LEFT JOIN comp ON comp.node = e.doc_id
+      WHERE comp.node IS NULL OR comp.cluster = e.doc_id
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           (SELECT count(*) FROM documents)::BIGINT AS n_docs
+    UNION ALL
+    SELECT 1, 'quality_filtered', (SELECT count(*) FROM enriched)::BIGINT
+    UNION ALL
+    SELECT 2, 'exact_deduped', (SELECT count(*) FROM exact)::BIGINT
+    UNION ALL
+    SELECT 3, 'neardup_deduped', (SELECT count(*) FROM kept)::BIGINT
+    """
+)
+
+# the CTE prefix ends "...comp AS (SELECT ...)\n" followed by the final
+# SELECT we cut off — re-add the comma the cut removed
+_FUNNEL_ORACLE = _FUNNEL_ORACLE.replace(
+    "comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)\n",
+    "comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),\n",
+)
+
+
+@query("corpus_dedup_funnel", oracle=_FUNNEL_ORACLE)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13b (r7): the corpus-prep DEDUP FUNNEL — stage-by-stage document
+    counts through the exact `corpus_prep` pipeline (raw → quality/length
+    filter → exact dedup → LSH near-dup cluster survivors), the
+    certification table for the composed pipeline itself: each stage's
+    marginal removal is an exact auditable number (what did quality cost,
+    what did exact dedup remove that near-dup would have caught anyway),
+    which is the first report any 100 TB ingest run publishes. The
+    oracle replays the identical stage chain (same CTE prefix as
+    `corpus_prep`'s oracle, one count per stage), so the hash match
+    proves the funnel counts come from the same pipeline the declared
+    end-to-end query ships.
+
+    Scale: the quality/langid stage scans documents once; the exact
+    stage is one content-hash distinct; the final stage replays the
+    banded LSH join. Each count is a one-row agg unioned into 4 rows —
+    the stage PREFIXES recompute rather than checkpoint (counts need no
+    row reuse, and a checkpoint of the full filtered corpus would cost
+    more than the recount at any scale)."""
+    from pyspark.sql import functions as F
+
+    from openmrs_patient_migration_script_spark.operators.text import (
+        quality_exprs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    enriched = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+    ).filter(
+        (F.col("quality_score") >= _MIN_QUALITY)
+        & (F.col("n_tokens") >= _MIN_TOKENS)
+    )
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+    final = prepare_corpus(
+        docs,
+        min_quality=_MIN_QUALITY,
+        min_tokens=_MIN_TOKENS,
+        double_hash=md5_pair,
+        hash_buckets=False,
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality_filtered", enriched))
+        .unionByName(
+            stage(
+                2,
+                "exact_deduped",
+                enriched.groupBy(F.md5(F.col("text"))).agg(F.lit(1)),
+            )
+        )
+        .unionByName(stage(3, "neardup_deduped", final))
+    )

@@ -333,3 +333,51 @@ def privacy_generalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=25,
     )
+
+
+@query(
+    "privacy_reid_risk",
+    oracle="""
+    WITH g AS (
+      SELECT count(*)::BIGINT AS k
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)
+    )
+    SELECT least(k, 21) AS k_bucket,
+           count(*)::BIGINT AS n_groups,
+           sum(k)::BIGINT AS n_records
+    FROM g GROUP BY 1
+    """,
+)
+def privacy_reid_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14g (r7): prosecutor re-identification risk profile over the
+    `privacy_kanon` quasi-identifier tuple — the DISTRIBUTION the k=5
+    audit thresholds: for each equivalence-class size k (capped at 21,
+    the `graph_degree_dist` bounded-domain move), how many groups and
+    records sit at that size. Prosecutor risk for a record in a size-k
+    class is exactly 1/k (El Emam, public literature), so this table IS
+    the risk histogram — k_bucket=1 rows are unique records (risk 1),
+    and Σ n_records·(1/k) integrates to the expected re-identification
+    count, derivable downstream from exact integers without this query
+    ever emitting a float. One partial-combined hash agg to equivalence
+    classes, then a second bounded agg over class sizes — the k
+    distribution is ≤21 rows at any scale."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    )
+    g = c.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        g.select(
+            F.least(F.col("k"), F.lit(21).cast("long")).alias("k_bucket"), "k"
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_records"),
+        )
+    )

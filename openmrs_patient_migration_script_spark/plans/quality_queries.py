@@ -1086,3 +1086,153 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=60000.0,
         n_bins=10,
     )
+
+
+@query(
+    "dq_fk_inference",
+    oracle="""
+    WITH cand(candidate, n_child_distinct, n_parent_distinct, n_contained) AS (
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT count(DISTINCT o_custkey) FROM orders),
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders
+                                    WHERE o_custkey IS NOT NULL) c
+              WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(DISTINCT o_orderkey) FROM orders),
+             (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                                    WHERE l_orderkey IS NOT NULL) c
+              WHERE EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.k))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation.n_nationkey',
+             (SELECT count(DISTINCT c_nationkey) FROM customer),
+             (SELECT count(DISTINCT n_nationkey) FROM nation),
+             (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer
+                                    WHERE c_nationkey IS NOT NULL) c
+              WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.k))
+      UNION ALL
+      SELECT 'customer.c_custkey->orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(DISTINCT o_custkey) FROM orders),
+             (SELECT count(*) FROM (SELECT DISTINCT c_custkey AS k FROM customer
+                                    WHERE c_custkey IS NOT NULL) c
+              WHERE EXISTS (SELECT 1 FROM orders p WHERE p.o_custkey = c.k))
+    )
+    SELECT candidate,
+           n_child_distinct::BIGINT AS n_child_distinct,
+           n_parent_distinct::BIGINT AS n_parent_distinct,
+           n_contained::BIGINT AS n_contained,
+           n_contained = n_child_distinct AS is_inclusion
+    FROM cand
+    """,
+)
+def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 (r7): inclusion-dependency (FK candidate) DISCOVERY over four
+    schema edges (operators/quality.py::inclusion_audit) — the profiling
+    step before `dq_referential` starts enforcing: three true FK edges
+    plus one deliberate reverse-direction control
+    (customer.c_custkey → orders.o_custkey), which fails inclusion
+    whenever any customer has no orders — so the audit demonstrably
+    DISCRIMINATES rather than rubber-stamping. Per edge: exact distinct
+    counts of both sides and the contained-distinct count, all longs,
+    plus the is_inclusion verdict their equality implies (the
+    Metanome-style IND criterion). Scale: each side distinct-projects
+    to bare keys before the semi join — the shuffle carries each
+    distinct key once, never fact rows; counts are one-row broadcast
+    scalars."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        inclusion_audit,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    edges = [
+        (o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer.c_custkey"),
+        (li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey"),
+        (c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation.n_nationkey"),
+        (c, "c_custkey", o, "o_custkey", "customer.c_custkey->orders.o_custkey"),
+    ]
+    out = None
+    for child, ck, parent, pk, name in edges:
+        row = inclusion_audit(child, ck, parent, pk, name)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "dq_fd_violations",
+    oracle="""
+    WITH fd1 AS (
+      SELECT count(*)::BIGINT AS n_groups,
+             count(*) FILTER (WHERE nd > 1)::BIGINT AS n_violating
+      FROM (SELECT c_custkey, count(DISTINCT c_name) AS nd
+            FROM customer GROUP BY c_custkey)
+    ),
+    fd2 AS (
+      SELECT count(*)::BIGINT AS n_groups,
+             count(*) FILTER (WHERE nd > 1)::BIGINT AS n_violating
+      FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd
+            FROM orders GROUP BY o_orderkey)
+    ),
+    fd3 AS (
+      SELECT count(*)::BIGINT AS n_groups,
+             count(*) FILTER (WHERE nd > 1)::BIGINT AS n_violating
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_nationkey)
+    )
+    SELECT 'customer.c_custkey->c_name' AS fd, n_groups, n_violating,
+           n_violating = 0 AS holds
+    FROM fd1
+    UNION ALL
+    SELECT 'orders.o_orderkey->o_orderstatus', n_groups, n_violating,
+           n_violating = 0
+    FROM fd2
+    UNION ALL
+    SELECT 'customer.c_nationkey->c_mktsegment', n_groups, n_violating,
+           n_violating = 0
+    FROM fd3
+    """,
+)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 (r7): functional-dependency audit — `dq_fk_inference`'s
+    within-table sibling (IND discovers edges BETWEEN tables; FD checks
+    determinations INSIDE one): does column A determine column B? Three
+    declared candidates — two that must hold (a key determines its
+    attributes) and one deliberate non-FD control
+    (c_nationkey → c_mktsegment: nations span segments), so the audit
+    discriminates. Per candidate: exact group and violating-group
+    counts plus the holds verdict (n_violating = 0). The FD check is
+    the mapping-table precondition (README.md:13-15's precedence rules
+    presume identifier → person is functional) — a violated FD there
+    means the migration mapping is ambiguous BEFORE any row moves.
+    Scale: per candidate one two-level agg (groupBy A, count_distinct
+    B — partial-combined both levels), then a one-row count; nothing
+    carries fact rows past the first agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cands = [
+        (c, "c_custkey", "c_name", "customer.c_custkey->c_name"),
+        (o, "o_orderkey", "o_orderstatus", "orders.o_orderkey->o_orderstatus"),
+        (c, "c_nationkey", "c_mktsegment", "customer.c_nationkey->c_mktsegment"),
+    ]
+    out = None
+    for df, a, bcol, name in cands:
+        g = df.groupBy(a).agg(F.count_distinct(F.col(bcol)).alias("_nd"))
+        row = g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count(F.when(F.col("_nd") > 1, 1)).cast("long").alias(
+                "n_violating"
+            ),
+        ).select(
+            "fd",
+            "n_groups",
+            "n_violating",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
