@@ -2735,3 +2735,96 @@ def agg_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((ne / te - nn / tn) * woe, 6).alias("iv_term"),
     )
+
+
+@query(
+    "ab_paired_ttest",
+    oracle="""
+    WITH units AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                      0)::BIGINT
+             - coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN CAST(round(value * 100) AS BIGINT) END),
+                        0)::BIGINT AS d
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(d)::BIGINT AS sum_d,
+             sum(d::HUGEINT * d)::DECIMAL(38,0) AS sum_d2
+      FROM units
+    )
+    SELECT n, sum_d, sum_d2,
+           CASE WHEN n < 2
+                  OR n::HUGEINT * sum_d2::HUGEINT
+                     = sum_d::HUGEINT * sum_d
+                THEN 0.0
+                ELSE round((sum_d::DOUBLE / n)
+                           / sqrt(((sum_d2::DOUBLE
+                                    - sum_d::DOUBLE * sum_d / n)
+                                   / (n - 1.0)) / n), 6)
+           END AS t_stat
+    FROM s
+    """,
+)
+def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18e (r7): paired (within-subject) t-test on per-user post-minus-
+    pre spend — the experimentation family's within-subject member
+    (Welch: independent arms; CUPED: covariate adjustment; paired t:
+    each user is their own control, the highest-power design when the
+    same units are observed both periods). Per-user diffs in exact
+    cents; n, Σd, Σd² carried exactly (Σd² as DECIMAL(38,0) — the
+    `ab_cuped` power-sum rule, zero reassociative float summation), the
+    t statistic one fixed row-local double chain rounded at 6dp.
+    Degenerate designs pin t to 0.0 via the INTEGER-decidable condition
+    n·Σd² = (Σd)² (all diffs equal — zero variance) or n < 2, mirrored
+    verbatim in the oracle (the `ab_mann_whitney` rule). One user-keyed
+    conditional agg to unit rows, one one-row reduction."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    units = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0)
+                )
+                - F.coalesce(
+                    F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    dec = "decimal(19,0)"
+    s = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.sum(F.col("d").cast(dec) * F.col("d").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("sum_d2"),
+    )
+    n = F.col("n").cast("double")
+    sd, sd2 = F.col("sum_d").cast("double"), F.col("sum_d2").cast("double")
+    degenerate = (F.col("n") < 2) | (
+        F.col("n").cast(dec) * F.col("sum_d2")
+        == F.col("sum_d").cast(dec) * F.col("sum_d").cast(dec)
+    )
+    return s.select(
+        "n",
+        "sum_d",
+        "sum_d2",
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (sd / n)
+                / F.sqrt(((sd2 - sd * sd / n) / (n - 1.0)) / n),
+                6,
+            )
+        )
+        .alias("t_stat"),
+    )

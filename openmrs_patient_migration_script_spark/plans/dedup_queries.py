@@ -1579,3 +1579,165 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + (F.col("key_a") + F.col("key_b")) % 7).cast("long").alias("w"),
     )
     return sssp_bounded(edges, seeds, max_hops=3)
+
+
+@query(
+    "dedup_minhash_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS mh
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig_str
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig_str = b.sig_str
+                  AND a.doc_id < b.doc_id
+    ),
+    mm AS (
+      SELECT p.key_a, p.key_b,
+             count(*) FILTER (WHERE sa.mh = sb.mh)::BIGINT AS mh_matches
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.key_a
+      JOIN sig sb ON sb.doc_id = p.key_b AND sb.i = sa.i
+      GROUP BY p.key_a, p.key_b
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.key_a, p.key_b, count(*)::BIGINT AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.key_a
+      JOIN sh b ON b.doc_id = p.key_b AND b.shingle = a.shingle
+      GROUP BY p.key_a, p.key_b
+    )
+    SELECT mm.key_a, mm.key_b, mm.mh_matches,
+           coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+           (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))::BIGINT AS n_union
+    FROM mm
+    LEFT JOIN inter i ON i.key_a = mm.key_a AND i.key_b = mm.key_b
+    JOIN sizes za ON za.doc_id = mm.key_a
+    JOIN sizes zb ON zb.doc_id = mm.key_b
+    """,
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3h (r7): MinHash ESTIMATE-vs-TRUTH certification per candidate
+    pair — the audit the near-dup family still owed (sim_ann_recall
+    certifies ANN, dq_blocking_quality certifies blocking; this
+    certifies the minhash signature itself): for every LSH candidate
+    pair, the number of agreeing signature coordinates (estimated
+    Jaccard = mh_matches/16 — the unbiased MinHash estimator, Broder
+    1997) NEXT TO the true shingle-set intersection and union sizes
+    (true Jaccard = n_inter/n_union). Unlike the sketch audits, BOTH
+    sides replay exactly in the oracle (the md5 double-hash signature
+    is content-addressed), so the raw numbers hash-check — no
+    within-band boolean needed, and fully integer rows.
+
+    Scale: the signature table (docs × 16 longs) checkpoints once and
+    feeds the band join AND the coordinate comparison; the true-Jaccard
+    join streams the shingle inverted lists of CANDIDATE pairs only —
+    never all-pairs (candidate-bounded, the decontaminate shape)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        _band_buckets,
+        _shingles,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+    sig = minhash_signatures(
+        d, "doc_id", "text", num_hashes=16, double_hash=md5_pair
+    ).localCheckpoint(eager=True)  # feeds band join + coordinate compare
+    buckets = _band_buckets(sig, 16, 4, hash_buckets=False)
+    pairs = (
+        buckets.select(F.col("key").alias("key_a"), "band", "bucket")
+        .join(
+            buckets.select(F.col("key").alias("key_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds signature AND shingle joins
+    )
+    matches = F.reduce(
+        F.array(
+            *[
+                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("long")
+                for i in range(16)
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mm = (
+        pairs.join(sig.alias("a"), pairs["key_a"] == F.col("a.key"))
+        .join(sig.alias("b"), pairs["key_b"] == F.col("b.key"))
+        .select("key_a", "key_b", matches.alias("mh_matches"))
+    )
+    sh = d.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(_shingles(F.col("text"), 3))).alias(
+            "shingle"
+        ),
+    ).localCheckpoint(eager=True)  # feeds sizes AND the intersection join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("key_a"), "shingle"), "key_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("key_b"), "shingle"),
+            ["key_b", "shingle"],
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        mm.join(inter, ["key_a", "key_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("key_a"), F.col("n_sh").alias("_na")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("key_b"), F.col("n_sh").alias("_nb")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "mh_matches",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+            (
+                F.col("_na") + F.col("_nb")
+                - F.coalesce(F.col("n_inter"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
