@@ -1232,3 +1232,89 @@ def test_sssp_rejects_fractional_weights(spark):
     seeds = spark.createDataFrame([(1,)], ["node"])
     with _pytest.raises(ValueError, match="integral"):
         sssp_bounded(edges, seeds, 2)
+
+
+def test_changepoint_locates_planted_level_shift(spark):
+    """A series that jumps from level 100 to level 700 between day 3 and
+    day 4 must maximize d_num^2/gain_den exactly at the day-3 boundary,
+    and the fraction reconstructs the between-segment sum of squares
+    BSS = D^2/(n*n_L*n_R)."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rows = []
+    for day in range(6):
+        level = 1.0 if day < 3 else 7.0  # scaled x100 -> 100 vs 700
+        for j in range(4):
+            rows.append(
+                (
+                    day * 10 + j,
+                    datetime.datetime(2024, 1, day + 1, j),
+                    j,
+                    "view",
+                    level,
+                    None,
+                )
+            )
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    # load_table's footer probe expects MICROS/NANOS; Spark's default
+    # INT96 output would mis-probe as ns and fail the pinned read schema
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(rows, schema).write.parquet(
+                os.path.join(d, "events.parquet")
+            )
+            out = QUERIES["ts_changepoint"](spark, d).collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert len(out) == 5  # 6 days -> 5 interior boundaries
+    best = max(out, key=lambda r: int(r["d_num"]) ** 2 / int(r["gain_den"]))
+    assert best["day"].day == 3 and best["n_left"] == 12
+    # D at the true split: S_L*n - S*n_L = 1200*24 - 9600*12 = -86400
+    assert int(best["d_num"]) == -86400 and int(best["gain_den"]) == 144
+
+
+def test_woe_iv_separating_and_uniform_buckets(spark):
+    """A bucket holding only events gets a large positive WOE (the
+    smoothing keeps it finite despite the empty non-event cell); the
+    mixed bucket's magnitude is strictly smaller and its sign negative
+    (it holds ALL the non-events, so it under-represents events
+    relative to the global mix). Hand-computed: WOE(b0) =
+    ln((8.5/12.5)/(0.5/4.5)) ≈ 1.8116, WOE(b1) = ln((4.5/12.5)/(4.5/4.5))
+    ≈ −1.02."""
+    import os
+    import tempfile
+
+    # bucket 0 (price < 60000): all 'F'; bucket 1: 50/50 mix
+    rows = [(i, "F", 30000.0) for i in range(8)] + [
+        (100 + i, "F" if i % 2 == 0 else "O", 90000.0) for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r["bucket"]: r for r in QUERIES["agg_woe_iv"](spark, d).collect()}
+    assert out[0]["n_event"] == 8 and out[0]["n_non"] == 0
+    assert abs(out[0]["woe"] - 1.811562) < 1e-4  # pure-event bucket, finite
+    assert abs(out[1]["woe"] - (-1.021651)) < 1e-4
+    assert abs(out[1]["woe"]) < out[0]["woe"]  # mixed bucket separates less
+    assert all(r["iv_term"] is not None for r in out.values())

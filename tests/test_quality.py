@@ -581,3 +581,25 @@ def test_ks_drift_one_sided_slice_is_zero_not_nan(spark):
     assert out and all(
         int(r["gap_num"]) == 0 and int(r["gap_den"]) == 0 for r in out
     )
+
+
+def test_inclusion_audit_discriminates_and_ignores_nulls(spark):
+    """A perfect inclusion reports n_contained == n_child_distinct and
+    holds; a partial one counts exactly the contained keys; NULLs on
+    either side neither evidence nor break a reference (count(DISTINCT)
+    semantics)."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        inclusion_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,), (None,)], "pk long")
+    r = inclusion_audit(child, "fk", parent, "pk", "c->p").collect()[0]
+    assert (r["n_child_distinct"], r["n_parent_distinct"]) == (2, 3)
+    assert r["n_contained"] == 2 and r["is_inclusion"]
+
+    partial = spark.createDataFrame([(1,), (99,)], "fk long")
+    r2 = inclusion_audit(partial, "fk", parent, "pk", "c->p").collect()[0]
+    assert r2["n_contained"] == 1 and not r2["is_inclusion"]

@@ -606,6 +606,76 @@ def _stratified_shape(d_k):
     return proportional_stratified_sample(d_k, "doc_id", "lang", pct=10)
 
 
+def _fk_inference_shape(li_k, o_k):
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        inclusion_audit,
+    )
+
+    return inclusion_audit(
+        li_k, "l_orderkey", o_k, "o_orderkey", "lineitem->orders"
+    )
+
+
+def _minhash_quality_shape(docs, k: int):
+    """Estimate-vs-truth minhash audit at k copies — tokens copy-tagged
+    (the ngram_jaccard trick) so shingles stay disjoint across copies:
+    candidate pairs, signature compares and true-Jaccard joins all stay
+    linear in k instead of colliding quadratically in shared buckets."""
+    from functools import reduce
+
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        _band_buckets,
+        _shingles,
+        minhash_signatures,
+    )
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace("text", r"(\w+)", f"$1x{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    d_k = reduce(lambda a, b: a.unionByName(b), copies)
+    sig = minhash_signatures(d_k, "doc_id", "text", num_hashes=16).localCheckpoint(
+        eager=True
+    )
+    buckets = _band_buckets(sig, 16, 4, hash_buckets=True)
+    pairs = (
+        buckets.select(F.col("key").alias("key_a"), "band", "bucket")
+        .join(
+            buckets.select(F.col("key").alias("key_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    matches = sum(
+        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("long") for i in range(16)
+    )
+    mm = (
+        pairs.join(sig.alias("a"), pairs["key_a"] == F.col("a.key"))
+        .join(sig.alias("b"), pairs["key_b"] == F.col("b.key"))
+        .select("key_a", "key_b", matches.alias("mh_matches"))
+    )
+    sh = d_k.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("text"), 3))).alias("shingle"),
+    )
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("key_a"), "shingle"), "key_a")
+        .join(
+            sh.select(F.col("doc_id").alias("key_b"), "shingle"),
+            ["key_b", "shingle"],
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return mm.join(inter, ["key_a", "key_b"], "left")
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
@@ -826,6 +896,13 @@ def main() -> None:
             "mutual_info_cells": _mi_shape(d_k),
             # count broadcast + one per-stratum rank window
             "stratified_exact_sample": _stratified_shape(d_k),
+            # --- r7 shapes ---
+            # IND discovery: distinct-project both sides, one semi join,
+            # three one-row counts — nothing carries fact rows
+            "fk_inference_ind": _fk_inference_shape(li_k, o_k),
+            # minhash estimate-vs-truth audit: candidate-bounded signature
+            # compare + shingle intersection (copy-tagged tokens)
+            "minhash_quality_audit": lambda: _minhash_quality_shape(docs, k),
         }
 
     results: dict[str, dict[int, float]] = {}
