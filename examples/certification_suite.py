@@ -14,6 +14,14 @@ against an independent DuckDB replay in the correctness gate.
   drift tripwires     - binned two-sample KS vs PSI on the same grid,
                         the Zipf head slope of the corpus
   mix dependence      - per-cell mutual information lang x source
+  sketch error        - HLL profile distincts within band of exact
+                        (dq_profile_hll_audit); production theta/KLL
+                        estimates inside their error brackets
+                        (sketch_error_audit)
+  minhash fidelity    - estimated vs true Jaccard per LSH candidate
+                        pair (dedup_minhash_quality)
+  pipeline funnel     - stage-by-stage document counts through the
+                        corpus-prep chain (corpus_dedup_funnel)
 
 Run:  python examples/certification_suite.py [sf_dir]
 """
@@ -91,6 +99,36 @@ def main() -> None:
         .collect()[0]["mi"]
     )
     print(f"lang x source mutual information: {mi} nats")
+
+    hll = QUERIES["dq_profile_hll_audit"](spark, sf_dir).collect()
+    n_ok = sum(1 for r in hll if r["hll_within_band"])
+    print(f"hll profile audit: {n_ok}/{len(hll)} columns within 10% of exact")
+
+    sk = QUERIES["sketch_error_audit"](spark, sf_dir).collect()
+    for r in sk:
+        print(
+            f"sketch audit [{r['audit']}]: exact={r['exact_value']:.1f} "
+            f"within_bound={r['within_bound']}"
+        )
+
+    mq = (
+        QUERIES["dedup_minhash_quality"](spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.round(F.avg(F.col("mh_matches") / 16.0), 4).alias("est_j"),
+            F.round(
+                F.avg(F.col("n_inter") / F.col("n_union")), 4
+            ).alias("true_j"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"minhash fidelity: {mq['pairs']} candidate pairs, "
+        f"mean est J={mq['est_j']} vs true J={mq['true_j']}"
+    )
+
+    for r in QUERIES["corpus_dedup_funnel"](spark, sf_dir).collect():
+        print(f"funnel [{r['stage_idx']}] {r['stage']}: {r['n_docs']} docs")
     print("certification: COMPLETE")
 
 
