@@ -2828,3 +2828,149 @@ def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("t_stat"),
     )
+
+
+_BOOT_R = 200  # replicates; bounded-domain window (the dq_drift_ks rule)
+
+
+@query(
+    "ab_bootstrap_ci",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT u.user_id, u.arm, u.y, r.r,
+             ('0x' || substr(md5(u.user_id::VARCHAR || ':' || r.r::VARCHAR),
+                             1, 8))::BIGINT % 1000 AS b
+      FROM units u, (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) r
+    ),
+    weighted AS (
+      SELECT user_id, arm, y, r,
+             CASE WHEN b < 368 THEN 0 WHEN b < 736 THEN 1
+                  WHEN b < 920 THEN 2 WHEN b < 981 THEN 3 ELSE 4 END AS w
+      FROM reps
+    ),
+    g AS (
+      SELECT r,
+             coalesce(sum(CASE WHEN arm = 0 THEN w * y END), 0)::BIGINT AS s_a,
+             coalesce(sum(CASE WHEN arm = 0 THEN w END), 0)::BIGINT AS n_a,
+             coalesce(sum(CASE WHEN arm = 1 THEN w * y END), 0)::BIGINT AS s_b,
+             coalesce(sum(CASE WHEN arm = 1 THEN w END), 0)::BIGINT AS n_b
+      FROM weighted GROUP BY r
+    ),
+    ranked AS (
+      SELECT g.*,
+             row_number() OVER (
+               ORDER BY CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+                             ELSE s_a::DOUBLE / n_a - s_b::DOUBLE / n_b
+                        END, r
+             ) AS rn
+      FROM g
+    )
+    SELECT 'lo' AS bound, CAST(r AS INTEGER) AS r, s_a, n_a, s_b, n_b
+    FROM ranked WHERE rn = 5
+    UNION ALL
+    SELECT 'hi', CAST(r AS INTEGER), s_a, n_a, s_b, n_b
+    FROM ranked WHERE rn = 196
+    """,
+)
+def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18f (r7): content-addressed BOOTSTRAP confidence interval for the
+    between-arm mean difference — the distribution-free CI completing
+    the experimentation family (Welch/paired assume a variance model;
+    the percentile bootstrap assumes nothing). Each of the 200
+    replicates resamples units with a DETERMINISTIC Poisson(1)-ish
+    multiplicity (md5(user:replicate) mod 1000 against the cumulative
+    pmf thresholds 368/736/920/981 — the content-addressed-randomness
+    move every approximate path here uses, so the oracle replays the
+    entire resampling exactly). Output rows are FULLY INTEGER — the
+    2.5th/97.5th-percentile replicates' exact per-arm (Σw·y, Σw) sums;
+    the CI bounds derive as s_a/n_a − s_b/n_b downstream. The one float
+    in the plan (the replicate ORDERING key) never leaves the query:
+    both engines compute the identical IEEE double from identical
+    integer sums and break exact ties by replicate id, so the selected
+    ranks 5 and 196 (of 200) match by construction; an empty resampled
+    arm orders as 0.0 (defined, the `ab_mann_whitney` rule).
+
+    Scale: one user-keyed agg to units, a ×200 in-task explode whose
+    (replicate, arm) partial aggregation combines map-side to ≤400 rows
+    per task, one 200-row bounded window (the `dq_drift_ks` metadata
+    rule). The explode is the honest bootstrap cost — 200× the UNIT
+    table, never the event table."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    units = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("y"),
+    )
+    reps = units.select(
+        "user_id",
+        "arm",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    w = (
+        F.when(bucket < 368, 0)
+        .when(bucket < 736, 1)
+        .when(bucket < 920, 2)
+        .when(bucket < 981, 3)
+        .otherwise(4)
+    ).cast("long")
+    g = reps.select("arm", "y", "r", w.alias("w")).groupBy("r").agg(
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("w") * F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("s_a"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("w"))), F.lit(0))
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("w") * F.col("y"))), F.lit(0))
+        .cast("long")
+        .alias("s_b"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("w"))), F.lit(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0.0)).otherwise(
+        F.col("s_a").cast("double") / F.col("n_a")
+        - F.col("s_b").cast("double") / F.col("n_b")
+    )
+    ranked = g.select(
+        "*", F.row_number().over(Window.orderBy(diff, F.col("r"))).alias("rn")
+    )
+    out_cols = [
+        F.col("r").cast("int").alias("r"),
+        "s_a",
+        "n_a",
+        "s_b",
+        "n_b",
+    ]
+    return (
+        ranked.filter(F.col("rn") == 5)
+        .select(F.lit("lo").alias("bound"), *out_cols)
+        .unionByName(
+            ranked.filter(F.col("rn") == 196).select(
+                F.lit("hi").alias("bound"), *out_cols
+            )
+        )
+    )

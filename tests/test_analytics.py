@@ -1318,3 +1318,41 @@ def test_woe_iv_separating_and_uniform_buckets(spark):
     assert abs(out[1]["woe"] - (-1.021651)) < 1e-4
     assert abs(out[1]["woe"]) < out[0]["woe"]  # mixed bucket separates less
     assert all(r["iv_term"] is not None for r in out.values())
+
+
+def test_bootstrap_ci_constant_effect_collapses_to_point(spark):
+    """With y constant per arm (arm 0 = 300 cents, arm 1 = 100), every
+    resample's mean difference is exactly 200 unless an arm resamples
+    empty — so both percentile bounds must reconstruct diff = 200 from
+    their integer sums, and the output carries no float at all."""
+    import os
+    import tempfile
+
+    rows = [(u, None, u, "view", 3.0 if u % 2 == 0 else 1.0, None)
+            for u in range(40)]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {r["bound"]: r for r in QUERIES["ab_bootstrap_ci"](spark, d).collect()}
+    assert set(out) == {"lo", "hi"}
+    for r in out.values():
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert r["s_a"] / r["n_a"] - r["s_b"] / r["n_b"] == 200.0
