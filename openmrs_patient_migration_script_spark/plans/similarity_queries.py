@@ -134,13 +134,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same oracle as sim_cosine_topk: both implementations must produce
 # identical rounded scores and tie-breaks
-def _mmr_oracle(k_cand: int = 10, k_sel: int = 5) -> str:
-    """Unrolled greedy-MMR replay: step 1 is the plain relevance argmax
-    (no penalty — selected set empty); each later step anti-joins the
-    running selection, takes the max penalty over it from the integer
-    pairwise-sim table, and argmaxes (rel_s - pen) with the vec_id
-    tie-break — the exact integer arithmetic the engine's greedy loop
-    runs."""
+def _mmr_prefix(k_cand: int = 10, k_sel: int = 5) -> str:
+    """Shared CTE chain for the MMR oracles: candidates, integer pairwise
+    sims, and the unrolled greedy selection sel1..sel{k_sel}. Step 1 is
+    the plain relevance argmax (no penalty — selected set empty); each
+    later step anti-joins the running selection, takes the max penalty
+    over it from the integer pairwise-sim table, and argmaxes
+    (rel_s - pen) with the vec_id tie-break — the exact integer
+    arithmetic the engine's greedy loop runs."""
     sql = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -205,13 +206,63 @@ def _mmr_oracle(k_cand: int = 10, k_sel: int = 5) -> str:
       SELECT query_id, vec_id FROM sel{i - 1}
       UNION ALL SELECT query_id, vec_id FROM s{i}
     )"""
+    return sql
+
+
+def _mmr_oracle(k_cand: int = 10, k_sel: int = 5) -> str:
     steps = "\n    UNION ALL ".join(
         f"SELECT query_id, {i} AS mmr_rank, vec_id, cos_sim, "
         f"score_s / 1000000.0 AS mmr_score FROM s{i}"
         for i in range(1, k_sel + 1)
     )
-    return sql + f"""
+    return _mmr_prefix(k_cand, k_sel) + f"""
     {steps}
+    """
+
+
+def _mmr_certify_oracle(k_cand: int = 10, k_sel: int = 5) -> str:
+    """The diversity-vs-relevance ledger over the SAME unrolled greedy
+    chain: per query, the 1e6-scaled relevance sums and max within-set
+    pairwise similarities of the plain top-{k_sel} vs the MMR-selected
+    {k_sel} — every number an exact BIGINT from the shared integer sim
+    table."""
+    return _mmr_prefix(k_cand, k_sel) + f""",
+    top AS (
+      SELECT query_id, vec_id, rel_s FROM (
+        SELECT query_id, vec_id, rel_s,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_s DESC, vec_id) AS rn2
+        FROM cand
+      ) WHERE rn2 <= {k_sel}
+    ),
+    mmr AS (
+      SELECT sel{k_sel}.query_id, sel{k_sel}.vec_id, cand.rel_s
+      FROM sel{k_sel} JOIN cand
+        ON cand.query_id = sel{k_sel}.query_id
+       AND cand.vec_id = sel{k_sel}.vec_id
+    ),
+    ms_top AS (
+      SELECT s.query_id, max(s.sim_s) AS maxsim
+      FROM sims s
+      JOIN top a ON a.query_id = s.query_id AND a.vec_id = s.ca
+      JOIN top b ON b.query_id = s.query_id AND b.vec_id = s.cb
+      GROUP BY s.query_id
+    ),
+    ms_mmr AS (
+      SELECT s.query_id, max(s.sim_s) AS maxsim
+      FROM sims s
+      JOIN mmr a ON a.query_id = s.query_id AND a.vec_id = s.ca
+      JOIN mmr b ON b.query_id = s.query_id AND b.vec_id = s.cb
+      GROUP BY s.query_id
+    )
+    SELECT t.query_id,
+           t.rel AS rel_top_s, m.rel AS rel_mmr_s,
+           mt.maxsim AS maxsim_top_s, mm.maxsim AS maxsim_mmr_s
+    FROM (SELECT query_id, sum(rel_s)::BIGINT AS rel FROM top GROUP BY 1) t
+    JOIN (SELECT query_id, sum(rel_s)::BIGINT AS rel FROM mmr GROUP BY 1) m
+      USING (query_id)
+    JOIN ms_top mt USING (query_id)
+    JOIN ms_mmr mm USING (query_id)
     """
 
 
@@ -923,3 +974,62 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     )
     return _recall_overlay(exact, ann)
+
+
+@query("sim_mmr_diversity", oracle=_mmr_certify_oracle())
+def sim_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4j (r7): the MMR diversity-vs-relevance LEDGER — what the
+    diversified re-rank (`sim_mmr_rerank`) pays in relevance and buys
+    in spread, per query, as exact integers: the 1e6-scaled relevance
+    sums of the plain top-5 vs the MMR-selected 5, and the max
+    within-set pairwise similarity of each (the redundancy the re-rank
+    exists to push down). rel_top_s ≥ rel_mmr_s always (top-5 maximizes
+    relevance by construction); maxsim_mmr_s ≤ maxsim_top_s is the
+    diversification working. Completes the certification family: every
+    approximate OR heuristic choice in the engine now ships its exact
+    trade-off table (recall trio for ANN, blocking quality, modularity,
+    sketch audits, minhash fidelity — and now greedy MMR). The oracle
+    replays the identical unrolled greedy chain plus the ledger CTEs.
+
+    Scale: candidate sets are k-bounded (≤10 rows per query); the
+    pairwise comparisons are ≤ k² per query computed row-locally from
+    broadcast-joined vectors — the corpus shuffles nowhere."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_similarity,
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    rel_s = F.round(F.col("cos_sim") * 1000000, 0).cast("long")
+    top = cosine_topk(emb, queries, k=_K).select(
+        "query_id", "vec_id", rel_s.alias("rel_s")
+    )
+    mmr = mmr_rerank(emb, queries, k_candidates=10, k_select=_K).select(
+        "query_id", "vec_id", rel_s.alias("rel_s")
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def ledger(sel: DataFrame, rel_name: str, sim_name: str) -> DataFrame:
+        sv = v.join(F.broadcast(sel), "vec_id").localCheckpoint(eager=True)
+        a = sv.select("query_id", F.col("vec_id").alias("ca"), F.col("v").alias("va"))
+        b = sv.select("query_id", F.col("vec_id").alias("cb"), F.col("v").alias("vb"))
+        sim_s = F.round(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) * 1000000, 0
+        ).cast("long")
+        pair_max = (
+            a.join(b, "query_id")
+            .filter(F.col("ca") != F.col("cb"))
+            .groupBy("query_id")
+            .agg(F.max(sim_s).alias(sim_name))
+        )
+        rel = sv.groupBy("query_id").agg(
+            F.sum("rel_s").cast("long").alias(rel_name)
+        )
+        return rel.join(pair_max, "query_id")
+
+    return ledger(top, "rel_top_s", "maxsim_top_s").join(
+        ledger(mmr, "rel_mmr_s", "maxsim_mmr_s"), "query_id"
+    ).select(
+        "query_id", "rel_top_s", "rel_mmr_s", "maxsim_top_s", "maxsim_mmr_s"
+    )
