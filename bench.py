@@ -203,6 +203,11 @@ HEADLINE = [
     "dq_fk_inference",
     "ts_changepoint",
     "corpus_dedup_funnel",
+    # round-7 third wave: the candidate-bounded minhash fidelity audit,
+    # the unit-table x200 bootstrap explode, and the k-bounded MMR ledger
+    "dedup_minhash_quality",
+    "ab_bootstrap_ci",
+    "sim_mmr_diversity",
 ]
 
 
