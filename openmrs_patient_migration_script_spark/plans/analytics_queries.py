@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from openmrs_patient_migration_script_spark.functions.numeric import dec_to_long
+
 from openmrs_patient_migration_script_spark.operators.sampling import (
     stratified_hash_sample,
 )
@@ -2142,14 +2144,14 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(cnt_a * rank2)::BIGINT AS r2_a,
              sum(cnt_a)::BIGINT AS n_a,
              sum(t - cnt_a)::BIGINT AS n_b,
-             sum(t * t * t - t)::BIGINT AS tie_term,
+             sum(t::HUGEINT * t * t - t)::HUGEINT AS tie_term,
              sum(t)::BIGINT AS n
       FROM ranked
     )
     SELECT n_a, n_b,
            (r2_a - n_a * (n_a + 1)) AS u2_a,
            CASE WHEN coalesce(n_a, 0) * coalesce(n_b, 0) = 0
-                  OR tie_term = n * n * n - n
+                  OR tie_term = n::HUGEINT * n * n - n
                 THEN 0.0
                 ELSE round(((r2_a - n_a * (n_a + 1))::DOUBLE / 2.0
                             - n_a::DOUBLE * n_b::DOUBLE / 2.0)
@@ -2196,13 +2198,23 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank2"),
     )
+    # tie_term and the n³−n guard run in DECIMAL(38,0) (oracle: HUGEINT):
+    # past n ≈ 2.1M rows n³ overflows int64, where DuckDB raises but
+    # non-ANSI Spark silently wraps — the same overflow rule this file
+    # applies to sum_d2 in ab_paired_ttest. Neither column is emitted,
+    # so the no-decimal-output rule (functions/numeric.py) is not
+    # violated: z_stat leaves as a rounded double.
+    dec = "decimal(19,0)"
     s = ranked.agg(
         F.sum(F.col("cnt_a") * F.col("rank2")).alias("r2_a"),
         F.sum("cnt_a").alias("n_a"),
         F.sum(F.col("t") - F.col("cnt_a")).alias("n_b"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
-            "tie_term"
-        ),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_term"),
         F.sum("t").alias("n"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
@@ -2217,7 +2229,10 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n_a"), F.lit(0)) * F.coalesce(F.col("n_b"), F.lit(0)) == 0)
         | (
             F.col("tie_term")
-            == F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            == (
+                F.col("n").cast(dec) * F.col("n").cast(dec) * F.col("n").cast(dec)
+                - F.col("n").cast(dec)
+            ).cast("decimal(38,0)")
         )
     )
     return s.select(
@@ -2587,8 +2602,8 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT sum(n_day)::BIGINT AS n, sum(s_day)::BIGINT AS s FROM daily)
     SELECT day, n_left, (n - n_left)::BIGINT AS n_right, s_left,
-           (s_left::HUGEINT * n - s::HUGEINT * n_left)::DECIMAL(38,0) AS d_num,
-           (n_left::HUGEINT * (n - n_left))::DECIMAL(38,0) AS gain_den
+           (s_left::HUGEINT * n - s::HUGEINT * n_left)::BIGINT AS d_num,
+           (n_left::HUGEINT * (n - n_left))::BIGINT AS gain_den
     FROM cum, t
     WHERE n_left < n
     """,
@@ -2603,8 +2618,10 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     D(t) = S_L·n − S·n_L — so the argmax of d_num²/gain_den IS the
     least-squares change point (binary-segmentation step 1, public
     literature), and every term is exact integer arithmetic on ×100
-    scaled values (DECIMAL(38,0) — exact through ~1e19 scaled value
-    units, the `privacy_t_closeness` overflow rule). The per-boundary
+    scaled values — computed in DECIMAL(38,0) for overflow safety, then
+    final-cast to BIGINT with the `dec_to_long` range guard (decimal
+    output columns never hash-match the driver, r7 verdict; measured
+    max |d_num| ~9.6e10 at sf0.1 vs the 2^62 band). The per-boundary
     decomposition (not just the argmax) is emitted — the
     `dq_drift_ks` certification-table shape, fully integer rows.
 
@@ -2646,18 +2663,20 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_left",
             (F.col("n") - F.col("n_left")).cast("long").alias("n_right"),
             "s_left",
-            (
-                F.col("s_left").cast(dec) * F.col("n").cast(dec)
-                - F.col("s").cast(dec) * F.col("n_left").cast(dec)
-            )
-            .cast("decimal(38,0)")
-            .alias("d_num"),
-            (
-                F.col("n_left").cast(dec)
-                * (F.col("n") - F.col("n_left")).cast(dec)
-            )
-            .cast("decimal(38,0)")
-            .alias("gain_den"),
+            dec_to_long(
+                (
+                    F.col("s_left").cast(dec) * F.col("n").cast(dec)
+                    - F.col("s").cast(dec) * F.col("n_left").cast(dec)
+                ).cast("decimal(38,0)"),
+                "d_num",
+            ).alias("d_num"),
+            dec_to_long(
+                (
+                    F.col("n_left").cast(dec)
+                    * (F.col("n") - F.col("n_left")).cast(dec)
+                ).cast("decimal(38,0)"),
+                "gain_den",
+            ).alias("gain_den"),
         )
     )
 
@@ -2753,7 +2772,7 @@ def agg_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT count(*)::BIGINT AS n,
              sum(d)::BIGINT AS sum_d,
-             sum(d::HUGEINT * d)::DECIMAL(38,0) AS sum_d2
+             sum(d::HUGEINT * d)::BIGINT AS sum_d2
       FROM units
     )
     SELECT n, sum_d, sum_d2,
@@ -2775,8 +2794,11 @@ def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Welch: independent arms; CUPED: covariate adjustment; paired t:
     each user is their own control, the highest-power design when the
     same units are observed both periods). Per-user diffs in exact
-    cents; n, Σd, Σd² carried exactly (Σd² as DECIMAL(38,0) — the
-    `ab_cuped` power-sum rule, zero reassociative float summation), the
+    cents; n, Σd, Σd² carried exactly (Σd² summed in DECIMAL(38,0) —
+    the `ab_cuped` power-sum rule, zero reassociative float summation —
+    then final-cast to BIGINT with the `dec_to_long` range guard: the
+    driver's value-hash never matches a decimal OUTPUT column, r7
+    verdict; measured Σd² ~5.0e12 at sf0.1 vs the 2^62 band), the
     t statistic one fixed row-local double chain rounded at 6dp.
     Degenerate designs pin t to 0.0 via the INTEGER-decidable condition
     n·Σd² = (Σd)² (all diffs equal — zero variance) or n < 2, mirrored
@@ -2817,7 +2839,7 @@ def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         "sum_d",
-        "sum_d2",
+        dec_to_long(F.col("sum_d2"), "sum_d2").alias("sum_d2"),
         F.when(degenerate, F.lit(0.0))
         .otherwise(
             F.round(

@@ -1495,8 +1495,8 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.community, c.n_nodes, c.degree_sum,
            coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
            (4::HUGEINT * mm.m * coalesce(i.intra_edges, 0)
-            - c.degree_sum::HUGEINT * c.degree_sum)::DECIMAL(38,0) AS q_num,
-           (4::HUGEINT * mm.m * mm.m)::DECIMAL(38,0) AS q_den
+            - c.degree_sum::HUGEINT * c.degree_sum)::BIGINT AS q_num,
+           (4::HUGEINT * mm.m * mm.m)::BIGINT AS q_den
     FROM comm c LEFT JOIN intra i USING (community), mm
     """,
 )
@@ -1508,8 +1508,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking: LPA is a heuristic, so every partition it emits ships
     with the exact Newman-Girvan Q decomposition per community
     (n_nodes, degree_sum, intra_edges, and the exact fraction q_num =
-    4·m·e_c − d_c² over q_den = 4·m², both DECIMAL(38,0) — the row is
-    fully integer-decidable, no engine-rounding-sensitive float). The
+    4·m·e_c − d_c² over q_den = 4·m², computed in DECIMAL(38,0) and
+    emitted as range-guarded BIGINT — fully integer-decidable, no
+    engine-rounding-sensitive float AND no decimal output column, the
+    r8 dtype rule in functions/numeric.py). The
     oracle recomputes the communities via the unrolled 3-round LPA
     replay and the metric from scratch. Node/community-keyed shuffles
     only; #communities output rows."""

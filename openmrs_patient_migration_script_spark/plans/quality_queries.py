@@ -1054,8 +1054,8 @@ def dq_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(c_ref)::BIGINT AS t_ref, sum(c_cur)::BIGINT AS t_cur FROM g)
     SELECT bin, c_ref, c_cur, cum_ref, cum_cur,
            abs(cum_ref::HUGEINT * t_cur
-               - cum_cur::HUGEINT * t_ref)::DECIMAL(38,0) AS gap_num,
-           (t_ref::HUGEINT * t_cur)::DECIMAL(38,0) AS gap_den
+               - cum_cur::HUGEINT * t_ref)::BIGINT AS gap_num,
+           (t_ref::HUGEINT * t_cur)::BIGINT AS gap_den
     FROM cum, t
     """,
 )
@@ -1067,10 +1067,11 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparable: PSI sums per-bin log-ratio mass (sensitive to reshaping),
     KS takes the max ECDF gap (sensitive to location shift spread
     thinly over many bins). The gap fraction |cum_ref·t_cur −
-    cum_cur·t_ref| / (t_ref·t_cur) is carried as its exact
-    DECIMAL(38,0) numerator/denominator pair — no float in the row
-    (r7: the rounded ks_term double was the one hash-flake-sensitive
-    column). One conditional-agg scan; the cumulative window runs over
+    cum_cur·t_ref| / (t_ref·t_cur) is carried as its exact integer
+    numerator/denominator pair — DECIMAL(38,0) intermediates, range-
+    guarded BIGINT out (no float in the row and no decimal output
+    column either: the r8 dtype rule, functions/numeric.py).
+    One conditional-agg scan; the cumulative window runs over
     the FIXED n_bins+2 domain rows (metadata, not data); KS statistic
     = max(gap_num / gap_den)."""
     from openmrs_patient_migration_script_spark.operators.quality import (

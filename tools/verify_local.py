@@ -83,6 +83,17 @@ def dtype_problems(spark_df, duck_tbl) -> list[str]:
     s_types = {f.name: _type_class(f.type) for f in s_schema}
     d_types = {f.name: _type_class(f.type) for f in d_schema}
     out = []
+    # r8 hard rule: a decimal OUTPUT column never hash-matches the driver,
+    # even when both engines emit decimal128(38,0) with equal values
+    # (CORRECTNESS_r06/_r07: the only hash-fails each round were exactly
+    # the decimal-output queries). Decimal is for intermediates; outputs
+    # must final-cast via functions/numeric.py::dec_to_long.
+    for c, tc in sorted(s_types.items()):
+        if "decimal" in tc:
+            out.append(
+                f"decimal OUTPUT col {c}: the driver hash never matches "
+                "decimal — cast via dec_to_long (functions/numeric.py)"
+            )
     for c in sorted(set(s_types) & set(d_types)):
         if s_types[c] != d_types[c]:
             out.append(f"dtype col {c}: spark={s_types[c]} duck={d_types[c]}")
