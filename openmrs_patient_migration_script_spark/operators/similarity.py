@@ -572,12 +572,82 @@ def mmr_rerank(
     return with_vec.groupBy(query_id_col).applyInPandas(greedy, schema=out_schema)
 
 
+def exact_rerank_pairs(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exactly score candidate id pairs against the corpus vectors and
+    keep cosine >= threshold — the shared re-rank tail of every pruned
+    pair path (`cosine_pairs_lsh`, the `cosine_pairs_blocked`
+    ``candidates=`` hook), so pruned and exact paths emit the identical
+    (key_a < key_b, 6dp cos_sim) contract from ONE scoring routine.
+
+    ``candidates`` needs only (key_a, key_b); orientation is
+    canonicalized and duplicates collapsed here, any approximate score
+    column is ignored. Scale: candidate-sized joins back to the
+    normalized vectors (AQE broadcasts the smaller side), then one
+    numpy row-wise dot per Arrow batch — no driver collect, work linear
+    in candidates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cand = (
+        candidates.select(
+            F.least("key_a", "key_b").alias("key_a"),
+            F.greatest("key_a", "key_b").alias("key_b"),
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .distinct()
+    )
+    norm = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("_n"))
+    paired = (
+        cand.join(
+            norm.select(F.col(id_col).alias("key_a"), F.col("_n").alias("_va")),
+            "key_a",
+        ).join(
+            norm.select(F.col(id_col).alias("key_b"), F.col("_n").alias("_vb")),
+            "key_b",
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key_a", LongType()),
+            StructField("key_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_va"]), dtype=np.float64)
+            b = np.array(list(pdf["_vb"]), dtype=np.float64)
+            sims = np.round(np.einsum("ij,ij->i", a, b), 6)
+            keep = sims >= threshold
+            yield pd.DataFrame(
+                {
+                    "key_a": pdf["key_a"].to_numpy()[keep],
+                    "key_b": pdf["key_b"].to_numpy()[keep],
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(rerank, schema=out_schema)
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — EXACT and fully
     distributed (the scale-safe successor to `cosine_pairs_vectorized`,
@@ -593,16 +663,24 @@ def cosine_pairs_blocked(
     fits an executor; work stays Θ(n²·d) because the exact-threshold
     semantic is inherently quadratic.
 
-    Why not LSH candidates here? Measured on the sf0.1 fixture at the
-    declared 0.4 threshold: SRP-LSH (2 planes × 16 tables) retained 98.6%
-    of all pairs as candidates (no pruning — at low thresholds random
-    hyperplanes can't separate) and still MISSED 2/920 qualifying pairs.
-    LSH pruning only wins at near-dup thresholds (~0.9+), which is what
-    `cosine_pairs_lsh` is for.
+    At 100 TB pass ``candidates`` (any (key_a, key_b) pair source — an
+    LSH bucket join, an IVF cell join) and only those pairs are scored,
+    through the shared `exact_rerank_pairs` tail — work drops from
+    Θ(n²·d) to Θ(|candidates|·d) while the output contract (key_a <
+    key_b, 6dp cos_sim, >= threshold) stays byte-identical (pinned by
+    tests/test_similarity.py). Why no DEFAULT LSH candidates? Measured
+    on the sf0.1 fixture at the declared 0.4 threshold: SRP-LSH
+    (2 planes × 16 tables) retained 98.6% of all pairs as candidates
+    (no pruning — at low thresholds random hyperplanes can't separate)
+    and still MISSED 2/920 qualifying pairs. LSH pruning only wins at
+    near-dup thresholds (~0.9+) — `cosine_pairs_lsh`, or this hook.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if candidates is not None:
+        return exact_rerank_pairs(corpus, candidates, threshold, id_col, vec_col)
 
     B = n_blocks
     # ship the RAW float32 arrays through the explode/shuffle and upcast
@@ -688,49 +766,17 @@ def cosine_pairs_lsh(
     `cosine_pairs_blocked` instead (see its docstring for the measured
     low-threshold failure mode).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
     hashed = srp_hashed(corpus, id_col, num_planes, num_tables, vec_col)
     cand = (
         hashed.withColumnRenamed(id_col, "key_a")
         .join(hashed.withColumnRenamed(id_col, "key_b"), ["_tbl", "_bkt"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
-        .distinct()
     )
-    norm = corpus.select(F.col(id_col), normalized(F.col(vec_col)).alias("_n"))
-    paired = (
-        cand.join(norm.select(F.col(id_col).alias("key_a"), F.col("_n").alias("_va")), "key_a")
-        .join(norm.select(F.col(id_col).alias("key_b"), F.col("_n").alias("_vb")), "key_b")
-    )
-
-    out_schema = StructType(
-        [
-            StructField("key_a", LongType()),
-            StructField("key_b", LongType()),
-            StructField("cos_sim", DoubleType()),
-        ]
-    )
-
-    def rerank(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.array(list(pdf["_va"]), dtype=np.float64)
-            b = np.array(list(pdf["_vb"]), dtype=np.float64)
-            sims = np.round(np.einsum("ij,ij->i", a, b), 6)
-            keep = sims >= threshold
-            yield pd.DataFrame(
-                {
-                    "key_a": pdf["key_a"].to_numpy()[keep],
-                    "key_b": pdf["key_b"].to_numpy()[keep],
-                    "cos_sim": sims[keep],
-                }
-            )
-
-    return paired.mapInPandas(rerank, schema=out_schema)
+    # the candidate generator feeds the shared exact re-rank tail, so
+    # this and the `cosine_pairs_blocked(candidates=...)` hook emit the
+    # same bytes from the same scoring routine by construction
+    return exact_rerank_pairs(corpus, cand, threshold, id_col, vec_col)
 
 
 def ivf_topk(

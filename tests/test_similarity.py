@@ -508,3 +508,55 @@ def test_ivf_recall_certification_matches_recomputation(spark):
     for r in rows:
         want = len(exact[r["query_id"]] & ann.get(r["query_id"], set()))
         assert r["n_hits"] == want
+
+
+def test_cosine_pairs_blocked_candidates_hook_matches_exact(spark):
+    """The `candidates=` hook (the 100 TB pruned form) must emit the
+    byte-identical contract as the exact block-grid on a high-threshold
+    fixture where the candidate set covers every qualifying pair: same
+    pairs, same 6dp cos_sim — one shared `exact_rerank_pairs` scoring
+    tail, so pruned and exact paths cannot drift apart. Also pins that
+    the hook ignores orientation/duplicates in the candidate list."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_lsh,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.9
+    exact = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_blocked(emb, threshold=thr).collect()
+    }
+    # recall-complete candidates: every unordered pair, deliberately fed
+    # in REVERSED orientation and duplicated, to pin canonicalization
+    ids = emb.select(F.col("vec_id"))
+    cand = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.vec_id") > F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("key_a"), F.col("b.vec_id").alias("key_b")
+        )
+    )
+    cand = cand.unionByName(cand)
+    hook = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_blocked(
+            emb, threshold=thr, candidates=cand
+        ).collect()
+    }
+    assert hook == exact
+    # and the realistic pruned form: LSH candidates at a near-dup
+    # threshold stay inside the exact pair set with the same scores
+    lsh = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_blocked(
+            emb,
+            threshold=thr,
+            candidates=cosine_pairs_lsh(
+                emb, threshold=thr, num_planes=8, num_tables=8
+            ),
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == s for p, s in lsh.items())

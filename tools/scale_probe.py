@@ -898,8 +898,13 @@ def main() -> None:
             "stratified_exact_sample": _stratified_shape(d_k),
             # --- r7 shapes ---
             # IND discovery: distinct-project both sides, one semi join,
-            # three one-row counts — nothing carries fact rows
-            "fk_inference_ind": _fk_inference_shape(li_k, o_k),
+            # three one-row counts — nothing carries fact rows. Deferred:
+            # the distinct-project stage runs two eager localCheckpoints
+            # at construction (the shape's dominant cost), which must be
+            # inside timed() like the other checkpoint-at-construction
+            # shapes above (r7 probe recorded only the cheap post-
+            # checkpoint counts for this row).
+            "fk_inference_ind": lambda: _fk_inference_shape(li_k, o_k),
             # minhash estimate-vs-truth audit: candidate-bounded signature
             # compare + shingle intersection (copy-tagged tokens)
             "minhash_quality_audit": lambda: _minhash_quality_shape(docs, k),
