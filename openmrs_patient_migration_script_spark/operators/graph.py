@@ -22,7 +22,7 @@ min-label round budget cannot cover.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -81,8 +81,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        # carry the old label through the update so the convergence count
-        # is a filter on the checkpointed result, not another shuffle join
+        # the convergence count RIDES the checkpoint job via observe()
+        # (CollectMetrics is a pass-through on the same plan) — one job
+        # per round instead of checkpoint + a separate count() scan
+        obs = Observation()
         upd = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -92,9 +94,15 @@ def connected_components(
                     F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("cluster") != F.col("old_cluster")).cast("long")
+                ).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = upd.filter(F.col("cluster") != F.col("old_cluster")).count()
+        changed = int(obs.get["chg"] or 0)
         labels = upd.select("node", "cluster")
         if changed == 0:
             break
@@ -135,11 +143,28 @@ def connected_components_star(
     against union-find, plus the long-chain case the min-label loop's
     round budget cannot cover.
     """
-    e = (
+    def checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # the edge-set signature RIDES the checkpoint job via observe()
+        # — one job per round instead of checkpoint + a separate
+        # signature collect (halved the per-round job count, r8).
+        # bit_xor, not sum: a sum of 64-bit hashes relies on silent long
+        # wraparound, which ANSI mode (the driver's session) turns into
+        # ARITHMETIC_OVERFLOW (caught by tests/test_ansi_parity.py). XOR
+        # is order-insensitive and can't overflow; duplicate-pair
+        # cancellation is moot because e is distinct.
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    e, sig = checkpoint_with_sig(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # the node universe only matters for the final center labels; derive
     # it LAZILY off the already-checkpointed initial edge set — a second
@@ -151,18 +176,6 @@ def connected_components_star(
         .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
     )
-
-    def signature(df: DataFrame) -> tuple:
-        # bit_xor, not sum: a sum of 64-bit hashes relies on silent long
-        # wraparound, which ANSI mode (the driver's session) turns into
-        # ARITHMETIC_OVERFLOW (caught by tests/test_ansi_parity.py). XOR
-        # is order-insensitive and can't overflow; duplicate-pair
-        # cancellation is moot because e is distinct.
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
 
     def large_star(df: DataFrame) -> DataFrame:
         sym = df.unionByName(
@@ -200,10 +213,8 @@ def connected_components_star(
             .distinct()
         )
 
-    sig = signature(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
-        new_sig = signature(e)
+        e, new_sig = checkpoint_with_sig(small_star(large_star(e)))
         if new_sig == sig:
             break
         sig = new_sig
@@ -857,8 +868,11 @@ def bfs_hops(
     Plan: frontier-expansion rounds — each round joins the CURRENT
     frontier (not the visited set) to the symmetrized edge list, drops
     already-visited nodes with an anti-join, tags survivors with the
-    round number, and localCheckpoints both sides (lineage stays
-    O(1)-deep, the `connected_components` rule). BFS's min-hop property
+    round number, and localCheckpoints the FRONTIER only — the visited
+    set is a lazy union of those per-round checkpoints (re-reading
+    checkpoint blocks, never recomputing; depth bounded by max_hops),
+    and the empty-frontier exit rides the checkpoint job via observe().
+    BFS's min-hop property
     makes per-round min-labels unnecessary: a node first reached in
     round h IS at distance h, so each node is written exactly once.
 
@@ -866,8 +880,8 @@ def bfs_hops(
     key — total work Σ|N(frontier_r)| ≤ |E| per direction, never
     visited×edges (the frontier, not the accumulated set, probes the
     edge list); the visited anti-join is node-keyed. ``max_hops`` bounds
-    rounds; the early-exit empty check is a boundary-only driver action
-    (the `k_core` pattern)."""
+    rounds; the early-exit empty check is an observe() metric on the
+    round's own checkpoint job — no extra driver action."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
@@ -882,17 +896,24 @@ def bfs_hops(
     )
     frontier = visited.select(node_col)
     for h in range(1, max_hops + 1):
+        # the empty-frontier check rides nxt's checkpoint job via
+        # observe(), and visited stays a LAZY union of checkpointed
+        # per-round frames (each consumer re-reads local checkpoint
+        # blocks, never recomputes) — 1 job per round instead of the
+        # former 3 (nxt checkpoint + isEmpty + visited checkpoint)
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier[node_col] == sym["u"])
             .select(F.col("v").alias(node_col))
             .distinct()
             .join(visited.select(node_col), node_col, "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"]) == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt.select(node_col)
     return visited
 
