@@ -2996,3 +2996,241 @@ def ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS s
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (b.s::HUGEINT * a.n - a.s::HUGEINT * b.n)::BIGINT AS slope_num,
+             (a.n::HUGEINT * b.n * (b.d - a.d))::BIGINT AS slope_den
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT slope_num, slope_den,
+             row_number() OVER (
+               ORDER BY slope_num::DOUBLE / slope_den, slope_num, slope_den
+             ) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT n_pairs::BIGINT AS n_pairs, slope_num, slope_den,
+           round(slope_num::DOUBLE / slope_den, 6) AS slope
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15n (r8): Theil-Sen robust trend slope of the daily mean event
+    value — the estimator the monitoring family still lacked:
+    `ts_holt_linear` fits a least-squares-style level+trend (one outlier
+    day drags it), `ts_cusum`/`ts_changepoint` LOCATE shifts; Theil-Sen
+    answers "what is the trend?" with a 29.3% breakdown point (median
+    of all pairwise slopes — Sen 1968, public literature). The pairwise
+    slope between days i<j on exact cent sums is the exact fraction
+      slope_num = s_j·n_i − s_i·n_j,  slope_den = n_i·n_j·(d_j−d_i)
+    (means never materialize as floats); the median element is picked
+    by rank over (slope value, num, den) — a total order both engines
+    replay — and emitted as the exact pair (range-guarded BIGINT, the
+    functions/numeric.py rule) plus the 6dp readout.
+
+    Scale: one conditional-agg scan of events to the BOUNDED per-day
+    table (~365 rows/year); the O(days²) pair join and the rank window
+    run on that metadata table (~66k pair rows/year), never on events —
+    at 100 TB the plan is unchanged, day count sizes every post-scan
+    stage (the `ts_changepoint` rule)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    daily = (
+        ev.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=True)  # bounded; feeds both join sides
+    )
+    dec = "decimal(19,0)"
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        dec_to_long(
+            (
+                F.col("b.s").cast(dec) * F.col("a.n").cast(dec)
+                - F.col("a.s").cast(dec) * F.col("b.n").cast(dec)
+            ).cast("decimal(38,0)"),
+            "slope_num",
+        ).alias("slope_num"),
+        dec_to_long(
+            (
+                F.col("a.n").cast(dec)
+                * F.col("b.n").cast(dec)
+                * (F.col("b.d") - F.col("a.d")).cast(dec)
+            ).cast("decimal(38,0)"),
+            "slope_den",
+        ).alias("slope_den"),
+    )
+    w = Window.orderBy(
+        F.col("slope_num").cast("double") / F.col("slope_den"),
+        "slope_num",
+        "slope_den",
+    )
+    ranked = pairs.select(
+        "slope_num",
+        "slope_den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "slope_num",
+        "slope_den",
+        F.round(
+            F.col("slope_num").cast("double") / F.col("slope_den"), 6
+        ).alias("slope"),
+    )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime
+      FROM events GROUP BY user_id
+    ),
+    hist AS (SELECT lifetime, count(*)::BIGINT AS n_users FROM users GROUP BY 1),
+    t AS (SELECT sum(n_users)::BIGINT AS n_total FROM hist),
+    ladder AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 15))
+    SELECT ladder.d,
+           coalesce(sum(CASE WHEN hist.lifetime >= ladder.d
+                             THEN hist.n_users END), 0)::BIGINT AS n_at_risk,
+           t.n_total,
+           round(coalesce(sum(CASE WHEN hist.lifetime >= ladder.d
+                                   THEN hist.n_users END), 0)::DOUBLE
+                 / t.n_total, 6) AS survival
+    FROM ladder CROSS JOIN t LEFT JOIN hist ON TRUE
+    GROUP BY ladder.d, t.n_total
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12k (r8): user-lifetime survival curve S(d) = P(lifetime ≥ d
+    days) over a 0..14-day ladder — the Kaplan-Meier-shaped complement
+    of `retention_cohort`: retention asks "did the cohort return in
+    week w?", the survival curve asks "how long do users stay active
+    at all?" (lifetime = last-seen − first-seen). With every user
+    observed over the full fixture window the estimator reduces to the
+    empirical survival function — exact integer at-risk counts over an
+    exact lifetime histogram, one 6dp row-local readout.
+
+    Scale: ONE user-keyed agg of events (the only data-sized shuffle)
+    collapses to a lifetime histogram bounded by the observation span
+    in days; the 15-row ladder cross-joins that bounded histogram
+    (metadata × metadata, the `dq_drift_ks` domain-table rule). At
+    100 TB only the user agg grows."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+                "lifetime"
+            )
+        )
+    )
+    hist = (
+        users.groupBy("lifetime")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .localCheckpoint(eager=True)  # bounded; feeds total AND ladder join
+    )
+    total = hist.agg(F.sum("n_users").cast("long").alias("n_total"))
+    ladder = users.sparkSession.range(0, 15).select(F.col("id").alias("d"))
+    joined = (
+        ladder.crossJoin(F.broadcast(hist))
+        .groupBy("d")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lifetime") >= F.col("d"), F.col("n_users"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_at_risk")
+        )
+    )
+    return joined.crossJoin(F.broadcast(total)).select(
+        "d",
+        "n_at_risk",
+        "n_total",
+        F.round(
+            F.col("n_at_risk").cast("double") / F.col("n_total"), 6
+        ).alias("survival"),
+    )
+
+
+@query(
+    "agg_concentration_hhi",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           sum(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_sources,
+           sum(n::HUGEINT * n)::BIGINT AS hhi_num,
+           (sum(n)::HUGEINT * sum(n))::BIGINT AS hhi_den,
+           round(sum(n::HUGEINT * n)::DOUBLE
+                 / (sum(n)::HUGEINT * sum(n))::DOUBLE, 6) AS hhi
+    FROM cells GROUP BY lang
+    """,
+)
+def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7b (r8): Herfindahl-Hirschman source-concentration index per
+    language slice — the corpus-mixture diagnostic the slice-stats
+    family lacked: `agg_group`/`text_stats_by_lang` report sizes,
+    `agg_mutual_info` the lang↔source association; HHI answers "is this
+    language's data dominated by one source?" (HHI = Σ share², 1/n_src
+    = perfectly even, 1.0 = single-source — the diversity number a
+    training-mix curator checks before upweighting a language). Emitted
+    as the exact integer fraction hhi_num = Σ n_s², hhi_den = N²
+    (DECIMAL intermediates, range-guarded BIGINT out — the
+    functions/numeric.py rule) plus the 6dp readout.
+
+    Scale: one scan to (lang, source) cells (map-side combine; the
+    shuffle carries the bounded slice vocabulary), then a lang-keyed
+    re-agg of those cells. Nothing data-sized past the first agg."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dec = "decimal(19,0)"
+    return cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        dec_to_long(
+            F.sum(F.col("n").cast(dec) * F.col("n").cast(dec)).cast(
+                "decimal(38,0)"
+            ),
+            "hhi_num",
+        ).alias("hhi_num"),
+        dec_to_long(
+            (F.sum("n").cast(dec) * F.sum("n").cast(dec)).cast("decimal(38,0)"),
+            "hhi_den",
+        ).alias("hhi_den"),
+        F.round(
+            F.sum(F.col("n").cast(dec) * F.col("n").cast(dec))
+            .cast("double")
+            / (F.sum("n").cast(dec) * F.sum("n").cast(dec)).cast("double"),
+            6,
+        ).alias("hhi"),
+    )

@@ -1743,3 +1743,146 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_union"),
         )
     )
+
+
+# LSH banding sweep configs over the 16-hash signature: (bands, rows) and
+# the s-curve inflection t* = (1/b)^(1/r), precomputed in Python and
+# injected as LITERALS on both engines (pow() libm ulps must not decide
+# a hash compare).
+_BAND_SWEEP = [(2, 8, 0.917004), (4, 4, 0.707107), (8, 2, 0.353553), (16, 1, 0.0625)]
+
+
+@query(
+    "dedup_minhash_band_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((h1 + i * h2) % 4294967296) AS mh
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) seeds
+      GROUP BY doc_id, i
+    ),
+    cfg AS (SELECT unnest([{", ".join(str(b) for b, _, _ in _BAND_SWEEP)}])
+              AS bands),
+    bb AS (
+      SELECT c.bands, s.doc_id, s.i // (16 // c.bands) AS band,
+             string_agg(s.mh::VARCHAR, ',' ORDER BY s.i) AS sig_str
+      FROM sig s CROSS JOIN cfg c
+      GROUP BY 1, 2, 3
+    ),
+    occ AS (
+      SELECT bands, band, sig_str, count(*)::BIGINT AS sz
+      FROM bb GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT bands, count(*)::BIGINT AS n_buckets,
+             max(sz)::BIGINT AS max_bucket_docs,
+             sum(sz * (sz - 1) // 2)::BIGINT AS n_bucket_pairs
+      FROM occ GROUP BY bands
+    ),
+    pairs AS (
+      SELECT bands, count(*)::BIGINT AS n_candidate_pairs
+      FROM (SELECT DISTINCT a.bands, a.doc_id AS ka, b.doc_id AS kb
+            FROM bb a JOIN bb b
+              ON a.bands = b.bands AND a.band = b.band
+             AND a.sig_str = b.sig_str AND a.doc_id < b.doc_id)
+      GROUP BY bands
+    ),
+    tstar AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({b}, {t})" for b, _, t in _BAND_SWEEP)}
+      ) v(bands, threshold_star)
+    )
+    SELECT b.bands::BIGINT AS bands, (16 // b.bands)::BIGINT AS rows_per_band,
+           b.n_buckets, b.max_bucket_docs, b.n_bucket_pairs,
+           coalesce(p.n_candidate_pairs, 0)::BIGINT AS n_candidate_pairs,
+           t.threshold_star::DOUBLE AS threshold_star
+    FROM buckets b LEFT JOIN pairs p USING (bands)
+    JOIN tstar t USING (bands)
+    """,
+)
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3l (r8): LSH banding-parameter sweep ledger — the TUNING table
+    behind every (bands, rows) choice the minhash family hardcodes:
+    for each config over the SAME 16-hash md5 signature (content-
+    addressed, so the oracle replays raw estimates — the
+    `dedup_minhash_quality` rule) it reports occupied bucket count, the
+    largest bucket (the skew number that predicts the hot shuffle
+    partition at 100 TB), the bucket-pair workload Σ sz·(sz−1)/2 (what
+    the candidate join actually pays, BEFORE dedup), distinct candidate
+    pairs, and the s-curve inflection t* = (1/b)^(1/r) (injected as a
+    precomputed literal on both engines — libm pow ulps must not decide
+    a hash compare). Reading the four rows side by side IS the tuning
+    decision: more bands → lower t* (recall up), bucket pairs up
+    (cost up).
+
+    Scale: the signature table (one row per doc) is checkpointed once;
+    each config adds a band explode + one (band, bucket) agg and a
+    bucket self-join COUNT — all shuffles on band keys; the ledger is 4
+    rows."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        _band_buckets,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+    sig = minhash_signatures(
+        d, "doc_id", "text", num_hashes=16, double_hash=md5_pair
+    ).localCheckpoint(eager=True)  # one signature build feeds all configs
+
+    ledgers = []
+    for bands, rows, tstar in _BAND_SWEEP:
+        bb = _band_buckets(sig, 16, bands, hash_buckets=False)
+        occ = bb.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        bstats = occ.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket_docs"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias(
+                "n_bucket_pairs"
+            ),
+        )
+        a = bb.select(F.col("key").alias("key_a"), "band", "bucket")
+        b2 = bb.select(F.col("key").alias("key_b"), "band", "bucket")
+        npairs = (
+            a.join(b2, ["band", "bucket"])
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        )
+        ledgers.append(
+            bstats.crossJoin(F.broadcast(npairs)).select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "n_buckets",
+                "max_bucket_docs",
+                "n_bucket_pairs",
+                "n_candidate_pairs",
+                F.lit(tstar).cast("double").alias("threshold_star"),
+            )
+        )
+    out = ledgers[0]
+    for led in ledgers[1:]:
+        out = out.unionByName(led)
+    return out

@@ -1033,3 +1033,119 @@ def sim_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "rel_top_s", "rel_mmr_s", "maxsim_top_s", "maxsim_mmr_s"
     )
+
+
+@query(
+    "embed_centroid_separation",
+    oracle="""
+    WITH ex AS (
+      SELECT label, pos - 1 AS dim,
+             cast(round(v * 1000000, 0) AS BIGINT) AS sv
+      FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    s AS (SELECT label, dim, sum(sv)::BIGINT AS s FROM ex GROUP BY 1, 2),
+    n AS (SELECT label, count(*)::BIGINT AS n_vectors FROM embeddings
+          GROUP BY label),
+    d AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s::HUGEINT * b.s) AS dot,
+             sum(a.s::HUGEINT * a.s) AS na2,
+             sum(b.s::HUGEINT * b.s) AS nb2
+      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, na.n_vectors AS n_a, nb.n_vectors AS n_b,
+           CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+                ELSE round(dot::DOUBLE
+                           / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+           END AS cos_centroid
+    FROM d JOIN n na ON na.label = d.label_a
+           JOIN n nb ON nb.label = d.label_b
+    """,
+)
+def embed_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4p (r8): pairwise cosine between per-label centroid DIRECTIONS —
+    the separation audit for every labeled/clustered embedding space:
+    `embed_centroids` materializes the centroids, `cluster_kmeans` and
+    `dedup_semantic` TRUST cluster structure; this measures it (two
+    labels whose centroids cosine at ~1.0 are not separable classes —
+    the number a curator checks before stratifying training data by
+    cluster). Cosine is scale-invariant, so the centroid cosine equals
+    the cosine of the per-label SUM vectors — computed on exact
+    ×1e6-scaled integer component sums (the `embed_centroids` rule:
+    no float summation anywhere), products in DECIMAL (Σ s_a·s_b fits
+    decimal(38,0) through ~1e18-vector corpora), one row-local 6dp
+    readout; degenerate zero-norm labels pin to 0.0 on both engines.
+
+    Scale: posexplode + one (label, dim) agg — map-side combine means
+    the shuffle carries #labels × #dims rows, never vectors; the pair
+    join runs on that bounded table (labels² × dims)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("sv"),
+    )
+    s = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("sv").cast("long").alias("s"))
+        .localCheckpoint(eager=True)  # bounded labels×dims; feeds both sides
+    )
+    n = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    dec = "decimal(19,0)"
+    a, b = s.alias("a"), s.alias("b")
+    d = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.s").cast(dec) * F.col("b.s").cast(dec))
+            .cast("decimal(38,0)")
+            .alias("dot"),
+            F.sum(F.col("a.s").cast(dec) * F.col("a.s").cast(dec))
+            .cast("decimal(38,0)")
+            .alias("na2"),
+            F.sum(F.col("b.s").cast(dec) * F.col("b.s").cast(dec))
+            .cast("decimal(38,0)")
+            .alias("nb2"),
+        )
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n_vectors").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n_vectors").alias("n_b"))
+    return (
+        d.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("na2") == 0) | (F.col("nb2") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("na2").cast("double"))
+                        * F.sqrt(F.col("nb2").cast("double"))
+                    ),
+                    6,
+                )
+            )
+            .alias("cos_centroid"),
+        )
+    )

@@ -9,7 +9,7 @@ float policy (plans/registry.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.operators.text import (
@@ -993,3 +993,159 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmrs_patient_migration_script_spark.operators.text import zipf_fit
 
     return zipf_fit(load_table(spark, sf_dir, "documents"), top_r=500)
+
+
+@query(
+    "text_heaps_fit",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t <> ''))::BIGINT AS n_tok
+      FROM documents
+    ),
+    bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS w FROM docs
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.n_tok,
+             (8 * (d.doc_id - b.lo + 1) + b.w - 1) // b.w - 1 AS bucket
+      FROM docs d, bounds b
+    ),
+    toks AS (
+      SELECT bucket, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents d JOIN bucketed USING (doc_id)
+    ),
+    firsts AS (
+      SELECT min(bucket) AS first_bucket FROM toks WHERE token <> ''
+      GROUP BY token
+    ),
+    per_bucket AS (
+      SELECT g.bucket,
+             coalesce(bd.n_docs, 0)::BIGINT AS n_docs,
+             coalesce(bd.n_tok, 0)::BIGINT AS n_tok,
+             coalesce(fv.n_new, 0)::BIGINT AS n_new
+      FROM (SELECT unnest(generate_series(0, 7)) AS bucket) g
+      LEFT JOIN (SELECT bucket, count(*) AS n_docs, sum(n_tok) AS n_tok
+                 FROM bucketed GROUP BY bucket) bd USING (bucket)
+      LEFT JOIN (SELECT first_bucket AS bucket, count(*) AS n_new
+                 FROM firsts GROUP BY 1) fv USING (bucket)
+    ),
+    cum AS (
+      SELECT bucket, b.lo + (b.w * (bucket + 1)) // 8 - 1 AS edge_id,
+             sum(n_docs) OVER w::BIGINT AS n_docs_cum,
+             sum(n_tok) OVER w::BIGINT AS n_tokens_cum,
+             sum(n_new) OVER w::BIGINT AS vocab_cum
+      FROM per_bucket, bounds b
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, edge_id, n_docs_cum,
+           n_tokens_cum, vocab_cum,
+           CASE WHEN lag(vocab_cum) OVER (ORDER BY bucket) IS NULL
+                  OR lag(vocab_cum) OVER (ORDER BY bucket) = vocab_cum
+                  OR lag(vocab_cum) OVER (ORDER BY bucket) = 0
+                  OR lag(n_tokens_cum) OVER (ORDER BY bucket) = n_tokens_cum
+                  OR lag(n_tokens_cum) OVER (ORDER BY bucket) = 0
+                THEN 0.0
+                ELSE round(
+                  ln(vocab_cum::DOUBLE
+                     / lag(vocab_cum) OVER (ORDER BY bucket))
+                  / ln(n_tokens_cum::DOUBLE
+                       / lag(n_tokens_cum) OVER (ORDER BY bucket)), 6)
+           END AS beta_local
+    FROM cum
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5m (r8): vocabulary-growth (Heaps'-law) curve V(N) ≈ K·N^β —
+    `text_zipf_fit`'s companion diagnostic (Zipf: frequency vs rank at
+    one snapshot; Heaps: how the VOCABULARY grows as the corpus does —
+    the number that predicts tokenizer-vocab saturation and flags
+    template-heavy corpora, whose β collapses toward 0). Docs are cut
+    into 8 equal-id-width prefixes with pure integer arithmetic
+    (bucket = (8·(id−lo+1)+W−1) div W − 1, replayed verbatim in the
+    oracle); a token's first bucket is min(bucket) over its
+    occurrences, so the cumulative distinct count V_b needs no
+    per-prefix re-scan; β̂ between consecutive prefixes is the 6dp
+    log-log slope, 0.0-pinned at the degenerate boundaries.
+
+    Scale: one tokenize scan → token-keyed min agg (the shuffle carries
+    the vocabulary, map-side combined) + one doc agg; everything after
+    lives on the 8-row bucket ladder (bounded-domain window, the
+    `dq_drift_ks` rule)."""
+    from openmrs_patient_migration_script_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("w"),
+    )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.col("toks"),
+        F.expr("(8 * (doc_id - lo + 1) + w - 1) div w - 1").alias("bucket"),
+    )
+    per_doc = bucketed.select(
+        "bucket", F.size("toks").cast("long").alias("n_tok")
+    )
+    firsts = (
+        bucketed.select("bucket", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("bucket").alias("first_bucket"))
+    )
+    bd = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+    )
+    fv = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    domain = docs.sparkSession.range(0, 8).select(F.col("id").alias("bucket"))
+    per_bucket = (
+        domain.join(F.broadcast(bd), "bucket", "left")
+        .join(F.broadcast(fv), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bucket.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        (F.col("lo") + F.expr("(w * (bucket + 1)) div 8") - 1)
+        .cast("long")
+        .alias("edge_id"),
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+        F.sum("n_tok").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("n_new").over(w).cast("long").alias("vocab_cum"),
+    )
+    lw = Window.orderBy("bucket")
+    v_prev = F.lag("vocab_cum").over(lw)
+    n_prev = F.lag("n_tokens_cum").over(lw)
+    return cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "edge_id",
+        "n_docs_cum",
+        "n_tokens_cum",
+        "vocab_cum",
+        F.when(
+            v_prev.isNull()
+            | (v_prev == F.col("vocab_cum"))
+            | (v_prev == 0)
+            | (n_prev == F.col("n_tokens_cum"))
+            | (n_prev == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                F.log(F.col("vocab_cum").cast("double") / v_prev)
+                / F.log(F.col("n_tokens_cum").cast("double") / n_prev),
+                6,
+            )
+        )
+        .alias("beta_local"),
+    )
