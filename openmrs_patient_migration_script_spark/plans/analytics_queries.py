@@ -3234,3 +3234,247 @@ def agg_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND ts > first_view THEN ts END)
+               OVER (PARTITION BY user_id) AS first_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND ts > first_click
+                      THEN ts END)
+               OVER (PARTITION BY user_id) AS first_purchase
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, max(first_view) AS fv, max(first_click) AS fc,
+             max(first_purchase) AS fp
+      FROM s3 GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT 'view_to_click' AS stage,
+             epoch_ms(fc) - epoch_ms(fv) AS gap_ms
+      FROM per_user WHERE fc IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_ms(fp) - epoch_ms(fc)
+      FROM per_user WHERE fp IS NOT NULL
+    ),
+    cum AS (
+      SELECT stage, gap_ms,
+             sum(1) OVER (PARTITION BY stage ORDER BY gap_ms
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+             count(*) OVER (PARTITION BY stage) AS t
+      FROM gaps
+    )
+    SELECT stage, max(t)::BIGINT AS n_converted,
+           min(CASE WHEN c * 100 >= t * 25 THEN gap_ms END)::BIGINT AS p25_ms,
+           min(CASE WHEN c * 100 >= t * 50 THEN gap_ms END)::BIGINT AS p50_ms,
+           min(CASE WHEN c * 100 >= t * 90 THEN gap_ms END)::BIGINT AS p90_ms
+    FROM cum GROUP BY stage
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11e (r8): conversion LATENCY percentiles per funnel stage — the
+    time dimension the funnel family lacked (`funnel_events` counts who
+    converts, `funnel_conversion_rate` at what rate; this says how
+    LONG view→click and click→purchase take at p25/p50/p90, the number
+    that sizes attribution windows and detects a slowing funnel).
+    First-touch timestamps reuse `funnel_events`' stacked single-
+    Exchange window chain; per-user gaps are exact integer milliseconds
+    and the percentiles are the exact all-integer rank selection of
+    `agg_weighted_percentile` (100·cum >= p·total on a RANGE frame —
+    tie-order free, no interpolation).
+
+    Scale: one user-keyed Exchange for the windows + user agg, then one
+    stage-keyed percentile sort over CONVERTED users (≤ one row per
+    user; 2 stage partitions)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    df = (
+        e.withColumn(
+            "first_view", F.min(F.when(is_("view"), F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    is_("click") & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"),
+        F.max("first_click").alias("fc"),
+        F.max("first_purchase").alias("fp"),
+    )
+    gaps = (
+        per_user.filter(F.col("fc").isNotNull())
+        .select(
+            F.lit("view_to_click").alias("stage"),
+            (F.unix_millis("fc") - F.unix_millis("fv")).alias("gap_ms"),
+        )
+        .unionByName(
+            per_user.filter(F.col("fp").isNotNull()).select(
+                F.lit("click_to_purchase").alias("stage"),
+                (F.unix_millis("fp") - F.unix_millis("fc")).alias("gap_ms"),
+            )
+        )
+    )
+    cw = (
+        Window.partitionBy("stage")
+        .orderBy("gap_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy("stage")
+    cum = gaps.select(
+        "stage",
+        "gap_ms",
+        F.sum(F.lit(1)).over(cw).alias("c"),
+        F.count(F.lit(1)).over(tw).alias("t"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("c") * 100 >= F.col("t") * p, F.col("gap_ms"))
+    ).cast("long")
+    return cum.groupBy("stage").agg(
+        F.max("t").cast("long").alias("n_converted"),
+        pick(25).alias("p25_ms"),
+        pick(50).alias("p50_ms"),
+        pick(90).alias("p90_ms"),
+    )
+
+
+@query(
+    "ab_ratio_delta",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm,
+             count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS x,
+             count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm,
+             count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+             sum(x::HUGEINT * x)::BIGINT AS sum_xx,
+             sum(x::HUGEINT * y)::BIGINT AS sum_xy,
+             sum(y::HUGEINT * y)::BIGINT AS sum_yy
+      FROM units GROUP BY arm
+    )
+    SELECT arm, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+           CASE WHEN sum_y = 0 THEN 0.0
+                ELSE round(sum_x::DOUBLE / sum_y, 6) END AS ratio,
+           CASE WHEN sum_y = 0 OR n < 2 THEN 0.0
+                ELSE round(
+                  sqrt(((sum_xx::DOUBLE
+                         - 2 * (sum_x::DOUBLE / sum_y) * sum_xy)
+                        + (sum_x::DOUBLE / sum_y) * (sum_x::DOUBLE / sum_y)
+                          * sum_yy)
+                       / (n - 1.0) / n)
+                  / (sum_y::DOUBLE / n), 6)
+           END AS se_ratio
+    FROM s
+    """,
+)
+def ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18g (r8): delta-method standard error for a RATIO metric
+    (clicks per view) per arm — the experimentation family's missing
+    member for the most common real metric shape: `ab_welch_ttest`
+    assumes i.i.d. per-user means, but clicks/views is a ratio of SUMS
+    whose denominator varies per user — treating it as a mean biases
+    the variance (Deng et al., KDD 2018 practice; Taylor linearization,
+    public literature). Per arm: exact per-user (x, y) power sums
+    (the `ab_cuped` rule — n, Σx, Σy, Σx², Σxy, Σy², all integer),
+    ratio R = Σx/Σy, and se(R) = sqrt(Σ(x−Ry)² / (n−1) / n) / ȳ where
+    Σ(x−Ry)² expands to the power sums — one fixed row-local double
+    chain rounded 6dp, identical token-for-token in the oracle.
+    Degenerate arms (Σy = 0, n < 2) pin to 0.0.
+
+    Scale: one user-keyed conditional agg, one 2-row arm agg. Nothing
+    else."""
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(19,0)"
+    s = units.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        dec_to_long(
+            F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(
+                "decimal(38,0)"
+            ),
+            "sum_xx",
+        ).alias("sum_xx"),
+        dec_to_long(
+            F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(
+                "decimal(38,0)"
+            ),
+            "sum_xy",
+        ).alias("sum_xy"),
+        dec_to_long(
+            F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(
+                "decimal(38,0)"
+            ),
+            "sum_yy",
+        ).alias("sum_yy"),
+    )
+    r = F.col("sum_x").cast("double") / F.col("sum_y")
+    se = F.sqrt(
+        (
+            (
+                F.col("sum_xx").cast("double")
+                - 2 * r * F.col("sum_xy").cast("double")
+            )
+            + r * r * F.col("sum_yy").cast("double")
+        )
+        / (F.col("n") - F.lit(1.0))
+        / F.col("n")
+    ) / (F.col("sum_y").cast("double") / F.col("n"))
+    return s.select(
+        "arm",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_xy",
+        "sum_yy",
+        F.when(F.col("sum_y") == 0, F.lit(0.0))
+        .otherwise(F.round(r, 6))
+        .alias("ratio"),
+        F.when((F.col("sum_y") == 0) | (F.col("n") < 2), F.lit(0.0))
+        .otherwise(F.round(se, 6))
+        .alias("se_ratio"),
+    )

@@ -1237,3 +1237,97 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "dq_header_detail_reconcile",
+    oracle="""
+    WITH det AS (
+      SELECT l_orderkey AS okey,
+             sum(CAST(round(((l_extendedprice * (1 - l_discount))
+                             * (1 + l_tax)) * 100) AS BIGINT))::BIGINT
+               AS detail_cents,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             d.detail_cents, d.n_lines
+      FROM orders o LEFT JOIN det d ON d.okey = o.o_orderkey
+    )
+    SELECT count(*)::BIGINT AS n_orders,
+           count(CASE WHEN n_lines IS NULL THEN 1 END)::BIGINT
+             AS n_orders_no_lines,
+           count(CASE WHEN detail_cents = header_cents THEN 1 END)::BIGINT
+             AS n_exact_match,
+           count(CASE WHEN detail_cents IS NOT NULL
+                       AND detail_cents <> header_cents THEN 1 END)::BIGINT
+             AS n_mismatch,
+           coalesce(max(abs(header_cents - detail_cents)), 0)::BIGINT
+             AS max_abs_diff_cents,
+           coalesce(sum(abs(header_cents - detail_cents)), 0)::BIGINT
+             AS total_abs_diff_cents
+    FROM j
+    """,
+)
+def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13d (r8): header-vs-detail financial reconciliation — the audit
+    every header/detail migration runs before sign-off (the reference's
+    own domain: did the per-order total survive the fan-out to line
+    rows?): each order's header total is compared in EXACT CENTS
+    against the sum of its lines' extended amounts (price × (1−disc) ×
+    (1+tax), rounded to cents per line with the identical row-local
+    expression on both engines). `dq_table_diff` compares two copies of
+    the SAME table; `dq_referential` checks keys exist — this is the
+    missing cross-GRAIN value check, reduced to one certification row:
+    exact-match / mismatch / orphan-header counts plus max and total
+    absolute drift in cents (all BIGINT).
+
+    Scale: one order-keyed detail agg (map-side combine), one key join,
+    one global reduce — the `dq_checksum` shape across two tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    det = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            F.round(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * (1 + F.col("l_tax"))
+                )
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("detail_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    j = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    ).join(det, o["o_orderkey"] == det["okey"], "left")
+    diff = F.col("header_cents") - F.col("detail_cents")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(F.col("n_lines").isNull(), 1))
+        .cast("long")
+        .alias("n_orders_no_lines"),
+        F.count(F.when(F.col("detail_cents") == F.col("header_cents"), 1))
+        .cast("long")
+        .alias("n_exact_match"),
+        F.count(
+            F.when(
+                F.col("detail_cents").isNotNull()
+                & (F.col("detail_cents") != F.col("header_cents")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+        F.coalesce(F.max(F.abs(diff)), F.lit(0))
+        .cast("long")
+        .alias("max_abs_diff_cents"),
+        F.coalesce(F.sum(F.abs(diff)), F.lit(0))
+        .cast("long")
+        .alias("total_abs_diff_cents"),
+    )

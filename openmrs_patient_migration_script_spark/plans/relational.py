@@ -2380,3 +2380,106 @@ def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             lift.alias("lift"),
         )
     )
+
+
+@query(
+    "agg_boxplot",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    cum AS (
+      SELECT grp, v,
+             sum(1) OVER (PARTITION BY grp ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+             count(*) OVER (PARTITION BY grp) AS t
+      FROM base
+    ),
+    q AS (
+      SELECT grp, max(t)::BIGINT AS n,
+             min(CASE WHEN c * 100 >= t * 25 THEN v END)::BIGINT AS p25,
+             min(CASE WHEN c * 100 >= t * 50 THEN v END)::BIGINT AS p50,
+             min(CASE WHEN c * 100 >= t * 75 THEN v END)::BIGINT AS p75
+      FROM cum GROUP BY grp
+    )
+    SELECT q.grp, q.n, q.p25, q.p50, q.p75,
+           (q.p75 - q.p25)::BIGINT AS iqr,
+           count(CASE WHEN 2 * b.v < 2 * q.p25 - 3 * (q.p75 - q.p25)
+                      THEN 1 END)::BIGINT AS n_outliers_lo,
+           count(CASE WHEN 2 * b.v > 2 * q.p75 + 3 * (q.p75 - q.p25)
+                      THEN 1 END)::BIGINT AS n_outliers_hi
+    FROM base b JOIN q ON b.grp = q.grp
+    GROUP BY q.grp, q.n, q.p25, q.p50, q.p75
+    """,
+)
+def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16b (r8): per-group boxplot report — exact quartiles, IQR, and
+    Tukey-fence outlier counts of order value (cents) per priority, the
+    one-table summary a distribution monitor renders: `agg_percentile`
+    gives the cut points, `dq_anomaly` flags rows; this closes the loop
+    with the whisker counts (how much mass sits OUTSIDE 1.5·IQR). All
+    integer-decidable: cents values, the exact rank-selection quartile
+    rule (100·cum >= p·total on a RANGE frame — the
+    `agg_weighted_percentile` convention), and the 1.5·IQR fences
+    doubled into 2·v < 2·p25 − 3·IQR so the half-cent never becomes a
+    float boundary.
+
+    Scale: one group-keyed percentile sort + one broadcast-join
+    re-scan for the fence counts (quartile table is #groups rows); at
+    100 TB swap the first pass to approx_percentile like
+    `etl_winsorize`'s documented switch."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    cw = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tw = Window.partitionBy("grp")
+    cum = base.select(
+        "grp",
+        "v",
+        F.sum(F.lit(1)).over(cw).alias("c"),
+        F.count(F.lit(1)).over(tw).alias("t"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("c") * 100 >= F.col("t") * p, F.col("v"))
+    ).cast("long")
+    q = cum.groupBy("grp").agg(
+        F.max("t").cast("long").alias("n"),
+        pick(25).alias("p25"),
+        pick(50).alias("p50"),
+        pick(75).alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return (
+        base.join(F.broadcast(q), "grp")
+        .groupBy("grp", "n", "p25", "p50", "p75")
+        .agg(
+            F.count(
+                F.when(2 * F.col("v") < 2 * F.col("p25") - 3 * iqr, 1)
+            )
+            .cast("long")
+            .alias("n_outliers_lo"),
+            F.count(
+                F.when(2 * F.col("v") > 2 * F.col("p75") + 3 * iqr, 1)
+            )
+            .cast("long")
+            .alias("n_outliers_hi"),
+        )
+        .select(
+            "grp",
+            "n",
+            "p25",
+            "p50",
+            "p75",
+            iqr.cast("long").alias("iqr"),
+            "n_outliers_lo",
+            "n_outliers_hi",
+        )
+    )
