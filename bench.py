@@ -208,6 +208,20 @@ HEADLINE = [
     "dedup_minhash_quality",
     "ab_bootstrap_ci",
     "sim_mmr_diversity",
+    # round-8 wave: the two heaviest new shapes — the 4-config banding
+    # sweep over one shared signature build, and the labels×dims
+    # centroid-separation matrix — plus the bounded-day-table pair join
+    # (O(days²) on metadata), the cross-grain reconcile join, the
+    # vocabulary-growth ladder, and the two-pass boxplot fences
+    "dedup_minhash_band_sweep",
+    "embed_centroid_separation",
+    "ts_theil_sen",
+    "dq_header_detail_reconcile",
+    "text_heaps_fit",
+    "agg_boxplot",
+    # round-8 second wave: the decomposition's power-sum certification
+    # (pays the full RANGE-window pass + a keyed agg)
+    "ts_seasonal_strength",
 ]
 
 

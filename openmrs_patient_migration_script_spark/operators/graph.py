@@ -144,22 +144,24 @@ def connected_components_star(
     round budget cannot cover.
     """
     def checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
-        # the edge-set signature RIDES the checkpoint job via observe()
-        # — one job per round instead of checkpoint + a separate
-        # signature collect (halved the per-round job count, r8).
+        # checkpoint, then one synchronous signature agg on the
+        # CHECKPOINTED frame (a local-block read — milliseconds). An r8
+        # observe()-rides-the-checkpoint variant was tried and REVERTED:
+        # Observation.get waits on the async listener bus, and in a
+        # long-lived session this loop's ~8 gets stalled for seconds
+        # each (bench: 4.2 s → 9.8 s). The smaller BFS/min-label loops
+        # keep observe(); here the explicit cheap job wins.
         # bit_xor, not sum: a sum of 64-bit hashes relies on silent long
         # wraparound, which ANSI mode (the driver's session) turns into
         # ARITHMETIC_OVERFLOW (caught by tests/test_ansi_parity.py). XOR
         # is order-insensitive and can't overflow; duplicate-pair
         # cancellation is moot because e is distinct.
-        obs = Observation()
-        out = df.observe(
-            obs,
+        out = df.localCheckpoint(eager=True)
+        row = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).localCheckpoint(eager=True)
-        m = obs.get
-        return out, (m["n"], m["h"])
+        ).collect()[0]
+        return out, (row["n"], row["h"])
 
     e, sig = checkpoint_with_sig(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -429,6 +429,7 @@ def seasonal_decompose(
     window_ms: int = 43_200_000,
     scale: int = 10**6,
     materialize_detrended: bool = True,
+    emit_scaled: bool = False,
 ) -> DataFrame:
     """Classic seasonal-means decomposition per key:
 
@@ -451,6 +452,10 @@ def seasonal_decompose(
     Scale: ONE data-sized Exchange (the key-partitioned RANGE window —
     a two-pointer walk per partition); the seasonal profile aggregates
     to #keys×24 rows (map-side combine) and joins back as a BROADCAST.
+
+    ``emit_scaled`` returns the pre-display integer columns (_vs,
+    _trend6, _d, _seasonal6) instead of the /scale floats — the exact
+    substrate `seasonal_strength` aggregates without re-rounding.
     """
     ems = F.unix_millis(F.col(ts_col))
     base = df.select(
@@ -492,12 +497,78 @@ def seasonal_decompose(
         )
         .select(key_col, "_hod", "_seasonal6")
     )
-    return det.join(F.broadcast(seas), [key_col, "_hod"]).select(
+    scaled = det.join(F.broadcast(seas), [key_col, "_hod"])
+    if emit_scaled:
+        return scaled
+    return scaled.select(
         key_col,
         id_col,
         (F.col("_trend6") / F.lit(float(scale))).alias("trend"),
         (F.col("_seasonal6") / F.lit(float(scale))).alias("seasonal"),
         ((F.col("_d") - F.col("_seasonal6")) / F.lit(float(scale))).alias("resid"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_ms: int = 43_200_000,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Seasonal-strength readout per key (Hyndman & Athanasopoulos, FPP:
+    F_s = max(0, 1 − Var(resid)/Var(detrended)) over the
+    `seasonal_decompose` split) — the one number that says whether the
+    per-key seasonal profile is WORTH fitting: ~0 means the hour-of-day
+    profile explains nothing (don't deploy season-aware thresholds for
+    this key), →1 means the series is dominated by its diurnal cycle.
+    Completes the decomposition family the way `graph_modularity`
+    certifies LPA: the fitted structure ships with its explanatory-power
+    number.
+
+    Exactness: the decomposition's scaled-long internals feed exact
+    integer power sums (n, Σd, Σd², Σr, Σr² in DECIMAL — Σd² can pass
+    int64, so the sums stay internal); both variances reduce to the
+    n·Σx² − (Σx)² form and the strength is ONE row-local double chain
+    rounded 6dp, 0.0-pinned when Var(detrended) = 0 (integer-decidable).
+
+    Scale: everything up to the residuals is `seasonal_decompose`'s
+    plan (one data-sized RANGE-window Exchange, broadcast profile);
+    the power sums add one key-keyed agg."""
+    scaled = seasonal_decompose(
+        df, key_col, ts_col, id_col, value_col,
+        window_ms=window_ms, scale=scale, emit_scaled=True,
+    )
+    dec = "decimal(19,0)"
+    r = F.col("_d") - F.col("_seasonal6")
+    s = scaled.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("_d").cast(dec)).cast("decimal(38,0)").alias("_sd"),
+        F.sum(F.col("_d").cast(dec) * F.col("_d").cast(dec))
+        .cast("decimal(38,0)")
+        .alias("_sdd"),
+        F.sum(r.cast(dec)).cast("decimal(38,0)").alias("_sr"),
+        F.sum(r.cast(dec) * r.cast(dec)).cast("decimal(38,0)").alias("_srr"),
+    )
+    n = F.col("n_events").cast(dec)
+    num = (n * F.col("_srr") - F.col("_sr") * F.col("_sr")).cast("decimal(38,0)")
+    den = (n * F.col("_sdd") - F.col("_sd") * F.col("_sd")).cast("decimal(38,0)")
+    return s.select(
+        key_col,
+        "n_events",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - num.cast("double") / den.cast("double"),
+                ),
+                6,
+            )
+        )
+        .alias("strength"),
     )
 
 

@@ -3478,3 +3478,72 @@ def ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(se, 6))
         .alias("se_ratio"),
     )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vs,
+             epoch_ms(ts) AS ems, hour(ts) AS hod
+      FROM events
+    ),
+    tr AS (
+      SELECT *, sum(vs) OVER w AS s, count(*) OVER w AS n
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ems
+                   RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)
+    ),
+    det AS (
+      SELECT user_id, event_id, hod,
+             vs - ((2 * s + n) // (2 * n)) AS d
+      FROM tr
+    ),
+    seas AS (
+      SELECT user_id, hod,
+             CASE WHEN sum(d) >= 0
+                  THEN (2 * sum(d) + count(*)) // (2 * count(*))
+                  ELSE -((-2 * sum(d) + count(*)) // (2 * count(*))) END
+               AS seasonal6
+      FROM det GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT det.user_id,
+             count(*)::BIGINT AS n_events,
+             sum(d::HUGEINT) AS sd,
+             sum(d::HUGEINT * d) AS sdd,
+             sum((d - seasonal6)::HUGEINT) AS sr,
+             sum((d - seasonal6)::HUGEINT * (d - seasonal6)) AS srr
+      FROM det JOIN seas ON det.user_id = seas.user_id AND det.hod = seas.hod
+      GROUP BY det.user_id
+    )
+    SELECT user_id, n_events,
+           CASE WHEN n_events::HUGEINT * sdd - sd * sd = 0 THEN 0.0
+                ELSE round(greatest(0.0,
+                  1.0 - (n_events::HUGEINT * srr - sr * sr)::DOUBLE
+                        / (n_events::HUGEINT * sdd - sd * sd)::DOUBLE), 6)
+           END AS strength
+    FROM s
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15o (r8): per-key seasonal STRENGTH F_s = max(0, 1 −
+    Var(resid)/Var(detrended)) over the `ts_seasonal` decomposition
+    (operators/timeseries.py::seasonal_strength) — the certification
+    number for the decomposition family, the `graph_modularity` pattern
+    applied to forecasting: the fitted hour-of-day profile ships with
+    how much variance it actually explains, which is the deploy/skip
+    decision for season-aware anomaly thresholds per key. Exact integer
+    power sums (DECIMAL internals — Σd² can pass int64, so they stay
+    internal per the functions/numeric.py rule), one 6dp row-local
+    chain, Var(detrended)=0 pinned 0.0 by an integer-decidable compare.
+
+    Scale: `ts_seasonal`'s plan (one data-sized RANGE-window Exchange,
+    broadcast seasonal profile) + one user-keyed power-sum agg."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_strength(e, "user_id", "ts", "event_id", "value")

@@ -381,3 +381,69 @@ def privacy_reid_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("n_records"),
         )
     )
+
+
+@query(
+    "privacy_class_size_dist",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+             count(*)::BIGINT AS sz
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(length(bin(sz)) - 1 AS INTEGER) AS size_bin,
+           CAST(2 ** (length(bin(sz)) - 1) AS BIGINT) AS bin_lo,
+           count(*)::BIGINT AS n_classes,
+           sum(sz)::BIGINT AS n_records,
+           min(sz)::BIGINT AS min_size, max(sz)::BIGINT AS max_size,
+           coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0)::BIGINT
+             AS n_records_below_k
+    FROM classes GROUP BY 1, 2
+    """,
+)
+def privacy_class_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14j (r8): log2-binned equivalence-class SIZE distribution over
+    the k-anonymity quasi-identifier tuple — the how-far-from-k-anonymous
+    curve: `privacy_kanon` lists the violating classes and
+    `privacy_enforce_kanon` suppresses them, but the release decision
+    (generalize further? suppress? accept the loss?) reads the whole
+    size distribution — many size-1 classes mean generalization is
+    needed, a few size-4 stragglers mean suppression is cheap. Per
+    log2 bin: class count, record mass, min/max size, and the record
+    mass below k=5 (the `graph_degree_dist` binary-length bin rule —
+    exact integer binning, no float log).
+
+    Scale: one partial-combined hash agg to classes (the `privacy_kanon`
+    shape), then a ~32-row re-agg of class sizes."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    bin_idx = (F.length(F.conv(F.col("sz"), 10, 2)) - 1).cast("int")
+    return (
+        classes.select("sz", bin_idx.alias("size_bin"))
+        .groupBy("size_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("sz").cast("long").alias("n_records"),
+            F.min("sz").cast("long").alias("min_size"),
+            F.max("sz").cast("long").alias("max_size"),
+            F.coalesce(F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0))
+            .cast("long")
+            .alias("n_records_below_k"),
+        )
+        .select(
+            "size_bin",
+            F.pow(F.lit(2.0), F.col("size_bin")).cast("long").alias("bin_lo"),
+            "n_classes",
+            "n_records",
+            "min_size",
+            "max_size",
+            "n_records_below_k",
+        )
+    )
