@@ -1519,3 +1519,63 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def cosine_radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """X4 radius (threshold) search: ALL corpus vectors with cosine >=
+    ``threshold`` to each query — the other retrieval primitive next to
+    `cosine_topk_vectorized`'s top-k (recall-complete candidate pulls,
+    everything-similar-to-this-exemplar sweeps, near-dup probes of a
+    new document against an index). Same execution shape: the
+    L2-normalized query matrix ships in the task closure (query batches
+    are small by contract), each Arrow batch does one BLAS matmul and
+    keeps only rows over the threshold — output is result-sized, no
+    rank window, no shuffle at all (the scan IS the plan). Self-matches
+    are excluded; the 6dp rounding/tie conventions match the top-k path
+    so one oracle family covers both."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = np.round(c @ q_mat.T, 6)  # (batch, nq)
+            ids = pdf[id_col].to_numpy()
+            ci, qi = np.nonzero(
+                (sims >= threshold) & (ids[:, None] != q_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[qi],
+                    id_col: ids[ci],
+                    "cos_sim": sims[ci, qi],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)

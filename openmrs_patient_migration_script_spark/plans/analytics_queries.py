@@ -3547,3 +3547,108 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return seasonal_strength(e, "user_id", "ts", "event_id", "value")
+
+
+# z_{0.975} + z_{0.80}: the 5%-two-sided / 80%-power constant, injected as
+# ONE literal on both engines (no special-function lookup in the plan)
+_POWER_Z = 2.801585
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id, user_id % 2 AS arm,
+             coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm, count(*)::BIGINT AS n, sum(y)::BIGINT AS sum_y,
+             sum(y::HUGEINT * y)::BIGINT AS sum_yy
+      FROM units GROUP BY arm
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.sum_y AS sum_y_a, a.sum_yy AS sum_yy_a,
+             b.n AS n_b, b.sum_y AS sum_y_b, b.sum_yy AS sum_yy_b
+      FROM s a, s b WHERE a.arm = 0 AND b.arm = 1
+    )
+    SELECT n_a, n_b, sum_y_a, sum_y_b, sum_yy_a, sum_yy_b,
+           CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+                ELSE round(sqrt(
+                  (sum_yy_a::DOUBLE - sum_y_a::DOUBLE * sum_y_a / n_a)
+                    / (n_a - 1.0) / n_a
+                  + (sum_yy_b::DOUBLE - sum_y_b::DOUBLE * sum_y_b / n_b)
+                    / (n_b - 1.0) / n_b), 6)
+           END AS se_diff,
+           CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+                ELSE round({_POWER_Z} * sqrt(
+                  (sum_yy_a::DOUBLE - sum_y_a::DOUBLE * sum_y_a / n_a)
+                    / (n_a - 1.0) / n_a
+                  + (sum_yy_b::DOUBLE - sum_y_b::DOUBLE * sum_y_b / n_b)
+                    / (n_b - 1.0) / n_b), 6)
+           END AS mde_cents
+    FROM w
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18i (r8): minimum detectable effect at 80% power / 5% two-sided
+    — the experiment-DESIGN number the readout family lacked: every
+    test here answers "did it move?", this answers "how small a move
+    could this experiment even see?" (run/don't-run and how-long-to-run
+    decisions). MDE = (z_{{0.975}} + z_{{0.80}})·se(diff) with the z-sum
+    injected as ONE precomputed literal on both engines (the
+    `dedup_minhash_band_sweep` rule — no special-function lookup in the
+    plan); se from exact per-user cent power sums (n, Σy, Σy² per arm —
+    the `ab_cuped` rule), one fixed row-local 6dp chain mirrored
+    token-for-token; degenerate arms (n < 2) pin 0.0.
+
+    Scale: one user-keyed agg, one 2-row arm agg, one broadcast cross
+    of the two arm rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    units = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("y")
+    )
+    dec = "decimal(19,0)"
+    s = units.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sum_y"),
+        dec_to_long(
+            F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(
+                "decimal(38,0)"
+            ),
+            "sum_yy",
+        ).alias("sum_yy"),
+    )
+    a = s.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("sum_y").alias("sum_y_a"),
+        F.col("sum_yy").alias("sum_yy_a"),
+    )
+    b = s.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("sum_y").alias("sum_y_b"),
+        F.col("sum_yy").alias("sum_yy_b"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    var_term = lambda sy, syy, n: (  # noqa: E731
+        F.col(syy).cast("double")
+        - F.col(sy).cast("double") * F.col(sy) / F.col(n)
+    ) / (F.col(n) - F.lit(1.0)) / F.col(n)
+    se = F.sqrt(
+        var_term("sum_y_a", "sum_yy_a", "n_a")
+        + var_term("sum_y_b", "sum_yy_b", "n_b")
+    )
+    degenerate = (F.col("n_a") < 2) | (F.col("n_b") < 2)
+    return w.select(
+        "n_a",
+        "n_b",
+        "sum_y_a",
+        "sum_y_b",
+        "sum_yy_a",
+        "sum_yy_b",
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(se, 6)).alias("se_diff"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.round(F.lit(_POWER_Z) * se, 6))
+        .alias("mde_cents"),
+    )

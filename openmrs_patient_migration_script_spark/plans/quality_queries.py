@@ -1331,3 +1331,87 @@ def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_abs_diff_cents"),
     )
+
+
+@query(
+    "dq_new_categories",
+    oracle="""
+    WITH ref AS (
+      SELECT DISTINCT event_type AS cat FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+      SELECT event_type AS cat, count(*)::BIGINT AS n FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+    ),
+    novel AS (
+      SELECT cur.cat, cur.n FROM cur LEFT JOIN ref USING (cat)
+      WHERE ref.cat IS NULL
+    ),
+    vanished AS (
+      SELECT count(*)::BIGINT AS n_vanished
+      FROM ref LEFT JOIN cur USING (cat) WHERE cur.cat IS NULL
+    )
+    SELECT 'event_type' AS column_name,
+           (SELECT count(*) FROM ref)::BIGINT AS n_ref_categories,
+           (SELECT count(*) FROM cur)::BIGINT AS n_cur_categories,
+           (SELECT count(*) FROM novel)::BIGINT AS n_new,
+           (SELECT coalesce(sum(n), 0) FROM novel)::BIGINT AS n_new_rows,
+           (SELECT n_vanished FROM vanished) AS n_vanished,
+           coalesce((SELECT string_agg(cat, ',' ORDER BY cat) FROM novel),
+                    '') AS new_categories
+    """,
+)
+def dq_new_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13e (r8): categorical-domain drift audit — categories present
+    after the cutoff that the reference period never saw (and the ones
+    that vanished): the failure `dq_drift_psi`/`dq_drift_ks` are
+    structurally blind to (a NEW enum value lands in no reference bin;
+    a renamed upstream code silently splits a series). One summary row
+    per audited column (never empty, so the gate grades real rows even
+    with zero drift): ref/cur domain sizes, new-category count and row
+    mass, vanished count, and the sorted new-category sample.
+
+    Scale: two conditional DISTINCT aggs to category tables
+    (vocabulary-sized after map-side combine), one anti-join each way on
+    the bounded domain, one-row reduce."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ref = (
+        e.filter(F.col("ts") < cutoff)
+        .select(F.col("event_type").alias("cat"))
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded domain; feeds both joins
+    )
+    cur = (
+        e.filter(F.col("ts") >= cutoff)
+        .groupBy(F.col("event_type").alias("cat"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    novel = cur.join(ref, "cat", "left_anti")
+    vanished = ref.join(cur.select("cat"), "cat", "left_anti")
+    n_ref = ref.agg(F.count(F.lit(1)).cast("long").alias("n_ref_categories"))
+    n_cur = cur.agg(F.count(F.lit(1)).cast("long").alias("n_cur_categories"))
+    nov = novel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_new_rows"),
+        F.coalesce(
+            F.concat_ws(",", F.array_sort(F.collect_list("cat"))), F.lit("")
+        ).alias("new_categories"),
+    )
+    van = vanished.agg(F.count(F.lit(1)).cast("long").alias("n_vanished"))
+    return (
+        n_ref.crossJoin(F.broadcast(n_cur))
+        .crossJoin(F.broadcast(nov))
+        .crossJoin(F.broadcast(van))
+        .select(
+            F.lit("event_type").alias("column_name"),
+            "n_ref_categories",
+            "n_cur_categories",
+            "n_new",
+            "n_new_rows",
+            "n_vanished",
+            "new_categories",
+        )
+    )

@@ -1149,3 +1149,41 @@ def embed_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_centroid"),
         )
     )
+
+
+@query(
+    "sim_radius_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    )
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+             AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+      AND round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4q (r8): exact radius (threshold) search — every corpus vector
+    with cosine >= 0.35 to each query, the retrieval primitive top-k
+    can't express (recall-complete candidate pulls: "everything at
+    least this similar", where k would silently truncate dense
+    neighborhoods and over-fetch sparse ones). Same scan-is-the-plan
+    execution as `sim_cosine_topk` (normalized query matrix in the task
+    closure, one BLAS matmul per Arrow batch) minus the rank window —
+    the output is exactly the qualifying pairs, no shuffle anywhere
+    (operators/similarity.py::cosine_radius_search). The 6dp threshold
+    compares post-rounding on both engines, so the boundary is
+    engine-stable."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_radius_search,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    # 0.35 sits in the fixture's similarity tail (6 hits at sf0.01,
+    # 42 at sf0.1) — non-vacuous at every graded scale, output stays
+    # result-sized
+    return cosine_radius_search(emb, queries, threshold=0.35)

@@ -833,6 +833,9 @@ _PYTHON_STAGE_OK_PREFIXES = (
     # the PQ/IVF recall certifications compare against the exact
     # brute-force top-k, which is the Arrow-vectorized matmul path
     "sim_pq_recall", "sim_ivf_recall",
+    # radius search is the top-k matmul scan minus the rank window —
+    # deliberately Arrow-vectorized (r8)
+    "sim_radius_search",
 )
 
 
