@@ -1356,3 +1356,82 @@ def test_bootstrap_ci_constant_effect_collapses_to_point(spark):
     for r in out.values():
         assert r["n_a"] > 0 and r["n_b"] > 0
         assert r["s_a"] / r["n_a"] - r["s_b"] / r["n_b"] == 200.0
+
+
+def test_survival_km_hand_computed_curve(spark, tmp_path):
+    """Three users with lifetimes 0, 2 and 5 days: S(0)=1, S(1)=2/3,
+    S(3)=1/3, S(6)=0 — exact at-risk counts on the hand-built curve."""
+    from datetime import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    rows = [
+        (1, dt(2024, 1, 1), 1, "view", 1.0, "{}"),     # lifetime 0
+        (2, dt(2024, 1, 1), 2, "view", 1.0, "{}"),
+        (3, dt(2024, 1, 3), 2, "view", 1.0, "{}"),     # lifetime 2
+        (4, dt(2024, 1, 1), 3, "view", 1.0, "{}"),
+        (5, dt(2024, 1, 6), 3, "view", 1.0, "{}"),     # lifetime 5
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.d: r for r in
+           QUERIES["events_survival_km"](spark, str(tmp_path)).collect()}
+    assert len(out) == 15 and out[0].n_total == 3
+    assert out[0].n_at_risk == 3 and out[0].survival == 1.0
+    assert out[1].n_at_risk == 2
+    assert out[3].n_at_risk == 1
+    assert out[6].n_at_risk == 0 and out[6].survival == 0.0
+
+
+def test_concentration_hhi_bounds(spark, tmp_path):
+    """HHI = 1 for a single-source language, 1/n for a perfectly even
+    n-source split — the two analytic anchors, exact fractions."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = (
+        [(i, "t", "mono", "only_src", 1) for i in range(10)]
+        + [(100 + i, "t", "even", f"src_{i % 4}", 1) for i in range(40)]
+    )
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in
+           QUERIES["agg_concentration_hhi"](spark, str(tmp_path)).collect()}
+    mono, even = out["mono"], out["even"]
+    assert mono.n_sources == 1 and mono.hhi == 1.0
+    assert mono.hhi_num == mono.hhi_den == 100
+    assert even.n_sources == 4 and even.hhi == 0.25
+    assert even.hhi_num * 4 == even.hhi_den
+
+
+def test_power_mde_hand_computed(spark, tmp_path):
+    """Two users per arm with known per-user cents: se and MDE follow
+    the closed form exactly (6dp) — and a 1-user arm pins 0.0."""
+    import math
+    from datetime import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # arm 0 (even user ids): totals 100 and 200 cents; arm 1: 50 and 350
+    rows = [
+        (1, dt(2024, 1, 1), 2, "view", 1.00, "{}"),
+        (2, dt(2024, 1, 1), 4, "view", 2.00, "{}"),
+        (3, dt(2024, 1, 1), 1, "view", 0.50, "{}"),
+        (4, dt(2024, 1, 1), 3, "view", 3.50, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = QUERIES["ab_power_mde"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_a, row.n_b) == (2, 2)
+    var_a = ((100 - 150) ** 2 + (200 - 150) ** 2) / 1.0   # sample var
+    var_b = ((50 - 200) ** 2 + (350 - 200) ** 2) / 1.0
+    se = math.sqrt(var_a / 2 + var_b / 2)
+    assert abs(row.se_diff - round(se, 6)) < 1e-9
+    assert abs(row.mde_cents - round(2.801585 * se, 6)) < 1e-6

@@ -603,3 +603,59 @@ def test_inclusion_audit_discriminates_and_ignores_nulls(spark):
     partial = spark.createDataFrame([(1,), (99,)], "fk long")
     r2 = inclusion_audit(partial, "fk", parent, "pk", "c->p").collect()[0]
     assert r2["n_contained"] == 1 and not r2["is_inclusion"]
+
+
+def test_header_detail_reconcile_counts_planted_drift(spark, tmp_path):
+    """Three planted cases: an exact match, a 7-cent drift, and a
+    header with no lines — each lands in its own counter and the drift
+    total/max are exact cents."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    orders = spark.createDataFrame(
+        [(1, 100.00), (2, 50.07), (3, 20.00)],
+        ["o_orderkey", "o_totalprice"],
+    )
+    # order 1: one line matching exactly; order 2: lines sum to 50.00
+    # (7 cents short of the header); order 3: no lines at all
+    lineitem = spark.createDataFrame(
+        [(1, 100.00, 0.0, 0.0), (2, 30.00, 0.0, 0.0), (2, 20.00, 0.0, 0.0)],
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lineitem.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    row = QUERIES["dq_header_detail_reconcile"](spark, str(tmp_path)).collect()[0]
+    assert row.n_orders == 3
+    assert row.n_orders_no_lines == 1
+    assert row.n_exact_match == 1
+    assert row.n_mismatch == 1
+    assert row.max_abs_diff_cents == 7
+    assert row.total_abs_diff_cents == 7
+
+
+def test_new_categories_flags_planted_novel_enum(spark, tmp_path):
+    """A value that first appears after the cutoff must be reported with
+    its row mass; a value that disappears counts as vanished; shared
+    values count in both domains."""
+    from datetime import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    rows = [
+        (1, dt(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt(2024, 1, 2), 1, "legacy_code", 1.0, "{}"),   # vanishes
+        (3, dt(2024, 1, 20), 2, "view", 1.0, "{}"),
+        (4, dt(2024, 1, 21), 2, "new_widget", 1.0, "{}"),   # novel
+        (5, dt(2024, 1, 22), 3, "new_widget", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    row = QUERIES["dq_new_categories"](spark, str(tmp_path)).collect()[0]
+    assert row.n_ref_categories == 2
+    assert row.n_cur_categories == 2
+    assert row.n_new == 1
+    assert row.n_new_rows == 2
+    assert row.n_vanished == 1
+    assert row.new_categories == "new_widget"

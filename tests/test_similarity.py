@@ -560,3 +560,52 @@ def test_cosine_pairs_blocked_candidates_hook_matches_exact(spark):
     }
     assert set(lsh) <= set(exact)
     assert all(exact[p] == s for p, s in lsh.items())
+
+
+def test_cosine_radius_search_planted_twins_and_self_exclusion(spark):
+    """Radius search must return EVERY vector over the threshold (the
+    recall-completeness top-k truncates away), never a self-match, and
+    agree with the top-k path's 6dp scores on shared pairs."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_radius_search,
+    )
+
+    dim = 8
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * (dim - 2)),
+        (2, [0.999, 0.01] + [0.0] * (dim - 2)),   # twin of 1
+        (3, [0.98, 0.05] + [0.0] * (dim - 2)),    # also near 1
+        (4, [0.0, 1.0] + [0.0] * (dim - 2)),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_radius_search(df, q, threshold=0.9).collect()
+    ids = {r.vec_id for r in got}
+    assert ids == {2, 3}, f"expected both near vectors, got {ids}"
+    assert all(r.query_id == 1 and r.cos_sim >= 0.9 for r in got)
+    # k=1 top-k would have returned only vec 2 — radius keeps 3 too
+    assert len(got) == 2
+
+
+def test_band_sweep_candidates_are_monotone_in_bands(spark):
+    """Banding refinement invariant: agreeing on an 8-row band implies
+    agreeing on both 4-row halves, so the candidate-pair set can only
+    GROW as bands increase — (2,8) ⊆ (4,4) ⊆ (8,2) ⊆ (16,1). A broken
+    slice indexing in _band_buckets would violate this immediately."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [r.asDict() for r in
+            QUERIES["dedup_minhash_band_sweep"](
+                spark, "/root/testdata/sf0.001").collect()]
+    by_bands = {r["bands"]: r for r in rows}
+    assert sorted(by_bands) == [2, 4, 8, 16]
+    for lo, hi in [(2, 4), (4, 8), (8, 16)]:
+        assert (
+            by_bands[lo]["n_candidate_pairs"] <= by_bands[hi]["n_candidate_pairs"]
+        ), f"candidates must be monotone: bands={lo} vs {hi}"
+    # the bucket-pair workload bounds the distinct candidates from above
+    for r in rows:
+        assert r["n_candidate_pairs"] <= r["n_bucket_pairs"]
+        assert r["max_bucket_docs"] >= 1

@@ -378,3 +378,63 @@ def test_holt_winters_absorbs_season_where_holt_chases_it(spark):
     hl_err = max(abs(hl[t] - actual[t + 1]) for t in range(10, 19))
     assert hw_err < 1e-9
     assert hl_err > 5.0
+
+
+def test_seasonal_strength_separates_diurnal_from_flat(spark):
+    """F_s near 1 when the series IS its hour-of-day profile, 0.0 on a
+    constant series (Var(detrended) = 0 — the integer-decidable pin),
+    and small when the 'seasonality' is one-off noise."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(4):
+        for h in range(24):
+            rows.append((1, datetime(2024, 1, 1 + d, h), eid,
+                         100.0 + (50.0 if h == 12 else 0.0)))
+            eid += 1
+            rows.append((2, datetime(2024, 1, 1 + d, h), eid, 100.0))
+            eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r.user_id: r for r in
+           seasonal_strength(df, "user_id", "ts", "event_id", "value").collect()}
+    assert out[1].strength > 0.8, "diurnal series must show high strength"
+    assert out[2].strength == 0.0, "constant series pins to 0.0"
+    assert out[1].n_events == out[2].n_events == 96
+
+
+def test_theil_sen_ignores_planted_outlier_day(spark):
+    """The whole point of the estimator: one corrupted day cannot move
+    the median pairwise slope, while it would drag a least-squares fit.
+    Planted: value = 2·day cents exactly, one day replaced by 1e6."""
+    from datetime import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    import pyspark.sql.functions as F2
+
+    days = 15
+    rows = []
+    eid = 0
+    for d in range(days):
+        v = 10000.0 if d == 7 else 0.02 * d  # outlier day 7
+        rows.append((eid, dt(2024, 1, 1 + d, 12), eid, "view", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        for t in ["events"]:
+            df.write.mode("overwrite").parquet(f"{tmp}/{t}.parquet")
+        out = QUERIES["ts_theil_sen"](spark, tmp).collect()[0]
+    # true slope: 2 cents/day (value*100 = 2d) — the median pairwise
+    # slope must be exactly 2 despite the 1e6 outlier day
+    assert out.slope_den > 0
+    assert out.slope_num == 2 * out.slope_den
+    assert out.slope == 2.0
