@@ -377,7 +377,7 @@ def pagerank(
         F.col("outdeg"),
         F.lit(0).cast("long").alias("c"),
     ).localCheckpoint(eager=True)
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = sym.join(ranks, "u").select(
             F.col("v").alias("node"),
             F.lit(None).cast("long").alias("outdeg"),
@@ -394,8 +394,15 @@ def pagerank(
                     f"(({100 - d} * {base}L) + {d} * inflow) div 100"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every SECOND round (and the last): `ranks` has one
+        # consumer per round (the contrib join), so chaining two rounds
+        # into one job is safe — no recompute — and halves the job
+        # count; lineage depth stays bounded at two join+agg layers.
+        # LPA/sssp/k_core can't do this (their round output has 2-3
+        # consumers; un-checkpointed they'd recompute per consumer).
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("u").alias("node"),
         F.col("r").alias("rank_scaled"),
