@@ -622,3 +622,70 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return wide.select(F.explode(F.array(*pair_structs)).alias("_p")).select(
         "_p.*"
     )
+
+
+def exact_global_quantile(
+    df: DataFrame,
+    value_col: str,
+    pct: int,
+    n_buckets: int = 4096,
+    max_levels: int = 6,
+) -> int | None:
+    """EXACT global order statistic WITHOUT a global sort — multi-level
+    histogram selection over an integer column: v* = min{v : 100·#{x ≤ v}
+    ≥ pct·n}, the same all-integer rank rule as `weighted_percentiles`,
+    computed at ANY scale in ~log_B(range) aggregation scans.
+
+    Why: the textbook exact percentile is a global ORDER BY window — a
+    single-partition sort that dies at 100 TB. approx_percentile fixes
+    the cost but not the contract. This is the third way (the classic
+    distributed-selection algorithm, public literature: iterated
+    histogram refinement): each level counts rows per equi-width bucket
+    inside the current candidate range (one map-side-combined agg scan,
+    shuffle = B rows), the driver walks the ≤B bucket counts to find
+    where the target rank falls, and recurses into that bucket. Integer
+    cents spanning 1e12 resolve in 3 levels at B = 4096.
+
+    Returns the exact value as a Python int (None on an empty/all-null
+    column) — a driver-side SCALAR, bounded like the broadcast-size
+    decisions AQE makes; the caller folds it back into a plan as a
+    literal."""
+    base = df.select(F.col(value_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    if not n:
+        return None
+    target = -(-pct * n // 100)  # ceil(pct·n/100): min rank satisfying the rule
+    below = 0
+    for _ in range(max_levels):
+        if lo == hi:
+            return int(lo)
+        width = (hi - lo + n_buckets) // n_buckets  # ceil; >= 1
+        counts = dict(
+            base.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
+            .groupBy(((F.col("_v") - lo) / width).cast("long").alias("_b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        cum = below
+        for b in range(n_buckets):
+            c = counts.get(b, 0)
+            if cum + c >= target:
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                below = cum
+                break
+            cum += c
+        else:  # pragma: no cover - target <= n guarantees a bucket hits
+            raise AssertionError("rank walk exhausted buckets")
+        if width == 1:
+            return int(lo)
+    raise RuntimeError(
+        f"quantile selection did not converge in {max_levels} levels "
+        f"(range {hi - lo + 1} at B={n_buckets}) — raise max_levels"
+    )

@@ -2483,3 +2483,91 @@ def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers_hi",
         )
     )
+
+
+@query(
+    "agg_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT r,
+             sum(1) OVER (ORDER BY r RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c,
+             count(*) OVER () AS t
+      FROM rev
+    ),
+    v AS (SELECT min(CASE WHEN c * 100 >= t * 90 THEN r END) AS v_star FROM cum)
+    SELECT (SELECT count(*) FROM rev)::BIGINT AS n_customers,
+           v.v_star::BIGINT AS p90_cents,
+           count(CASE WHEN rev.r >= v.v_star THEN 1 END)::BIGINT AS n_top,
+           coalesce(sum(CASE WHEN rev.r >= v.v_star THEN rev.r END), 0)::BIGINT
+             AS top_revenue_cents,
+           sum(rev.r)::BIGINT AS total_revenue_cents,
+           round(coalesce(sum(CASE WHEN rev.r >= v.v_star THEN rev.r END), 0)
+                   ::DOUBLE / sum(rev.r), 6) AS top_share
+    FROM rev, v
+    GROUP BY v.v_star
+    """,
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16c (r8): Pareto concentration — the revenue share of customers
+    at or above the exact 90th percentile of per-customer revenue (the
+    80/20 readout every mix/risk review asks for). The quantile itself
+    comes from `exact_global_quantile` (operators/aggregates.py):
+    multi-level histogram SELECTION — ~3 aggregation scans at B = 4096
+    — because the textbook exact form is a global ORDER BY window (a
+    single-partition sort, the one shape this engine bans at scale) and
+    approx_percentile changes the contract. The selected threshold
+    folds back as a LITERAL, so the share pass is one conditional agg;
+    every output is exact cents/counts plus the one 6dp share readout.
+    The oracle replays the same min{v : 100·cum ≥ 90·n} rank rule in
+    window form (fine on DuckDB's single node).
+
+    Scale: one customer-keyed agg (the only data-sized shuffle, feeds
+    the selection scans and the share pass via one checkpoint), ~3
+    histogram scans of the checkpointed per-customer table, one final
+    conditional agg."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        exact_global_quantile,
+    )
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+        .localCheckpoint(eager=True)  # feeds the selection scans + share agg
+    )
+    v_star = exact_global_quantile(rev, "r", 90)
+    if v_star is None:
+        # empty input: a typed empty frame keeps the schema contract
+        return rev.select(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.lit(None).cast("long").alias("p90_cents"),
+            F.lit(0).cast("long").alias("n_top"),
+            F.lit(0).cast("long").alias("top_revenue_cents"),
+            F.lit(0).cast("long").alias("total_revenue_cents"),
+            F.lit(0.0).alias("top_share"),
+        ).limit(0)
+    top = F.col("r") >= F.lit(v_star)
+    return rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.lit(v_star).cast("long").alias("p90_cents"),
+        F.count(F.when(top, 1)).cast("long").alias("n_top"),
+        F.coalesce(F.sum(F.when(top, F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("top_revenue_cents"),
+        F.sum("r").cast("long").alias("total_revenue_cents"),
+        F.round(
+            F.coalesce(F.sum(F.when(top, F.col("r"))), F.lit(0)).cast("double")
+            / F.sum("r"),
+            6,
+        ).alias("top_share"),
+    )

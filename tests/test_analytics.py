@@ -1435,3 +1435,30 @@ def test_power_mde_hand_computed(spark, tmp_path):
     se = math.sqrt(var_a / 2 + var_b / 2)
     assert abs(row.se_diff - round(se, 6)) < 1e-9
     assert abs(row.mde_cents - round(2.801585 * se, 6)) < 1e-6
+
+
+def test_exact_global_quantile_matches_sorted_reference(spark):
+    """The histogram-selection path must reproduce the rank rule
+    min{v : 100·cum ≥ p·n} of a driver-side sort, across percentiles,
+    duplicates, negatives, and a wide value range (forces 2+ levels at
+    the tiny bucket count used here)."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        exact_global_quantile,
+    )
+
+    vals = (
+        [x * 97 for x in range(200)]
+        + [5] * 50                       # heavy duplicate
+        + [-1_000_003, 10_000_019]       # wide range + negative
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    s = sorted(vals)
+    n = len(s)
+    for pct in (1, 10, 50, 90, 99, 100):
+        want = next(
+            v for i, v in enumerate(s, start=1) if 100 * i >= pct * n
+        )
+        got = exact_global_quantile(df, "v", pct, n_buckets=16)
+        assert got == want, f"p{pct}: got {got}, want {want}"
+    # empty input returns None
+    assert exact_global_quantile(df.limit(0), "v", 50) is None
