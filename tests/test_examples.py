@@ -99,3 +99,12 @@ def test_certification_suite():
     assert "drift: KS=" in stdout
     assert "zipf slope:" in stdout
     assert "certification: COMPLETE" in stdout
+
+
+def test_curation_review():
+    stdout = _run("curation_review.py")
+    assert "mix concentration" in stdout
+    assert "LSH banding sweep" in stdout
+    assert "bands=16" in stdout
+    assert "top decile" in stdout
+    assert "curation review complete" in stdout
