@@ -627,9 +627,10 @@ def corr_matrix(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
 def exact_global_quantile(
     df: DataFrame,
     value_col: str,
-    pct: int,
+    pct: int | None = None,
     n_buckets: int = 4096,
     max_levels: int = 6,
+    target_rank: int | None = None,
 ) -> int | None:
     """EXACT global order statistic WITHOUT a global sort — multi-level
     histogram selection over an integer column: v* = min{v : 100·#{x ≤ v}
@@ -661,7 +662,14 @@ def exact_global_quantile(
     n, lo, hi = row["n"], row["lo"], row["hi"]
     if not n:
         return None
-    target = -(-pct * n // 100)  # ceil(pct·n/100): min rank satisfying the rule
+    if target_rank is not None:
+        # exact-rank mode: v* = the target_rank-th smallest (callers that
+        # derive the rank themselves, e.g. "k-th largest" = rank n − k + …,
+        # must not round-trip through an integer pct — the double ceil
+        # can overshoot by one position)
+        target = max(1, min(int(target_rank), n))
+    else:
+        target = -(-pct * n // 100)  # ceil(pct·n/100): the min qualifying rank
     below = 0
     for _ in range(max_levels):
         if lo == hi:

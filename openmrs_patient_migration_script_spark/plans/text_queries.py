@@ -1149,3 +1149,113 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("beta_local"),
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH vocab AS (
+      SELECT token, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    t AS (SELECT count(*)::BIGINT AS n_vocab, sum(cnt)::BIGINT AS n_occ
+          FROM vocab),
+    cum AS (
+      SELECT cnt,
+             sum(1) OVER (ORDER BY cnt RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c,
+             count(*) OVER () AS n
+      FROM vocab
+    ),
+    cuts AS (
+      SELECT k,
+             min(CASE WHEN c * 100 >= (100 * (n - k)) THEN cnt END) AS c_star
+      FROM cum CROSS JOIN (SELECT unnest([5, 20]) AS k) ks
+      WHERE n > k
+      GROUP BY k
+    )
+    SELECT cuts.k::BIGINT AS k, cuts.c_star::BIGINT AS min_count,
+           (SELECT count(*) FROM vocab WHERE cnt >= cuts.c_star)::BIGINT
+             AS n_tokens_kept,
+           (SELECT sum(cnt) FROM vocab WHERE cnt >= cuts.c_star)::BIGINT
+             AS occ_covered,
+           t.n_vocab, t.n_occ,
+           round((SELECT sum(cnt) FROM vocab WHERE cnt >= cuts.c_star)::DOUBLE
+                 / t.n_occ, 6) AS coverage
+    FROM cuts, t
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5n (r8): vocabulary-coverage ladder — for budget sizes
+    k ∈ {5, 20} (cut to the fixture's ~31-token synthetic vocabulary —
+    production budgets swap the ladder): what fraction of token
+    OCCURRENCES the head of the
+    frequency table covers (the OOV-rate / tokenizer-budget readout;
+    `text_zipf_fit` says the head's shape, this says how much corpus
+    the head BUYS). The cut count c*_k (the k-th largest frequency) is
+    found by `exact_global_quantile`'s histogram SELECTION applied to
+    the vocabulary counts — the exact rank rule min{{v : 100·cum ≥
+    pct·n}} with pct = 100·(n_vocab−k)/n_vocab scaled to avoid a
+    vocab-sized single-partition rank window — and the kept set is "all
+    tokens with count ≥ c*" (ties keep the set slightly above k; the
+    exact tie-inclusive contract, n_tokens_kept reports it). The oracle
+    replays the identical rule in window form.
+
+    Scale: one tokenize scan to the vocabulary (map-side combine), ~2
+    selection scans of the checkpointed vocab per k, one conditional
+    agg. No sort anywhere."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        exact_global_quantile,
+    )
+    from openmrs_patient_migration_script_spark.operators.text import (
+        token_counts,
+    )
+
+    vocab = token_counts(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)  # feeds selection scans + coverage aggs
+    n_vocab = vocab.count()
+    out = None
+    for k in (5, 20):
+        if n_vocab <= k:
+            continue
+        # min{c : 100·cum(c) >= pct·n} with pct·n = 100·(n_vocab − k):
+        # exactly the (n−k)-th smallest = the k-th largest count. The
+        # selection operator takes integer pct; scale the rule by n so
+        # the ceil stays exact: target rank = n − k  ⇒  pct = 100(n−k)/n
+        # computed EXACTLY by passing pct·n through the target directly.
+        # k-th largest count = the (n_vocab − k)-th smallest: exact-rank
+        # mode (an integer pct would double-ceil and overshoot the rank)
+        c_star = exact_global_quantile(
+            vocab, "cnt", target_rank=n_vocab - k
+        )
+        kept = F.col("cnt") >= F.lit(c_star)
+        row = vocab.agg(
+            F.count(F.when(kept, 1)).cast("long").alias("n_tokens_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("occ_covered"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            F.sum("cnt").cast("long").alias("n_occ"),
+        ).select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(c_star).cast("long").alias("min_count"),
+            "n_tokens_kept",
+            "occ_covered",
+            "n_vocab",
+            "n_occ",
+            F.round(
+                F.col("occ_covered").cast("double") / F.col("n_occ"), 6
+            ).alias("coverage"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        empty_schema = (
+            "k long, min_count long, n_tokens_kept long, occ_covered long, "
+            "n_vocab long, n_occ long, coverage double"
+        )
+        return spark.createDataFrame([], empty_schema)
+    return out

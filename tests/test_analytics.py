@@ -1462,3 +1462,19 @@ def test_exact_global_quantile_matches_sorted_reference(spark):
         assert got == want, f"p{pct}: got {got}, want {want}"
     # empty input returns None
     assert exact_global_quantile(df.limit(0), "v", 50) is None
+
+
+def test_exact_global_quantile_target_rank_mode(spark):
+    """Exact-rank mode must hit the r-th smallest with no pct rounding —
+    the k-th-largest use (rank = n − k) that an integer pct double-ceils
+    past (the text_vocab_coverage bug class)."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        exact_global_quantile,
+    )
+
+    vals = [10, 20, 30, 40, 50, 60, 70]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    for r, want in [(1, 10), (4, 40), (7, 70)]:
+        assert exact_global_quantile(df, "v", target_rank=r, n_buckets=4) == want
+    # clamped at the edges
+    assert exact_global_quantile(df, "v", target_rank=99) == 70
