@@ -676,6 +676,116 @@ def _minhash_quality_shape(docs, k: int):
     return mm.join(inter, ["key_a", "key_b"], "left")
 
 
+def _theil_sen_shape(ev_k):
+    """Pairwise-day robust-slope shape (ts_theil_sen): one conditional-agg
+    scan to the BOUNDED day table, then the O(days**2) pair join and rank
+    on metadata — row count should only move the scan term."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        ev_k.select(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("b.s") - F.col("a.s")).alias("dn"),
+        (F.col("b.d") - F.col("a.d")).alias("dd"),
+    )
+    w = W.orderBy(F.col("dn").cast("double") / F.col("dd"), "dn", "dd")
+    return pairs.select(F.row_number().over(w).alias("rn")).groupBy().agg(
+        F.max("rn")
+    )
+
+
+def _band_sweep_shape(d_k):
+    """4-config LSH banding sweep over ONE shared signature build
+    (dedup_minhash_band_sweep): candidate counts per (bands, rows)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        _band_buckets,
+        minhash_signatures,
+    )
+
+    md5_pair = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long"),
+    )
+    sig = minhash_signatures(
+        d_k, "doc_id", "text", num_hashes=16, double_hash=md5_pair
+    ).localCheckpoint(eager=True)
+    out = None
+    for bands in (2, 4, 8, 16):
+        bb = _band_buckets(sig, 16, bands, hash_buckets=False)
+        a = bb.select(F.col("key").alias("key_a"), "band", "bucket")
+        b2 = bb.select(F.col("key").alias("key_b"), "band", "bucket")
+        one = (
+            a.join(b2, ["band", "bucket"])
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(bands).alias("bands"), "n")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _centroid_sep_shape(e_k):
+    """labels x dims integer-sum agg + label-pair join
+    (embed_centroid_separation): shuffle carries labels*dims rows."""
+    ex = e_k.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("sv"),
+    )
+    s = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("sv").cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dec = "decimal(19,0)"
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label"), F.col("b.label"))
+        .agg(F.sum(F.col("a.s").cast(dec) * F.col("b.s").cast(dec)).alias("dot"))
+    )
+
+
+def _pareto_shape(o_k):
+    """Histogram-selection exact global p90 + share pass (agg_pareto_share):
+    ~3 agg scans of the checkpointed per-customer table, no sort."""
+    from openmrs_patient_migration_script_spark.operators.aggregates import (
+        exact_global_quantile,
+    )
+
+    rev = (
+        o_k.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    v_star = exact_global_quantile(rev, "r", 90)
+    top = F.col("r") >= F.lit(v_star)
+    return rev.agg(
+        F.count(F.when(top, 1)).alias("n_top"), F.sum("r").alias("total")
+    )
+
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     li = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
@@ -908,6 +1018,15 @@ def main() -> None:
             # minhash estimate-vs-truth audit: candidate-bounded signature
             # compare + shingle intersection (copy-tagged tokens)
             "minhash_quality_audit": lambda: _minhash_quality_shape(docs, k),
+            # --- r8 shapes (all deferred: construction checkpoints) ---
+            # bounded-day pair join: post-scan cost fixed by day count
+            "theil_sen_pairs": lambda: _theil_sen_shape(ev_k),
+            # one signature build, 4 banding configs of bucket joins
+            "band_sweep_4cfg": lambda: _band_sweep_shape(d_k),
+            # labels x dims agg + label-pair join, vectors never shuffle
+            "centroid_separation": lambda: _centroid_sep_shape(e_k),
+            # exact global p90 by histogram selection (multi-scan, no sort)
+            "pareto_selection": lambda: _pareto_shape(o_k),
         }
 
     results: dict[str, dict[int, float]] = {}
