@@ -338,6 +338,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """X4 vectorized path: same result as cosine_topk, computed by numpy
     matmul inside mapInPandas instead of interpreted higher-order
@@ -355,6 +356,15 @@ def cosine_topk_vectorized(
     as the UDF-free reference variant. (The HOF cost is interpreted
     per-element lambda eval; Catalyst also collapses projections into the
     join, so per-row normalization re-runs per PAIR unless materialized.)
+
+    ``exclude_label_col``: hard-negative mode (X4r) — queries AND corpus
+    both carry this column, and a corpus row whose label equals the
+    query's is masked out of that query's candidates (the contrastive
+    "top-k most similar with a DIFFERENT label" contract; the self-match
+    shares its own label, so it is excluded for free). Masking happens
+    inside the task on the score matrix — the per-batch partial top-k
+    argument is unchanged because masked rows sort strictly after every
+    real candidate.
     """
     import numpy as np
 
@@ -373,12 +383,20 @@ def cosine_topk_vectorized(
         ]
     )
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_cols = [query_id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    q_rows = queries.select(*q_cols).collect()
     if not q_rows:
         # no query vectors -> no results; an empty typed frame keeps the
         # schema contract without tripping numpy on a 0-row matrix
         return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[query_id_col] for r in q_rows])
+    q_labs = (
+        np.array([r[exclude_label_col] for r in q_rows])
+        if exclude_label_col
+        else None
+    )
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
 
@@ -394,6 +412,14 @@ def cosine_topk_vectorized(
             c = np.array(list(pdf[vec_col]), dtype=np.float64)
             c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = np.round(c @ q_mat.T, 6)  # (batch, nq)
+            if q_labs is not None:
+                # -9 sentinel: below any real cosine (>= -1), so masked
+                # rows only surface when a batch has < k+1 legal rows,
+                # and the post-task filter drops them
+                c_labs = pdf[exclude_label_col].to_numpy()
+                sims = np.where(
+                    c_labs[:, None] == q_labs[None, :], -9.0, sims
+                )
             ids = pdf[id_col].to_numpy()
             n, m = sims.shape
             take = min(k + 1, n)
@@ -411,8 +437,13 @@ def cosine_topk_vectorized(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    c_cols = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col else []
+    )
+    scored = corpus.select(*c_cols).mapInPandas(score, schema=out_schema)
     scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    if exclude_label_col:
+        scored = scored.filter(F.col("cos_sim") > -2.0)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))

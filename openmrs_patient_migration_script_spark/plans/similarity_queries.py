@@ -1187,3 +1187,231 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 42 at sf0.1) — non-vacuous at every graded scale, output stays
     # result-sized
     return cosine_radius_search(emb, queries, threshold=0.35)
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.q_label
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4r (r8): hard-negative mining — per query the top-k most similar
+    vectors with a DIFFERENT label, the contrastive-training primitive
+    (a retrieval/embedding model trains on exactly these pairs: close in
+    the space, known to be semantically distinct; random negatives are
+    too easy and in-label negatives are false negatives).
+    `sim_cosine_topk` answers "what is nearest"; this answers "what is
+    nearest that should NOT be" — the difference is one label mask on
+    the score matrix inside the task
+    (operators/similarity.py::cosine_topk_vectorized
+    ``exclude_label_col``), so the plan shape is identical: one BLAS
+    matmul per Arrow batch, per-batch partial top-k (masked rows sort
+    after every real candidate, so the k+1 egress bound still holds),
+    zero corpus shuffles, one rank window on the bounded candidate set.
+    The self-match carries its own label and is excluded for free."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_QUERY_PRED)).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return cosine_topk_vectorized(
+        emb, queries, k=_K, exclude_label_col="label"
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT pos - 1 AS dim,
+             cast(round(v * 1000000, 0) AS BIGINT) AS sv
+      FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    a AS (SELECT dim, max(abs(sv))::BIGINT AS amax_micro FROM ex GROUP BY dim),
+    c AS (
+      SELECT ex.dim, sv, amax_micro,
+             (CASE WHEN amax_micro = 0 THEN 0
+                   ELSE (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                        * ((254 * abs(sv) + amax_micro) // (2 * amax_micro))
+              END)::BIGINT AS code
+      FROM ex JOIN a USING (dim)
+    )
+    SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+           max(amax_micro)::BIGINT AS amax_micro,
+           count(CASE WHEN abs(code) = 127 THEN 1 END)::BIGINT AS n_sat,
+           sum(abs(code))::BIGINT AS sum_abs_code,
+           sum((127 * sv - code * amax_micro)::HUGEINT
+               * (127 * sv - code * amax_micro))::BIGINT AS sse_num
+    FROM c GROUP BY dim
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4s (r8): per-dimension symmetric int8 quantization ledger — the
+    storage decision an embedding pipeline makes before writing 100 TB
+    of vectors (float32 -> int8 is the standard 4x shrink; what it costs
+    is THIS table): per dim the absmax scale (micro-units), saturation
+    count (|code| = 127 — a skewed dim saturates early), total code mass
+    Σ|code| (utilization: a dim whose codes hug 0 wastes its 8 bits),
+    and the exact integer quantization-error energy
+    Σ(127·sv − code·amax)² in (micro·127)² units.
+
+    Everything is integer-decidable end to end: components land in the
+    `embed_centroids` ×1e6 grid, the nearest-code rule is round-half-
+    away-from-zero written as floor-division — sign·((254·|sv| + amax)
+    div (2·amax)) — and the error numerator 127·sv − code·amax is exact.
+    The error SUM accumulates in DECIMAL(38,0) and final-casts through
+    `dec_to_long` (per-row err² ≤ (amax/2)² ≈ 9e10 at this fixture's
+    amax ≈ 6e5 — the 2^62 guard trips at ~5e7 rows/dim; past that,
+    shard the ledger or emit the mean — documented, not silent).
+
+    Scale: posexplode then ONE dim-keyed agg for scales (map-side
+    combine: shuffle carries dims × partitions partials), broadcast the
+    64-row scale table back, one more dim-keyed agg. Two passes over
+    the exploded column, zero row shuffles."""
+    from openmrs_patient_migration_script_spark.functions.numeric import (
+        dec_to_long,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000)
+        .cast("long")
+        .alias("sv"),
+    )
+    amax = ex.groupBy("dim").agg(
+        F.max(F.abs(F.col("sv"))).cast("long").alias("amax_micro")
+    )
+    sign = F.when(F.col("sv") < 0, F.lit(-1)).otherwise(F.lit(1))
+    absq = F.expr("(254 * abs(sv) + amax_micro) div (2 * amax_micro)")
+    code = (
+        F.when(F.col("amax_micro") == 0, F.lit(0))
+        .otherwise(sign * absq)
+        .cast("long")
+    )
+    j = ex.join(F.broadcast(amax), "dim").select(
+        "dim",
+        "sv",
+        "amax_micro",
+        code.alias("code"),
+    )
+    errn = (
+        F.lit(127) * F.col("sv") - F.col("code") * F.col("amax_micro")
+    ).cast("decimal(19,0)")
+    return j.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("amax_micro").cast("long").alias("amax_micro"),
+        F.count(F.when(F.abs(F.col("code")) == 127, 1))
+        .cast("long")
+        .alias("n_sat"),
+        F.sum(F.abs(F.col("code"))).cast("long").alias("sum_abs_code"),
+        dec_to_long(
+            F.sum((errn * errn).cast("decimal(38,0)")).cast("decimal(38,0)"),
+            "sse_num",
+        ).alias("sse_num"),
+    )
+
+
+@query(
+    "embed_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+             (embedding[1:16])::DOUBLE[] AS pe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    full_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.qe, e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= {_K}
+    ),
+    pref_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.pe, (e.embedding[1:16])::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= {_K}
+    )
+    SELECT q.query_id, coalesce(o.c, 0)::BIGINT AS n_overlap
+    FROM q LEFT JOIN (
+      SELECT query_id, count(*) AS c
+      FROM full_topk JOIN pref_topk USING (query_id, vec_id)
+      GROUP BY query_id
+    ) o USING (query_id)
+    """,
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4t (r8): dimension-truncation recall certification — per query
+    the overlap between the exact top-k under the FULL 64-dim cosine and
+    under the first-16-dims-only cosine (the Matryoshka/MRL question: if
+    we store or first-pass-retrieve on a prefix of the embedding, how
+    much of the true neighborhood survives?). The number that decides a
+    4x index-memory cut, measured exactly — the same certification
+    pattern as `sim_ann_recall` (which certifies LSH pruning; this
+    certifies dimensional pruning). Both rankings run the vectorized
+    zero-shuffle scan (`cosine_topk_vectorized`); the overlay is one
+    (query,vec)-keyed join on 2·K·queries rows, left-joined back to the
+    query list so a zero-overlap query reports 0 instead of vanishing."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    full = cosine_topk_vectorized(emb, queries, k=_K)
+    p_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    p_q = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    pref = cosine_topk_vectorized(p_emb, p_q, k=_K)
+    ov = (
+        full.select("query_id", "vec_id")
+        .join(pref.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        queries.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )

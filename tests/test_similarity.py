@@ -609,3 +609,119 @@ def test_band_sweep_candidates_are_monotone_in_bands(spark):
     for r in rows:
         assert r["n_candidate_pairs"] <= r["n_bucket_pairs"]
         assert r["max_bucket_docs"] >= 1
+
+
+def test_hard_negatives_mask_excludes_same_label(spark):
+    """Hard-negative contract: every returned candidate has a DIFFERENT
+    label than its query, the nearest same-label twin is skipped in
+    favor of the nearest cross-label vector, and results match a
+    DataFrame-only reference (join + label filter + rank window)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    dim = 8
+    rows = [
+        # query: label 0
+        (0, 0, [1.0, 0.0] + [0.0] * (dim - 2)),
+        # same-label twin — nearest overall, must be masked
+        (1, 0, [0.999, 0.02] + [0.0] * (dim - 2)),
+        # cross-label near vector — the true hard negative
+        (2, 1, [0.98, 0.05] + [0.0] * (dim - 2)),
+        # cross-label, farther
+        (3, 1, [0.5, 0.8] + [0.0] * (dim - 2)),
+        (4, 2, [0.0, 1.0] + [0.0] * (dim - 2)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    q = df.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    got = cosine_topk_vectorized(
+        df, q, k=2, exclude_label_col="label"
+    ).collect()
+    ids = [r.vec_id for r in got]
+    assert ids == [2, 3], f"expected cross-label nearest [2, 3], got {ids}"
+    labels = dict((r.vec_id, r.label) for r in df.collect())
+    assert all(labels[r.vec_id] != 0 for r in got)
+
+    # tiny-batch leak check: with k larger than the cross-label pool the
+    # sentinel rows must be filtered, not surface as fake candidates
+    got_all = cosine_topk_vectorized(
+        df, q, k=10, exclude_label_col="label"
+    ).collect()
+    assert {r.vec_id for r in got_all} == {2, 3, 4}
+    assert all(r.cos_sim >= -1.0 for r in got_all)
+
+
+def test_quantize_int8_roundtrip_and_saturation(spark):
+    """int8 ledger semantics on a hand-built column: a dim whose values
+    are exact code multiples has zero error energy, the absmax row
+    saturates (|code| = 127), and an all-zero dim yields code 0 with
+    amax 0 (no division blow-up)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    import tempfile, os
+
+    dim0 = [127.0 / 1e6 * 127, -127.0 / 1e6 * 127, 0.0, 127.0 / 1e6]
+    # dim0 scaled: sv = round(v*1e6) = {16129, -16129, 0, 127};
+    # amax = 16129 = 127*127 -> every sv is an exact multiple of
+    # amax/127 = 127 -> all errors 0; first row saturates at code 127
+    rows = [
+        (i, [dim0[i], 0.0], 0) for i in range(4)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "label",
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {
+            r.dim: r
+            for r in QUERIES["embed_quantize_int8"](spark, d).collect()
+        }
+    assert out[0].amax_micro == 16129
+    assert out[0].sse_num == 0, "exact code multiples must have 0 error"
+    assert out[0].n_sat == 2  # +absmax and -absmax rows both saturate
+    assert out[0].sum_abs_code == 127 + 127 + 0 + 1
+    assert out[1].amax_micro == 0 and out[1].sum_abs_code == 0
+    assert out[1].sse_num == 0 and out[1].n_sat == 0
+
+
+def test_matryoshka_overlap_planted_prefix_flip(spark):
+    """Truncation-recall semantics: a corpus where the full-dim nearest
+    neighbor differs from the prefix-dim nearest neighbor must report
+    the overlap loss; a corpus whose information lives entirely in the
+    prefix reports full overlap."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    def overlap(emb_rows, k, prefix):
+        df = spark.createDataFrame(emb_rows, ["vec_id", "embedding"])
+        q = df.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        full = cosine_topk_vectorized(df, q, k=k)
+        p_df = df.select("vec_id", F.slice("embedding", 1, prefix).alias("embedding"))
+        p_q = q.select("query_id", F.slice("embedding", 1, prefix).alias("embedding"))
+        pref = cosine_topk_vectorized(p_df, p_q, k=k)
+        a = {r.vec_id for r in full.collect()}
+        b = {r.vec_id for r in pref.collect()}
+        return len(a & b)
+
+    # information in the tail: full-dim neighbor is 1 (matches the tail),
+    # prefix-2 neighbor is 2 (matches the head) -> overlap 0
+    flip = [
+        (0, [1.0, 0.0, 5.0, 5.0]),
+        (1, [-1.0, 0.5, 5.0, 5.0]),   # same tail, opposite head
+        (2, [1.0, 0.01, -5.0, -5.0]),  # same head, opposite tail
+    ]
+    assert overlap(flip, k=1, prefix=2) == 0
+    # information entirely in the prefix -> overlap k
+    stable = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    assert overlap(stable, k=1, prefix=2) == 1
