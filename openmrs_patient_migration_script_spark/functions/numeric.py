@@ -36,10 +36,13 @@ def dec_to_long(col: Column, name: str = "value") -> Column:
     """Final-cast an exact DECIMAL intermediate to BIGINT for the output row.
 
     ``name`` labels the assert_true failure message. The guard rides the
-    same projection as the cast — zero extra scans, row-local.
+    same projection as the cast — zero extra scans, row-local. A NULL
+    input passes through as NULL: assert_true treats a NULL condition as
+    a failure, and a global aggregate over zero rows legitimately emits
+    NULL sums (caught by test_empty_inputs on ab_paired_ttest).
     """
     guard = F.assert_true(
-        F.abs(col) < F.lit(_LONG_SAFE_ABS).cast("decimal(38,0)"),
+        col.isNull() | (F.abs(col) < F.lit(_LONG_SAFE_ABS).cast("decimal(38,0)")),
         F.concat(
             F.lit(f"{name} exceeds the BIGINT-safe band (|x| >= 2^62): "),
             col.cast("string"),
