@@ -3652,3 +3652,144 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(_POWER_Z) * se, 6))
         .alias("mde_cents"),
     )
+
+
+# Wald SPRT constants for ab_sequential_sprt, nano-scaled integers so both
+# engines accumulate EXACTLY the same values: testing H1: p=0.25 against
+# H0: p=0.15 at alpha = beta = 0.05. Computed once driver-side
+# (math.log) and embedded as the SAME literals in the plan and the
+# oracle — no engine ln() in the data plane.
+_SPRT_P0, _SPRT_P1 = 0.15, 0.25
+_SPRT_A = 510825624  # round(ln(p1/p0) * 1e9): increment per success
+_SPRT_B = -125163143  # round(ln((1-p1)/(1-p0)) * 1e9): per failure
+_SPRT_UP = 2944438979  # round(ln((1-beta)/alpha) * 1e9): accept H1
+_SPRT_LO = -2944438979  # round(ln(beta/(1-alpha)) * 1e9): accept H0
+
+
+@query(
+    "ab_sequential_sprt",
+    oracle=f"""
+    WITH t AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS arm,
+             ts, event_id,
+             (event_type = 'purchase')::INT AS succ
+      FROM events
+    ),
+    scan AS (
+      SELECT arm, succ,
+             row_number() OVER w AS rn,
+             sum(CASE WHEN succ = 1 THEN {_SPRT_A}
+                      ELSE {_SPRT_B} END) OVER w AS llr
+      FROM t
+      WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    totals AS (
+      SELECT arm, count(*)::BIGINT AS n_total, sum(succ)::BIGINT AS s_total,
+             max_by(llr, rn)::BIGINT AS llr_final_nano
+      FROM scan GROUP BY arm
+    ),
+    crossing AS (
+      SELECT arm, min(rn)::BIGINT AS n_at_decision,
+             min_by(llr, rn)::BIGINT AS llr_at_decision_nano
+      FROM scan WHERE llr >= {_SPRT_UP} OR llr <= {_SPRT_LO}
+      GROUP BY arm
+    )
+    SELECT t.arm, t.n_total, t.s_total, t.llr_final_nano,
+           coalesce(c.n_at_decision, 0)::BIGINT AS n_at_decision,
+           coalesce(c.llr_at_decision_nano, 0)::BIGINT
+             AS llr_at_decision_nano,
+           CASE WHEN c.arm IS NULL THEN 'continue'
+                WHEN c.llr_at_decision_nano >= {_SPRT_UP} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM totals t LEFT JOIN crossing c ON t.arm = c.arm
+    """,
+)
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18h (r8): Wald sequential probability ratio test — the
+    always-on form of A/B testing: instead of fixing n up front
+    (`ab_power_mde`) and testing once (`ab_welch_ttest`), the
+    log-likelihood ratio accumulates per event and the experiment STOPS
+    ITSELF at the first boundary crossing (accept H1: p=0.25 / accept
+    H0: p=0.15 at α=β=0.05), with the guarantee that peeking is the
+    design, not a sin. Per arm: totals, the final LLR, and the first
+    crossing (n, LLR, decision); an arm still inside the boundaries
+    reports 'continue'.
+
+    Exactness: the two per-event increments and both boundaries are
+    nano-scaled integer literals computed ONCE driver-side and embedded
+    in both plans — the cumulative sum is pure BIGINT (no engine ln(),
+    no float accumulation), so the crossing index is engine-exact.
+    |increment| < 6e8 means int64 holds ~1.5e10 events per arm before
+    the sum could near the band edge.
+
+    Scale: the cumulative window is per-arm SEQUENTIAL by definition
+    (each arm's stream moves to one partition — the test statistic IS a
+    prefix sum). Production form at 100 TB: keep the per-arm running
+    LLR as streaming state (`stream_stateful`'s GroupState shape) or
+    carry per-day partial sums + offsets, exactly like the two-phase
+    prefix-sum the docstring of `ts_cusum` describes; the batch query
+    here is the audit/replay form."""
+    e = load_table(spark, sf_dir, "events")
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = e.select(
+        (hash_bucket(F.col("user_id")) % 2).alias("arm"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("succ"),
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    scan = t.select(
+        "arm",
+        "succ",
+        F.row_number().over(w).alias("rn"),
+        F.sum(
+            F.when(F.col("succ") == 1, F.lit(_SPRT_A)).otherwise(
+                F.lit(_SPRT_B)
+            )
+        )
+        .over(wc)
+        .alias("llr"),
+    ).localCheckpoint(eager=True)  # feeds totals AND crossing: scan once
+    totals = scan.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("succ").cast("long").alias("s_total"),
+        F.max_by("llr", "rn").cast("long").alias("llr_final_nano"),
+    )
+    crossing = (
+        scan.filter(
+            (F.col("llr") >= _SPRT_UP) | (F.col("llr") <= _SPRT_LO)
+        )
+        .groupBy("arm")
+        .agg(
+            F.min("rn").cast("long").alias("n_at_decision"),
+            F.min_by("llr", "rn").cast("long").alias("llr_at_decision_nano"),
+        )
+    )
+    c = crossing.withColumnRenamed("arm", "c_arm")
+    return (
+        totals.join(c, totals["arm"] == c["c_arm"], "left")
+        .select(
+            "arm",
+            "n_total",
+            "s_total",
+            "llr_final_nano",
+            F.coalesce(F.col("n_at_decision"), F.lit(0))
+            .cast("long")
+            .alias("n_at_decision"),
+            F.coalesce(F.col("llr_at_decision_nano"), F.lit(0))
+            .cast("long")
+            .alias("llr_at_decision_nano"),
+            F.when(F.col("c_arm").isNull(), F.lit("continue"))
+            .when(
+                F.col("llr_at_decision_nano") >= _SPRT_UP,
+                F.lit("accept_h1"),
+            )
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )

@@ -257,3 +257,134 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(stage(3, "neardup_deduped", final))
     )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "corpus_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t <> '')) AS n_tokens,
+             ((len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               - len(list_filter(string_split(lower(text), ' '),
+                                 t -> list_contains({_STOP_SQL}, t)))) * 100)
+             // greatest(len(list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '')), 1) AS q
+      FROM documents
+    ),
+    hist AS (
+      SELECT q, count(*)::BIGINT AS nd, sum(n_tokens)::BIGINT AS tk
+      FROM scored GROUP BY q
+    ),
+    cum AS (
+      SELECT q, nd, tk,
+             sum(nd) OVER (ORDER BY q
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c,
+             sum(nd) OVER () AS t
+      FROM hist
+    ),
+    thr AS (
+      SELECT d, min(q) AS tq
+      FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
+      WHERE 10 * c >= d * t GROUP BY d
+    ),
+    assign AS (
+      SELECT h.q, h.nd, h.tk, min(th.d) AS decile
+      FROM hist h JOIN thr th ON h.q <= th.tq GROUP BY 1, 2, 3
+    ),
+    dec AS (
+      SELECT decile, sum(nd)::BIGINT AS n_docs, sum(tk)::BIGINT AS tokens
+      FROM assign GROUP BY decile
+    )
+    SELECT decile::BIGINT AS decile, n_docs, tokens,
+           sum(tokens) OVER (ORDER BY decile DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)::BIGINT AS cum_tokens,
+           (2 * sum(tokens) OVER (ORDER BY decile DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            <= sum(tokens) OVER ()) AS in_half_budget
+    FROM dec
+    """,
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13c (r8): token-budget curriculum schedule — quality deciles of
+    the corpus with best-first cumulative token mass and a budget flag:
+    the table a curriculum/mixture planner reads to decide "train the
+    first epoch on the top deciles until half the token budget is
+    spent". The quality score is the pure-integer non-stopword percent
+    (0..100), so decile THRESHOLDS come from a 101-cell score histogram
+    — no global sort, no per-doc rank: one scan + one 101-key agg is the
+    only data-sized work; threshold selection, decile assignment and the
+    best-first cumulative all run on bounded metadata rows (the
+    single-partition windows here span ≤101 rows by construction).
+    Value-threshold deciles (smallest score whose cumulative doc count
+    reaches d·n/10) keep tied scores in one decile on both engines —
+    heavily tied grids may leave some deciles empty, and those rows are
+    absent rather than zero-filled."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    scored = docs.select(
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(
+            f"((size({toks}) - size(filter({toks}, "
+            f"t -> array_contains({stop_arr}, t)))) * 100) "
+            f"div greatest(size({toks}), 1)"
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n_tokens").cast("long").alias("tk"),
+    )
+    # bounded windows: the histogram has <= 101 cells by construction
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "q",
+        "nd",
+        "tk",
+        F.sum("nd").over(wq).alias("c"),
+        F.sum("nd").over(wall).alias("t"),
+    )
+    thr = (
+        cum.crossJoin(
+            F.broadcast(
+                spark.range(1, 11).select(F.col("id").alias("d"))
+            )
+        )
+        .filter(10 * F.col("c") >= F.col("d") * F.col("t"))
+        .groupBy("d")
+        .agg(F.min("q").alias("tq"))
+    )
+    assign = (
+        hist.join(F.broadcast(thr), hist["q"] <= thr["tq"])
+        .groupBy("q", "nd", "tk")
+        .agg(F.min("d").alias("decile"))
+    )
+    dec = assign.groupBy("decile").agg(
+        F.sum("nd").cast("long").alias("n_docs"),
+        F.sum("tk").cast("long").alias("tokens"),
+    )
+    wd = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(wd).cast("long").alias("cum_tokens"),
+        (
+            2 * F.sum("tokens").over(wd) <= F.sum("tokens").over(wall)
+        ).alias("in_half_budget"),
+    )

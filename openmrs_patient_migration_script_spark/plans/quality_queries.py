@@ -1415,3 +1415,85 @@ def dq_new_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_categories",
         )
     )
+
+
+# candidate key sets probed by dq_candidate_keys — (display name, columns).
+# Bounded and explicit: candidate-key discovery over all 2^n column
+# subsets is exponential; a curated shortlist is the production form.
+_KEY_CANDIDATES: list[tuple[str, list[str]]] = [
+    ("o_orderkey", ["o_orderkey"]),
+    ("o_custkey", ["o_custkey"]),
+    ("o_orderdate", ["o_orderdate"]),
+    ("o_orderpriority", ["o_orderpriority"]),
+    ("o_custkey+o_orderdate", ["o_custkey", "o_orderdate"]),
+    (
+        "o_custkey+o_orderdate+o_totalprice",
+        ["o_custkey", "o_orderdate", "o_totalprice"],
+    ),
+]
+
+
+def _candidate_keys_oracle() -> str:
+    parts = []
+    for name, cols in _KEY_CANDIDATES:
+        tup = ", ".join(cols)
+        parts.append(
+            f"""
+    SELECT '{name}' AS candidate, {len(cols)}::BIGINT AS n_cols,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT ({tup}))::BIGINT AS n_distinct
+    FROM orders"""
+        )
+    union = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT candidate, n_cols, n_rows, n_distinct,
+           (n_rows - n_distinct)::BIGINT AS n_dupes,
+           n_rows = n_distinct AS is_key
+    FROM ({union})
+    """
+
+
+@query("dq_candidate_keys", oracle=_candidate_keys_oracle())
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7c (r8): candidate-key certification — for each declared column
+    set, exact row vs distinct counts and the is-key verdict: the audit
+    a migration runs BEFORE trusting a "primary key" (`dq_pk_violations`
+    lists the offending rows of one known key; this grades a SHORTLIST
+    of candidate sets in one pass, the schema-discovery half of the
+    E7 family next to FK inference and FD violations).
+
+    One aggregate carries all the COUNT(DISTINCT ...) measures —
+    Catalyst rewrites multi-distinct via Expand (one pass over the
+    scan, |candidates|× row replication into a single shuffle), then a
+    6-literal stack unpivots the one-row result. No-null columns make
+    tuple-distinct and struct-distinct semantics identical on both
+    engines (TPC-H orders has no nulls; a nullable shortlist would use
+    coalesce sentinels). 100 TB form: swap exact distinct for HLL
+    sketches (`dq_profile_hll`) to collapse the Expand."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, (_, cols) in enumerate(_KEY_CANDIDATES):
+        aggs.append(
+            F.countDistinct(*[F.col(c) for c in cols])
+            .cast("long")
+            .alias(f"d{i}")
+        )
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {len(cols)}L, d{i}"
+        for i, (name, cols) in enumerate(_KEY_CANDIDATES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_KEY_CANDIDATES)}, {stack_args}) "
+            "as (candidate, n_cols, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "candidate",
+        F.col("n_cols").cast("long").alias("n_cols"),
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_dupes"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+    )

@@ -1478,3 +1478,55 @@ def test_exact_global_quantile_target_rank_mode(spark):
         assert exact_global_quantile(df, "v", target_rank=r, n_buckets=4) == want
     # clamped at the edges
     assert exact_global_quantile(df, "v", target_rank=99) == 70
+
+
+def test_sprt_planted_crossing_and_continue(spark, tmp_path):
+    """SPRT semantics on a hand-built stream: arm 0 (user 1) sees six
+    straight successes — the LLR crosses the upper boundary exactly at
+    n=6 (5x the success increment is still under it) and later failures
+    cannot un-decide it; arm 1 (user 2) sees ten failures — drifting
+    down but far from the lower boundary, so it reports 'continue'."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    from openmrs_patient_migration_script_spark.plans.analytics_queries import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_UP,
+    )
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 -> md5 arm 0: 6 purchases then 2 views
+    for i in range(8):
+        rows.append(
+            (i, t0 + dt.timedelta(minutes=i), 1,
+             "purchase" if i < 6 else "view", 1.0, "{}")
+        )
+    # user 2 -> md5 arm 1: 10 views
+    for i in range(10):
+        rows.append(
+            (100 + i, t0 + dt.timedelta(minutes=i), 2, "view", 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.arm: r for r in
+           QUERIES["ab_sequential_sprt"](spark, str(tmp_path)).collect()}
+
+    a0 = out[0]
+    assert 5 * _SPRT_A < _SPRT_UP <= 6 * _SPRT_A  # the planted geometry
+    assert a0.decision == "accept_h1"
+    assert a0.n_at_decision == 6
+    assert a0.llr_at_decision_nano == 6 * _SPRT_A
+    assert a0.llr_final_nano == 6 * _SPRT_A + 2 * _SPRT_B
+    assert a0.n_total == 8 and a0.s_total == 6
+
+    a1 = out[1]
+    assert a1.decision == "continue"
+    assert a1.n_at_decision == 0 and a1.llr_at_decision_nano == 0
+    assert a1.llr_final_nano == 10 * _SPRT_B
+    assert a1.n_total == 10 and a1.s_total == 0

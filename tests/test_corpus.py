@@ -228,3 +228,33 @@ def test_zipf_fit_recovers_exact_power_law(spark):
     assert r["n_tokens"] == 8
     assert abs(r["slope"] + 1.0) < 1e-3
     assert abs(r["intercept_ln"] - math.log(c_top)) < 1e-2
+
+
+def test_curriculum_two_class_corpus(spark, tmp_path):
+    """Curriculum deciles on a planted two-class corpus: 10 all-stopword
+    docs (score 0) and 10 stopword-free docs (score 100), 4 tokens each.
+    Value thresholds put the low class in decile 1 and the high class in
+    decile 6; best-first cumulative counts the high class first, and the
+    half-token budget admits exactly the high class."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "the a of and", "en", "web", 12))
+    for i in range(10, 20):
+        rows.append((i, "alpha beta gamma delta", "en", "web", 22))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.decile: r for r in
+           QUERIES["corpus_curriculum"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 6}, f"expected deciles {{1, 6}}, got {set(out)}"
+    hi, lo = out[6], out[1]
+    assert hi.n_docs == 10 and hi.tokens == 40
+    assert lo.n_docs == 10 and lo.tokens == 40
+    # best-first: the high decile is counted first and fits the half
+    # budget exactly (2*40 <= 80); adding the low class exceeds it
+    assert hi.cum_tokens == 40 and hi.in_half_budget
+    assert lo.cum_tokens == 80 and not lo.in_half_budget

@@ -659,3 +659,36 @@ def test_new_categories_flags_planted_novel_enum(spark, tmp_path):
     assert row.n_new_rows == 2
     assert row.n_vanished == 1
     assert row.new_categories == "new_widget"
+
+
+def test_candidate_keys_planted_flags(spark, tmp_path):
+    """Candidate-key verdicts on a 4-row table: the surrogate is a key,
+    a duplicated natural column is not, and the composite becomes a key
+    exactly when the tuple is unique."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        (1, 7, "O", 10.0, d1, "1-URGENT"),
+        (2, 7, "O", 20.0, d2, "1-URGENT"),
+        (3, 8, "F", 30.0, d1, "1-URGENT"),
+        (4, 9, "F", 40.0, d1, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = {r.candidate: r for r in
+           QUERIES["dq_candidate_keys"](spark, str(tmp_path)).collect()}
+    assert out["o_orderkey"].is_key and out["o_orderkey"].n_dupes == 0
+    assert not out["o_custkey"].is_key and out["o_custkey"].n_distinct == 3
+    assert not out["o_orderpriority"].is_key
+    assert out["o_orderpriority"].n_distinct == 1
+    assert out["o_custkey+o_orderdate"].is_key
+    assert out["o_custkey+o_orderdate+o_totalprice"].is_key
+    assert all(r.n_rows == 4 for r in out.values())
