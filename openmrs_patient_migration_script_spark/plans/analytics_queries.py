@@ -3793,3 +3793,102 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "ts_cross_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS d,
+             count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS a,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS b
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, x.a, y.b
+      FROM lags l
+      JOIN daily x ON true
+      JOIN daily y ON y.d = x.d + to_days(l.lag::INT)
+    ),
+    sums AS (
+      SELECT lag, count(*)::BIGINT AS n_days,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(a * b)::BIGINT AS sab,
+             sum(a * a)::BIGINT AS saa, sum(b * b)::BIGINT AS sbb
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag::BIGINT AS lag, n_days,
+           CASE WHEN n_days * saa = sa * sa OR n_days * sbb = sb * sb
+                THEN 0.0
+                ELSE round((n_days * sab - sa * sb)
+                           / sqrt((n_days * saa - sa * sa)::DOUBLE
+                                  * (n_days * sbb - sb * sb)::DOUBLE), 6)
+           END AS xcorr
+    FROM sums
+    """,
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15n (r8): lagged cross-correlation between two event streams —
+    does the view series LEAD the purchase series, and by how many days?
+    (`ts_autocorr` correlates a series with itself; campaigns/funnels
+    need the cross-stream lag: corr(views_t, purchases_{t+k}) for
+    k = −7..+7, the classic lead-lag discovery before claiming
+    attribution.) Per lag: overlap day count and the 6dp Pearson r,
+    from exact integer power sums (daily counts are BIGINT; the only
+    float is the final row-local quotient, degenerate constant series
+    pin 0.0).
+
+    Scale: ONE day-keyed agg is the data-sized work (map-side combined
+    counts); the lag expansion and correlation run on the bounded
+    day table (days × 15 lag copies). The shape scales with calendar
+    length, not event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("b"),
+    ).localCheckpoint(eager=True)  # bounded day table feeds both join sides
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    x = daily.select(F.col("d").alias("xd"), "a")
+    y = daily.select(F.col("d").alias("yd"), "b")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(
+            y,
+            F.col("yd")
+            == F.date_add(F.col("xd"), F.col("lag").cast("int")),
+        )
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+    )
+    var_a = F.col("n_days") * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = F.col("n_days") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.when((var_a == 0) | (var_b == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    F.col("n_days") * F.col("sab")
+                    - F.col("sa") * F.col("sb")
+                )
+                / F.sqrt(
+                    var_a.cast("double") * var_b.cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("xcorr"),
+    )

@@ -447,3 +447,63 @@ def privacy_class_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_records_below_k",
         )
     )
+
+
+@query(
+    "privacy_k_map",
+    oracle="""
+    WITH pop AS (
+      SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+             count(*)::BIGINT AS n_population
+      FROM customer GROUP BY 1, 2
+    ),
+    sample AS (
+      SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+             count(*)::BIGINT AS n_sample
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT s.nation, s.segment, s.n_sample, p.n_population,
+           p.n_population < 10 AS at_risk
+    FROM sample s JOIN pop p USING (nation, segment)
+    """,
+)
+def privacy_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14i (r8): k-map re-identification risk — `privacy_kanon` asks
+    "how many records in the RELEASED data share my quasi-identifiers";
+    k-map asks the question an attacker actually faces: "how many people
+    in the POPULATION do" (Sweeney's k-map; the estimator behind
+    HIPAA-style expert determination). Released sample = customers with
+    at least one order (a semi join, the typical 'active users' export);
+    population = the full customer registry. A QI class can easily be
+    k-anonymous in the sample yet unique in the population or vice
+    versa — this emits, per released class, the sample and population
+    sizes and the at-risk verdict (population class < 10).
+
+    Scale: two QI-keyed aggs (bounded |nations|x|segments| outputs) +
+    one left-semi join on the population key before the sample agg;
+    nothing joins fact rows to fact rows. The class-key join at the end
+    is bounded-table x bounded-table."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pop = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_population"))
+    released = cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_semi",
+    )
+    sample = released.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    return sample.join(pop, ["nation", "segment"]).select(
+        "nation",
+        "segment",
+        "n_sample",
+        "n_population",
+        (F.col("n_population") < 10).alias("at_risk"),
+    )

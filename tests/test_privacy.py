@@ -195,3 +195,44 @@ def test_generalize_to_k_fails_loud_when_unsatisfiable(spark):
             df, "id",
             levels=[{"c": F.col("city")}, {"c": F.lit("*")}], k=25,
         ).collect()
+
+
+def test_k_map_population_vs_sample_risk(spark, tmp_path):
+    """k-map semantics on a planted registry: a released class that is
+    large in the population is safe even when its sample count is tiny,
+    and a class whose POPULATION is small is at risk even though every
+    one of its members was released (sample-side k-anonymity would pass
+    it)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    cust = []
+    # class A: nation 1 / AUTO, population 12, 3 released
+    for i in range(12):
+        cust.append((i, f"c{i}", 1, 0.0, "AUTO"))
+    # class B: nation 2 / BIKE, population 2, both released
+    cust.append((100, "c100", 2, 0.0, "BIKE"))
+    cust.append((101, "c101", 2, 0.0, "BIKE"))
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    import datetime as dt
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    orders = [
+        (k, c, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT")
+        for k, c in enumerate([0, 1, 2, 100, 101])
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = {(r.nation, r.segment): r for r in
+           QUERIES["privacy_k_map"](spark, str(tmp_path)).collect()}
+    a, b = out[(1, "AUTO")], out[(2, "BIKE")]
+    assert a.n_sample == 3 and a.n_population == 12 and not a.at_risk
+    assert b.n_sample == 2 and b.n_population == 2 and b.at_risk

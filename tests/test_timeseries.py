@@ -438,3 +438,43 @@ def test_theil_sen_ignores_planted_outlier_day(spark):
     assert out.slope_den > 0
     assert out.slope_num == 2 * out.slope_den
     assert out.slope == 2.0
+
+
+def test_cross_corr_planted_lead_lag(spark, tmp_path):
+    """Cross-correlation on a planted lead-lag pair: purchases are the
+    view series shifted by exactly +2 days (non-periodic counts), so
+    r = 1.0 at lag 2 and strictly less at every other overlapping lag;
+    the lag-2 overlap count matches the construction."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    counts = [1, 2, 4, 8, 3, 7, 5, 6, 9, 10]  # aperiodic
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+            rows.append(
+                (10_000 + eid, t0 + dt.timedelta(days=day + 2), 1,
+                 "purchase", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.lag: r for r in
+           QUERIES["ts_cross_corr"](spark, str(tmp_path)).collect()}
+    assert out[2].xcorr == 1.0
+    # 10 view days overlap purchase days 2..11 at lag 2 -> all 10 pair up
+    assert out[2].n_days == 10
+    for lag, r in out.items():
+        if lag != 2 and r.n_days >= 3:
+            assert r.xcorr < 1.0, f"lag {lag} unexpectedly perfect"

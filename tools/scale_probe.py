@@ -785,6 +785,103 @@ def _pareto_shape(o_k):
     )
 
 
+def _quantize_shape(e_k):
+    """int8 quantization ledger (embed_quantize_int8): posexplode + one
+    64-key absmax agg, broadcast back, one more 64-key agg — two passes
+    over the exploded column, map-side combine both times."""
+    ex = e_k.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("long").alias("sv"),
+    )
+    amax = ex.groupBy("dim").agg(F.max(F.abs("sv")).alias("amax_micro"))
+    j = ex.join(F.broadcast(amax), "dim")
+    code = F.expr(
+        "if(amax_micro = 0, 0, if(sv < 0, -1, 1) * "
+        "((254 * abs(sv) + amax_micro) div (2 * amax_micro)))"
+    )
+    return (
+        j.select("dim", "sv", "amax_micro", code.alias("code"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs("code")).alias("mass"),
+            F.sum(
+                (F.lit(127) * F.col("sv") - F.col("code") * F.col("amax_micro"))
+                .cast("decimal(19,0)")
+                * (F.lit(127) * F.col("sv") - F.col("code") * F.col("amax_micro"))
+                .cast("decimal(19,0)")
+            ).alias("sse"),
+        )
+    )
+
+
+def _sprt_shape(ev_k):
+    """Per-arm SPRT prefix scan (ab_sequential_sprt): one arm-keyed
+    cumulative window (checkpointed scan), then totals + first-crossing
+    aggs over the cached result. Per-arm streams are sequential by the
+    statistic's definition — the probe measures the constant-arm-count
+    form the batch audit uses."""
+    from pyspark.sql import Window
+
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = ev_k.select(
+        (hash_bucket(F.col("user_id")) % 2).alias("arm"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("succ"),
+    )
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    scan = t.select(
+        "arm",
+        "succ",
+        F.row_number().over(w).alias("rn"),
+        F.sum(
+            F.when(F.col("succ") == 1, F.lit(510825624)).otherwise(
+                F.lit(-125163143)
+            )
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    ).localCheckpoint(eager=True)
+    return scan.filter(
+        (F.col("llr") >= 2944438979) | (F.col("llr") <= -2944438979)
+    ).groupBy("arm").agg(F.min("rn"), F.min_by("llr", "rn"))
+
+
+def _curriculum_shape(d_k):
+    """Token-budget curriculum (corpus_curriculum): one doc scan to the
+    101-cell score histogram; thresholds/deciles/cumulative all run on
+    bounded metadata rows."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    scored = d_k.select(
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(
+            f"((size({toks}) - size(filter({toks}, t -> t = 'the' OR "
+            f"t = 'a' OR t = 'of'))) * 100) div greatest(size({toks}), 1)"
+        ).alias("q"),
+    )
+    return scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_tokens").alias("tk")
+    )
+
+
+def _candidate_keys_shape(o_k):
+    """Candidate-key audit (dq_candidate_keys): one aggregate carrying
+    six COUNT(DISTINCT ...) measures — Catalyst Expand replicates the
+    scan |candidates|x into a single shuffle."""
+    return o_k.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("o_orderkey"),
+        F.countDistinct("o_custkey"),
+        F.countDistinct("o_orderdate"),
+        F.countDistinct("o_orderpriority"),
+        F.countDistinct("o_custkey", "o_orderdate"),
+        F.countDistinct("o_custkey", "o_orderdate", "o_totalprice"),
+    )
+
 
 def main() -> None:
     spark = get_spark("scale-probe")
@@ -1027,6 +1124,15 @@ def main() -> None:
             "centroid_separation": lambda: _centroid_sep_shape(e_k),
             # exact global p90 by histogram selection (multi-scan, no sort)
             "pareto_selection": lambda: _pareto_shape(o_k),
+            # --- r8 second session ---
+            # posexplode + two 64-key aggs, broadcast scale table back
+            "quantize_ledger": _quantize_shape(e_k),
+            # arm-keyed prefix-sum window (checkpoint at construction)
+            "sprt_prefix_scan": lambda: _sprt_shape(ev_k),
+            # one doc scan into a 101-cell histogram; rest is metadata
+            "curriculum_histogram": _curriculum_shape(d_k),
+            # 6 exact distincts in one agg: Expand x6 into one shuffle
+            "candidate_keys_expand": _candidate_keys_shape(o_k),
         }
 
     results: dict[str, dict[int, float]] = {}
