@@ -836,6 +836,9 @@ _PYTHON_STAGE_OK_PREFIXES = (
     # radius search is the top-k matmul scan minus the rank window —
     # deliberately Arrow-vectorized (r8)
     "sim_radius_search",
+    # hard-negative mining is the same matmul scan with a label mask on
+    # the in-task score matrix (r8)
+    "sim_hard_negatives",
 )
 
 
