@@ -222,6 +222,18 @@ HEADLINE = [
     # round-8 second wave: the decomposition's power-sum certification
     # (pays the full RANGE-window pass + a keyed agg)
     "ts_seasonal_strength",
+    # round-8 third wave: the masked matmul scan (hard negatives), the
+    # double-matmul truncation certification, the posexplode + two
+    # 64-key aggs quantization ledger, the arm-keyed SPRT prefix scan,
+    # the multi-distinct Expand, and the day-keyed cross-correlation
+    "sim_hard_negatives",
+    "embed_matryoshka_eval",
+    "embed_quantize_int8",
+    "ab_sequential_sprt",
+    "dq_candidate_keys",
+    "ts_cross_corr",
+    # (corpus_curriculum and privacy_k_map share their scan/agg shapes
+    # with corpus_prep and privacy_kanon already in the set)
 ]
 
 
