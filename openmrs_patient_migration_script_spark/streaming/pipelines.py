@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -565,6 +566,105 @@ def stateful_user_cusum(
             update,
             outputStructType=_CUSUM_OUT,
             stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_SPRT_STATE = StructType(
+    [
+        StructField("llr", LongType()),
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("dec_n", LongType()),
+        StructField("dec_llr", LongType()),
+    ]
+)
+_SPRT_OUT = StructType(
+    [
+        StructField("arm", LongType()),
+        StructField("n_total", LongType()),
+        StructField("s_total", LongType()),
+        StructField("llr_final_nano", LongType()),
+        StructField("n_at_decision", LongType()),
+        StructField("llr_at_decision_nano", LongType()),
+        StructField("decision", StringType()),
+    ]
+)
+
+
+def stateful_arm_sprt(
+    events: DataFrame,
+    inc_success: int = 510825624,
+    inc_failure: int = -125163143,
+    upper: int = 2944438979,
+    lower: int = -2944438979,
+    success_type: str = "purchase",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """ST5d: streaming Wald SPRT — the batch `ab_sequential_sprt` LLR
+    recurrence carried across micro-batches in GroupState, which is the
+    form a sequential test actually WANTS to run in (the whole point is
+    deciding mid-stream, not at the nightly audit). Events must already
+    carry their `arm`; per arm the state is five longs (running LLR /
+    n / successes and the frozen first-crossing pair) — bounded state,
+    bit-exact against the batch query because every increment is an
+    integer literal (the same nano-scaled constants, so replays can
+    never wobble an ulp; the parity test compares with zero tolerance).
+
+    Same order-sensitive discipline as `stateful_user_cusum`: each
+    group-batch sorts by (ts, event_id) before folding, so parity with
+    the batch form holds when micro-batches arrive in event-time order
+    (the file-source test feeds them that way; an out-of-order
+    production feed would buffer on the watermark first). Once the
+    boundary is crossed the decision pair freezes — later events keep
+    updating totals (the audit trail) but can never un-decide."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        llr, n, s, dec_n, dec_llr = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for succ in (batch["event_type"] == success_type).to_numpy():
+            n += 1
+            if succ:
+                s += 1
+                llr += inc_success
+            else:
+                llr += inc_failure
+            if dec_n == 0 and (llr >= upper or llr <= lower):
+                dec_n, dec_llr = n, llr
+        state.update((int(llr), int(n), int(s), int(dec_n), int(dec_llr)))
+        decision = (
+            "continue"
+            if dec_n == 0
+            else ("accept_h1" if dec_llr >= upper else "accept_h0")
+        )
+        yield pd.DataFrame(
+            {
+                "arm": [key[0]],
+                "n_total": [n],
+                "s_total": [s],
+                "llr_final_nano": [llr],
+                "n_at_decision": [dec_n],
+                "llr_at_decision_nano": [dec_llr],
+                "decision": [decision],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("arm")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SPRT_OUT,
+            stateStructType=_SPRT_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

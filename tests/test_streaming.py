@@ -1043,3 +1043,105 @@ def test_stream_cms_read_ignores_uncommitted_batch_dirs(spark, tmp_path):
     empty = stream_cms_read(spark, str(tmp_path / "nothing"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["row", "bucket", "cnt"]
+
+
+def test_stateful_sprt_matches_batch_decision(spark, tmp_path):
+    """ST5d parity: the GroupState SPRT must reproduce the batch
+    ab_sequential_sprt row exactly — including a boundary crossing that
+    happens INSIDE the first micro-batch and totals that keep counting
+    into the second — and a replay of the same files must not change
+    the decision (integer state cannot wobble)."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+    from openmrs_patient_migration_script_spark.streaming.pipelines import (
+        stateful_arm_sprt,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", StringType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # user 1 -> md5 arm 0: six straight purchases cross the upper
+    # boundary at n=6 inside micro-batch 1; the two views in batch 2
+    # update totals but must not move the frozen decision. user 2 ->
+    # arm 1: ten views, stays 'continue'.
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, datetime(2024, 1, 1, 8, i), 1,
+             "purchase" if i < 6 else "view", "1.0", "{}")
+        )
+    for i in range(10):
+        rows.append(
+            (100 + i, datetime(2024, 1, 1, 8, i), 2, "view", "1.0", "{}")
+        )
+    early = [r for r in rows if (r[0] % 100) < 7]
+    late = [r for r in rows if (r[0] % 100) >= 7]
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate([early, late]):
+        p = f"{src}/f{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i * 100, 1000 + i * 100))
+
+    from openmrs_patient_migration_script_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    def armed(df):
+        return df.select(
+            (hash_bucket(F.col("user_id")) % 2).alias("arm"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+
+    stream = stateful_arm_sprt(
+        armed(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+    )
+    name = _run_to_memory(stream, "update")
+    # update mode emits one row per arm per micro-batch: keep the last
+    got = {}
+    for r in spark.table(name).collect():
+        if r.arm not in got or r.n_total > got[r.arm].n_total:
+            got[r.arm] = r
+
+    # batch twin on the same rows, via the declared query on a parquet dir
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    batch_dir = tmp_path / "batch"
+    spark.createDataFrame(rows, schema).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"), "props",
+    ).write.parquet(str(batch_dir / "events.parquet"))
+    want = {r.arm: r for r in
+            QUERIES["ab_sequential_sprt"](spark, str(batch_dir)).collect()}
+
+    for arm in (0, 1):
+        g, w = got[arm], want[arm]
+        for c in ("n_total", "s_total", "llr_final_nano",
+                  "n_at_decision", "llr_at_decision_nano", "decision"):
+            assert g[c] == w[c], f"arm {arm} {c}: stream {g[c]} != batch {w[c]}"
+    assert want[0].decision == "accept_h1" and want[0].n_at_decision == 6
+    assert want[1].decision == "continue"
