@@ -1415,3 +1415,142 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_overlap"),
         )
     )
+
+
+@query(
+    "embed_quantize_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    ex AS (
+      SELECT vec_id, pos - 1 AS dim,
+             cast(round(v * 1000000, 0) AS BIGINT) AS sv
+      FROM (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+    ),
+    a AS (SELECT dim, max(abs(sv))::BIGINT AS amax FROM ex GROUP BY dim),
+    rec AS (
+      SELECT vec_id,
+             list((CASE WHEN amax = 0 THEN 0
+                        ELSE (CASE WHEN sv < 0 THEN -1 ELSE 1 END)
+                             * ((254 * abs(sv) + amax) // (2 * amax))
+                   END * amax)::DOUBLE ORDER BY dim) AS re
+      FROM ex JOIN a USING (dim) GROUP BY vec_id
+    ),
+    full_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.qe, e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= {_K}
+    ),
+    q8_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, r.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qe, r.re), 6) DESC,
+                          r.vec_id) AS rn
+        FROM rec r CROSS JOIN q
+        WHERE r.vec_id <> q.query_id
+      ) WHERE rn <= {_K}
+    )
+    SELECT q.query_id, coalesce(o.c, 0)::BIGINT AS n_overlap
+    FROM q LEFT JOIN (
+      SELECT query_id, count(*) AS c
+      FROM full_topk JOIN q8_topk USING (query_id, vec_id)
+      GROUP BY query_id
+    ) o USING (query_id)
+    """,
+)
+def embed_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4u (r8): precision-truncation recall certification — per query
+    the top-k overlap between exact fp cosine and ASYMMETRIC int8 search
+    (stored corpus quantized with `embed_quantize_int8`'s exact
+    nearest-code rule, queries kept full precision — the production
+    memory layout: 4x smaller index, fp32 queries). Completes the
+    certification trio: `sim_ann_recall` prices index pruning,
+    `embed_matryoshka_eval` prices dimensional pruning, this prices
+    PRECISION pruning — together they are the whole ANN storage-design
+    trade-off table, each an exact auditable number.
+
+    The per-dim absmax scales collect driver-side (64 bounded integers,
+    the same broadcast-a-scalar pattern as `exact_global_quantile`) and
+    fold back as an array literal, so reconstruction is one row-local
+    `transform` — corpus vectors never shuffle, and both rankings run
+    the vectorized matmul scan. Cosine is scale-invariant per GLOBAL
+    factor only, so reconstruction keeps the per-dim code·amax products
+    (dividing by the common 127e6 would change nothing and is dropped)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb, queries = _split(spark, sf_dir)
+    full = cosine_topk_vectorized(emb, queries, k=_K)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000)
+        .cast("long")
+        .alias("sv"),
+    )
+    amax_map = dict(
+        ex.groupBy("dim")
+        .agg(F.max(F.abs(F.col("sv"))).cast("long").alias("a"))
+        .collect()
+    )
+    if not amax_map:
+        # empty corpus -> no queries either; keep the schema contract
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField("n_overlap", LongType()),
+                ]
+            ),
+        )
+    dims = max(amax_map) + 1
+    amax_sql = (
+        "array("
+        + ", ".join(f"{int(amax_map.get(d, 0))}L" for d in range(dims))
+        + ")"
+    )
+    # exact integer `div` for the nearest-code rule, the same expression
+    # the quantize ledger and the oracle use; only the final product is
+    # cast to double
+    sv = "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+    a = f"element_at({amax_sql}, i + 1)"
+    recon = F.expr(
+        f"transform(embedding, (x, i) -> "
+        f"CASE WHEN {a} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST((CASE WHEN {sv} < 0 THEN -1 ELSE 1 END) "
+        f"* ((254 * abs({sv}) + {a}) div (2 * {a})) * {a} AS DOUBLE) END)"
+    )
+    r_emb = emb.select("vec_id", recon.alias("embedding"))
+    q8 = cosine_topk_vectorized(r_emb, queries, k=_K)
+    ov = (
+        full.select("query_id", "vec_id")
+        .join(q8.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        queries.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )

@@ -725,3 +725,51 @@ def test_matryoshka_overlap_planted_prefix_flip(spark):
         (2, [0.0, 1.0, 0.0, 0.0]),
     ]
     assert overlap(stable, k=1, prefix=2) == 1
+
+
+def test_quantize_recall_invariance_and_collapse(spark, tmp_path):
+    """Precision-recall certification semantics: (a) a corpus whose
+    micro-components are all exact code multiples reconstructs
+    proportionally, so int8 search returns the identical top-k
+    (n_overlap == k); (b) six candidates distinguished only by a
+    sub-half-step component collapse to one reconstruction cell — the
+    quantized ranking degenerates to the id tie-break and provably
+    kicks the true nearest-but-highest-id vector out of the top-5
+    (n_overlap == 4)."""
+    import os
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    def run(rows, subdir):
+        d = tmp_path / subdir
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "label",
+        ).write.parquet(os.path.join(str(d), "embeddings.parquet"))
+        return {
+            r.query_id: r.n_overlap
+            for r in QUERIES["embed_quantize_recall"](spark, str(d)).collect()
+        }
+
+    # (a) all |sv| <= amax = 127 micro on both dims -> code == sv, the
+    # reconstruction is exactly 127x the original vector
+    exact = [
+        (i, [127e-6, x * 1e-6], 0)
+        for i, x in enumerate([0, 9, 23, 41, 67, 88, 105, 127])
+    ]
+    got = run(exact, "exact")
+    assert got[0] == 5, f"exact-multiple corpus must keep top-5, got {got[0]}"
+
+    # (b) dim-2 outlier sets amax to 12.7 (half-step 0.05): the six
+    # near vectors' dim-2 components (0.002..0.046) all quantize to 0.
+    # Exact top-5 of query [1, 0.04] excludes id1 (farthest, d=0.002);
+    # the quantized tie excludes id6 (highest id) instead.
+    near_d = {1: 0.002, 2: 0.012, 3: 0.022, 4: 0.03, 5: 0.046, 6: 0.04}
+    collapse = [(0, [1.0, 0.04], 0)] + [
+        (i, [1.0, d], 0) for i, d in near_d.items()
+    ] + [(100, [0.0, 12.7], 0)]
+    got = run(collapse, "collapse")
+    assert got[0] == 4, f"collapse corpus must lose exactly one, got {got[0]}"
