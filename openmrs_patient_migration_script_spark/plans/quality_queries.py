@@ -1497,3 +1497,78 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_dupes"),
         (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
     )
+
+
+@query(
+    "dq_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, count(*)::BIGINT AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_rows
+      FROM per_key
+    ),
+    top AS (
+      SELECT key, n FROM (
+        SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn
+        FROM per_key
+      ) WHERE rn <= 5
+    )
+    SELECT t.key, t.n, s.n_keys, s.n_rows, s.max_rows,
+           -- skew ratio x1000: max partition load vs perfectly even
+           (s.max_rows * 1000 * s.n_keys) // s.n_rows AS skew_ratio_milli,
+           -- salting factor that would level the heaviest key to ~avg
+           (s.max_rows * s.n_keys + s.n_rows - 1) // s.n_rows
+             AS suggested_salt
+    FROM top t CROSS JOIN stats s
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 (r8): join/group-key skew audit — the measurement that
+    decides WHETHER to salt before anyone pays for it (`join_salted`
+    is the cure; this is the diagnosis): per join key the exact row
+    count for the top-5 heaviest keys, plus the global skew ratio
+    (max key load vs perfectly-even, milli-units) and the salting
+    factor that would level the heaviest key to about average —
+    ceil(max·n_keys / n_rows), exactly the bucket count
+    `operators/skew.py` needs. At 1000 executors the heaviest key IS
+    the stage's critical path, so this number is the predicted
+    speedup ceiling of salting.
+
+    One key agg is the data-sized work (map-side combined); the stats
+    re-agg and the top-5 rank run on the per-key table (TakeOrdered
+    for the top slice, one-row broadcast for stats). All integers:
+    the ratio ships ×1000, division is floor-div on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)  # feeds stats AND the top-5 rank
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+    )
+    w = Window.orderBy(F.desc("n"), "key")
+    top = (
+        per_key.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "n",
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        F.expr("(max_rows * 1000 * n_keys) div n_rows").alias(
+            "skew_ratio_milli"
+        ),
+        F.expr("(max_rows * n_keys + n_rows - 1) div n_rows").alias(
+            "suggested_salt"
+        ),
+    )

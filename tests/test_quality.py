@@ -692,3 +692,35 @@ def test_candidate_keys_planted_flags(spark, tmp_path):
     assert out["o_custkey+o_orderdate"].is_key
     assert out["o_custkey+o_orderdate+o_totalprice"].is_key
     assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_key_skew_planted_hot_key(spark, tmp_path):
+    """Skew-audit semantics on a planted distribution: one hot key with
+    60 rows over 9 singleton keys — skew ratio = 60*10/69 x1000 = 8695
+    milli, suggested salt = ceil(60*10/69) = 9, top-1 is the hot key."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [(7, 100 + i, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)) for i in range(60)]
+    rows += [(k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              dt.datetime(2024, 1, 1)) for k in range(10, 19)]
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = QUERIES["dq_key_skew"](spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    hot = max(out, key=lambda r: r.n)
+    assert hot.key == 7 and hot.n == 60
+    assert hot.n_keys == 10 and hot.n_rows == 69 and hot.max_rows == 60
+    assert hot.skew_ratio_milli == 60 * 1000 * 10 // 69  # 8695
+    assert hot.suggested_salt == -(-60 * 10 // 69)  # ceil = 9
