@@ -108,3 +108,10 @@ def test_curation_review():
     assert "bands=16" in stdout
     assert "top decile" in stdout
     assert "curation review complete" in stdout
+
+
+def test_index_design():
+    stdout = _run("index_design.py")
+    assert "index design: READY" in stdout
+    assert "contrastive pairs staged" in stdout
+    assert "cheaper 4x cut on this corpus" in stdout
