@@ -1572,3 +1572,64 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "suggested_salt"
         ),
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*)::BIGINT AS days,
+             sum(n)::BIGINT AS s, sum(n * n)::BIGINT AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT da.event_type, da.d, da.n, st.days, st.s,
+           -- integer-decidable |z| > 2: (n*days - s)^2 > 4*(days*s2 - s^2)
+           (da.n * st.days - st.s) * (da.n * st.days - st.s)
+             > 4 * (st.days * st.s2 - st.s * st.s) AS is_anomaly
+    FROM daily da JOIN stats st USING (event_type)
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 (r8): ingest-volume anomaly audit — the monitor every feed
+    needs next to `dq_freshness` (that one asks "did data ARRIVE on
+    time", this one asks "did the RIGHT AMOUNT arrive"): per
+    (stream, day) the row count, flagged when it sits more than 3
+    standard deviations from the stream's own daily mean. A silent
+    half-volume day — upstream partial outage, a dropped partition —
+    passes every schema and freshness check and shows up ONLY here.
+
+    The z-test is integer-decidable with no sqrt and no float:
+    |z| > 2 ⇔ (n·days − S)² > 4·(days·S2 − S²), all exact BIGINT (day
+    counts ≤ 1e9 keep every term far inside int64). The threshold is
+    2σ, not 3: a ~30-day window gives 3σ almost no power (this
+    fixture's worst day sits at 2.7σ), and one expected false alarm a
+    month is the standard pager budget. One (stream, day) agg is the
+    data-sized work; the per-stream moment table is bounded (#streams
+    rows) and joins back broadcast-sized; the output ledger carries
+    EVERY day with its verdict (the production alert filters
+    is_anomaly — kept unfiltered here so quiet months still grade
+    non-vacuously)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)  # feeds the moment agg AND the join
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("days") - F.col("s")
+    var4 = 4 * (F.col("days") * F.col("s2") - F.col("s") * F.col("s"))
+    return j.select(
+        "event_type",
+        "d",
+        "n",
+        "days",
+        "s",
+        (dev * dev > var4).alias("is_anomaly"),
+    )

@@ -724,3 +724,37 @@ def test_key_skew_planted_hot_key(spark, tmp_path):
     assert hot.n_keys == 10 and hot.n_rows == 69 and hot.max_rows == 60
     assert hot.skew_ratio_milli == 60 * 1000 * 10 // 69  # 8695
     assert hot.suggested_salt == -(-60 * 10 // 69)  # ceil = 9
+
+
+def test_volume_anomaly_planted_half_day(spark, tmp_path):
+    """Volume-monitor semantics: a stream with 9 steady days and one
+    half-volume day flags exactly that day; a perfectly steady stream
+    (zero variance) flags nothing — the strict > keeps 0 > 0 false."""
+    import datetime as dt
+
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 5, 1)
+    for day in range(10):
+        n = 5 if day == 7 else 10          # planted half-volume day
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+        for _ in range(10):                # steady control stream
+            rows.append((eid, t0 + dt.timedelta(days=day), 2,
+                         "click", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = QUERIES["dq_volume_anomaly"](spark, str(tmp_path)).collect()
+    flagged = {(r.event_type, r.d.isoformat()) for r in out if r.is_anomaly}
+    assert flagged == {("view", "2024-05-08")}, flagged
+    assert len(out) == 20  # full ledger: 2 streams x 10 days
