@@ -1259,3 +1259,88 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return spark.createDataFrame([], empty_schema)
     return out
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT t AS word, count(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS t
+        FROM documents
+      ) GROUP BY t
+    ),
+    pairs AS (
+      SELECT word[i:i] AS sym_a, word[i+1:i+1] AS sym_b, freq
+      FROM words
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, length(word) - 1)) AS i
+      )
+      WHERE length(word) >= 2
+    ),
+    ranked AS (
+      SELECT sym_a, sym_b, sum(freq)::BIGINT AS pair_freq,
+             row_number() OVER (ORDER BY sum(freq) DESC, sym_a, sym_b)
+               AS merge_rank
+      FROM pairs GROUP BY sym_a, sym_b
+    )
+    SELECT merge_rank, sym_a, sym_b, pair_freq
+    FROM ranked WHERE merge_rank <= 10
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5m (r8): BPE merge-candidate statistics — the aggregate at the
+    heart of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016): corpus-frequency-weighted adjacent symbol-pair counts over
+    the word vocabulary, ranked (freq DESC, pair ASC — the
+    deterministic tie-break real trainers pin). Rank 1 IS the first
+    merge; the full trainer is a driver loop around exactly this
+    aggregate with re-tokenization between rounds, so this primitive is
+    what a 100 TB tokenizer-training job actually distributes.
+
+    Scale shape: word counting collapses the corpus to its vocabulary
+    FIRST (one token-keyed agg, map-side combined), so the pair
+    explosion runs over vocabulary-sized rows × word length — corpus
+    volume only ever passes through the initial count. Top-10 via
+    TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr("sequence(1, length(word) - 1)")
+            ).alias("i"),
+            "word",
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("sym_a"),
+            F.expr("substring(word, i + 1, 1)").alias("sym_b"),
+            "freq",
+        )
+    )
+    ranked = pairs.groupBy("sym_a", "sym_b").agg(
+        F.sum("freq").cast("long").alias("pair_freq")
+    )
+    w = Window.orderBy(F.desc("pair_freq"), "sym_a", "sym_b")
+    return (
+        ranked.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= 10)
+        .select(
+            F.col("merge_rank").cast("long").alias("merge_rank"),
+            "sym_a",
+            "sym_b",
+            "pair_freq",
+        )
+    )

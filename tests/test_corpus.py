@@ -258,3 +258,29 @@ def test_curriculum_two_class_corpus(spark, tmp_path):
     # budget exactly (2*40 <= 80); adding the low class exceeds it
     assert hi.cum_tokens == 40 and hi.in_half_budget
     assert lo.cum_tokens == 80 and not lo.in_half_budget
+
+
+def test_bpe_pair_stats_hand_counted(spark, tmp_path):
+    """BPE merge statistics on a hand-countable corpus: 'banana' twice
+    and 'ban' once — pair (a,n) occurs 2x per 'banana' and 1x in 'ban'
+    = 5 total; (n,a) 4; (b,a) 3. Rank 1 must be (a,n) and the
+    freq-then-lexicographic tie-break must order equal-frequency pairs
+    deterministically."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [
+        (0, "banana banana ban", "en", "web", 17),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.merge_rank: r for r in
+           QUERIES["text_bpe_pair_stats"](spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert (r1.sym_a, r1.sym_b, r1.pair_freq) == ("a", "n", 5)
+    r2 = out[2]
+    assert (r2.sym_a, r2.sym_b, r2.pair_freq) == ("n", "a", 4)
+    r3 = out[3]
+    assert (r3.sym_a, r3.sym_b, r3.pair_freq) == ("b", "a", 3)
