@@ -42,10 +42,19 @@ def test_compact_table_bin_packs_small_files(spark, tmp_path):
         == orders.agg(F.sum("o_orderkey")).first()[0]
     )
 
-    # converges: once per-file overhead is gone the count is stable
-    _, second = compact_table(spark, path, target_file_bytes=target)
-    _, third = compact_table(spark, path, target_file_bytes=target)
-    assert third == second <= after
+    # converges: repeated compaction reaches a fixed point. Compaction
+    # itself shrinks total bytes (per-file overhead + better encoding),
+    # so the ceil(bytes/target) count can step down once more before
+    # stabilizing — assert monotone descent to a fixed point rather
+    # than two-round convergence (observed under load: 2 then 1).
+    counts = [after]
+    for _ in range(4):
+        _, nxt = compact_table(spark, path, target_file_bytes=target)
+        counts.append(nxt)
+        if nxt == counts[-2]:
+            break
+    assert counts[-1] == counts[-2] <= after, counts
+    assert all(b <= a for a, b in zip(counts, counts[1:])), counts
 
 
 def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
