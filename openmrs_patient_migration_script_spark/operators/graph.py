@@ -303,6 +303,7 @@ def pagerank(
     n_iter: int = 4,
     damping_pct: int = 85,
     scale: int = 10**9,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over the undirected pair graph — node
     centrality for duplicate-cluster triage (in a dedup candidate graph,
@@ -342,6 +343,15 @@ def pagerank(
     redistribution pass is needed. ``n_nodes`` is a one-number driver
     scalar off the checkpointed degree frame — bounded metadata, not a
     data collect.
+
+    ``seeds``: PERSONALIZED PageRank (a (node) frame) — the teleport
+    mass lands only on the seed set instead of uniformly: the floor
+    term becomes (100−d)·(scale div n_seeds) on seeds and 0 elsewhere,
+    and the walk starts from the seeds. Rank then measures proximity
+    to the seed set — the graph-retrieval/seed-expansion primitive
+    (find records "around" a known-good set). Same integer arithmetic,
+    same two shuffles per iteration; the per-node floor rides the seed
+    rows instead of being a literal.
     """
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
@@ -366,33 +376,72 @@ def pagerank(
             F.lit(0).cast("long").alias("rank_scaled"),
             F.lit(0.0).alias("rank"),
         )
-    base = scale // n_nodes
     d = int(damping_pct)
-    ranks = deg.select("u", "outdeg", F.lit(base).cast("long").alias("r"))
-    # seed rows: (node, outdeg, 0) for every node — unioned into the
-    # inflow aggregation so zero-inflow nodes survive and outdeg rides
-    # along, replacing a per-iteration left join with map-side rows
-    seeds = deg.select(
+    if seeds is None:
+        base = scale // n_nodes
+        # uniform teleport: every node starts at base and floors at
+        # (100-d)*base
+        init = deg.select(
+            "u", "outdeg", F.lit(base).cast("long").alias("r")
+        )
+        flagged = deg.select(
+            "u", "outdeg", F.lit((100 - d) * base).cast("long").alias("fl")
+        )
+    else:
+        seed_keys = seeds.select(F.col(seeds.columns[0]).alias("u")).distinct()
+        n_seeds = seed_keys.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+        base_s = scale // n_seeds
+        is_seed = F.col("_s").isNotNull()
+        marked = deg.join(
+            seed_keys.withColumn("_s", F.lit(1)), "u", "left"
+        )
+        init = marked.select(
+            "u",
+            "outdeg",
+            F.when(is_seed, F.lit(base_s)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("r"),
+        )
+        flagged = marked.select(
+            "u",
+            "outdeg",
+            F.when(is_seed, F.lit((100 - d) * base_s))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fl"),
+        )
+    ranks = init
+    # seed rows: (node, outdeg, per-node floor, c=0) for every node —
+    # unioned into the inflow aggregation so zero-inflow nodes survive
+    # and outdeg + the teleport floor ride along, replacing a
+    # per-iteration left join with map-side rows
+    seed_rows = flagged.select(
         F.col("u").alias("node"),
         F.col("outdeg"),
+        F.col("fl"),
         F.lit(0).cast("long").alias("c"),
     ).localCheckpoint(eager=True)
     for i in range(n_iter):
         contrib = sym.join(ranks, "u").select(
             F.col("v").alias("node"),
             F.lit(None).cast("long").alias("outdeg"),
+            F.lit(None).cast("long").alias("fl"),
             F.expr("r div outdeg").alias("c"),
         )
         ranks = (
-            seeds.unionByName(contrib)
+            seed_rows.unionByName(contrib)
             .groupBy("node")
-            .agg(F.max("outdeg").alias("outdeg"), F.sum("c").alias("inflow"))
+            .agg(
+                F.max("outdeg").alias("outdeg"),
+                F.max("fl").alias("fl"),
+                F.sum("c").alias("inflow"),
+            )
             .select(
                 F.col("node").alias("u"),
                 "outdeg",
-                F.expr(
-                    f"(({100 - d} * {base}L) + {d} * inflow) div 100"
-                ).alias("r"),
+                F.expr(f"(fl + {d} * inflow) div 100").alias("r"),
             )
         )
         # checkpoint every SECOND round (and the last): `ranks` has one

@@ -1886,3 +1886,77 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for led in ledgers[1:]:
         out = out.unionByName(led)
     return out
+
+
+def _ppr_oracle(n_iter: int = 4, d: int = 85, scale: int = 10**9) -> str:
+    """Unrolled personalized-PageRank replay: `_pagerank_oracle`'s CTE
+    chain with the teleport floor concentrated on the seed set
+    (custkey % 97 = 0) instead of uniform — the CASE floor and the
+    seeded r0 are the only differences, everything stays integer."""
+    seed = "deg.u % 97 = 0"
+    sql = f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    e AS (
+      SELECT key_a AS u, key_b AS v FROM pairs
+      UNION ALL SELECT key_b, key_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+    ns AS (SELECT count(*) AS n FROM deg WHERE deg.u % 97 = 0),
+    r0 AS (
+      SELECT deg.u, deg.outdeg,
+             CAST(CASE WHEN {seed} THEN {scale} // ns.n ELSE 0 END
+                  AS BIGINT) AS r
+      FROM deg CROSS JOIN ns
+    )"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.v AS node, (r{i - 1}.r // r{i - 1}.outdeg) AS c
+      FROM e JOIN r{i - 1} ON e.u = r{i - 1}.u
+    ),
+    inf{i} AS (SELECT node, sum(c) AS inflow FROM c{i} GROUP BY node),
+    r{i} AS (
+      SELECT deg.u, deg.outdeg,
+             CAST(((CASE WHEN {seed}
+                         THEN {100 - d} * ({scale} // ns.n) ELSE 0 END)
+                   + {d} * coalesce(inf{i}.inflow, 0)) // 100
+                  AS BIGINT) AS r
+      FROM deg CROSS JOIN ns LEFT JOIN inf{i} ON inf{i}.node = deg.u
+    )"""
+    sql += f"""
+    SELECT u AS node, r AS rank_scaled, r / {scale}.0 AS rank
+    FROM r{n_iter}
+    """
+    return sql
+
+
+@query("graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9o (r8): personalized PageRank — the teleport mass lands only on
+    a seed set (custkey % 97 = 0, the `graph_bfs` seed convention), so
+    rank measures PROXIMITY TO THE SEEDS instead of global centrality:
+    the seed-expansion primitive of graph retrieval ("records around
+    this known-good set"), local-community scoring, and
+    label-propagation-with-confidence — where uniform `graph_pagerank`
+    answers "what is central", this answers "what is near". Same
+    integer recurrence (floors ride the seed rows as a per-node column
+    instead of a literal), same two node-keyed shuffles per iteration,
+    and the unrolled oracle replays all four iterations bit-exactly —
+    the seeded CASE floor is the only delta from `_pagerank_oracle`."""
+    from openmrs_patient_migration_script_spark.operators.graph import pagerank
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    seeds = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return pagerank(pairs, seeds=seeds)

@@ -627,3 +627,25 @@ def test_fellegi_sunter_salted_blocks_row_identical(spark):
         ).collect()
     }
     assert salted == plain and plain  # identical AND non-vacuous
+
+
+def test_personalized_pagerank_concentrates_on_seed_component(spark):
+    """PPR semantics: with the teleport pinned to seed node 0, mass
+    stays in the seed's component — the star center outranks its
+    leaves, every leaf keeps positive proximity mass, and a DISCONNECTED
+    hub that uniform PageRank ranks highly gets EXACTLY zero (integer
+    floors and inflows are all zero there, not epsilon)."""
+    from openmrs_patient_migration_script_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3),          # seed star
+         (10, 11), (11, 12), (11, 13)],   # disconnected hub at 11
+        ["key_a", "key_b"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.rank_scaled for r in pagerank(edges, seeds=seeds).collect()}
+    assert got[0] > got[1] == got[2] == got[3] > 0
+    assert got[10] == got[11] == got[12] == got[13] == 0
+
+    uniform = {r.node: r.rank_scaled for r in pagerank(edges).collect()}
+    assert uniform[11] > 0  # the same hub holds mass under uniform PR
