@@ -677,7 +677,13 @@ def exact_global_quantile(
         width = (hi - lo + n_buckets) // n_buckets  # ceil; >= 1
         counts = dict(
             base.filter((F.col("_v") >= lo) & (F.col("_v") <= hi))
-            .groupBy(((F.col("_v") - lo) / width).cast("long").alias("_b"))
+            # integer `div`, NOT `/`: Spark's `/` on longs is IEEE double
+            # division, which mis-buckets boundary values once (v - lo)
+            # exceeds ~2^53 — the driver walk below uses exact integer
+            # boundaries, and the two must agree at any BIGINT range
+            .groupBy(
+                F.expr(f"(_v - {int(lo)}L) div {int(width)}L").alias("_b")
+            )
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )

@@ -389,14 +389,23 @@ def pagerank(
         )
     else:
         seed_keys = seeds.select(F.col(seeds.columns[0]).alias("u")).distinct()
-        n_seeds = seed_keys.count()
-        if n_seeds == 0:
-            raise ValueError("personalized pagerank needs a non-empty seed set")
-        base_s = scale // n_seeds
         is_seed = F.col("_s").isNotNull()
         marked = deg.join(
             seed_keys.withColumn("_s", F.lit(1)), "u", "left"
-        )
+        ).localCheckpoint(eager=True)  # feeds n_seeds, init AND floors
+        # count only IN-GRAPH seeds: a seed with no edges can receive
+        # teleport mass but never propagate or rank (it has no row in
+        # the degree frame), so including it in the divisor would
+        # silently drop 1/n_seeds of the total mass — and diverge from
+        # the unrolled oracle, which derives its seed count from the
+        # degree table
+        n_seeds = marked.filter(is_seed).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "personalized pagerank needs at least one seed that is a "
+                "graph node"
+            )
+        base_s = scale // n_seeds
         init = marked.select(
             "u",
             "outdeg",
@@ -996,9 +1005,16 @@ def modularity(
     whose sum over communities is Q in [-0.5, 1] (Newman & Girvan 2004,
     public literature). The row is FULLY INTEGER-DECIDABLE: the
     numerator ``q_num = 4·m·e_c - d_c^2`` and the shared denominator
-    ``q_den = 4·m^2`` are computed in DECIMAL(38,0) (exact at any edge
-    count below 10^18, the `privacy_t_closeness` overflow rule) and
-    final-cast to BIGINT with an in-plan range guard (`dec_to_long`).
+    ``q_den = 4·m^2`` are computed in DECIMAL(38,0) (the intermediates
+    are exact at any edge count below 10^18, the `privacy_t_closeness`
+    overflow rule) and final-cast to BIGINT with an in-plan range guard
+    (`dec_to_long`). The BIGINT *output* caps earlier than the decimal
+    intermediates: q_den = 4·m² crosses the 2^62 guard at m ≈ 2^30
+    (~1.07e9 edges) and the job fails LOUD there by design — past that
+    scale emit Q's 6dp double readout (sum(q_num)/q_den computed
+    in-plan) instead of the exact fraction columns, the same
+    guard-ceiling-then-switch rule `embed_quantize_int8` documents for
+    its error sum.
     Q = sum(q_num) / q_den. Dtype history, corrected per the r7
     verdict: the r6 hash-fail was NOT the rounded double alone — the r7
     DECIMAL(38,0) output columns also hash-failed (rows/schema/values

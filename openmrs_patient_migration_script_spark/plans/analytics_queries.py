@@ -3155,7 +3155,11 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = hist.agg(F.sum("n_users").cast("long").alias("n_total"))
     ladder = users.sparkSession.range(0, 15).select(F.col("id").alias("d"))
     joined = (
-        ladder.crossJoin(F.broadcast(hist))
+        # LEFT join on TRUE, not crossJoin: the oracle's ladder survives
+        # an empty histogram (15 rows of n_at_risk = 0), and an inner
+        # cross join would collapse to 0 rows — a plan/oracle row-count
+        # divergence on empty input
+        ladder.join(F.broadcast(hist), F.lit(True), "left")
         .groupBy("d")
         .agg(
             F.coalesce(

@@ -1542,8 +1542,6 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-agg and the top-5 rank run on the per-key table (TakeOrdered
     for the top slice, one-row broadcast for stats). All integers:
     the ratio ships ×1000, division is floor-div on both engines."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
@@ -1553,12 +1551,11 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.max("n").cast("long").alias("max_rows"),
     )
-    w = Window.orderBy(F.desc("n"), "key")
-    top = (
-        per_key.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    # orderBy().limit() executes as TakeOrderedAndProject — per-partition
+    # top-5 heaps merged on the driver — NOT a global sort; a rank
+    # window with no partitionBy would drag the whole per-key table
+    # through one task (the single-partition shape this repo bans)
+    top = per_key.orderBy(F.desc("n"), "key").limit(5)
     return top.crossJoin(F.broadcast(stats)).select(
         "key",
         "n",
@@ -1597,7 +1594,7 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E25 (r8): ingest-volume anomaly audit — the monitor every feed
     needs next to `dq_freshness` (that one asks "did data ARRIVE on
     time", this one asks "did the RIGHT AMOUNT arrive"): per
-    (stream, day) the row count, flagged when it sits more than 3
+    (stream, day) the row count, flagged when it sits more than 2
     standard deviations from the stream's own daily mean. A silent
     half-volume day — upstream partial outage, a dropped partition —
     passes every schema and freshness check and shows up ONLY here.

@@ -649,3 +649,10 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
 
     uniform = {r.node: r.rank_scaled for r in pagerank(edges).collect()}
     assert uniform[11] > 0  # the same hub holds mass under uniform PR
+
+    # an out-of-graph seed must NOT shrink the teleport divisor (it can
+    # never hold or propagate rank): seeds {0, 999} == seeds {0}
+    seeds2 = spark.createDataFrame([(0,), (999,)], ["node"])
+    got2 = {r.node: r.rank_scaled
+            for r in pagerank(edges, seeds=seeds2).collect()}
+    assert got2 == got
