@@ -869,6 +869,46 @@ def k_core(
     )
 
 
+def coreness(
+    edges: DataFrame,
+    max_k: int = 3,
+    n_rounds: int = 6,
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> DataFrame:
+    """Full k-core decomposition up to ``max_k``: per node the LARGEST k
+    such that the node survives the k-core peel — the standard
+    graph-density coordinate (coreness 1 = trees/chains, higher =
+    structurally confirmed dense groups), computed as stacked `k_core`
+    peels (k-cores are nested: the (k+1)-core is a subgraph of the
+    k-core, so coreness = 1 + #{k >= 2 : node in k-core}).
+
+    ``max_k`` is an explicit cap, not a convergence claim: nodes AT the
+    cap may have higher true coreness (documented contract — degeneracy
+    on real dedup graphs is small, and each extra k costs one more peel
+    loop). Each peel is the `k_core` fixed-round loop (node-keyed
+    shuffles only, lineage truncated per round); membership folds back
+    as ``max_k - 1`` left joins on the node universe."""
+    base = k_core(edges, k=1, n_rounds=1, src=src, dst=dst).select("node")
+    result = base.select("node", F.lit(1).cast("long").alias("coreness"))
+    for k in range(2, max_k + 1):
+        members = (
+            k_core(edges, k=k, n_rounds=n_rounds, src=src, dst=dst)
+            .select("node")
+            .withColumn("_m", F.lit(1))
+        )
+        result = result.join(members, "node", "left").select(
+            "node",
+            (
+                F.col("coreness")
+                + F.when(F.col("_m").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("coreness"),
+        )
+    return result
+
+
 def k_core_converged(edges: DataFrame, k: int, n_rounds: int, src: str = "key_a", dst: str = "key_b") -> bool:
     """True if one extra peeling round changes nothing — the fixpoint
     check for `k_core`'s fixed-round contract (bounded: compares two

@@ -1960,3 +1960,84 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("node")
     )
     return pagerank(pairs, seeds=seeds)
+
+
+def _coreness_oracle(max_k: int = 3, rounds: int = 6) -> str:
+    """Unrolled stacked-peel replay for `graph_coreness`: one peel chain
+    per k (each CTE references only its predecessor — the `_kcore_oracle`
+    planner rule), coreness = 1 + membership flags. The shared s0 prefix
+    is referenced once per chain plus once for the node universe — a
+    constant ×(max_k) re-expansion, not the exponential per-round one."""
+    sql = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS u, c_custkey * 2 AS v FROM customer, mx
+      WHERE c_custkey * 2 <= m
+      UNION ALL
+      SELECT c_custkey AS u, c_custkey * 3 AS v FROM customer, mx
+      WHERE c_custkey * 3 <= m
+    ),
+    canon AS (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM e WHERE u <> v
+    ),
+    s0 AS (SELECT u, v FROM canon
+           UNION ALL SELECT v AS u, u AS v FROM canon)"""
+    final = {}
+    for k in range(2, max_k + 1):
+        prev = "s0"
+        for i in range(1, rounds + 1):
+            name = f"k{k}r{i}"
+            sql += f""",
+    {name} AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               count(*) OVER (PARTITION BY u) AS du,
+               count(*) OVER (PARTITION BY v) AS dv
+        FROM {prev}
+      ) WHERE du >= {k} AND dv >= {k}
+    )"""
+            prev = name
+        final[k] = prev
+    member_joins = "".join(
+        f"""
+    LEFT JOIN (SELECT DISTINCT u AS node FROM {final[k]}) m{k}
+      ON m{k}.node = n.node"""
+        for k in range(2, max_k + 1)
+    )
+    member_sum = " + ".join(
+        f"(CASE WHEN m{k}.node IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(2, max_k + 1)
+    )
+    sql += f""",
+    nodes AS (SELECT DISTINCT u AS node FROM s0)
+    SELECT n.node, (1 + {member_sum})::BIGINT AS coreness
+    FROM nodes n{member_joins}
+    """
+    return sql
+
+
+@query("graph_coreness", oracle=_coreness_oracle())
+def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9p (r8): full k-core decomposition (coreness ≤ 3) over the
+    varied-degree doubling graph — `graph_kcore` answers the binary
+    "is this node in the 2-core"; coreness assigns every node its
+    density COORDINATE (1 = tree/chain debris, 2+ = structurally
+    confirmed groups), the standard triage axis for dedup-cluster
+    review and the degeneracy-ordering primitive. Stacked fixed-round
+    peels (operators/graph.py::coreness) with nested-core membership
+    folded back as left joins; the oracle unrolls one window-form peel
+    chain per k, each CTE referencing only its predecessor."""
+    from openmrs_patient_migration_script_spark.operators.graph import coreness
+
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    e2 = c.filter(F.col("c_custkey") * 2 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 2).alias("key_b"),
+    )
+    e3 = c.filter(F.col("c_custkey") * 3 <= mx).select(
+        F.col("c_custkey").alias("key_a"),
+        (F.col("c_custkey") * 3).alias("key_b"),
+    )
+    return coreness(e2.unionByName(e3), max_k=3, n_rounds=6)

@@ -656,3 +656,26 @@ def test_personalized_pagerank_concentrates_on_seed_component(spark):
     got2 = {r.node: r.rank_scaled
             for r in pagerank(edges, seeds=seeds2).collect()}
     assert got2 == got
+
+
+def test_coreness_clique_triangle_and_chain(spark):
+    """Coreness semantics on planted structure: a K4 clique is the
+    3-core (coreness 3), a triangle with a tail puts the triangle at 2
+    and the tail at 1, and pure chain nodes sit at 1 — the nested-core
+    membership sum assigns each tier exactly."""
+    from openmrs_patient_migration_script_spark.operators.graph import coreness
+
+    edges = [
+        # K4 clique: 20-23
+        (20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23),
+        # triangle 10-11-12 with tail 13
+        (10, 11), (11, 12), (10, 12), (12, 13),
+        # chain 1-2-3
+        (1, 2), (2, 3),
+    ]
+    df = spark.createDataFrame(edges, ["key_a", "key_b"])
+    got = {r.node: r.coreness for r in coreness(df, max_k=3).collect()}
+    assert got[20] == got[21] == got[22] == got[23] == 3
+    assert got[10] == got[11] == got[12] == 2
+    assert got[13] == 1
+    assert got[1] == got[2] == got[3] == 1
