@@ -40,6 +40,17 @@ def dec_to_long(col: Column, name: str = "value") -> Column:
     input passes through as NULL: assert_true treats a NULL condition as
     a failure, and a global aggregate over zero rows legitimately emits
     NULL sums (caught by test_empty_inputs on ab_paired_ttest).
+
+    Caveat: under non-ANSI mode Spark yields NULL (not an error) when a
+    DECIMAL(38,0) intermediate itself overflows past 1e38, and that NULL
+    passes this guard the same way an empty-aggregate NULL does. The
+    2^62 guard therefore protects the DECIMAL->BIGINT cast, not the
+    upstream DECIMAL arithmetic; callers whose inputs could push an
+    exact intermediate past ~1e38 (none of the registered queries —
+    cents/1e6-grid scaling keeps per-row magnitudes <= ~1e15, so even
+    quadrillion-row sums stay < 1e38… with many orders to spare) must
+    assert non-empty input or bound the intermediate if a silent NULL
+    would be indistinguishable from empty-input.
     """
     guard = F.assert_true(
         col.isNull() | (F.abs(col) < F.lit(_LONG_SAFE_ABS).cast("decimal(38,0)")),

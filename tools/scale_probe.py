@@ -1124,15 +1124,17 @@ def main() -> None:
             "centroid_separation": lambda: _centroid_sep_shape(e_k),
             # exact global p90 by histogram selection (multi-scan, no sort)
             "pareto_selection": lambda: _pareto_shape(o_k),
-            # --- r8 second session ---
+            # --- r8 second session (all deferred so any construction
+            # work lands inside timed(); only sprt_prefix_scan actually
+            # checkpoints at construction, the other three are lazy) ---
             # posexplode + two 64-key aggs, broadcast scale table back
-            "quantize_ledger": _quantize_shape(e_k),
+            "quantize_ledger": lambda: _quantize_shape(e_k),
             # arm-keyed prefix-sum window (checkpoint at construction)
             "sprt_prefix_scan": lambda: _sprt_shape(ev_k),
             # one doc scan into a 101-cell histogram; rest is metadata
-            "curriculum_histogram": _curriculum_shape(d_k),
+            "curriculum_histogram": lambda: _curriculum_shape(d_k),
             # 6 exact distincts in one agg: Expand x6 into one shuffle
-            "candidate_keys_expand": _candidate_keys_shape(o_k),
+            "candidate_keys_expand": lambda: _candidate_keys_shape(o_k),
         }
 
     results: dict[str, dict[int, float]] = {}
