@@ -28,6 +28,97 @@ from pyspark.sql.types import StructField, StructType
 
 from openmrs_patient_migration_script_spark.functions.numeric import dec_to_long
 
+#: key dtypes the numpy partition-local contraction handles: sortable by
+#: numpy with the SAME total order Spark's min/least uses (int64
+#: arithmetic order; UTF-8 binary == code-point order for strings).
+#: Exotic key types fall back to the pre-r9 paths.
+_CONTRACT_KEY_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _contract_partition_fn(batches):
+    """mapInPandas body: connected components WITHIN one partition's edge
+    rows, emitted as star edges (member -> partition-local component min).
+
+    Pointer-jumping min-label over numpy int codes (Shiloach-Vishkin
+    hook-and-compress): np.unique maps keys to SORTED codes, so min code
+    == min key; each outer round scatters the per-edge min label into
+    both endpoints (np.minimum.at) and then compresses paths
+    (label = label[label]) to a forest of roots; rounds end when every
+    edge's endpoints share a label. label[i] <= i is invariant (scatter
+    writes a min, compression follows decreasing pointers), so the sum
+    of labels strictly decreases while any edge is unmerged — O(log n)
+    rounds, each O(E) vectorized.
+
+    Emits one row per NON-min member; min nodes appear only as targets.
+    Every input node survives in the output: each partition component
+    has >= 2 nodes (nodes enter via edges), so its min receives at least
+    one star edge and the others emit one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_parts: list = []
+    b_parts: list = []
+    cols = None
+    for pdf in batches:
+        if cols is None:
+            cols = list(pdf.columns)
+        if len(pdf):
+            a_parts.append(pdf.iloc[:, 0].to_numpy())
+            b_parts.append(pdf.iloc[:, 1].to_numpy())
+    if not a_parts:
+        return
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ac, bc = inv[: len(a)], inv[len(a):]
+    label = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ac], label[bc])
+        np.minimum.at(label, ac, m)
+        np.minimum.at(label, bc, m)
+        while True:
+            jumped = label[label]
+            if np.array_equal(jumped, label):
+                break
+            label = jumped
+        if np.array_equal(label[ac], label[bc]):
+            break
+    nodes = np.arange(len(uniq), dtype=np.int64)
+    mask = label != nodes
+    yield pd.DataFrame({cols[0]: uniq[nodes[mask]], cols[1]: uniq[label[mask]]})
+
+
+def contract_components(edges: DataFrame) -> DataFrame:
+    """Partition-local connected-components contraction — the two-phase
+    CC prepass (classic MapReduce-CC literature; the generalization of
+    `_local_components`' union-find from the driver to every partition).
+
+    Replaces each PARTITION's edge rows with star edges to the
+    partition-local component min: at most (#distinct nodes in the
+    partition − #local components) rows, computed with ZERO shuffle
+    (mapInPandas over whatever partitioning the input already has,
+    Arrow-batched numpy union inside the task). Connectivity over the
+    union of the partition stars equals connectivity over the original
+    edges — every original edge (u,v) lives wholly in one partition, so
+    u and v join the same local component and both link to its min —
+    and the node universe is preserved (see `_contract_partition_fn`).
+    Cluster-id = min member is also preserved: node keys pass through
+    unchanged.
+
+    At 100 TB this is the lever for every components call: each of the
+    thousands of input partitions shrinks to ~its node count BEFORE any
+    global shuffle, and a second pass over a repartition(1) of the
+    (now node-sized) star set finishes the graph in ONE executor task —
+    the `treeAggregate` funnel shape, replacing the driver-collect path
+    and its driver-memory bound with a task-memory bound. Graphs whose
+    star set exceeds one task still win: the global star-contraction /
+    min-label rounds run on the contracted edges instead of the raw
+    pair list. Caller contract: 2 key columns, self-loops/nulls already
+    filtered, key dtype in `_CONTRACT_KEY_TYPES`.
+    """
+    return edges.mapInPandas(_contract_partition_fn, edges.schema)
+
 
 def connected_components(
     edges: DataFrame,
@@ -43,17 +134,23 @@ def connected_components(
     Each iteration: one shuffle join (neighbor labels) + one aggregation
     (min per node); work per round is O(|E|), rounds = graph diameter.
 
-    **Adaptive local path**: a near-dup pair graph is usually a sliver of
-    the corpus (pairs exist only where documents nearly collide), while the
-    iterative loop pays several full Spark jobs *per round*. When the edge
-    list is at most ``local_threshold`` rows, it is collected and solved
-    with union-find on the driver — the same data-size-gated decision AQE
-    makes when it swaps a shuffle join for a broadcast join, and with the
-    same bound: the collected side must fit in driver memory (~tens of MB
-    at the default threshold; raise/lower with driver heap). Graphs above
-    the threshold take the distributed loop unchanged — at 100 TB both
-    paths are live, chosen per job by the observed edge count. Pass
-    ``local_threshold=0`` to force the loop (tests pin both paths agree).
+    **Adaptive funnel path** (r9, the r8 driver-union-find path
+    generalized to partition-local-then-global): a near-dup pair graph
+    is usually a sliver of the corpus (pairs exist only where documents
+    nearly collide), while the iterative loop pays several full Spark
+    jobs *per round*. When the edge list is at most ``local_threshold``
+    rows, it is solved by TWO `contract_components` passes — every
+    partition contracts to its local star set in parallel (zero
+    shuffle), then one repartition(1) task merges the node-sized star
+    sets into global components — the same data-size-gated decision AQE
+    makes when it swaps a shuffle join for a broadcast join, but bounded
+    by one TASK's memory instead of the driver's, and never moving rows
+    off the executors. Graphs above the threshold take the distributed
+    loop, with one contraction prepass shrinking its input first — at
+    100 TB both paths are live, chosen per job by the observed edge
+    count. Pass ``local_threshold=0`` to force the pristine loop with
+    no Python stage (tests pin all paths agree); exotic key dtypes
+    (non-int, non-string) fall back to the r8 driver union-find.
     """
     if algorithm not in ("minlabel", "star"):
         raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
@@ -61,13 +158,39 @@ def connected_components(
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    contractable = dict(sym.dtypes)["a"] in _CONTRACT_KEY_TYPES
     if local_threshold and sym.count() <= local_threshold:
+        if contractable:
+            return _funnel_components(sym)
         return _local_components(sym)
     if algorithm == "star":
         # O(log n)-round star contraction for high-diameter graphs; the
         # min-label loop below is cheaper per round on the small-diameter
         # cluster graphs dedup produces
         return connected_components_star(edges, src, dst, max_iter=max_iter)
+    if local_threshold and contractable:
+        # above-threshold graphs still take the zero-shuffle contraction
+        # prepass: the loop then iterates over ~node-sized star edges
+        # instead of the raw pair list (local_threshold=0 keeps the
+        # pristine loop for the agreement tests)
+        stars = contract_components(sym)
+        # re-symmetrize IN-PLAN (explode of the two orientations) so the
+        # contraction runs once — a union of the frame with its swap
+        # would execute the Python stage twice
+        sym = (
+            stars.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(
+                            F.col("b").alias("a"), F.col("a").alias("b")
+                        ),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.a", "_e.b")
+            .localCheckpoint(eager=True)
+        )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -125,6 +248,7 @@ def connected_components_star(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 20,
+    contract_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components via the alternating Large-Star / Small-Star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -142,6 +266,16 @@ def connected_components_star(
     `connected_components`: cluster id = min member key; property-tested
     against union-find, plus the long-chain case the min-label loop's
     round budget cannot cover.
+
+    **r9 contraction funnel**: edge sets at most ``contract_threshold``
+    rows skip the global rounds entirely — two `contract_components`
+    passes (partition-parallel, then one repartition(1) task) produce
+    the same star edges the loop converges to, replacing ~log(n) rounds
+    of 4 shuffles + a signature job each with ONE job. Larger graphs run
+    the rounds on a contraction-shrunk (~node-sized) edge set instead of
+    the raw pair list. ``contract_threshold=0`` forces the pristine
+    no-Python-stage loop (the property tests pin both paths agree, and
+    exotic key dtypes take it automatically).
     """
     def checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
         # checkpoint, then one synchronous signature agg on the
@@ -178,6 +312,24 @@ def connected_components_star(
         .unionByName(e0.select(F.col("v").alias("node")))
         .distinct()
     )
+    if contract_threshold and dict(e.dtypes)["u"] in _CONTRACT_KEY_TYPES:
+        if sig[0] <= contract_threshold:
+            # the funnel IS the converged star set: read labels off it
+            # directly and skip the rounds (see docstring)
+            final = (
+                contract_components(contract_components(e).repartition(1))
+                .localCheckpoint(eager=True)
+            )
+            labels = final.select(
+                F.col("u").alias("node"), F.col("v").alias("cluster")
+            )
+            centers = all_nodes.join(
+                labels.select("node"), "node", "left_anti"
+            ).withColumn("cluster", F.col("node"))
+            return labels.unionByName(centers)
+        # too big for one finishing task: still contract partition-wise
+        # (zero shuffle) so the rounds iterate over ~node-sized stars
+        e, sig = checkpoint_with_sig(contract_components(e))
 
     def large_star(df: DataFrame) -> DataFrame:
         sym = df.unionByName(
@@ -543,6 +695,33 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def _funnel_components(sym: DataFrame) -> DataFrame:
+    """Two-pass contraction funnel over an (already symmetrized +
+    checkpointed) edge frame — the distributed replacement for
+    `_local_components`: pass 1 contracts every partition in parallel
+    with zero shuffle; repartition(1) funnels the node-sized star sets
+    into one task whose second pass merges them into global components.
+    Labels match the loop and the driver path exactly (cluster = min
+    member key).
+
+    Centers (nodes that ARE their component's min) emit no star edge, so
+    they are re-attached from the node universe with an anti-join — off
+    the checkpointed input, which also keeps self-loop-only nodes in the
+    output exactly as the min-label loop does (they appear in `sym` but
+    never in a star edge).
+    """
+    final = (
+        contract_components(contract_components(sym).repartition(1))
+        .localCheckpoint(eager=True)
+    )
+    labels = final.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    all_nodes = sym.select(F.col("a").alias("node")).distinct()
+    centers = all_nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("cluster", F.col("node"))
+    return labels.unionByName(centers)
 
 
 def _local_components(sym: DataFrame) -> DataFrame:

@@ -171,6 +171,75 @@ def test_connected_components_planted_clusters(spark):
     assert looped == got
 
 
+def test_contract_components_preserves_components(spark):
+    """r9 partition-local contraction: under an ADVERSARIAL partitioning
+    (every edge its own partition — no local merging possible) the star
+    output must still carry the same components and the same node
+    universe as the input; a second pass over repartition(1) must land
+    on the exact global min-member stars."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        contract_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 99), (7, 8), (8, 7)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long").repartition(
+        len(edges)
+    )
+    stars = contract_components(df).localCheckpoint(eager=True)
+    # node universe: every endpoint appears in the star set
+    nodes = set()
+    for row in stars.collect():
+        nodes.add(row[0])
+        nodes.add(row[1])
+    assert nodes == {1, 2, 3, 4, 7, 8, 10, 11, 99}
+    final = contract_components(stars.repartition(1))
+    got = {r["key_a"]: r["key_b"] for r in final.collect()}
+    assert got == {2: 1, 3: 1, 4: 1, 8: 7, 11: 10, 99: 10}
+
+
+def test_connected_components_string_keys_funnel(spark):
+    """String node keys ride the numpy contraction (np.unique sorts
+    object arrays by code point == Spark's UTF8_BINARY min) — funnel,
+    loop, and star paths must agree."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "z"), ("é", "e")],
+        "key_a string, key_b string",
+    )
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "z": "x", "e": "e", "é": "e"}
+    for df in (
+        connected_components(edges),
+        connected_components(edges, local_threshold=0),
+        connected_components_star(edges),
+    ):
+        assert {r["node"]: r["cluster"] for r in df.collect()} == want
+
+
+def test_connected_components_self_loop_only_node_kept(spark):
+    """A node whose only edge is a self-loop has no star edge, but the
+    min-label loop keeps it as its own singleton cluster — the funnel's
+    center re-attachment must match."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5)], "key_a long, key_b long"
+    )
+    want = {1: 1, 2: 1, 5: 5}
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == want
+    looped = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert looped == want
+
+
 def test_salted_topk_matches_plain_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

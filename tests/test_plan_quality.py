@@ -839,6 +839,13 @@ _PYTHON_STAGE_OK_PREFIXES = (
     # hard-negative mining is the same matmul scan with a label mask on
     # the in-task score matrix (r8)
     "sim_hard_negatives",
+    # r9: every connected-components consumer runs the partition-local
+    # contraction funnel (operators/graph.py::contract_components) — an
+    # Arrow-batched numpy union-find per partition that shrinks the edge
+    # set to ~node size before (or instead of) the global rounds. This
+    # is the declared design for all components-based clustering.
+    "graph_components", "dedup_clusters", "etl_golden_record",
+    "text_dedup_clusters", "corpus_prep", "corpus_dedup_funnel",
 )
 
 

@@ -593,14 +593,24 @@ def test_star_components_match_union_find(spark, edge_list):
         for n in members:
             want[n] = m
 
+    # default (contraction funnel) AND the pristine star loop must both
+    # match the reference — contract_threshold=0 forces the rounds
     got = {r.node: r.cluster for r in connected_components_star(df).collect()}
     assert got == want
+    loop = {
+        r.node: r.cluster
+        for r in connected_components_star(df, contract_threshold=0).collect()
+    }
+    assert loop == want
 
 
 def test_star_components_long_chain_converges_fast(spark):
     """A 400-node path graph: min-label needs 400 rounds (its default
     budget raises), star contraction converges in O(log n) — this is the
-    high-diameter case graph.py routes to this variant."""
+    high-diameter case graph.py routes to this variant. Forced past the
+    r9 contraction funnel (contract_threshold=0) so the ROUNDS stay
+    covered; the funnel path is exercised by the property test above
+    and the dedicated contraction tests."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         connected_components_star,
     )
@@ -609,7 +619,34 @@ def test_star_components_long_chain_converges_fast(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "key_a long, key_b long"
     )
-    got = {r.node: r.cluster for r in connected_components_star(df, max_iter=12).collect()}
+    got = {
+        r.node: r.cluster
+        for r in connected_components_star(
+            df, max_iter=12, contract_threshold=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_loop_on_contracted_edges_long_chain(spark):
+    """The big-graph branch (edges > contract_threshold): the star
+    rounds run on the partition-contracted edge set. A chain split
+    across partitions contracts to per-partition stars that the rounds
+    must still merge globally."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 400
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "key_a long, key_b long"
+    ).repartition(8)
+    got = {
+        r.node: r.cluster
+        for r in connected_components_star(
+            df, max_iter=12, contract_threshold=1
+        ).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
 
