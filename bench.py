@@ -234,6 +234,9 @@ HEADLINE = [
     "ts_cross_corr",
     # (corpus_curriculum and privacy_k_map share their scan/agg shapes
     # with corpus_prep and privacy_kanon already in the set)
+    # round-9: the 3-round unrolled BPE trainer (vocab-sized rounds
+    # after one corpus collapse — the heaviest new r9 shape)
+    "text_bpe_merge_apply",
 ]
 
 

@@ -1344,3 +1344,163 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_freq",
         )
     )
+
+
+_BPE_MERGE_ROUNDS = 3
+#: U+001F (unit separator) — wraps every symbol in the string-encoded
+#: symbol sequence. Absent from natural text; words containing it are
+#: filtered (both engines) so the encoding is unambiguous.
+_BPE_US = "\x1f"
+
+
+def _bpe_merge_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """Unrolled BPE-trainer replay (the `graph_ppr` pattern): each round
+    re-derives the best pair from the CURRENT symbol sequences and
+    applies it with the same delimiter-wrapped `replace`, so DuckDB
+    independently reproduces the merges Spark picked."""
+    syms = "string_split(trim(repr, chr(31)), chr(31)||chr(31))"
+    parts = [
+        """
+    WITH words AS (
+      SELECT t AS word, count(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS t
+        FROM documents
+      )
+      WHERE strpos(t, chr(31)) = 0
+      GROUP BY t
+    ),
+    r0 AS (
+      SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g')
+               AS repr,
+             freq
+      FROM words
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT s[i] AS sym_a, s[i+1] AS sym_b, sum(freq)::BIGINT AS pair_freq
+      FROM (SELECT {syms} AS s, freq FROM r{r - 1}) t
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, len(s) - 1)) AS i
+      ) u
+      WHERE len(s) >= 2
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT sym_a, sym_b, pair_freq
+      FROM p{r} ORDER BY pair_freq DESC, sym_a, sym_b LIMIT 1
+    ),
+    r{r} AS (
+      SELECT replace(r.repr,
+                     chr(31)||b.sym_a||chr(31)||chr(31)||b.sym_b||chr(31),
+                     chr(31)||b.sym_a||b.sym_b||chr(31)) AS repr,
+             r.freq
+      FROM r{r - 1} r, b{r} b
+    ),
+    t{r} AS (
+      SELECT sum(freq * len({syms}))::BIGINT AS corpus_tokens_after
+      FROM r{r}
+    )""")
+    selects = [
+        f"""
+    SELECT {r}::BIGINT AS merge_round, sym_a, sym_b, pair_freq,
+           (SELECT corpus_tokens_after FROM t{r}) AS corpus_tokens_after
+    FROM b{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return ",".join(parts) + "\n    UNION ALL".join(selects)
+
+
+@query("text_bpe_merge_apply", oracle=_bpe_merge_oracle())
+def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5p (r9): BPE merge APPLICATION — the trainer loop that
+    `text_bpe_pair_stats` is one round of (Sennrich et al. 2016): pick
+    the corpus-frequency-best adjacent symbol pair (freq DESC, pair ASC
+    tie-break), merge every left-to-right non-overlapping occurrence
+    across the word vocabulary, re-count, repeat. Returns the merge
+    ledger: (merge_round, sym_a, sym_b, pair_freq, corpus_tokens_after)
+    for three unrolled rounds — the table a tokenizer-training run
+    checkpoints after every merge batch.
+
+    Greedy merge as ONE string `replace`: symbol sequences are encoded
+    with every symbol wrapped in U+001F (``\\x1f a \\x1f \\x1f b
+    \\x1f``), so the pair pattern ``\\x1f a \\x1f\\x1f b \\x1f`` consumes
+    its delimiters entirely — left-to-right non-overlapping replace IS
+    the BPE merge rule ("aaa" + merge(a,a) -> [aa, a]; "abab" ->
+    [ab, ab]; both engines pinned), and a pattern can never match
+    across a symbol boundary (a multi-char symbol's interior has no
+    delimiters). No regex, no UDF, no per-symbol explode in the apply
+    step.
+
+    Scale: the corpus collapses to its VOCABULARY in the first
+    token-keyed agg (map-side combined) and never re-enters — all three
+    rounds run over vocab-sized rows. Per round: one pair explode + agg
+    (vocab × word-length rows), one TakeOrdered(1) for the best pair
+    (a bounded driver scalar, the exact_global_quantile collect class),
+    one column-local `replace`, one global count. The merge table is 3
+    driver literals; the 100 TB trainer is this loop with a larger
+    round count and batched merges.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    us = _BPE_US
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .filter(~F.col("word").contains(us))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)  # 3 rounds re-scan: vocab, not corpus
+    )
+    repr_df = words.select(
+        F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
+    )
+    syms = F.split(F.btrim(F.col("repr"), F.lit(us)), us + us)
+    out_rows = []
+    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            repr_df.select(syms.alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"),
+                "s",
+                "freq",
+            )
+            .select(
+                F.expr("s[i - 1]").alias("sym_a"),
+                F.expr("s[i]").alias("sym_b"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("sym_a", "sym_b")
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "sym_a", "sym_b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, pf = best[0]["sym_a"], best[0]["sym_b"], best[0]["pair_freq"]
+        repr_df = repr_df.select(
+            F.replace(
+                F.col("repr"),
+                F.lit(us + a + us + us + b + us),
+                F.lit(us + a + b + us),
+            ).alias("repr"),
+            "freq",
+        ).localCheckpoint(eager=True)  # next round's pairs + the count below
+        tokens_after = repr_df.agg(
+            F.sum(F.col("freq") * F.size(syms).cast("long")).alias("t")
+        ).collect()[0]["t"]
+        out_rows.append((r, a, b, pf, int(tokens_after)))
+    schema = (
+        "merge_round long, sym_a string, sym_b string, pair_freq long, "
+        "corpus_tokens_after long"
+    )
+    return spark.createDataFrame(out_rows, schema)

@@ -284,3 +284,36 @@ def test_bpe_pair_stats_hand_counted(spark, tmp_path):
     assert (r2.sym_a, r2.sym_b, r2.pair_freq) == ("n", "a", 4)
     r3 = out[3]
     assert (r3.sym_a, r3.sym_b, r3.pair_freq) == ("b", "a", 3)
+
+
+def test_bpe_merge_apply_hand_computed(spark, tmp_path):
+    """Three unrolled BPE merge rounds on 'aaab aaab ab' (aaab freq 2,
+    ab freq 1), every value hand-derived:
+
+    - round 1: pairs (a,a)=4, (a,b)=3 -> merge (a,a); GREEDY
+      left-to-right means [a,a,a,b] -> [aa,a,b] (NOT [a,aa,b] or
+      [aa,aa,...]); corpus tokens 2*3 + 1*2 = 8.
+    - round 2: (a,b)=3 beats (aa,a)=2 -> [aa,ab] / [ab]; tokens 5.
+    - round 3: (aa,ab)=2 -> [aaab] / [ab]; tokens 3.
+
+    The token counts are the greedy-scan tripwire: a non-greedy or
+    overlap-double-merging apply lands on different totals."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [
+        (0, "aaab aaab ab", "en", "web", 12),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.merge_round: r for r in
+           QUERIES["text_bpe_merge_apply"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].sym_a, out[1].sym_b, out[1].pair_freq,
+            out[1].corpus_tokens_after) == ("a", "a", 4, 8)
+    assert (out[2].sym_a, out[2].sym_b, out[2].pair_freq,
+            out[2].corpus_tokens_after) == ("a", "b", 3, 5)
+    assert (out[3].sym_a, out[3].sym_b, out[3].pair_freq,
+            out[3].corpus_tokens_after) == ("aa", "ab", 2, 3)
