@@ -348,8 +348,12 @@ def stateful_user_totals_tws(events: DataFrame, watermark: str = WATERMARK) -> D
     raw tuple, explicit init/close lifecycle, and RocksDB-backed state
     (set spark.sql.streaming.stateStore.providerClass to the RocksDB
     provider; required by TWS). NOTE: the TWS state protocol requires
-    google.protobuf at runtime — absent from this harness, so the parity
-    test skips here; applyInPandasWithState (ST5) is the tested path."""
+    google.protobuf at runtime — absent from this harness (r9 audit:
+    `pyspark.sql.streaming.proto.StateMessage_pb2` itself raises
+    ModuleNotFoundError('google'), so no amount of query-side gating can
+    run TWS here; the parity test certifies the skip against exactly
+    that import). applyInPandasWithState (ST5) is the tested path; the
+    test body runs automatically on any image that ships protobuf."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

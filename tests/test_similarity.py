@@ -562,6 +562,44 @@ def test_cosine_pairs_blocked_candidates_hook_matches_exact(spark):
     assert all(exact[p] == s for p, s in lsh.items())
 
 
+def test_cosine_pairs_hook_matches_grid_at_low_threshold(spark):
+    """r9 (r8-verdict follow-up): the hook parity above runs at a
+    near-dup threshold (0.9); this is the complementary pin at the
+    DECLARED low threshold (0.4, `dedup_embedding`'s contract), where
+    far more pairs qualify and any threshold-dependent drift in the
+    shared `exact_rerank_pairs` tail would surface. A full candidate
+    set through the hook must equal the block-grid byte-for-byte —
+    proving the rerank tail is threshold-independent, so swapping in a
+    pruned candidate source at scale changes recall only, never
+    scoring."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.4
+    exact = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_blocked(emb, threshold=thr).collect()
+    }
+    assert exact, "fixture must produce pairs at the declared threshold"
+    ids = emb.select(F.col("vec_id"))
+    cand = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.vec_id") > F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("key_a"), F.col("b.vec_id").alias("key_b")
+        )
+    )
+    hook = {
+        (r.key_a, r.key_b): r.cos_sim
+        for r in cosine_pairs_blocked(
+            emb, threshold=thr, candidates=cand
+        ).collect()
+    }
+    assert hook == exact
+
+
 def test_cosine_radius_search_planted_twins_and_self_exclusion(spark):
     """Radius search must return EVERY vector over the threshold (the
     recall-completeness top-k truncates away), never a self-match, and

@@ -212,10 +212,19 @@ def test_tws_stateful_totals_match_batch(spark):
     from pyspark.sql.pandas.group_ops import PandasGroupedOpsMixin
 
     assert hasattr(PandasGroupedOpsMixin, "transformWithStateInPandas")
+    # certify the skip against the ACTUAL dependency, not a guess: the
+    # generated TWS state-protocol module is what needs google.protobuf
+    # (r9 audit: `import pyspark.sql.streaming.proto.StateMessage_pb2`
+    # raises ModuleNotFoundError('google') on this image, and installing
+    # packages is out of contract). If the environment ever gains
+    # protobuf, this import succeeds and the parity body below RUNS.
     try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf not available: TWS state protocol unusable")
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except ModuleNotFoundError as exc:
+        pytest.skip(
+            f"TWS state protocol unusable on this image ({exc}); "
+            "applyInPandasWithState (ST5) is the tested stateful path"
+        )
 
     from openmrs_patient_migration_script_spark.streaming.pipelines import (
         stateful_user_totals_tws,
