@@ -2041,3 +2041,70 @@ def graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 3).alias("key_b"),
     )
     return coreness(e2.unionByName(e3), max_k=3, n_rounds=6)
+
+
+@query(
+    "graph_components_size_dist",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    labels AS (
+      SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster, count(*)::BIGINT AS cluster_size
+      FROM labels GROUP BY cluster
+    )
+    SELECT cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_nodes
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def graph_components_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9r (r9): duplicate-cluster SIZE DISTRIBUTION — the dedup-graph
+    health table read before any merge is applied: (cluster_size,
+    n_clusters, n_nodes). A healthy near-dup graph is dominated by small
+    sizes; mass migrating into one giant component is the
+    blocking-key-too-coarse / comparator-over-merging tripwire (the
+    chain-collapse failure `dedup_clusters`' docstring warns about),
+    caught here as a first-class, diffable, alertable table rather than
+    by eyeballing labels. Pure integers, trivially joinable against
+    yesterday's run for drift.
+
+    Plan: components via the r9 contraction funnel (partition-local
+    numpy union-find, one-task finish at this scale; node-keyed rounds
+    above it), then two count aggs — cluster-keyed, then size-keyed;
+    output is #distinct-sizes rows. Every shuffle is on node/cluster/
+    size keys; nothing is corpus-sized past the pair generation."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_nodes"),
+    )

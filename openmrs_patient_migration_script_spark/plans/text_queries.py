@@ -1353,11 +1353,12 @@ _BPE_MERGE_ROUNDS = 3
 _BPE_US = "\x1f"
 
 
-def _bpe_merge_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
-    """Unrolled BPE-trainer replay (the `graph_ppr` pattern): each round
-    re-derives the best pair from the CURRENT symbol sequences and
-    applies it with the same delimiter-wrapped `replace`, so DuckDB
-    independently reproduces the merges Spark picked."""
+def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """The shared unrolled BPE-trainer CTE chain (the `graph_ppr`
+    pattern): words -> wrapped repr -> per round (pair stats p{r}, best
+    pair b{r}, merged repr r{r}, corpus count t{r}). Both BPE oracles
+    build on this so DuckDB independently re-derives the merges Spark
+    picked."""
     syms = "string_split(trim(repr, chr(31)), chr(31)||chr(31))"
     parts = [
         """
@@ -1404,6 +1405,11 @@ def _bpe_merge_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       SELECT sum(freq * len({syms}))::BIGINT AS corpus_tokens_after
       FROM r{r}
     )""")
+    return ",".join(parts)
+
+
+def _bpe_merge_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """Merge-ledger readout over the shared learn CTEs."""
     selects = [
         f"""
     SELECT {r}::BIGINT AS merge_round, sym_a, sym_b, pair_freq,
@@ -1411,7 +1417,38 @@ def _bpe_merge_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
     FROM b{r}"""
         for r in range(1, n_rounds + 1)
     ]
-    return ",".join(parts) + "\n    UNION ALL".join(selects)
+    return _bpe_learn_ctes(n_rounds) + "\n    UNION ALL".join(selects)
+
+
+def _bpe_encode_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """Per-document encode readout: re-derive the merges via the shared
+    learn CTEs, then apply them doc-wide as nested literal replaces —
+    space renders as an ordinary wrapped symbol no merge pattern can
+    cross, so the doc-wide apply equals the per-word apply."""
+    enc = "regexp_replace(lower(d.text), '(.)', chr(31)||'\\1'||chr(31), 'g')"
+    for r in range(1, n_rounds + 1):
+        enc = (
+            f"replace({enc},\n"
+            f"         chr(31)||b{r}.sym_a||chr(31)||chr(31)||b{r}.sym_b||chr(31),\n"
+            f"         chr(31)||b{r}.sym_a||b{r}.sym_b||chr(31))"
+        )
+    froms = ", ".join(f"b{r}" for r in range(1, n_rounds + 1))
+    return (
+        _bpe_learn_ctes(n_rounds)
+        + f""",
+    enc AS (
+      SELECT d.doc_id,
+             length(lower(d.text))::BIGINT AS n_char_syms,
+             {enc} AS e
+      FROM documents d, {froms}
+    )
+    SELECT doc_id, n_char_syms,
+           (CASE WHEN n_char_syms = 0 THEN 0
+                 ELSE len(string_split(trim(e, chr(31)),
+                                       chr(31)||chr(31))) END)::BIGINT
+             AS n_bpe_tokens
+    FROM enc"""
+    )
 
 
 @query("text_bpe_merge_apply", oracle=_bpe_merge_oracle())
@@ -1457,11 +1494,36 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .localCheckpoint(eager=True)  # 3 rounds re-scan: vocab, not corpus
     )
+    out_rows = []
+    syms = _bpe_syms()
+    for r, a, b, pf, repr_df in _bpe_merge_rounds(words):
+        tokens_after = repr_df.agg(
+            F.sum(F.col("freq") * F.size(syms).cast("long")).alias("t")
+        ).collect()[0]["t"]
+        out_rows.append((r, a, b, pf, int(tokens_after)))
+    schema = (
+        "merge_round long, sym_a string, sym_b string, pair_freq long, "
+        "corpus_tokens_after long"
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _bpe_syms():
+    """Column: the symbol array of a wrapped `repr` string."""
+    us = _BPE_US
+    return F.split(F.btrim(F.col("repr"), F.lit(us)), us + us)
+
+
+def _bpe_merge_rounds(words: DataFrame):
+    """The shared BPE trainer loop over a checkpointed (word, freq)
+    vocabulary: yields (round, sym_a, sym_b, pair_freq, repr_df) with
+    ``repr_df`` the checkpointed post-merge symbol table — consumed by
+    `text_bpe_merge_apply` (ledger) and `text_bpe_encode` (apply)."""
+    us = _BPE_US
     repr_df = words.select(
         F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
     )
-    syms = F.split(F.btrim(F.col("repr"), F.lit(us)), us + us)
-    out_rows = []
+    syms = _bpe_syms()
     for r in range(1, _BPE_MERGE_ROUNDS + 1):
         pairs = (
             repr_df.select(syms.alias("s"), "freq")
@@ -1485,7 +1547,7 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         if not best:
-            break
+            return
         a, b, pf = best[0]["sym_a"], best[0]["sym_b"], best[0]["pair_freq"]
         repr_df = repr_df.select(
             F.replace(
@@ -1494,13 +1556,53 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(us + a + b + us),
             ).alias("repr"),
             "freq",
-        ).localCheckpoint(eager=True)  # next round's pairs + the count below
-        tokens_after = repr_df.agg(
-            F.sum(F.col("freq") * F.size(syms).cast("long")).alias("t")
-        ).collect()[0]["t"]
-        out_rows.append((r, a, b, pf, int(tokens_after)))
-    schema = (
-        "merge_round long, sym_a string, sym_b string, pair_freq long, "
-        "corpus_tokens_after long"
+        ).localCheckpoint(eager=True)  # next round's pairs + caller reads
+        yield r, a, b, pf, repr_df
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5q (r9): BPE ENCODE — apply the merges `text_bpe_merge_apply`
+    learns to every document, per-doc: (doc_id, n_char_syms,
+    n_bpe_tokens). This is the tokenization pass a corpus pipeline runs
+    after training — the per-document token-count table that feeds
+    packing, curriculum, and cost estimates.
+
+    The apply is DOC-WIDE, not per-word: the whole lowercased text is
+    wrapped char-wise (spaces become ordinary wrapped symbols), and
+    since every learned merge pattern is delimiter-bounded and
+    space-free, no merge can cross a word boundary — doc-wide nested
+    `replace` equals the per-word apply with zero explode/regroup.
+    After the (vocab-sized) training rounds, the corpus pass is a
+    ZERO-SHUFFLE row-local projection: wrap, 3 literal replaces, one
+    split-count — the ideal 100 TB shape (scales with executors,
+    no exchange). Oracle re-derives the merges through the shared
+    unrolled learn CTEs and applies the identical nested replaces."""
+    docs = load_table(spark, sf_dir, "documents")
+    us = _BPE_US
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .filter(~F.col("word").contains(us))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
     )
-    return spark.createDataFrame(out_rows, schema)
+    merges = [(a, b) for _, a, b, _, _ in _bpe_merge_rounds(words)]
+    enc = F.regexp_replace(F.lower(F.col("text")), "(.)", us + "$1" + us)
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(us + a + us + us + b + us), F.lit(us + a + b + us))
+    n_char = F.length(F.lower(F.col("text"))).cast("long")
+    n_bpe = (
+        F.when(n_char == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.btrim(enc, F.lit(us)), us + us)))
+        .cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_char.alias("n_char_syms"),
+        n_bpe.alias("n_bpe_tokens"),
+    )

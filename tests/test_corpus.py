@@ -317,3 +317,31 @@ def test_bpe_merge_apply_hand_computed(spark, tmp_path):
             out[2].corpus_tokens_after) == ("a", "b", 3, 5)
     assert (out[3].sym_a, out[3].sym_b, out[3].pair_freq,
             out[3].corpus_tokens_after) == ("aa", "ab", 2, 3)
+
+
+def test_bpe_encode_hand_computed(spark, tmp_path):
+    """Doc-wide BPE encode with the merges learned on the same corpus
+    ('aaab aaab ab' + 'ba' + an empty doc -> merges (a,a),(a,b),(aa,ab)
+    exactly as in the merge-apply test):
+
+    - doc 0 'aaab aaab ab' (12 chars) encodes to
+      [aaab, ' ', aaab, ' ', ab] = 5 tokens — spaces are ordinary
+      symbols and no merge crosses them;
+    - doc 1 'ba' stays [b, a] = 2 tokens (the (a,b) merge must NOT
+      match the reversed pair);
+    - doc 2 '' is 0 chars / 0 tokens (the empty-text guard)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [
+        (0, "aaab aaab ab", "en", "web", 12),
+        (1, "ba", "en", "web", 2),
+        (2, "", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: (r.n_char_syms, r.n_bpe_tokens)
+           for r in QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()}
+    assert out == {0: (12, 5), 1: (2, 2), 2: (0, 0)}

@@ -704,13 +704,38 @@ def _theil_sen_shape(ev_k):
     )
 
 
-def _band_sweep_shape(d_k):
+def _tagged_doc_copies(docs, k: int):
+    """Selectivity-preserving document replication: copy i suffixes every
+    token with `_i`, so cross-copy shingles never collide — the text-side
+    equivalent of `replicate`'s key shift. Without it, k plain copies
+    give every doc k−1 exact twins and any similarity shape's TRUE pair
+    workload grows quadratically in k (a fixture artifact, not a plan
+    property — r9 caught `band_sweep_4cfg` crossing exponent 1.0 on
+    plain copies while the tagged ladder stays sublinear)."""
+    from functools import reduce
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * KEY_SHIFT)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(k)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def _band_sweep_shape(docs, k: int):
     """4-config LSH banding sweep over ONE shared signature build
-    (dedup_minhash_band_sweep): candidate counts per (bands, rows)."""
+    (dedup_minhash_band_sweep): candidate counts per (bands, rows).
+    Copy-tagged tokens (see `_tagged_doc_copies`) keep bucket sizes —
+    and so the bucket-pair workload the sweep exists to measure —
+    proportional to the data, matching every other similarity shape."""
     from openmrs_patient_migration_script_spark.operators.dedup import (
         _band_buckets,
         minhash_signatures,
     )
+
+    d_k = _tagged_doc_copies(docs, k)
 
     md5_pair = lambda c: (  # noqa: E731
         F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
@@ -1119,7 +1144,7 @@ def main() -> None:
             # bounded-day pair join: post-scan cost fixed by day count
             "theil_sen_pairs": lambda: _theil_sen_shape(ev_k),
             # one signature build, 4 banding configs of bucket joins
-            "band_sweep_4cfg": lambda: _band_sweep_shape(d_k),
+            "band_sweep_4cfg": lambda: _band_sweep_shape(docs, k),
             # labels x dims agg + label-pair join, vectors never shuffle
             "centroid_separation": lambda: _centroid_sep_shape(e_k),
             # exact global p90 by histogram selection (multi-scan, no sort)

@@ -1,9 +1,14 @@
-"""64x scaling probe for the two ~linear shapes (VERDICT r5 task #5):
-triangle_count (exp 0.97 over 16x) and fellegi_sunter (0.90) — confirm
-the exponent holds past 16x, and probe both under PLANTED skew (a hot
-block key in linkage, a hub vertex in triangles), recording the final
-AQE-replanned physical plan's skew markers and the salted-block lever's
-effect.
+"""64x scaling probe for the steepest 16x-exponent shapes.
+
+r6 run (VERDICT r5 task #5): triangle_count + fellegi_sunter, plus
+planted-skew runs (hot linkage block, hub vertex) with AQE plan
+inspection — that section is in SCALING.md history.
+
+r9 run (VERDICT r8 task #2): the five shapes whose 16x fitted exponent
+is >= ~0.8 — triangle_count (0.92), fellegi_sunter (0.89),
+corr_matrix_onepass (0.85), profile_multi_distinct (0.81),
+band_sweep_4cfg (0.79) — re-laddered to 64x to record whether the
+exponent holds below 1.0 past the span the r8 fit used.
 
 Run ALONE on an idle box (concurrent Spark jobs contaminate timings —
 see the probe-hygiene rule). Appends a `## 64x probe` section to
@@ -27,6 +32,8 @@ from openmrs_patient_migration_script_spark.session import get_spark  # noqa: E4
 from openmrs_patient_migration_script_spark.sources import load_table  # noqa: E402
 from tools.scale_probe import (  # noqa: E402
     KEY_SHIFT,
+    _band_sweep_shape,
+    _corrmatrix_shape,
     _fuzzy_edges,
     _linkage_shape,
     replicate,
@@ -119,41 +126,55 @@ def _run_with_plan(df) -> tuple[float, str]:
 def main() -> None:
     spark = get_spark("scale-probe-64x")
     customer = load_table(spark, SF_DIR, "customer").localCheckpoint(eager=True)
+    lineitem = load_table(spark, SF_DIR, "lineitem").localCheckpoint(eager=True)
+    orders = load_table(spark, SF_DIR, "orders").localCheckpoint(eager=True)
+    docs = load_table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        profile_columns,
+    )
 
     results: dict[str, dict[int, float]] = {}
     for k in FACTORS:
         c_k = replicate(customer, ["c_custkey"], k, KEY_SHIFT)
+        li_k = replicate(lineitem, ["l_orderkey"], k, KEY_SHIFT)
+        o_k = replicate(orders, ["o_orderkey", "o_custkey"], k, KEY_SHIFT)
+        d_k = replicate(docs, ["doc_id"], k, KEY_SHIFT)
         if k > 1:
             c_k = c_k.localCheckpoint(eager=True)
+            li_k = li_k.localCheckpoint(eager=True)
+            o_k = o_k.localCheckpoint(eager=True)
+            d_k = d_k.localCheckpoint(eager=True)
         for name, thunk in {
             "fellegi_sunter": lambda: _linkage_shape(c_k),
             "triangle_count": lambda: _triangles(c_k),
+            "corr_matrix_onepass": lambda: _corrmatrix_shape(li_k),
+            "profile_multi_distinct": lambda: profile_columns(
+                o_k, ["o_custkey", "o_orderstatus", "o_totalprice"]
+            ),
+            "band_sweep_4cfg": lambda: _band_sweep_shape(docs, k),
         }.items():
             results.setdefault(name, {})[k] = timed(thunk)
             print(f"k={k:2d} {name}: {results[name][k]:.2f}s", flush=True)
+        # release this factor's checkpoint blocks BEFORE building the
+        # next (4x bigger) set: the four replicated tables at 64x would
+        # otherwise share the unified pool with 1-16x leftovers and
+        # starve execution memory (observed: UNABLE_TO_ACQUIRE_MEMORY at
+        # 64x with the cumulative blocks resident). GC lets the
+        # ContextCleaner drop the orphaned checkpoint RDDs.
+        import gc
 
-    c16 = replicate(customer, ["c_custkey"], 16, KEY_SHIFT).localCheckpoint(
-        eager=True
-    )
-    link_plain_t, link_plain_ev = _run_with_plan(_skewed_linkage(c16))
-    print(f"skewed linkage 16x plain: {link_plain_t:.2f}s | {link_plain_ev}",
-          flush=True)
-    link_salt_t, link_salt_ev = _run_with_plan(
-        _skewed_linkage(c16, salt_blocks=16)
-    )
-    print(f"skewed linkage 16x salt16: {link_salt_t:.2f}s | {link_salt_ev}",
-          flush=True)
-    tri_hub_t, tri_hub_ev = _run_with_plan(_triangles_hub(c16))
-    print(f"hub triangles 16x: {tri_hub_t:.2f}s | {tri_hub_ev}", flush=True)
+        del c_k, li_k, o_k, d_k
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     span = math.log(FACTORS[-1] / FACTORS[0])
     lines = [
         "",
-        "## 64x probe (tools/scale_probe_64x.py — r6)",
+        "## 64x probe (tools/scale_probe_64x.py — r9 rerun)",
         "",
-        "The two ~linear shapes re-probed past 16x, alone on an idle box,",
-        "plus planted-skew runs at 16x (final AQE-replanned plan inspected",
-        "for skew markers; linkage also with the salt_blocks lever).",
+        "The five steepest 16x-exponent shapes (r8 fits 0.79-0.92)",
+        "re-laddered to 64x, alone on an idle box, at the r9 tree.",
         "",
         "| shape | " + " | ".join(f"{k}x sec" for k in FACTORS)
         + " | exp (64x span) |",
@@ -166,14 +187,7 @@ def main() -> None:
             + " | ".join(f"{ts[k]:.2f}" for k in FACTORS)
             + f" | {exp:.2f} |"
         )
-    lines += [
-        "",
-        f"Planted skew at 16x — linkage hot block ({HOT}+-record block):",
-        f"plain {link_plain_t:.2f}s ({link_plain_ev}); salt_blocks=16",
-        f"{link_salt_t:.2f}s ({link_salt_ev}). Triangles + degree-{HOT}",
-        f"hub: {tri_hub_t:.2f}s ({tri_hub_ev}).",
-        "",
-    ]
+    lines.append("")
     with open(Path(__file__).resolve().parent.parent / "SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended to SCALING.md", flush=True)
