@@ -235,8 +235,12 @@ HEADLINE = [
     # (corpus_curriculum and privacy_k_map share their scan/agg shapes
     # with corpus_prep and privacy_kanon already in the set)
     # round-9: the 3-round unrolled BPE trainer (vocab-sized rounds
-    # after one corpus collapse — the heaviest new r9 shape)
+    # after one corpus collapse — the heaviest new r9 shape), and the
+    # zero-shuffle doc-wide BPE tokenization pass it feeds
     "text_bpe_merge_apply",
+    "text_bpe_encode",
+    # (graph_components_size_dist shares dedup_clusters' pair-graph +
+    # components shape already in the set)
 ]
 
 
