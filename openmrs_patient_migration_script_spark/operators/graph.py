@@ -34,6 +34,15 @@ from openmrs_patient_migration_script_spark.functions.numeric import dec_to_long
 #: Exotic key types fall back to the pre-r9 paths.
 _CONTRACT_KEY_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
+#: below this many (symmetrized) edge rows the driver union-find beats
+#: the contraction funnel: the funnel pays a Python-worker round trip,
+#: a repartition(1) job and a checkpoint, ~0.7 s of fixed overhead that
+#: a collect of a few thousand rows doesn't (measured: corpus_prep's
+#: tiny pair graph regressed 3.1 -> 3.8 s at sf0.1 on the funnel; the
+#: 270k-row fuzzy graph is faster on it). Both tiers produce identical
+#: labels; the driver tier stays comfortably inside driver memory.
+_DRIVER_TIER = 50_000
+
 
 def _contract_partition_fn(batches):
     """mapInPandas body: connected components WITHIN one partition's edge
@@ -145,12 +154,16 @@ def connected_components(
     sets into global components — the same data-size-gated decision AQE
     makes when it swaps a shuffle join for a broadcast join, but bounded
     by one TASK's memory instead of the driver's, and never moving rows
-    off the executors. Graphs above the threshold take the distributed
-    loop, with one contraction prepass shrinking its input first — at
-    100 TB both paths are live, chosen per job by the observed edge
-    count. Pass ``local_threshold=0`` to force the pristine loop with
-    no Python stage (tests pin all paths agree); exotic key dtypes
-    (non-int, non-string) fall back to the r8 driver union-find.
+    off the executors. TINY graphs (<= `_DRIVER_TIER` symmetrized rows)
+    keep the r8 driver union-find: the funnel's fixed overhead (a
+    Python-worker round trip + two extra jobs) exceeds a few-thousand-row
+    collect (measured on corpus_prep's pair graph). Graphs above the
+    threshold take the distributed loop, with one contraction prepass
+    shrinking its input first — at 100 TB all tiers are live, chosen per
+    job by the observed edge count, and all produce identical labels.
+    Pass ``local_threshold=0`` to force the pristine loop with no Python
+    stage (tests pin all paths agree); exotic key dtypes (non-int,
+    non-string) fall back to the driver union-find at any size.
     """
     if algorithm not in ("minlabel", "star"):
         raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
@@ -159,10 +172,12 @@ def connected_components(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     contractable = dict(sym.dtypes)["a"] in _CONTRACT_KEY_TYPES
-    if local_threshold and sym.count() <= local_threshold:
-        if contractable:
-            return _funnel_components(sym)
-        return _local_components(sym)
+    if local_threshold:
+        n_sym = sym.count()
+        if n_sym <= local_threshold:
+            if contractable and n_sym > _DRIVER_TIER:
+                return _funnel_components(sym)
+            return _local_components(sym)
     if algorithm == "star":
         # O(log n)-round star contraction for high-diameter graphs; the
         # min-label loop below is cheaper per round on the small-diameter

@@ -197,10 +197,14 @@ def test_contract_components_preserves_components(spark):
     assert got == {2: 1, 3: 1, 4: 1, 8: 7, 11: 10, 99: 10}
 
 
-def test_connected_components_string_keys_funnel(spark):
+def test_connected_components_string_keys_funnel(spark, monkeypatch):
     """String node keys ride the numpy contraction (np.unique sorts
     object arrays by code point == Spark's UTF8_BINARY min) — funnel,
-    loop, and star paths must agree."""
+    driver tier, loop, and star paths must agree. The driver tier is
+    monkeypatched to 0 so the tiny fixture actually exercises the
+    funnel in `connected_components` (default tiers route it to the
+    driver union-find)."""
+    from openmrs_patient_migration_script_spark.operators import graph
     from openmrs_patient_migration_script_spark.operators.graph import (
         connected_components,
         connected_components_star,
@@ -217,12 +221,17 @@ def test_connected_components_string_keys_funnel(spark):
         connected_components_star(edges),
     ):
         assert {r["node"]: r["cluster"] for r in df.collect()} == want
+    monkeypatch.setattr(graph, "_DRIVER_TIER", 0)
+    funneled = connected_components(edges)
+    assert {r["node"]: r["cluster"] for r in funneled.collect()} == want
 
 
-def test_connected_components_self_loop_only_node_kept(spark):
+def test_connected_components_self_loop_only_node_kept(spark, monkeypatch):
     """A node whose only edge is a self-loop has no star edge, but the
     min-label loop keeps it as its own singleton cluster — the funnel's
-    center re-attachment must match."""
+    center re-attachment must match (driver tier patched to 0 so the
+    tiny fixture takes the funnel), and so must the driver tier."""
+    from openmrs_patient_migration_script_spark.operators import graph
     from openmrs_patient_migration_script_spark.operators.graph import (
         connected_components,
     )
@@ -238,6 +247,11 @@ def test_connected_components_self_loop_only_node_kept(spark):
         for r in connected_components(edges, local_threshold=0).collect()
     }
     assert looped == want
+    monkeypatch.setattr(graph, "_DRIVER_TIER", 0)
+    funneled = {
+        r["node"]: r["cluster"] for r in connected_components(edges).collect()
+    }
+    assert funneled == want
 
 
 def test_salted_topk_matches_plain_window(spark):
