@@ -239,6 +239,8 @@ HEADLINE = [
     # zero-shuffle doc-wide BPE tokenization pass it feeds
     "text_bpe_merge_apply",
     "text_bpe_encode",
+    # the per-edge wedge-count shape (k-truss support precursor)
+    "graph_edge_support",
     # (graph_components_size_dist shares dedup_clusters' pair-graph +
     # components shape already in the set)
 ]

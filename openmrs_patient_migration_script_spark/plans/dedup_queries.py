@@ -2108,3 +2108,59 @@ def graph_components_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_nodes"),
     )
+
+
+@query(
+    "graph_edge_support",
+    oracle=f"""
+    WITH named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    sym AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    counted AS (
+      SELECT p.key_a, p.key_b, count(*)::BIGINT AS support
+      FROM pairs p
+      JOIN sym na ON na.a = p.key_a
+      JOIN sym nb ON nb.a = p.key_b AND nb.b = na.b
+      GROUP BY 1, 2
+    )
+    SELECT p.key_a, p.key_b,
+           coalesce(c.support, 0)::BIGINT AS support
+    FROM pairs p
+    LEFT JOIN counted c
+      ON c.key_a = p.key_a AND c.key_b = p.key_b
+    """,
+)
+def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9s (r9): per-edge triangle support over the fuzzy pair graph —
+    (key_a, key_b, support) for every candidate pair, support = common
+    neighbors of the endpoints = triangles the edge closes. The k-truss
+    building block and the PRESENT-edge complement of
+    `graph_link_prediction`'s missing-edge score: support-0 edges inside
+    multi-edge clusters are the uncorroborated chain links a single
+    spurious comparator hit fabricates — the first pairs to review
+    before trusting a merge (`graph_components_size_dist` says WHETHER
+    mass is over-merging; this says WHICH edges glued it).
+
+    Plan: operators/graph.py::edge_support — wedge enumeration keyed on
+    each edge endpoint (two node-keyed joins + one count agg), support-0
+    edges restored with a left join; the `max_degree` super-node cap
+    bounds wedge fan-out at scale (no-op on this graph's ~10-degree
+    blocks, lower-bound contract when it fires)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        edge_support,
+    )
+
+    pairs = dedup_fuzzy(spark, sf_dir)
+    return edge_support(pairs)

@@ -762,3 +762,29 @@ def test_coreness_clique_triangle_and_chain(spark):
     assert got[10] == got[11] == got[12] == 2
     assert got[13] == 1
     assert got[1] == got[2] == got[3] == 1
+
+
+def test_edge_support_triangle_plus_tail(spark):
+    """Hand-computed support: triangle {1,2,3} with a tail 3-4 — every
+    triangle edge has support 1 (the third vertex), the tail edge has
+    support 0 (restored by the left join, not dropped); reversed/dup
+    input orientations collapse first. A hub capped by max_degree
+    undercounts (lower-bound contract)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        edge_support,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3)], ["key_a", "key_b"]
+    )
+    got = {(r.key_a, r.key_b): r.support for r in edge_support(edges).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+    # cap fires: vertex 3's adjacency rows as the FAR node drop, so the
+    # triangle edges lose the wedges THROUGH 3 but keep those through
+    # 1/2 — (1,2) keeps support 1 via far-node 3? No: far node 3 is
+    # dropped, so (1,2)'s wedge a-3-b disappears -> all supports 0.
+    capped = {
+        (r.key_a, r.key_b): r.support
+        for r in edge_support(edges, max_degree=2).collect()
+    }
+    assert capped == {(1, 2): 0, (1, 3): 1, (2, 3): 1, (3, 4): 0}
