@@ -1408,7 +1408,6 @@ def edge_support(
     edges: DataFrame,
     src: str = "key_a",
     dst: str = "key_b",
-    max_degree: int | None = 1000,
 ) -> DataFrame:
     """X9s (r9): per-EDGE triangle support — for every undirected edge
     (a, b), how many common neighbors its endpoints share, i.e. how many
@@ -1420,15 +1419,23 @@ def edge_support(
     comparator hit fabricates — the first pairs a human reviews before
     trusting a merge.
 
-    Plan: wedge enumeration through the edge's two endpoints — the
-    canonical edge list joins the symmetrized adjacency on EACH endpoint
-    with the shared far node equi-joined (one shuffle keyed on each
-    endpoint, then the count agg), support-0 edges restored by a left
-    join back to the edge list. Wedge volume is Σ_(a,b) min-side degree;
-    ``max_degree`` drops super-node adjacency rows first (the
-    `common_neighbors` cap, same lower-bound contract when it fires —
-    a hub's support is undercounted rather than letting its wedges
-    dominate the job). Returns (src, dst, support) with src < dst.
+    Plan: `triangle_count`'s degree-oriented wedge machinery with each
+    closed triangle EXPLODED row-locally to its three value-canonical
+    edges and counted per edge — support-0 edges restored by a left join
+    back to the edge list. The orientation bounds every node's wedge
+    fan-out by O(sqrt(|E|)) (arboricity), so the result is EXACT even on
+    hub vertices — no `max_degree` cap needed, unlike
+    `common_neighbors`, whose OUTPUT (all distance-2 pairs) is itself
+    quadratic around a hub; here the output is one row per existing
+    edge. A first unoriented draft joined the raw adjacency on each
+    endpoint: on the ~10-regular fuzzy fixture it was actually ~1 s
+    FASTER at sf0.1 (orientation pays two degree joins + a checkpoint
+    that a low-degree graph never earns back), but it needed a lossy
+    max_degree cap to survive hubs — silent undercount on exactly the
+    boilerplate-record vertices this audit exists to flag. The oriented
+    form trades that fixed overhead for hub-exactness and a bounded
+    wedge fan-out at 100 TB; both were measured same-session.
+    Returns (src, dst, support) with src < dst.
     """
     e = (
         edges.select(
@@ -1437,27 +1444,48 @@ def edge_support(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds sym, both wedge sides, and
-        # the support-0 restore join
+        .localCheckpoint(eager=True)  # feeds sym and the restore join
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    adj = sym
-    if max_degree is not None:
-        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-        hot = deg.filter(F.col("_d") > max_degree).select(
-            F.col("u").alias("_hot")
+    deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
+    oriented = (
+        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
-        # drop the FAR endpoint when it is a super node: wedges are
-        # enumerated per (edge endpoint -> far node) adjacency row, so
-        # capping the far side bounds the fan-out
-        adj = adj.join(F.broadcast(hot), adj["v"] == F.col("_hot"), "left_anti")
-    na = adj.select(F.col("u").alias("a"), F.col("v").alias("m"))
-    nb = adj.select(F.col("u").alias("b"), F.col("v").alias("m"))
-    counted = (
-        e.join(na, e["u"] == na["a"])
-        .join(nb, (e["v"] == nb["b"]) & (na["m"] == nb["m"]))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # three join consumers (the
+        # triangle-family rule)
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+    )
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
+    counted = tri_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
     )
     return (
         e.join(counted, ["u", "v"], "left")

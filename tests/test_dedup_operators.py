@@ -768,8 +768,7 @@ def test_edge_support_triangle_plus_tail(spark):
     """Hand-computed support: triangle {1,2,3} with a tail 3-4 — every
     triangle edge has support 1 (the third vertex), the tail edge has
     support 0 (restored by the left join, not dropped); reversed/dup
-    input orientations collapse first. A hub capped by max_degree
-    undercounts (lower-bound contract)."""
+    input orientations collapse first."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         edge_support,
     )
@@ -779,12 +778,22 @@ def test_edge_support_triangle_plus_tail(spark):
     )
     got = {(r.key_a, r.key_b): r.support for r in edge_support(edges).collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
-    # cap fires: vertex 3's adjacency rows as the FAR node drop, so the
-    # triangle edges lose the wedges THROUGH 3 but keep those through
-    # 1/2 — (1,2) keeps support 1 via far-node 3? No: far node 3 is
-    # dropped, so (1,2)'s wedge a-3-b disappears -> all supports 0.
-    capped = {
-        (r.key_a, r.key_b): r.support
-        for r in edge_support(edges, max_degree=2).collect()
-    }
-    assert capped == {(1, 2): 0, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+
+
+def test_edge_support_hub_exact_k4(spark):
+    """Degree orientation keeps hub vertices EXACT (no cap, unlike
+    common_neighbors): K4 — every edge closes 2 triangles — plus a
+    20-spoke hub on vertex 1: spokes have support 0, and the K4 edges
+    at the hub keep support 2 (the hub's wedges are orientation-bounded,
+    never dropped)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        edge_support,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    spokes = [(1, 100 + i) for i in range(20)]
+    edges = spark.createDataFrame(k4 + spokes, ["key_a", "key_b"])
+    got = {(r.key_a, r.key_b): r.support for r in edge_support(edges).collect()}
+    assert all(got[e] == 2 for e in k4)
+    assert all(got[(1, 100 + i)] == 0 for i in range(20))
+    assert len(got) == len(k4) + 20
