@@ -1395,11 +1395,18 @@ def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       FROM p{r} ORDER BY pair_freq DESC, sym_a, sym_b LIMIT 1
     ),
     r{r} AS (
-      SELECT replace(r.repr,
-                     chr(31)||b.sym_a||chr(31)||chr(31)||b.sym_b||chr(31),
-                     chr(31)||b.sym_a||b.sym_b||chr(31)) AS repr,
-             r.freq
-      FROM r{r - 1} r, b{r} b
+      -- scalar-subquery form, NOT a cross join against b{r}: when a
+      -- tiny corpus runs dry of merge candidates mid-ladder, b{r} is
+      -- EMPTY and a cross join would silently empty every later CTE
+      -- (diverging from the engine, which just stops merging); the
+      -- coalesce(chr(0)) search string makes the replace a no-op
+      SELECT replace(repr,
+                     coalesce((SELECT chr(31)||sym_a||chr(31)||chr(31)
+                                      ||sym_b||chr(31) FROM b{r}), chr(0)),
+                     coalesce((SELECT chr(31)||sym_a||sym_b||chr(31)
+                               FROM b{r}), chr(0))) AS repr,
+             freq
+      FROM r{r - 1}
     ),
     t{r} AS (
       SELECT sum(freq * len({syms}))::BIGINT AS corpus_tokens_after
@@ -1427,12 +1434,15 @@ def _bpe_encode_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
     cross, so the doc-wide apply equals the per-word apply."""
     enc = "regexp_replace(lower(d.text), '(.)', chr(31)||'\\1'||chr(31), 'g')"
     for r in range(1, n_rounds + 1):
+        # scalar subqueries, not cross joins, for the same merge-dry
+        # robustness reason as the learn CTEs' r{r} step
         enc = (
             f"replace({enc},\n"
-            f"         chr(31)||b{r}.sym_a||chr(31)||chr(31)||b{r}.sym_b||chr(31),\n"
-            f"         chr(31)||b{r}.sym_a||b{r}.sym_b||chr(31))"
+            f"         coalesce((SELECT chr(31)||sym_a||chr(31)||chr(31)"
+            f"||sym_b||chr(31) FROM b{r}), chr(0)),\n"
+            f"         coalesce((SELECT chr(31)||sym_a||sym_b||chr(31) "
+            f"FROM b{r}), chr(0)))"
         )
-    froms = ", ".join(f"b{r}" for r in range(1, n_rounds + 1))
     return (
         _bpe_learn_ctes(n_rounds)
         + f""",
@@ -1440,7 +1450,7 @@ def _bpe_encode_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       SELECT d.doc_id,
              length(lower(d.text))::BIGINT AS n_char_syms,
              {enc} AS e
-      FROM documents d, {froms}
+      FROM documents d
     )
     SELECT doc_id, n_char_syms,
            (CASE WHEN n_char_syms = 0 THEN 0

@@ -345,3 +345,23 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
     out = {r.doc_id: (r.n_char_syms, r.n_bpe_tokens)
            for r in QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()}
     assert out == {0: (12, 5), 1: (2, 2), 2: (0, 0)}
+
+
+def test_bpe_merge_dry_corpus(spark, tmp_path):
+    """A corpus of single-char words has no adjacent pairs, so the
+    trainer learns NOTHING: the ledger is empty (the loop breaks, it
+    does not emit null rows) and encode returns every doc unmerged —
+    the oracle's scalar-subquery no-op replaces mirror exactly this
+    (a cross join against the empty best-pair CTE would instead empty
+    the oracle, r9 hardening)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [(1, "a b c", "en", "web", 5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    assert QUERIES["text_bpe_merge_apply"](spark, str(tmp_path)).count() == 0
+    enc = QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.n_char_syms, r.n_bpe_tokens) for r in enc] == [(1, 5, 5)]
