@@ -161,9 +161,11 @@ def connected_components(
     threshold take the distributed loop, with one contraction prepass
     shrinking its input first — at 100 TB all tiers are live, chosen per
     job by the observed edge count, and all produce identical labels.
-    Pass ``local_threshold=0`` to force the pristine loop with no Python
-    stage (tests pin all paths agree); exotic key dtypes (non-int,
-    non-string) fall back to the driver union-find at any size.
+    Pass ``local_threshold=0`` to force a loop with no Python stage
+    (tests pin all paths agree) — it is forwarded as
+    ``contract_threshold`` to the star path too, so the guarantee holds
+    for both algorithms; exotic key dtypes (non-int, non-string) fall
+    back to the driver union-find at any size.
     """
     if algorithm not in ("minlabel", "star"):
         raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
@@ -182,17 +184,24 @@ def connected_components(
         # O(log n)-round star contraction for high-diameter graphs; the
         # min-label loop below is cheaper per round on the small-diameter
         # cluster graphs dedup produces
-        return connected_components_star(edges, src, dst, max_iter=max_iter)
+        return connected_components_star(
+            edges, src, dst, max_iter=max_iter,
+            contract_threshold=local_threshold,
+        )
     if local_threshold and contractable:
         # above-threshold graphs still take the zero-shuffle contraction
         # prepass: the loop then iterates over ~node-sized star edges
         # instead of the raw pair list (local_threshold=0 keeps the
-        # pristine loop for the agreement tests)
-        stars = contract_components(sym)
+        # pristine loop for the agreement tests). Self-loops are filtered
+        # FIRST — contract_components' caller contract — because a node
+        # whose only edge is a self-loop emits no star edge and would
+        # silently vanish from the labels; such nodes are re-attached as
+        # self-edges below so the loop keeps them as singletons.
+        stars = contract_components(sym.filter(F.col("a") != F.col("b")))
         # re-symmetrize IN-PLAN (explode of the two orientations) so the
         # contraction runs once — a union of the frame with its swap
         # would execute the Python stage twice
-        sym = (
+        resym = (
             stars.select(
                 F.explode(
                     F.array(
@@ -204,8 +213,17 @@ def connected_components(
                 ).alias("_e")
             )
             .select("_e.a", "_e.b")
-            .localCheckpoint(eager=True)
         )
+        # nodes the prepass dropped (self-loop-only) come back as
+        # self-edges off the checkpointed original sym — the anti-join
+        # probes the node-sized star set, not the raw pair list
+        dropped = (
+            sym.select("a")
+            .distinct()
+            .join(resym.select("a").distinct(), "a", "left_anti")
+            .select("a", F.col("a").alias("b"))
+        )
+        sym = resym.unionByName(dropped).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -312,19 +330,26 @@ def connected_components_star(
         ).collect()[0]
         return out, (row["n"], row["h"])
 
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e, sig = checkpoint_with_sig(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+        raw.filter(F.col("u") != F.col("v")).distinct()
     )
     # the node universe only matters for the final center labels; derive
     # it LAZILY off the already-checkpointed initial edge set — a second
     # eager checkpoint here paid a whole extra job per call for a frame
-    # read exactly once
+    # read exactly once. Self-loop-only nodes are in the universe too
+    # (they label as their own singleton, matching the min-label loop):
+    # the u = v slice re-reads the raw input once, with the equality
+    # filter pushed to the scan — near-zero rows on real pair graphs.
     e0 = e
     all_nodes = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
+        .unionByName(
+            raw.filter(F.col("u") == F.col("v")).select(
+                F.col("u").alias("node")
+            )
+        )
         .distinct()
     )
     if contract_threshold and dict(e.dtypes)["u"] in _CONTRACT_KEY_TYPES:
@@ -1224,6 +1249,7 @@ def modularity(
     labels: DataFrame,
     src: str = "key_a",
     dst: str = "key_b",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9l (r6): exact Newman-Girvan modularity of a community
     assignment — the CERTIFICATION metric for `label_propagation` (and
@@ -1263,10 +1289,22 @@ def modularity(
     m / degrees / intra counts all describe the same simple graph the
     communities were fit on).
 
-    Scale: two node-keyed joins (labels onto each edge endpoint), one
-    node-keyed degree agg, then community-keyed aggs — every shuffle is
-    on the node or community key; m is a one-row broadcast. Output is
-    #communities rows."""
+    Scale: the node→community map attaches to the edge list via two
+    joins that BROADCAST when the map is at most ``broadcast_threshold``
+    rows (r10, after the r9 plan audit found them running as
+    SortMergeJoins: the map is node-sized while the edge list is the
+    big side — on the fixture that shuffle dominated the whole query).
+    A labels side of 5M (node, community) longs is ~100-200 MB
+    broadcast — comfortably inside executor memory on any 100 TB-class
+    cluster profile; above the gate the joins fall back to node-keyed
+    shuffles, the same size-gated decision AQE makes, made explicit
+    because `labels` is checkpointed (AQE cannot see through an
+    InMemory/checkpoint scan's size at plan time). The old separate
+    node-keyed degree agg is gone: degree_sum per community is the
+    count of symmetrized edge endpoints per attached community, and
+    n_nodes needs no join at all (a count over the map itself). All
+    remaining shuffles are community-keyed; m is a one-row broadcast.
+    Output is #communities rows."""
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1282,17 +1320,33 @@ def modularity(
     sym = canon.unionByName(
         canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    comm = (
-        lab.join(deg, lab["node"] == deg["u"], "left")
-        .groupBy("community")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("degree_sum"),
-        )
-    )
     la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    if lab.count() <= broadcast_threshold:
+        # the map is checkpointed, so its count is a local-block read;
+        # the hint swaps both big-side SMJs for broadcast hash joins
+        la, lb = F.broadcast(la), F.broadcast(lb)
+    # degree_sum per community = symmetrized endpoint rows per attached
+    # community (deg(u) copies of each labeled node u), replacing the
+    # old node-keyed degree agg + node-keyed map join with ONE edge-side
+    # join feeding a community-keyed agg
+    deg_comm = (
+        sym.join(la, "u")
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    comm = (
+        lab.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .join(deg_comm, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("degree_sum"), F.lit(0))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
     intra = (
         canon.join(la, "u")
         .join(lb, "v")
@@ -1494,4 +1548,75 @@ def edge_support(
             F.col("v").alias(dst),
             F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
         )
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    src: str = "key_a",
+    dst: str = "key_b",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """k-truss of the undirected pair graph via ``n_rounds`` of parallel
+    SUPPORT peeling — the edge-level analogue of `k_core`'s degree
+    peeling and the consumer `edge_support` was built for: each round
+    recomputes per-edge triangle support on the surviving edge set and
+    drops every edge whose support is below k-2 (a k-truss edge must
+    close >= k-2 triangles *within the truss*).
+
+    Why dedup needs the edge-level form: the k-core keeps any cycle —
+    a 4-cycle of chained false positives is a perfectly good 2-core —
+    while the 3-truss requires every surviving edge to be corroborated
+    by at least one triangle (the structural "two independent comparator
+    hits agree" certificate), and 4-truss edges sit in near-cliques.
+    Core cannot tell a square from K4; truss can (pinned in the planted
+    test).
+
+    Returns (src, dst, support): the edges surviving ``n_rounds`` peels,
+    with support measured inside the round-(n-1) subgraph. At the
+    fixpoint that IS the in-truss support; fixed rounds (not
+    run-to-convergence) keep the recurrence replayable by an unrolled
+    SQL oracle — the `k_core`/pagerank determinism contract. Callers
+    needing a guaranteed fixpoint raise ``n_rounds`` or check
+    `ktruss_converged`.
+
+    Plan shape per round: one `edge_support` pass (degree-oriented wedge
+    join, fan-out bounded by arboricity, node/edge-keyed shuffles only)
+    + one support filter, lineage truncated per round. Peeling is
+    monotone — edge sets only shrink — so at 100 TB the expensive first
+    round runs on the raw candidate graph exactly once and every later
+    round on the survivor set. support >= k-2 >= 1 means the
+    zero-support edges `edge_support` restores drop at the first
+    filter, so no explicit restore join is needed in the loop.
+    """
+    if k < 3:
+        raise ValueError(
+            f"k must be >= 3 (support >= k-2 is vacuous below), got {k}"
+        )
+    e = edges
+    sup = None
+    for _ in range(n_rounds):
+        # checkpoint the support table, not the filtered edge set: it has
+        # two consumers (next round's input AND the returned survivors)
+        sup = edge_support(e, src=src, dst=dst).localCheckpoint(eager=True)
+        e = sup.filter(F.col("support") >= k - 2).select(src, dst)
+    return sup.filter(F.col("support") >= k - 2)
+
+
+def ktruss_converged(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int,
+    src: str = "key_a",
+    dst: str = "key_b",
+) -> bool:
+    """True if one extra peeling round changes nothing — the fixpoint
+    check for `ktruss`'s fixed-round contract (compares two edge tables
+    that are already truss-sized, not the input graph)."""
+    a = ktruss(edges, k=k, src=src, dst=dst, n_rounds=n_rounds)
+    b = ktruss(edges, k=k, src=src, dst=dst, n_rounds=n_rounds + 1)
+    return (
+        a.count() == b.count()
+        and a.join(b, [src, dst, "support"], "left_anti").count() == 0
     )

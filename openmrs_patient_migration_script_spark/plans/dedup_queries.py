@@ -2155,12 +2155,118 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: operators/graph.py::edge_support — wedge enumeration keyed on
     each edge endpoint (two node-keyed joins + one count agg), support-0
-    edges restored with a left join; the `max_degree` super-node cap
-    bounds wedge fan-out at scale (no-op on this graph's ~10-degree
-    blocks, lower-bound contract when it fires)."""
+    edges restored with a left join; degree orientation (wedges pivot on
+    the lowest-(degree, id) endpoint) bounds wedge fan-out by the
+    arboricity ~ sqrt(|E|) with NO lossy cap, so hub support is exact —
+    the capped draft was measured and rejected (see the operator
+    docstring)."""
     from openmrs_patient_migration_script_spark.operators.graph import (
         edge_support,
     )
 
     pairs = dedup_fuzzy(spark, sf_dir)
     return edge_support(pairs)
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled support peeling for `graph_ktruss`. Each round references
+    its predecessor THREE times (the edge probe plus two adjacency
+    probes of the wedge join), so every round CTE is DuckDB-MATERIALIZED:
+    plain CTE inlining would re-expand the whole prefix 3^rounds times —
+    the `_kcore_oracle` planner lesson, cubed. A MATERIALIZED round is
+    computed exactly once, the SQL mirror of the Spark loop's per-round
+    localCheckpoint."""
+    arms = []
+    for d in (1, 2, 3):
+        arms.append(f"""
+      SELECT c_custkey AS u, c_custkey + {d} AS v FROM customer, mx
+      WHERE c_custkey + {d} <= m
+        AND (c_custkey - 1 + {d}) // 20 = (c_custkey - 1) // 20""")
+    for f in (2, 3):
+        arms.append(f"""
+      SELECT c_custkey AS u, c_custkey * {f} AS v FROM customer, mx
+      WHERE c_custkey * {f} <= m""")
+    union = "\n      UNION ALL".join(arms)
+    sql = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM ({union}
+      ) WHERE u <> v
+    )"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    sym{r} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      UNION ALL
+      SELECT v AS u, u AS v FROM {prev}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT p.u, p.v, count(*)::BIGINT AS support
+      FROM {prev} p
+      JOIN sym{r} na ON na.u = p.u
+      JOIN sym{r} nb ON nb.u = p.v AND nb.v = na.v
+      GROUP BY 1, 2
+      HAVING count(*) >= {k - 2}
+    )"""
+        prev = f"e{r}"
+    return sql + f"""
+    SELECT u AS key_a, v AS key_b, support FROM e{rounds}"""
+
+
+@query("graph_ktruss", oracle=_ktruss_oracle(k=4, rounds=3))
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9t (r10): 4-truss of a mixed-density graph — the edge-level
+    density certificate `graph_edge_support` was built toward, closing
+    the truss arc: every surviving edge closes >= 2 triangles INSIDE the
+    surviving subgraph, peeled to a fixpoint by 3 synchronous support
+    rounds (operators/graph.py::ktruss). Where the 2-core keeps any
+    cycle (a square of chained false positives survives node-degree
+    peeling forever), the truss demands triangle corroboration per EDGE
+    — the "two independent comparator hits agree" structure a merge
+    reviewer actually trusts; core-vs-truss separation is pinned by the
+    planted square/K4 test.
+
+    Fixture graph: the stride graph (u—u+d, d<=3, within groups of 20 —
+    triangle-rich interiors with support falling to 2 at group
+    boundaries) unioned with the `graph_kcore` doubling tails (u—2u,
+    u—3u: support-0 fodder that actually cascades — 527→406→405 edges
+    over rounds at sf0.001, fixpoint by round 3 at both gate scales,
+    pinned via `ktruss_converged`). The fuzzy-pair fixture is near-
+    clique-regular and would not peel at all.
+
+    Plan: per round one `edge_support` pass (degree-oriented wedge join,
+    arboricity-bounded fan-out, node/edge-keyed shuffles only) + a
+    support filter, lineage truncated per round; peeling is monotone so
+    the raw graph is scanned by exactly one round at 100 TB. Oracle:
+    `_ktruss_oracle` MATERIALIZED unrolled rounds."""
+    from openmrs_patient_migration_script_spark.operators.graph import ktruss
+
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    parts = []
+    for d in (1, 2, 3):
+        parts.append(
+            c.filter(
+                (F.col("c_custkey") + d <= mx)
+                & (
+                    F.expr(f"(c_custkey - 1 + {d}) div 20")
+                    == F.expr("(c_custkey - 1) div 20")
+                )
+            ).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") + d).alias("key_b"),
+            )
+        )
+    for m in (2, 3):
+        parts.append(
+            c.filter(F.col("c_custkey") * m <= mx).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") * m).alias("key_b"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return ktruss(edges, k=4, n_rounds=3)

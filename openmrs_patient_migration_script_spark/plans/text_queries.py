@@ -1356,9 +1356,13 @@ _BPE_US = "\x1f"
 def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
     """The shared unrolled BPE-trainer CTE chain (the `graph_ppr`
     pattern): words -> wrapped repr -> per round (pair stats p{r}, best
-    pair b{r}, merged repr r{r}, corpus count t{r}). Both BPE oracles
+    pair b{r}, merged repr r{r}, corpus count t{r}). All BPE oracles
     build on this so DuckDB independently re-derives the merges Spark
-    picked."""
+    picked. r0/b{r}/r{r} are DuckDB-MATERIALIZED (r10): each r{r-1} is
+    referenced twice (next round's pair stats AND the merge apply) and
+    b{r} up to four times, so plain CTE inlining re-expands the prefix
+    2^rounds times — unnoticeable at the original 3 rounds, minutes at
+    `text_bpe_train`'s 8 (the `_kcore_oracle` planner lesson)."""
     syms = "string_split(trim(repr, chr(31)), chr(31)||chr(31))"
     parts = [
         """
@@ -1372,7 +1376,7 @@ def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       WHERE strpos(t, chr(31)) = 0
       GROUP BY t
     ),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g')
                AS repr,
              freq
@@ -1390,11 +1394,11 @@ def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       WHERE len(s) >= 2
       GROUP BY 1, 2
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
       SELECT sym_a, sym_b, pair_freq
       FROM p{r} ORDER BY pair_freq DESC, sym_a, sym_b LIMIT 1
     ),
-    r{r} AS (
+    r{r} AS MATERIALIZED (
       -- scalar-subquery form, NOT a cross join against b{r}: when a
       -- tiny corpus runs dry of merge candidates mid-ladder, b{r} is
       -- EMPTY and a cross join would silently empty every later CTE
@@ -1524,17 +1528,21 @@ def _bpe_syms():
     return F.split(F.btrim(F.col("repr"), F.lit(us)), us + us)
 
 
-def _bpe_merge_rounds(words: DataFrame):
+def _bpe_merge_rounds(words: DataFrame, n_rounds: int = _BPE_MERGE_ROUNDS):
     """The shared BPE trainer loop over a checkpointed (word, freq)
     vocabulary: yields (round, sym_a, sym_b, pair_freq, repr_df) with
     ``repr_df`` the checkpointed post-merge symbol table — consumed by
-    `text_bpe_merge_apply` (ledger) and `text_bpe_encode` (apply)."""
+    `text_bpe_merge_apply` (ledger), `text_bpe_encode` (apply) and
+    `text_bpe_train` (the parameterized 8-round merge table). Stops
+    early when the corpus runs dry of mergeable pairs (every word a
+    single symbol) — the merge-dry guard both oracles mirror with
+    scalar-subquery no-op replaces."""
     us = _BPE_US
     repr_df = words.select(
         F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
     )
     syms = _bpe_syms()
-    for r in range(1, _BPE_MERGE_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         pairs = (
             repr_df.select(syms.alias("s"), "freq")
             .filter(F.size("s") >= 2)
@@ -1616,3 +1624,63 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_char.alias("n_char_syms"),
         n_bpe.alias("n_bpe_tokens"),
     )
+
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle(n_rounds: int = _BPE_TRAIN_ROUNDS) -> str:
+    """Merge-table readout over the shared learn CTEs: one row per
+    executed round (an empty b{r} — merge-dry corpus — contributes no
+    row, exactly like the engine loop's early stop)."""
+    selects = [
+        f"""
+    SELECT {r}::BIGINT AS merge_rank, sym_a, sym_b, pair_freq
+    FROM b{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return _bpe_learn_ctes(n_rounds) + "\n    UNION ALL".join(selects)
+
+
+@query("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5r (r10): the parameterized BPE TRAINER — the r9 verdict's ask:
+    not 3 unrolled rounds but a driver loop to ``_BPE_TRAIN_ROUNDS`` (8)
+    emitting the learned merge TABLE (merge_rank, sym_a, sym_b,
+    pair_freq) — the artifact a tokenizer-training pipeline actually
+    persists and ships to the encode pass (`text_bpe_encode` applies
+    exactly this table). Completes the arc: pair_stats (one round's
+    statistics) → train (the full ranked merge list) → merge_apply
+    (per-round corpus-size ledger) → encode (doc-wide tokenization).
+
+    Scale: identical to `text_bpe_merge_apply` — the corpus collapses
+    to its VOCABULARY in the first token-keyed agg and never re-enters;
+    each round is one vocab-sized pair explode + agg, one TakeOrdered(1)
+    driver scalar (bounded by contract), one column-local literal
+    replace, lineage checkpoint-truncated. Rounds are sequential by
+    nature (merge r+1 depends on r's rewrite) — the 100 TB trainer runs
+    this exact loop with batched low-rank merges. The merge-dry guard
+    holds at 8 rounds: the engine stops early, the oracle's b{r} goes
+    empty and contributes neither rows nor (via the scalar-subquery
+    no-op replaces) any rewrite. Oracle rounds are MATERIALIZED — at 8
+    rounds plain CTE inlining is 2^8 prefix re-expansions
+    (`_bpe_learn_ctes` docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    us = _BPE_US
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .filter(~F.col("word").contains(us))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)  # 8 rounds re-scan vocab, not corpus
+    )
+    out_rows = [
+        (r, a, b, pf)
+        for r, a, b, pf, _ in _bpe_merge_rounds(words, _BPE_TRAIN_ROUNDS)
+    ]
+    schema = "merge_rank long, sym_a string, sym_b string, pair_freq long"
+    return spark.createDataFrame(out_rows, schema)

@@ -365,3 +365,30 @@ def test_bpe_merge_dry_corpus(spark, tmp_path):
     assert QUERIES["text_bpe_merge_apply"](spark, str(tmp_path)).count() == 0
     enc = QUERIES["text_bpe_encode"](spark, str(tmp_path)).collect()
     assert [(r.doc_id, r.n_char_syms, r.n_bpe_tokens) for r in enc] == [(1, 5, 5)]
+
+
+def test_bpe_train_merge_table_and_midladder_dry(spark, tmp_path):
+    """The 8-round parameterized trainer on 'aaab aaab ab': rounds 1-3
+    learn (a,a),(a,b),(aa,ab) exactly as the merge-apply ledger, and
+    round 4 finds every word a single symbol — the loop stops EARLY,
+    emitting 3 rows not 8 (the mid-ladder merge-dry guard the oracle
+    mirrors with empty b{r} CTEs). A fully dry corpus emits zero
+    rows."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [(0, "aaab aaab ab", "en", "web", 12)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.merge_rank: (r.sym_a, r.sym_b, r.pair_freq)
+           for r in QUERIES["text_bpe_train"](spark, str(tmp_path)).collect()}
+    assert out == {1: ("a", "a", 4), 2: ("a", "b", 3), 3: ("aa", "ab", 2)}
+
+    dry = tmp_path / "dry"
+    spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(dry / "documents.parquet"))
+    assert QUERIES["text_bpe_train"](spark, str(dry)).count() == 0

@@ -252,6 +252,25 @@ def test_connected_components_self_loop_only_node_kept(spark, monkeypatch):
         r["node"]: r["cluster"] for r in connected_components(edges).collect()
     }
     assert funneled == want
+    # local_threshold=1 pushes the 4-row sym ABOVE the funnel tier, so
+    # the min-label loop runs with the contraction PREPASS — the branch
+    # that must self-loop-filter before contracting and re-attach the
+    # dropped node (r9 advice: it silently vanished otherwise)
+    prepassed = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_threshold=1).collect()
+    }
+    assert prepassed == want
+    # star path, both the funnel branch and the pristine rounds: the
+    # node universe must include self-loop-only nodes
+    for ct in (1_000_000, 0):
+        starred = {
+            r["node"]: r["cluster"]
+            for r in graph.connected_components_star(
+                edges, contract_threshold=ct
+            ).collect()
+        }
+        assert starred == want, f"contract_threshold={ct}"
 
 
 def test_salted_topk_matches_plain_window(spark):
@@ -797,3 +816,60 @@ def test_edge_support_hub_exact_k4(spark):
     assert all(got[e] == 2 for e in k4)
     assert all(got[(1, 100 + i)] == 0 for i in range(20))
     assert len(got) == len(k4) + 20
+
+
+def test_ktruss_distinguishes_square_from_clique(spark):
+    """The 4-cycle is a perfectly good 2-core (every node degree 2) but
+    no edge of it closes a triangle — the truss peel drops it where the
+    core peel cannot. K4 edges all have support 2 (4-truss); a lone
+    triangle's edges have support 1 (3-truss only); a tail edge has
+    support 0 (dropped by any truss)."""
+    import pytest
+
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        k_core,
+        ktruss,
+        ktruss_converged,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    square = [(5, 6), (6, 7), (7, 8), (5, 8)]
+    tri = [(9, 10), (10, 11), (9, 11)]
+    tail = [(4, 12)]
+    df = spark.createDataFrame(
+        k4 + square + tri + tail, "key_a long, key_b long"
+    )
+    t3 = {
+        (r["key_a"], r["key_b"]): r["support"]
+        for r in ktruss(df, k=3, n_rounds=2).collect()
+    }
+    assert set(t3) == set(k4) | set(tri)
+    assert all(t3[e] == 2 for e in k4)
+    assert all(t3[e] == 1 for e in tri)
+    t4 = {
+        (r["key_a"], r["key_b"]): r["support"]
+        for r in ktruss(df, k=4, n_rounds=2).collect()
+    }
+    assert t4 == {e: 2 for e in k4}
+    # the 2-core KEEPS the square — edge-level support peeling is
+    # strictly stronger evidence than node-level degree peeling
+    core_nodes = {r["node"] for r in k_core(df, k=2, n_rounds=6).collect()}
+    assert {5, 6, 7, 8} <= core_nodes
+    assert ktruss_converged(df, k=3, n_rounds=2)
+    assert ktruss_converged(df, k=4, n_rounds=2)
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss(df, k=2)
+
+
+def test_ktruss_peel_cascades(spark):
+    """A strip of two triangles: one peel leaves the shared edge (its
+    support was 2 before the flanks fell), the fixpoint is empty — the
+    round-by-round semantics the fixed-round contract and the unrolled
+    oracle both rely on."""
+    from openmrs_patient_migration_script_spark.operators.graph import ktruss
+
+    strip = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(strip, "key_a long, key_b long")
+    one = ktruss(df, k=4, n_rounds=1)
+    assert [(r["key_a"], r["key_b"]) for r in one.collect()] == [(2, 3)]
+    assert ktruss(df, k=4, n_rounds=2).count() == 0

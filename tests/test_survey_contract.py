@@ -41,6 +41,17 @@ def test_oracles_are_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_readme_query_counts_match_registry():
+    """README's correctness blurb states the registry sizes; r8 and r9
+    verdicts both caught this sentence stale by one round's additions —
+    pin it to the registry so drift is a test failure."""
+    readme = (SURVEY.parent / "README.md").read_text()
+    m = re.search(r"(\d+) declared queries; (\d+) are hash-checked", readme)
+    assert m, "README query-count sentence missing"
+    assert int(m.group(1)) == len(QUERIES), "README declared-query count stale"
+    assert int(m.group(2)) == len(ORACLES), "README hash-checked count stale"
+
+
 def test_grade_first_ordering_names_are_registered():
     """The driver grades the first 50 entries of queries() in dict order;
     ordering = never-driver-graded first (per CORRECTNESS_r*.json on

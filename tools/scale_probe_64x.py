@@ -139,12 +139,10 @@ def main() -> None:
         c_k = replicate(customer, ["c_custkey"], k, KEY_SHIFT)
         li_k = replicate(lineitem, ["l_orderkey"], k, KEY_SHIFT)
         o_k = replicate(orders, ["o_orderkey", "o_custkey"], k, KEY_SHIFT)
-        d_k = replicate(docs, ["doc_id"], k, KEY_SHIFT)
         if k > 1:
             c_k = c_k.localCheckpoint(eager=True)
             li_k = li_k.localCheckpoint(eager=True)
             o_k = o_k.localCheckpoint(eager=True)
-            d_k = d_k.localCheckpoint(eager=True)
         for name, thunk in {
             "fellegi_sunter": lambda: _linkage_shape(c_k),
             "triangle_count": lambda: _triangles(c_k),
@@ -164,7 +162,7 @@ def main() -> None:
         # ContextCleaner drop the orphaned checkpoint RDDs.
         import gc
 
-        del c_k, li_k, o_k, d_k
+        del c_k, li_k, o_k
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
