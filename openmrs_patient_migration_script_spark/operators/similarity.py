@@ -801,6 +801,7 @@ def cosine_pairs_lsh(
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Approximate (a < b) cosine-threshold pairs: SRP-LSH bucket
     candidates + exact vectorized re-rank — the sub-quadratic near-dup
@@ -816,9 +817,14 @@ def cosine_pairs_lsh(
     Recall floor pinned by the planted-near-dup test
     (tests/test_similarity.py); exact low-threshold contracts use
     `cosine_pairs_blocked` instead (see its docstring for the measured
-    low-threshold failure mode).
+    low-threshold failure mode). ``hash_mode="md5"`` derives the planes
+    from md5 parity (`srp_weights`) so a SQL oracle can replay the whole
+    pruned pipeline — the declared-form convention; xxhash64 stays the
+    production default.
     """
-    hashed = srp_hashed(corpus, id_col, num_planes, num_tables, vec_col)
+    hashed = srp_hashed(
+        corpus, id_col, num_planes, num_tables, vec_col, hash_mode=hash_mode
+    )
     cand = (
         hashed.withColumnRenamed(id_col, "key_a")
         .join(hashed.withColumnRenamed(id_col, "key_b"), ["_tbl", "_bkt"])

@@ -2270,3 +2270,101 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         edges = edges.unionByName(p)
     return ktruss(edges, k=4, n_rounds=3)
+
+
+_EMB_LSH_THRESHOLD = 0.95
+_EMB_TWIN_OFFSET = 1_000_000
+_EMB_LSH_M, _EMB_LSH_L = 8, 8
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pert AS (
+      SELECT vec_id + {_EMB_TWIN_OFFSET} AS vec_id,
+             list_transform(v, (x, i) -> x *
+               (CASE WHEN i % 2 = 1 THEN 1.05::DOUBLE
+                     ELSE 0.95::DOUBLE END)) AS v
+      FROM base
+    ),
+    vec AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+    planes AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {_EMB_LSH_M * _EMB_LSH_L - 1}))
+              AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    dots AS (
+      SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+      FROM vec, planes pl GROUP BY vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_EMB_LSH_M} AS tbl,
+             sum(((s >= 0)::INT) << (p % {_EMB_LSH_M})) AS bkt
+      FROM dots GROUP BY vec_id, p // {_EMB_LSH_M}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+      FROM buckets a JOIN buckets b USING (tbl, bkt)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT key_a, key_b, cos_sim FROM (
+      SELECT c.key_a, c.key_b,
+             round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec va ON va.vec_id = c.key_a
+      JOIN vec vb ON vb.vec_id = c.key_b
+    ) WHERE cos_sim >= {_EMB_LSH_THRESHOLD}
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e (r10): the SCALE path of embedding near-dup — SRP-LSH bucket
+    candidates + the shared exact cosine re-rank
+    (operators/similarity.py::cosine_pairs_lsh), declared at the HIGH
+    threshold (0.95) where hyperplane pruning actually works —
+    `dedup_embedding`'s docstring documents the measured low-threshold
+    failure (98.6% of pairs survive as candidates at 0.4). Work is
+    bounded by bucket collisions, never n² — the 100 TB form of the
+    semantic-dedup pair scan.
+
+    The fixture corpus has no high-cosine pairs (max exact pair ≈ 0.5),
+    so near-dup TWINS are planted the `link_fellegi_sunter` way: every
+    vector gets a deterministically perturbed copy (id + 1e6, even
+    components ×1.05 / odd ×0.95 in exact float64 — cosine to the
+    original >= 0.9987 by the Cauchy-Schwarz mix bound, cross pairs
+    stay < 0.6), a construction both engines rebuild bit-identically.
+    Output is exactly the planted twin pairs; the superset-of-threshold-
+    pairs invariant vs the exact block-grid is pinned in
+    tests/test_similarity.py.
+
+    Oracle: md5-parity planes (`srp_weights` hash_mode) so DuckDB
+    replays plane matrix → bucket bits → multi-table candidate union →
+    exact re-rank, hash-exact — the `sim_ann_lsh` convention."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + _EMB_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * F.when(i % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    return cosine_pairs_lsh(
+        corpus,
+        threshold=_EMB_LSH_THRESHOLD,
+        num_planes=_EMB_LSH_M,
+        num_tables=_EMB_LSH_L,
+        hash_mode="md5",
+    )

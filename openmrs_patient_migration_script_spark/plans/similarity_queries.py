@@ -1634,3 +1634,119 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="md5",
         multiprobe=True,
     )
+
+
+_KNN_LSH_M, _KNN_LSH_L = 4, 8
+
+_KNN_ANN_ORACLE = f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {_KNN_LSH_M * _KNN_LSH_L - 1}))
+              AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+      FROM vec, planes pl GROUP BY vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, p // {_KNN_LSH_M} AS tbl,
+             sum(((s >= 0)::INT) << (p % {_KNN_LSH_M})) AS bkt
+      FROM dots GROUP BY vec_id, p // {_KNN_LSH_M}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+      FROM buckets a JOIN buckets b USING (tbl, bkt)
+      WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.key_a, c.key_b,
+             round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+      FROM cand c
+      JOIN vec va ON va.vec_id = c.key_a
+      JOIN vec vb ON vb.vec_id = c.key_b
+    ),
+    sym AS (
+      SELECT key_a AS key, key_b AS neighbor, cos_sim FROM scored
+      UNION ALL
+      SELECT key_b AS key, key_a AS neighbor, cos_sim FROM scored
+    )
+    SELECT key, neighbor, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT key, neighbor, cos_sim,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY cos_sim DESC, neighbor) AS rn
+      FROM sym
+    ) WHERE rn <= {_K}"""
+
+
+@query("sim_knn_graph_ann", oracle=_KNN_ANN_ORACLE)
+def sim_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4l (r10): the SCALE form of the k-NN graph — the r9 verdict's
+    ask: the `candidates=` hook of `knn_graph` promoted to a declared
+    query, with `sim_knn_graph` (exact block-grid) kept as its
+    certification twin and `sim_knn_graph_recall` publishing the edge
+    recall. Candidates come from `cosine_pairs_lsh` at threshold −1
+    (every bucket-collision pair is an edge candidate — the standard
+    LSH-kNN construction); the shared exact re-rank tail scores them
+    and the identical (cos DESC, neighbor) rank window cuts k per key.
+    Work is bucket-collision-bounded, never the n² grid — at 100 TB the
+    corpus hashes once and only colliding pairs are scored.
+
+    Oracle: md5-parity planes replay the whole pruned pipeline (the
+    `sim_ann_lsh` convention) + the knn symmetrize/rank tail, so the
+    approximate GRAPH itself is hash-exact — the approximation lives in
+    what the query promises (edges within shared buckets), not in
+    run-to-run wobble."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_pairs_lsh(
+        emb,
+        threshold=-1.0,
+        num_planes=_KNN_LSH_M,
+        num_tables=_KNN_LSH_L,
+        hash_mode="md5",
+    )
+    return knn_graph(emb, k=_K, candidates=cand)
+
+
+def _knn_edges(sql: str) -> str:
+    """Adapt a knn-graph oracle (key, neighbor, ...) to the recall
+    overlay's (query_id, vec_id) edge schema."""
+    return f"SELECT key AS query_id, neighbor AS vec_id FROM ({sql}) knn"
+
+
+@query(
+    "sim_knn_graph_recall",
+    oracle=_recall_oracle(
+        _knn_edges(ORACLES["sim_knn_graph"]),
+        _knn_edges(ORACLES["sim_knn_graph_ann"]),
+    ),
+)
+def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4m (r10): edge-recall certification of the LSH k-NN graph
+    against the exact block-grid graph — the `sim_ann_recall` pattern
+    applied to `sim_knn_graph_ann`, so the promoted scale path ships
+    with an exact auditable number per node (the repo rule: every
+    approximate path pairs with an exact certification query). One
+    (key, neighbor)-keyed left join + per-key count over 2·k·n edge
+    rows — certification-sized, never corpus-sized; both graphs are
+    content-addressed (md5 planes), so the recall is hash-exact.
+    Measured mean edge recall on the sf0.01 fixture is ~0.69 at
+    (4 planes, 8 tables) — the fixture embeddings are near-random, the
+    hardest case for hyperplane LSH; that number being a first-class,
+    diffable table instead of a hope is exactly what this query is
+    for."""
+    exact = sim_knn_graph(spark, sf_dir).select(
+        F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id")
+    )
+    ann = sim_knn_graph_ann(spark, sf_dir).select(
+        F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id")
+    )
+    return _recall_overlay(exact, ann)

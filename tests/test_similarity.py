@@ -845,3 +845,55 @@ def test_multiprobe_superset_and_recall(spark):
     # measured on this fixture: plain(3,4) 0.66, probed(3,4) 0.98,
     # plain(3,8) 0.84 — probing half the tables beats doubling them
     assert probed_4 >= 0.7, f"probed recall {probed_4:.2f} below floor"
+
+
+def test_dedup_embedding_lsh_superset_of_threshold_pairs(spark, tmp_path):
+    """The promoted LSH pair path must find EVERY exact threshold pair
+    on the planted-twin fixture (the superset-of-threshold-pairs pin the
+    r9 verdict asked for): LSH output ⊆ exact by the shared re-rank
+    contract, and ⊇ exact because a ~0.999-cosine twin misses all 8
+    tables with probability ~1e-8 — so the sets are EQUAL here."""
+    import numpy as np
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+    from openmrs_patient_migration_script_spark.plans.dedup_queries import (
+        _EMB_LSH_THRESHOLD,
+        _EMB_TWIN_OFFSET,
+        dedup_embedding_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(64).astype(np.float32)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    lsh = {
+        (r.key_a, r.key_b)
+        for r in dedup_embedding_lsh(spark, str(tmp_path)).collect()
+    }
+    # rebuild the same twin corpus and run the exact block-grid on it
+    base = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + _EMB_TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+    )
+    exact = {
+        (r.key_a, r.key_b)
+        for r in cosine_pairs_blocked(
+            base.unionByName(pert), threshold=_EMB_LSH_THRESHOLD
+        ).collect()
+    }
+    assert exact, "fixture must plant at least the twin pairs"
+    assert lsh == exact
+    # every planted twin qualifies
+    assert {(i, i + _EMB_TWIN_OFFSET) for i in range(40)} <= exact
