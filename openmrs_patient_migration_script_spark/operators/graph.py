@@ -1304,7 +1304,15 @@ def modularity(
     count of symmetrized edge endpoints per attached community, and
     n_nodes needs no join at all (a count over the map itself). All
     remaining shuffles are community-keyed; m is a one-row broadcast.
-    Output is #communities rows."""
+    Output is #communities rows. Honest fixture measurement: at sf0.1
+    the edge list is 135k rows, so broadcast vs SMJ is noise there
+    (1.19 vs 1.01 s min-of-3, isolated tail) — the hint is for the
+    regime where the edge list is thousands of partitions and a
+    node-keyed shuffle of it dominates; the declared query's cost is
+    ~75% upstream LPA rounds either way. The two remaining SMJs in the
+    initial plan are the community-keyed LEFT joins between
+    #community-sized aggregates — AQE converts them at runtime once
+    sizes are known."""
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),

@@ -1108,3 +1108,119 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_r: int = 500) -> DataFra
         F.round(slope, 6).alias("slope"),
         F.round(intercept / 1e6, 6).alias("intercept_ln"),
     )
+
+
+#: U+001F (unit separator) — wraps every symbol in the string-encoded BPE
+#: symbol sequence. Absent from natural text; words containing it are
+#: filtered so the encoding is unambiguous.
+BPE_US = "\x1f"
+
+
+def bpe_word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary for BPE training — the agg that collapses
+    the CORPUS to vocabulary size before any trainer round (corpus
+    volume never re-enters the merge loop; the 100 TB shape). Eagerly
+    checkpointed: every trainer round re-scans it."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"filter(split(lower({text_col}), ' '), t -> t != '')")
+            ).alias("word")
+        )
+        .filter(~F.col("word").contains(BPE_US))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def bpe_symbols_col():
+    """Column: the symbol array of a U+001F-wrapped ``repr`` string."""
+    return F.split(F.btrim(F.col("repr"), F.lit(BPE_US)), BPE_US + BPE_US)
+
+
+def bpe_merge_rounds(words: DataFrame, n_rounds: int):
+    """The BPE trainer loop (Sennrich et al. 2016) over a checkpointed
+    (word, freq) vocabulary: yields (round, sym_a, sym_b, pair_freq,
+    repr_df) per merge with ``repr_df`` the checkpointed post-merge
+    symbol table. Per round: one vocab-sized pair explode + agg, one
+    TakeOrdered(1) driver scalar (freq DESC, pair ASC — the tie-break
+    real trainers pin), one column-local literal replace — symbols
+    wrapped in U+001F make greedy left-to-right merge ONE `replace`
+    (delimiters are consumed inside the match, so "aaa"+merge(a,a) →
+    [aa, a] and overlaps can't double-merge). Stops early when the
+    corpus runs dry of mergeable pairs. Moved from plans/text_queries
+    (r10) so pipelines compose it directly; the declared queries import
+    it from here."""
+    us = BPE_US
+    repr_df = words.select(
+        F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
+    )
+    syms = bpe_symbols_col()
+    for r in range(1, n_rounds + 1):
+        pairs = (
+            repr_df.select(syms.alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"),
+                "s",
+                "freq",
+            )
+            .select(
+                F.expr("s[i - 1]").alias("sym_a"),
+                F.expr("s[i]").alias("sym_b"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("sym_a", "sym_b")
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "sym_a", "sym_b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            return
+        a, b, pf = best[0]["sym_a"], best[0]["sym_b"], best[0]["pair_freq"]
+        repr_df = repr_df.select(
+            F.replace(
+                F.col("repr"),
+                F.lit(us + a + us + us + b + us),
+                F.lit(us + a + b + us),
+            ).alias("repr"),
+            "freq",
+        ).localCheckpoint(eager=True)  # next round's pairs + caller reads
+        yield r, a, b, pf, repr_df
+
+
+def bpe_train(
+    docs: DataFrame, n_rounds: int = 8, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Train a BPE merge table on a document corpus: the ranked merge
+    list [(merge_rank, sym_a, sym_b, pair_freq)] — the artifact a
+    tokenizer-training pipeline persists and `bpe_token_count_col`
+    applies. May return fewer than ``n_rounds`` entries on a merge-dry
+    corpus."""
+    words = bpe_word_vocab(docs, text_col)
+    return [(r, a, b, pf) for r, a, b, pf, _ in bpe_merge_rounds(words, n_rounds)]
+
+
+def bpe_token_count_col(text_col: str, merges: list[tuple[str, str]]):
+    """Column: BPE token count of ``lower(text_col)`` under the learned
+    ``merges`` [(sym_a, sym_b), ...] — the DOC-WIDE apply: spaces are
+    ordinary wrapped symbols no space-free merge pattern can cross, so
+    the whole-text nested literal replace equals the per-word apply
+    with zero explode/regroup. After training, this is a ZERO-SHUFFLE
+    row-local projection — scales with executors, no exchange."""
+    us = BPE_US
+    enc = F.regexp_replace(F.lower(F.col(text_col)), "(.)", us + "$1" + us)
+    for a, b in merges:
+        enc = F.replace(
+            enc, F.lit(us + a + us + us + b + us), F.lit(us + a + b + us)
+        )
+    n_char = F.length(F.lower(F.col(text_col))).cast("long")
+    return (
+        F.when(n_char == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.btrim(enc, F.lit(us)), us + us)))
+        .cast("long")
+    )

@@ -1347,10 +1347,19 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGE_ROUNDS = 3
-#: U+001F (unit separator) — wraps every symbol in the string-encoded
-#: symbol sequence. Absent from natural text; words containing it are
-#: filtered (both engines) so the encoding is unambiguous.
-_BPE_US = "\x1f"
+# the trainer lives in operators/text.py (r10 — public API so pipelines
+# compose it); these queries keep their historical private aliases
+from openmrs_patient_migration_script_spark.operators.text import (  # noqa: E402
+    BPE_US as _BPE_US,
+    bpe_merge_rounds,
+    bpe_symbols_col as _bpe_syms,
+    bpe_token_count_col,
+    bpe_word_vocab,
+)
+
+
+def _bpe_merge_rounds(words, n_rounds=_BPE_MERGE_ROUNDS):
+    return bpe_merge_rounds(words, n_rounds)
 
 
 def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
@@ -1496,18 +1505,7 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count and batched merges.
     """
     docs = load_table(spark, sf_dir, "documents")
-    us = _BPE_US
-    words = (
-        docs.select(
-            F.explode(
-                F.expr("filter(split(lower(text), ' '), t -> t != '')")
-            ).alias("word")
-        )
-        .filter(~F.col("word").contains(us))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=True)  # 3 rounds re-scan: vocab, not corpus
-    )
+    words = bpe_word_vocab(docs)  # 3 rounds re-scan: vocab, not corpus
     out_rows = []
     syms = _bpe_syms()
     for r, a, b, pf, repr_df in _bpe_merge_rounds(words):
@@ -1520,62 +1518,6 @@ def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_tokens_after long"
     )
     return spark.createDataFrame(out_rows, schema)
-
-
-def _bpe_syms():
-    """Column: the symbol array of a wrapped `repr` string."""
-    us = _BPE_US
-    return F.split(F.btrim(F.col("repr"), F.lit(us)), us + us)
-
-
-def _bpe_merge_rounds(words: DataFrame, n_rounds: int = _BPE_MERGE_ROUNDS):
-    """The shared BPE trainer loop over a checkpointed (word, freq)
-    vocabulary: yields (round, sym_a, sym_b, pair_freq, repr_df) with
-    ``repr_df`` the checkpointed post-merge symbol table — consumed by
-    `text_bpe_merge_apply` (ledger), `text_bpe_encode` (apply) and
-    `text_bpe_train` (the parameterized 8-round merge table). Stops
-    early when the corpus runs dry of mergeable pairs (every word a
-    single symbol) — the merge-dry guard both oracles mirror with
-    scalar-subquery no-op replaces."""
-    us = _BPE_US
-    repr_df = words.select(
-        F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
-    )
-    syms = _bpe_syms()
-    for r in range(1, n_rounds + 1):
-        pairs = (
-            repr_df.select(syms.alias("s"), "freq")
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"),
-                "s",
-                "freq",
-            )
-            .select(
-                F.expr("s[i - 1]").alias("sym_a"),
-                F.expr("s[i]").alias("sym_b"),
-                "freq",
-            )
-        )
-        best = (
-            pairs.groupBy("sym_a", "sym_b")
-            .agg(F.sum("freq").cast("long").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "sym_a", "sym_b")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            return
-        a, b, pf = best[0]["sym_a"], best[0]["sym_b"], best[0]["pair_freq"]
-        repr_df = repr_df.select(
-            F.replace(
-                F.col("repr"),
-                F.lit(us + a + us + us + b + us),
-                F.lit(us + a + b + us),
-            ).alias("repr"),
-            "freq",
-        ).localCheckpoint(eager=True)  # next round's pairs + caller reads
-        yield r, a, b, pf, repr_df
 
 
 @query("text_bpe_encode", oracle=_bpe_encode_oracle())
@@ -1597,32 +1539,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no exchange). Oracle re-derives the merges through the shared
     unrolled learn CTEs and applies the identical nested replaces."""
     docs = load_table(spark, sf_dir, "documents")
-    us = _BPE_US
-    words = (
-        docs.select(
-            F.explode(
-                F.expr("filter(split(lower(text), ' '), t -> t != '')")
-            ).alias("word")
-        )
-        .filter(~F.col("word").contains(us))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=True)
-    )
+    words = bpe_word_vocab(docs)
     merges = [(a, b) for _, a, b, _, _ in _bpe_merge_rounds(words)]
-    enc = F.regexp_replace(F.lower(F.col("text")), "(.)", us + "$1" + us)
-    for a, b in merges:
-        enc = F.replace(enc, F.lit(us + a + us + us + b + us), F.lit(us + a + b + us))
-    n_char = F.length(F.lower(F.col("text"))).cast("long")
-    n_bpe = (
-        F.when(n_char == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.btrim(enc, F.lit(us)), us + us)))
-        .cast("long")
-    )
     return docs.select(
         "doc_id",
-        n_char.alias("n_char_syms"),
-        n_bpe.alias("n_bpe_tokens"),
+        F.length(F.lower(F.col("text"))).cast("long").alias("n_char_syms"),
+        bpe_token_count_col("text", merges).alias("n_bpe_tokens"),
     )
 
 
@@ -1666,18 +1588,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds plain CTE inlining is 2^8 prefix re-expansions
     (`_bpe_learn_ctes` docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    us = _BPE_US
-    words = (
-        docs.select(
-            F.explode(
-                F.expr("filter(split(lower(text), ' '), t -> t != '')")
-            ).alias("word")
-        )
-        .filter(~F.col("word").contains(us))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=True)  # 8 rounds re-scan vocab, not corpus
-    )
+    words = bpe_word_vocab(docs)  # 8 rounds re-scan vocab, not corpus
     out_rows = [
         (r, a, b, pf)
         for r, a, b, pf, _ in _bpe_merge_rounds(words, _BPE_TRAIN_ROUNDS)

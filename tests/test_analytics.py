@@ -1530,3 +1530,24 @@ def test_sprt_planted_crossing_and_continue(spark, tmp_path):
     assert a1.n_at_decision == 0 and a1.llr_at_decision_nano == 0
     assert a1.llr_final_nano == 10 * _SPRT_B
     assert a1.n_total == 10 and a1.s_total == 0
+
+
+def test_modularity_broadcasts_label_attach_joins(spark):
+    """r10: the node->community map must attach to the edge list via
+    BroadcastHashJoins under the size gate (the r9 plan audit found them
+    as SortMergeJoins with the edge list as the big side), and fall back
+    to shuffle joins when the gate is 0 — labels identical either way."""
+    from openmrs_patient_migration_script_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], ["key_a", "key_b"]
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], ["node", "community"]
+    )
+    fast = modularity(edges, labels)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    slow = modularity(edges, labels, broadcast_threshold=0)
+    as_rows = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert as_rows(fast) == as_rows(slow)

@@ -115,3 +115,11 @@ def test_index_design():
     assert "index design: READY" in stdout
     assert "contrastive pairs staged" in stdout
     assert "cheaper 4x cut on this corpus" in stdout
+
+
+def test_tokenizer_pipeline():
+    stdout = _run("tokenizer_pipeline.py")
+    assert "merge table (8 rounds learned):" in stdout
+    assert "train" in stdout and "BPE tokens" in stdout
+    assert "zero padding waste" in stdout
+    assert "tokenizer: READY" in stdout
