@@ -134,7 +134,7 @@ def connected_components(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 25,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 10_000_000,
     algorithm: str = "minlabel",
 ) -> DataFrame:
     """Cluster id (= min member key) per node of the undirected pair graph.
@@ -161,6 +161,15 @@ def connected_components(
     threshold take the distributed loop, with one contraction prepass
     shrinking its input first — at 100 TB all tiers are live, chosen per
     job by the observed edge count, and all produce identical labels.
+    The default boundary is 10M sym rows (r10, raised from 1M): the
+    64x funnel probe priced both sides (min-of-2, idle box) — the
+    funnel is the best-or-equal path at 4.3M sym rows (4.4 vs 5.3 s
+    pristine) and wins ~2x at 8.6M (5.7 vs 11.0 s rounds), losing only
+    at 17M (11.7 vs 9.7 s) where the one-task finish becomes the
+    bottleneck; the boundary sits inside the measured bracket, on the
+    known-win side — SCALING.md `## funnel 64x probe`. A 10M-row star
+    set is a few hundred MB of numpy in the finishing task, inside any
+    executor profile.
     Pass ``local_threshold=0`` to force a loop with no Python stage
     (tests pin all paths agree) — it is forwarded as
     ``contract_threshold`` to the star path too, so the guarantee holds
@@ -197,10 +206,12 @@ def connected_components(
         # whose only edge is a self-loop emits no star edge and would
         # silently vanish from the labels; such nodes are re-attached as
         # self-edges below so the loop keeps them as singletons.
-        stars = contract_components(sym.filter(F.col("a") != F.col("b")))
-        # re-symmetrize IN-PLAN (explode of the two orientations) so the
-        # contraction runs once — a union of the frame with its swap
-        # would execute the Python stage twice
+        # the star set has TWO consumers below (the re-symmetrized union
+        # and the dropped-node anti-join) — checkpoint the node-sized
+        # output so the Python contraction stage runs exactly once
+        stars = contract_components(
+            sym.filter(F.col("a") != F.col("b"))
+        ).localCheckpoint(eager=True)
         resym = (
             stars.select(
                 F.explode(
@@ -215,12 +226,16 @@ def connected_components(
             .select("_e.a", "_e.b")
         )
         # nodes the prepass dropped (self-loop-only) come back as
-        # self-edges off the checkpointed original sym — the anti-join
-        # probes the node-sized star set, not the raw pair list
+        # self-edges. Only self-loop rows can drop, so the left side is
+        # the FILTERED self-loop slice (predicate-pushed over the
+        # checkpoint scan — near-zero rows on real pair graphs), never a
+        # distinct over the raw sym (a first draft paid a full
+        # edge-list-sized shuffle here; caught by the 64x funnel probe)
         dropped = (
-            sym.select("a")
+            sym.filter(F.col("a") == F.col("b"))
+            .select("a")
             .distinct()
-            .join(resym.select("a").distinct(), "a", "left_anti")
+            .join(resym.select("a"), "a", "left_anti")
             .select("a", F.col("a").alias("b"))
         )
         sym = resym.unionByName(dropped).localCheckpoint(eager=True)
@@ -281,7 +296,7 @@ def connected_components_star(
     src: str = "key_a",
     dst: str = "key_b",
     max_iter: int = 20,
-    contract_threshold: int = 1_000_000,
+    contract_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Connected components via the alternating Large-Star / Small-Star
     algorithm (Kiveris et al., "Connected Components in MapReduce and

