@@ -243,6 +243,16 @@ HEADLINE = [
     "graph_edge_support",
     # (graph_components_size_dist shares dedup_clusters' pair-graph +
     # components shape already in the set)
+    # round-10: the chained truss ladder (3 linked fixed-round support
+    # peels — the heaviest new graph shape; graph_ktruss is its k=4
+    # prefix, so only the decomposition benches), the 8-round BPE merge
+    # trainer, the LSH-bucketed embedding near-dup scan with planted
+    # twins, and the bucket-candidate kNN graph
+    "graph_truss_decomposition",
+    "text_bpe_train",
+    "dedup_embedding_lsh",
+    "sim_knn_graph_ann",
+    # (sim_knn_graph_recall composes two already-benched graph builds)
 ]
 
 

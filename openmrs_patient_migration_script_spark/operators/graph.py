@@ -1485,6 +1485,8 @@ def edge_support(
     edges: DataFrame,
     src: str = "key_a",
     dst: str = "key_b",
+    restore_zero: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """X9s (r9): per-EDGE triangle support — for every undirected edge
     (a, b), how many common neighbors its endpoints share, i.e. how many
@@ -1513,16 +1515,29 @@ def edge_support(
     form trades that fixed overhead for hub-exactness and a bounded
     wedge fan-out at 100 TB; both were measured same-session.
     Returns (src, dst, support) with src < dst.
+
+    ``restore_zero=False`` skips the left-join restore and returns only
+    edges closing >= 1 triangle; ``assume_canonical=True`` skips the
+    canonicalize/distinct/checkpoint on input the caller certifies is
+    already (src < dst, self-loop-free, duplicate-free). Both are the
+    `ktruss` chain's levers: a peel at k >= 3 drops support-0 edges
+    anyway, and its survivor sets stay canonical between rounds — 9
+    restore joins and 9 distincts saved across a truss decomposition.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if restore_zero:
+            e = e.localCheckpoint(eager=True)  # sym + the restore join
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds sym and the restore join
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds sym and the restore join
-    )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     oriented = (
@@ -1564,6 +1579,10 @@ def edge_support(
     counted = tri_edges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
+    if not restore_zero:
+        return counted.select(
+            F.col("u").alias(src), F.col("v").alias(dst), "support"
+        )
     return (
         e.join(counted, ["u", "v"], "left")
         .select(
@@ -1580,6 +1599,7 @@ def ktruss(
     src: str = "key_a",
     dst: str = "key_b",
     n_rounds: int = 3,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """k-truss of the undirected pair graph via ``n_rounds`` of parallel
     SUPPORT peeling — the edge-level analogue of `k_core`'s degree
@@ -1617,12 +1637,28 @@ def ktruss(
         raise ValueError(
             f"k must be >= 3 (support >= k-2 is vacuous below), got {k}"
         )
+    # canonicalize ONCE (checkpointed: round 1's symmetrize union scans
+    # it twice); every peel's survivor set stays canonical, so ALL
+    # rounds take edge_support's lean form (no re-distinct, and no
+    # zero-restore — k >= 3 drops support-0 edges at the filter anyway)
     e = edges
+    if not assume_canonical:
+        e = (
+            e.select(
+                F.least(F.col(src), F.col(dst)).alias(src),
+                F.greatest(F.col(src), F.col(dst)).alias(dst),
+            )
+            .filter(F.col(src) != F.col(dst))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     sup = None
     for _ in range(n_rounds):
         # checkpoint the support table, not the filtered edge set: it has
         # two consumers (next round's input AND the returned survivors)
-        sup = edge_support(e, src=src, dst=dst).localCheckpoint(eager=True)
+        sup = edge_support(
+            e, src=src, dst=dst, restore_zero=False, assume_canonical=True
+        ).localCheckpoint(eager=True)
         e = sup.filter(F.col("support") >= k - 2).select(src, dst)
     return sup.filter(F.col("support") >= k - 2)
 
@@ -1643,3 +1679,64 @@ def ktruss_converged(
         a.count() == b.count()
         and a.join(b, [src, dst, "support"], "left_anti").count() == 0
     )
+
+
+def truss_decomposition(
+    edges: DataFrame,
+    max_k: int = 5,
+    src: str = "key_a",
+    dst: str = "key_b",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Full truss decomposition up to ``max_k``: per EDGE the largest k
+    such that the edge survives the k-truss peel — the edge-level twin
+    of `coreness` (trussness 2 = uncorroborated links, every edge is
+    trivially a 2-truss; higher = triangle-certified density), the
+    review-priority coordinate for dedup merges: sort ascending and the
+    chain links one spurious comparator hit fabricated come out first.
+
+    Peels CHAIN instead of restarting (k-trusses are nested, and the
+    (k+1)-truss of the k-truss equals the (k+1)-truss of the whole
+    graph — maximality is confluent): each k >= 4 runs its ``n_rounds``
+    support peels on the PREVIOUS truss's survivors, so the expensive
+    wedge joins shrink monotonically down the ladder — the `coreness`
+    stacking pattern with a shrinking chain instead of stacked
+    restarts. ``max_k`` is an explicit cap, not a convergence claim
+    (the `coreness` contract); fixed rounds keep every peel replayable
+    by an unrolled MATERIALIZED-CTE oracle.
+
+    Returns (src, dst, trussness) for every edge of the canonical
+    simple graph; trussness = 2 + #{k in 3..max_k: edge in the k-truss
+    after ``n_rounds`` peels}."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias(src),
+            F.greatest(F.col(src), F.col(dst)).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint(eager=True)  # base table + every membership join
+    )
+    result = canon.select(src, dst, F.lit(2).cast("long").alias("trussness"))
+    surv = canon
+    for k in range(3, max_k + 1):
+        surv = (
+            ktruss(
+                surv, k=k, src=src, dst=dst, n_rounds=n_rounds,
+                assume_canonical=True,
+            )
+            .select(src, dst)
+            .localCheckpoint(eager=True)  # next peel + the membership join
+        )
+        member = surv.withColumn("_m", F.lit(1))
+        result = result.join(member, [src, dst], "left").select(
+            src,
+            dst,
+            (
+                F.col("trussness")
+                + F.when(F.col("_m").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("trussness"),
+        )
+    return result

@@ -2368,3 +2368,113 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_EMB_LSH_L,
         hash_mode="md5",
     )
+
+
+def _truss_decomp_oracle(max_k: int = 5, rounds: int = 3) -> str:
+    """Chained unrolled support peels for `graph_truss_decomposition`:
+    one `_ktruss_oracle`-style MATERIALIZED round chain per k, each
+    chain starting from the PREVIOUS chain's survivor CTE (the nesting
+    property the Spark operator exploits), memberships folded back onto
+    e0 as left joins."""
+    arms = []
+    for d in (1, 2, 3):
+        arms.append(f"""
+      SELECT c_custkey AS u, c_custkey + {d} AS v FROM customer, mx
+      WHERE c_custkey + {d} <= m
+        AND (c_custkey - 1 + {d}) // 20 = (c_custkey - 1) // 20""")
+    for f in (2, 3):
+        arms.append(f"""
+      SELECT c_custkey AS u, c_custkey * {f} AS v FROM customer, mx
+      WHERE c_custkey * {f} <= m""")
+    union = "\n      UNION ALL".join(arms)
+    sql = f"""
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+      FROM ({union}
+      ) WHERE u <> v
+    )"""
+    prev = "e0"
+    final = {}
+    for k in range(3, max_k + 1):
+        for r in range(1, rounds + 1):
+            name = f"k{k}r{r}"
+            sql += f""",
+    sym_{name} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      UNION ALL
+      SELECT v AS u, u AS v FROM {prev}
+    ),
+    {name} AS MATERIALIZED (
+      SELECT p.u, p.v
+      FROM {prev} p
+      JOIN sym_{name} na ON na.u = p.u
+      JOIN sym_{name} nb ON nb.u = p.v AND nb.v = na.v
+      GROUP BY 1, 2
+      HAVING count(*) >= {k - 2}
+    )"""
+            prev = name
+        final[k] = prev
+    joins = "".join(
+        f"""
+    LEFT JOIN {final[k]} m{k} ON m{k}.u = e.u AND m{k}.v = e.v"""
+        for k in range(3, max_k + 1)
+    )
+    members = " + ".join(
+        f"(CASE WHEN m{k}.u IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(3, max_k + 1)
+    )
+    return sql + f"""
+    SELECT e.u AS key_a, e.v AS key_b,
+           (2 + {members})::BIGINT AS trussness
+    FROM e0 e{joins}"""
+
+
+@query("graph_truss_decomposition", oracle=_truss_decomp_oracle())
+def graph_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9u (r10): full truss decomposition up to k=5 — every edge's
+    density COORDINATE where `graph_ktruss` answers one binary
+    membership (the `graph_kcore` → `graph_coreness` step, at the edge
+    level): trussness 2 = no triangle corroboration (review these merge
+    links first), 5 = near-clique interior. Runs on `graph_ktruss`'s
+    mixed-density fixture, where the ladder actually spreads (stride
+    interiors at 4-5, group boundaries at 3-4, doubling tails at 2).
+
+    Plan: operators/graph.py::truss_decomposition — chained fixed-round
+    support peels exploiting truss NESTING (each k peels the previous
+    truss's survivors, so the arboricity-bounded wedge joins shrink
+    monotonically down the ladder); memberships fold back as two-key
+    left joins on the canonical edge table. Oracle: one MATERIALIZED
+    round chain per k, chains linked survivor-to-survivor
+    (`_truss_decomp_oracle`)."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        truss_decomposition,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    parts = []
+    for d in (1, 2, 3):
+        parts.append(
+            c.filter(
+                (F.col("c_custkey") + d <= mx)
+                & (
+                    F.expr(f"(c_custkey - 1 + {d}) div 20")
+                    == F.expr("(c_custkey - 1) div 20")
+                )
+            ).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") + d).alias("key_b"),
+            )
+        )
+    for m in (2, 3):
+        parts.append(
+            c.filter(F.col("c_custkey") * m <= mx).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") * m).alias("key_b"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return truss_decomposition(edges, max_k=5, n_rounds=3)

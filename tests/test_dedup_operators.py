@@ -873,3 +873,28 @@ def test_ktruss_peel_cascades(spark):
     one = ktruss(df, k=4, n_rounds=1)
     assert [(r["key_a"], r["key_b"]) for r in one.collect()] == [(2, 3)]
     assert ktruss(df, k=4, n_rounds=2).count() == 0
+
+
+def test_truss_decomposition_ladder(spark):
+    """K4 edges are 4-truss but not 5-truss (support 2 < 3) → trussness
+    4; a lone triangle is exactly 3; the square and the tail close no
+    triangles → 2. Every canonical edge appears exactly once."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        truss_decomposition,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    square = [(5, 6), (6, 7), (7, 8), (5, 8)]
+    tri = [(9, 10), (10, 11), (9, 11)]
+    tail = [(4, 12)]
+    df = spark.createDataFrame(
+        k4 + square + tri + tail, "key_a long, key_b long"
+    )
+    got = {
+        (r["key_a"], r["key_b"]): r["trussness"]
+        for r in truss_decomposition(df, max_k=5, n_rounds=2).collect()
+    }
+    want = {e: 4 for e in k4}
+    want.update({e: 3 for e in tri})
+    want.update({e: 2 for e in square + tail})
+    assert got == want
