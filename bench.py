@@ -253,6 +253,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "sim_knn_graph_ann",
     # (sim_knn_graph_recall composes two already-benched graph builds)
+    # the (planes, tables) frontier ledger for the kNN ANN path
+    "sim_knn_candidate_sweep",
 ]
 
 

@@ -1750,3 +1750,149 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id")
     )
     return _recall_overlay(exact, ann)
+
+
+_KNN_SWEEP_CFGS = [(3, 8), (4, 8), (6, 4)]
+
+
+def _knn_sweep_oracle() -> str:
+    """One MATERIALIZED LSH pipeline per (planes, tables) config + the
+    exact graph once; each config folds to a single ledger row (the
+    `dedup_minhash_band_sweep` shape applied to the kNN ANN path)."""
+    sql = f"""
+    WITH vec AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    exact_g AS MATERIALIZED (
+      SELECT key AS query_id, neighbor AS vec_id
+      FROM ({ORACLES["sim_knn_graph"]}) eg
+    )"""
+    rows = []
+    for m, L in _KNN_SWEEP_CFGS:
+        tag = f"m{m}l{L}"
+        sql += f""",
+    planes_{tag} AS (
+      SELECT p.p, d.d,
+        CASE WHEN ('0x' || substr(md5(p.p || ':' || d.d), 1, 2))::INT % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT unnest(generate_series(0, {m * L - 1})) AS p) p
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    buckets_{tag} AS MATERIALIZED (
+      SELECT vec_id, p // {m} AS tbl,
+             sum(((s >= 0)::INT) << (p % {m})) AS bkt
+      FROM (
+        SELECT vec_id, pl.p, sum(v[pl.d + 1] * pl.w) AS s
+        FROM vec, planes_{tag} pl GROUP BY vec_id, pl.p
+      ) GROUP BY vec_id, p // {m}
+    ),
+    cand_{tag} AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+      FROM buckets_{tag} a JOIN buckets_{tag} b USING (tbl, bkt)
+      WHERE a.vec_id < b.vec_id
+    ),
+    ann_{tag} AS MATERIALIZED (
+      SELECT key AS query_id, neighbor AS vec_id FROM (
+        SELECT key, neighbor,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY cos_sim DESC, neighbor) AS rn
+        FROM (
+          SELECT key_a AS key, key_b AS neighbor, cos_sim FROM (
+            SELECT c.key_a, c.key_b,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+            FROM cand_{tag} c
+            JOIN vec va ON va.vec_id = c.key_a
+            JOIN vec vb ON vb.vec_id = c.key_b
+          )
+          UNION ALL
+          SELECT key_b, key_a, cos_sim FROM (
+            SELECT c.key_a, c.key_b,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+            FROM cand_{tag} c
+            JOIN vec va ON va.vec_id = c.key_a
+            JOIN vec vb ON vb.vec_id = c.key_b
+          )
+        )
+      ) WHERE rn <= {_K}
+    )"""
+        rows.append(f"""
+    SELECT {m}::BIGINT AS num_planes, {L}::BIGINT AS num_tables,
+           (SELECT count(*) FROM cand_{tag})::BIGINT AS n_candidate_pairs,
+           count(*)::BIGINT AS n_exact_edges,
+           coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_hits,
+           round(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS recall
+    FROM exact_g e
+    LEFT JOIN ann_{tag} a USING (query_id, vec_id)""")
+    return sql + "\n    UNION ALL".join(rows)
+
+
+@query("sim_knn_candidate_sweep", oracle=_knn_sweep_oracle())
+def sim_knn_candidate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4n (r10): the (planes, tables) TUNING LEDGER for the promoted
+    LSH kNN-graph path — `dedup_minhash_band_sweep`'s pattern applied
+    to `sim_knn_graph_ann`: one row per config with candidate-pair
+    volume (the cost axis: bucket-collision workload the cluster pays)
+    and exact edge recall@k (the quality axis), so the scale lever is
+    priced BEFORE a 100 TB run commits to a config — more planes =
+    fewer candidates = lower recall, and this table says exactly how
+    much of each. The exact graph is built ONCE (checkpointed) and
+    every config's graph overlays against it; candidate generation,
+    re-rank and rank window are the declared pipelines' own operators.
+
+    Oracle: one MATERIALIZED md5-plane pipeline per config + the exact
+    block-grid graph as a subquery — the whole frontier is hash-exact."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        sim_knn_graph(spark, sf_dir)
+        .select(F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id"))
+        .localCheckpoint(eager=True)  # one build, three overlays
+    )
+    out = None
+    for m, L in _KNN_SWEEP_CFGS:
+        cand = cosine_pairs_lsh(
+            emb, threshold=-1.0, num_planes=m, num_tables=L, hash_mode="md5"
+        ).localCheckpoint(eager=True)  # pair count + the graph build
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        ann = knn_graph(emb, k=_K, candidates=cand).select(
+            F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id")
+        )
+        hits = F.coalesce(
+            F.sum(F.when(F.col("ann_vec_id").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        row = (
+            exact.join(
+                ann.select("query_id", F.col("vec_id").alias("ann_vec_id")),
+                (exact["query_id"] == ann["query_id"])
+                & (exact["vec_id"] == F.col("ann_vec_id")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact_edges"),
+                hits.cast("long").alias("n_hits"),
+                F.round(
+                    hits / F.count(F.lit(1)).cast("double"), 6
+                ).alias("recall"),
+            )
+            .crossJoin(F.broadcast(n_cand))
+            .select(
+                F.lit(m).cast("long").alias("num_planes"),
+                F.lit(L).cast("long").alias("num_tables"),
+                "n_candidate_pairs",
+                "n_exact_edges",
+                "n_hits",
+                "recall",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
