@@ -18,7 +18,9 @@ from openmrs_patient_migration_script_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
 )
-from openmrs_patient_migration_script_spark.plans.registry import query
+from pyspark.sql import functions as F
+
+from openmrs_patient_migration_script_spark.plans.registry import ORACLES, query
 from openmrs_patient_migration_script_spark.sources import load_table
 
 _STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -387,4 +389,85 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             2 * F.sum("tokens").over(wd) <= F.sum("tokens").over(wall)
         ).alias("in_half_budget"),
+    )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT key_a, key_b FROM ({ORACLES["dedup_minhash"]}) mh
+    ),
+    sym AS (
+      SELECT key_a AS a, key_b AS b FROM pairs
+      UNION ALL
+      SELECT key_b, key_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    labels AS (
+      SELECT node, min(label) AS cluster FROM reach GROUP BY node
+    ),
+    removed AS (
+      SELECT node AS doc_id FROM labels WHERE node <> cluster
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_removed,
+           ((1000000 * coalesce(sum(CASE WHEN r.doc_id IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0))
+            // count(*))::BIGINT AS removed_ppm
+    FROM documents d
+    LEFT JOIN removed r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13d (r10): per-SOURCE duplication audit — the dedup × data-mix
+    bridge a corpus curator reads before re-weighting: for each source
+    domain, how many documents the keep-cluster-min near-dup pass
+    (exactly `corpus_prep`'s rule) would REMOVE, as (source, n_docs,
+    n_removed, removed_ppm). A source whose removed_ppm spikes is
+    re-crawling itself (or being mirrored elsewhere) — its effective
+    token contribution is smaller than its row count, which silently
+    skews any mixture computed from raw counts.
+
+    Plan: the declared md5 MinHash banding (`dedup_minhash`) feeds
+    connected components (tiny pair graph → the adaptive driver/funnel
+    tiers); removed docs are the labeled nodes that are NOT their
+    cluster's min; one left join back to the corpus + a source-keyed
+    rollup. removed_ppm is pure integer arithmetic (1e6-scaled floor
+    division) — no float boundary. Oracle composes the minhash oracle
+    with the transitive-closure CTE and the identical rollup."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+    from openmrs_patient_migration_script_spark.plans.dedup_queries import (
+        dedup_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash(spark, sf_dir)
+    labels = connected_components(pairs)
+    removed = labels.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("_r")
+    )
+    n_removed = F.coalesce(F.sum("_r"), F.lit(0)).cast("long")
+    return (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_removed.alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.expr("(1000000 * n_removed) div n_docs").alias("removed_ppm"),
+        )
     )
