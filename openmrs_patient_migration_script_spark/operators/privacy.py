@@ -118,6 +118,35 @@ def l_diversity_audit(
     )
 
 
+def _dp_key_str(group_cols: list[str]):
+    """LENGTH-PREFIXED group-key encoding (see `dp_noisy_counts`'s
+    collision note); shared by every seeded-noise mechanism so releases
+    over the same key draw from the same addressed stream."""
+    def _enc(c: str):
+        sv = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(sv).cast("string"), F.lit(":"), sv), F.lit("N")
+        )
+
+    return F.concat_ws(":", *[_enc(c) for c in group_cols])
+
+
+def _binomial_noise(key_str, salt: str, repeats: int):
+    """Column: sum of ``repeats`` independent Binomial(60, 1/2) - 30
+    draws, content-addressed by (salt, repeat index, group key) — the
+    seeded mechanism `dp_noisy_counts` documents."""
+    noise = None
+    for r in range(repeats):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:{r}:"), key_str)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        term = F.bit_count(h) - F.lit(30)
+        noise = term if noise is None else noise + term
+    return noise
+
+
 def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
@@ -158,22 +187,8 @@ def dp_noisy_counts(
     # encodes as 'N', which no real value's digit-led encoding can equal
     # (concat_ws silently skipping NULLs and `||` nulling the whole key
     # out are both wrong). Oracles replay the same encoding.
-    def _enc(c: str) -> F.Column:
-        sv = F.col(c).cast("string")
-        return F.coalesce(
-            F.concat(F.length(sv).cast("string"), F.lit(":"), sv), F.lit("N")
-        )
-
-    key_str = F.concat_ws(":", *[_enc(c) for c in group_cols])
-    noise = None
-    for r in range(repeats):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{salt}:{r}:"), key_str)), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        term = F.bit_count(h) - F.lit(30)
-        noise = term if noise is None else noise + term
+    key_str = _dp_key_str(group_cols)
+    noise = _binomial_noise(key_str, salt, repeats)
     out = (
         df.groupBy(*group_cols)
         .agg(F.count("*").alias("true_count"))
@@ -351,3 +366,66 @@ def generalize_to_k(
         out_cols.append(expr.alias(n))
     out_cols.append(F.col("_lvl").cast("long").alias("level"))
     return tagged.select(*out_cols)
+
+
+def dp_noisy_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cents: "F.Column",
+    clamp_cents: int,
+    salt: str,
+    repeats: int = 2,
+    threshold: int = 10,
+) -> DataFrame:
+    """Differentially private per-group MEAN release — the companion of
+    `dp_noisy_counts` (counts alone rarely satisfy an analyst): the
+    standard clamp-then-noise-sum-and-count construction. Each value is
+    CLAMPED to [0, clamp_cents] (bounding one record's contribution to
+    the sum at exactly ``clamp_cents`` — the sensitivity the noise is
+    scaled by), then two independently addressed binomial noise streams
+    (salt-suffixed ``:sum`` and ``:cnt``) perturb the clamped sum
+    (scaled by the sensitivity) and the count; the released mean is
+    their pure-integer quotient. Same content-addressed mechanism and
+    rationale as `dp_noisy_counts` (reproducible releases, oracle
+    replays the MECHANISM, no fresh draws under one salt/budget).
+
+    Returns (group_cols..., noisy_sum_cents, noisy_count, mean_milli)
+    for groups whose NOISY count clears ``threshold`` (suppression on
+    the noisy value keeps the release a pure mechanism output; it also
+    guards the quotient — threshold >= 1 ensures a positive
+    denominator). ``mean_milli = (10 * noisy_sum_cents) div
+    noisy_count`` — exact integer floor arithmetic, no float boundary.
+
+    Plan: ONE hash aggregation over (clamped sum, count) with map-side
+    combine; both noise streams are row-local expressions over the
+    group key after the agg — the shuffle carries exactly the
+    distinct-group count, same as the count release.
+    """
+    clamped = F.least(
+        F.greatest(value_cents, F.lit(0).cast("long")),
+        F.lit(int(clamp_cents)).cast("long"),
+    )
+    key_str = _dp_key_str(group_cols)
+    noise_sum = _binomial_noise(key_str, f"{salt}:sum", repeats)
+    noise_cnt = _binomial_noise(key_str, f"{salt}:cnt", repeats)
+    out = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(clamped).cast("long").alias("_ts"),
+            F.count(F.lit(1)).cast("long").alias("_tc"),
+        )
+        .select(
+            *group_cols,
+            (F.col("_ts") + F.lit(int(clamp_cents)) * noise_sum)
+            .cast("long")
+            .alias("noisy_sum_cents"),
+            (F.col("_tc") + noise_cnt).cast("long").alias("noisy_count"),
+        )
+        .filter(F.col("noisy_count") >= max(int(threshold), 1))
+    )
+    return out.select(
+        *group_cols,
+        "noisy_sum_cents",
+        "noisy_count",
+        F.expr("(10 * noisy_sum_cents) div noisy_count").alias("mean_milli"),
+    )

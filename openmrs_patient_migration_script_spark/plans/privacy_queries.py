@@ -507,3 +507,72 @@ def privacy_k_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_population",
         (F.col("n_population") < 10).alias("at_risk"),
     )
+
+
+def _dp_nation_key_sql() -> str:
+    """The length-prefixed single-column key encoding for c_nationkey,
+    as `_dp_key_str` emits it (digits only, never NULL in the fixture,
+    but the coalesce mirrors the engine expression exactly)."""
+    return (
+        "coalesce(len(c_nationkey::VARCHAR)::VARCHAR || ':' "
+        "|| c_nationkey::VARCHAR, 'N')"
+    )
+
+
+def _dp_mean_noise_sql(stream: str, r: int) -> str:
+    return (
+        f"(bit_count(('0x' || substr(md5('dp-mean-1:{stream}:{r}:' || "
+        f"{_dp_nation_key_sql()}), 1, 15))::BIGINT) - 30)"
+    )
+
+
+@query(
+    "privacy_dp_mean",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c_nationkey,
+             sum(least(greatest(CAST(round(c_acctbal * 100) AS BIGINT),
+                                0), 500000))::BIGINT AS ts,
+             count(*)::BIGINT AS tc
+      FROM customer GROUP BY c_nationkey
+    ),
+    noised AS (
+      SELECT c_nationkey,
+             (ts + 500000 * ({_dp_mean_noise_sql("sum", 0)}
+                             + {_dp_mean_noise_sql("sum", 1)}))::BIGINT
+               AS noisy_sum_cents,
+             (tc + {_dp_mean_noise_sql("cnt", 0)}
+                 + {_dp_mean_noise_sql("cnt", 1)})::BIGINT AS noisy_count
+      FROM agg
+    )
+    SELECT c_nationkey, noisy_sum_cents, noisy_count,
+           ((10 * noisy_sum_cents) // noisy_count)::BIGINT AS mean_milli
+    FROM noised WHERE noisy_count >= 10
+    """,
+)
+def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14l (r10): differentially private MEAN release — per nation the
+    mean account balance, clamped to [0, $5000] (the clamp IS the
+    sensitivity bound one record contributes to the sum) with two
+    independently addressed binomial noise streams on the clamped sum
+    (sensitivity-scaled) and the count, released as their exact integer
+    quotient (operators/privacy.py::dp_noisy_mean). Counts alone
+    (`privacy_dp_counts`) rarely satisfy an analyst; this is the
+    standard clamp/noise-sum-and-count construction next to it, same
+    content-addressed mechanism so the oracle replays the RELEASE, not
+    just the true statistics. One hash agg (map-side combined); noise
+    is row-local over the group key post-agg."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_noisy_mean,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return dp_noisy_mean(
+        c,
+        ["c_nationkey"],
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+        clamp_cents=500_000,
+        salt="dp-mean-1",
+        repeats=2,
+        threshold=10,
+    )

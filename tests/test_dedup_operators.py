@@ -898,3 +898,46 @@ def test_truss_decomposition_ladder(spark):
     want.update({e: 3 for e in tri})
     want.update({e: 2 for e in square + tail})
     assert got == want
+
+
+def test_dp_noisy_mean_mechanism(spark):
+    """Clamping bounds one record's pull on the released mean (a
+    million-dollar outlier moves the clamped sum by exactly the clamp),
+    reruns are byte-identical under one salt, a new salt is a new draw,
+    and suppression acts on the NOISY count."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_noisy_mean,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1000_00) for _ in range(50)] + [(1, 100_000_000)]
+    rows += [(2, 2000_00) for _ in range(50)]
+    df = spark.createDataFrame(rows, "grp long, cents long")
+
+    def release(salt):
+        return {
+            r["grp"]: (r["noisy_sum_cents"], r["noisy_count"], r["mean_milli"])
+            for r in dp_noisy_mean(
+                df, ["grp"], F.col("cents"), clamp_cents=5000_00,
+                salt=salt, repeats=2, threshold=10,
+            ).collect()
+        }
+
+    a, b, other = release("s1"), release("s1"), release("s2")
+    assert a == b           # content-addressed: reruns identical
+    assert other != a       # a new salt is a new draw
+    # the outlier contributes exactly clamp (5000_00), not 1e8: group 1's
+    # clamped true sum is 50*1000_00 + 5000_00 = 5_500_000; noise is
+    # bounded by |2 draws| * clamp = 60 * 5000_00
+    ns, nc, mm = a[1]
+    assert abs(ns - 5_500_000) <= 60 * 5000_00
+    # released mean is the exact integer quotient of the released pair
+    assert mm == (10 * ns) // nc
+    # suppression on the noisy count: threshold above any group kills all
+    assert (
+        dp_noisy_mean(
+            df, ["grp"], F.col("cents"), clamp_cents=5000_00,
+            salt="s1", repeats=2, threshold=10_000,
+        ).count()
+        == 0
+    )
