@@ -916,3 +916,20 @@ def test_mann_whitney_window_is_vocab_sized(spark):
     # feed the window: a raw-row ranking plan would have no groupBy
     # between the scan and the Window
     assert re.search(r"Keys \[1\]: \[value", plan), plan
+
+
+def test_r10_truss_and_ann_plan_shapes(spark):
+    """r10 pins: the truss peel plans stay wedge-join shaped (keyed
+    joins, no cartesian), the LSH pair scan keeps its Arrow hash stage +
+    candidate-keyed joins, and the candidate-kNN graph prunes its rank
+    window with WindowGroupLimit like the exact form."""
+    for name in ("graph_ktruss", "graph_truss_decomposition"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    lsh = plan_of(spark, "dedup_embedding_lsh")
+    assert "MapInPandas" in lsh       # srp_hashed + the exact re-rank
+    assert "CartesianProduct" not in lsh
+    ann = plan_of(spark, "sim_knn_graph_ann")
+    assert "WindowGroupLimit" in ann  # k pruned below the full sort
+    assert "CartesianProduct" not in ann
