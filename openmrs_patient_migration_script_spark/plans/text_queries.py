@@ -1595,3 +1595,42 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     schema = "merge_rank long, sym_a string, sym_b string, pair_freq long"
     return spark.createDataFrame(out_rows, schema)
+
+
+@query(
+    "text_langid_audit",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, predicted_lang FROM ({_langid_oracle()}) p
+    )
+    SELECT d.lang AS actual_lang, p.predicted_lang,
+           count(*)::BIGINT AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6f (r10): language-ID CONFUSION MATRIX — the certification query
+    the marker-token heuristic lacked (the repo rule: every heuristic or
+    approximate path ships with an exact auditable number — sim_ann_
+    recall for ANN, dq_blocking_quality for blocking, this for langid):
+    (actual_lang, predicted_lang, n_docs) against the corpus's labeled
+    lang column. Off-diagonal mass is misrouted training data — a
+    mixture computed from PREDICTED language inherits exactly these
+    errors, so the matrix is the first table to diff after touching
+    marker lists. Plan: the language_id scorer (row-local expressions,
+    zero shuffles) + one doc-keyed join to the labels + a 2-key count
+    agg; output is #(lang pairs) rows. Oracle composes the langid
+    oracle with the identical rollup."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        language_id,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
