@@ -123,3 +123,12 @@ def test_tokenizer_pipeline():
     assert "train" in stdout and "BPE tokens" in stdout
     assert "zero padding waste" in stdout
     assert "tokenizer: READY" in stdout
+
+
+def test_streaming_dedup_index():
+    stdout = _run("streaming_dedup_index.py")
+    assert "ST8 admitted [11, 21]" in stdout
+    assert "ST8 replay: no new bytes" in stdout
+    assert "maintained index == full-history recompute" in stdout
+    assert "ST11 replay: no new bytes" in stdout
+    assert "streaming dedup index: DONE" in stdout
