@@ -2478,3 +2478,117 @@ def graph_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         edges = edges.unionByName(p)
     return truss_decomposition(edges, max_k=5, n_rounds=3)
+
+
+@query(
+    "graph_components_stability",
+    oracle=f"""
+    WITH RECURSIVE named AS (
+      SELECT c_custkey AS key, {_NAME_SQL} AS name FROM customer
+    ),
+    pairs_t AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named a JOIN named b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    named_y AS (SELECT * FROM named WHERE key % 200 >= 10),
+    pairs_y AS (
+      SELECT a.key AS key_a, b.key AS key_b
+      FROM named_y a JOIN named_y b
+        ON substring(a.name, 1, 7) = substring(b.name, 1, 7)
+       AND a.key < b.key
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    sym_t AS (SELECT key_a AS a, key_b AS b FROM pairs_t
+              UNION ALL SELECT key_b, key_a FROM pairs_t),
+    sym_y AS (SELECT key_a AS a, key_b AS b FROM pairs_y
+              UNION ALL SELECT key_b, key_a FROM pairs_y),
+    reach_t(node, label) AS (
+      SELECT a, a FROM sym_t
+      UNION
+      SELECT s.a, r.label FROM sym_t s JOIN reach_t r ON r.node = s.b
+    ),
+    reach_y(node, label) AS (
+      SELECT a, a FROM sym_y
+      UNION
+      SELECT s.a, r.label FROM sym_y s JOIN reach_y r ON r.node = s.b
+    ),
+    lab_t AS (SELECT node, min(label) AS cluster FROM reach_t GROUP BY node),
+    lab_y AS (SELECT node, min(label) AS cluster FROM reach_y GROUP BY node)
+    SELECT
+      sum(CASE WHEN t.node IS NOT NULL AND y.node IS NOT NULL
+               THEN 1 ELSE 0 END)::BIGINT AS n_common,
+      sum(CASE WHEN t.node IS NOT NULL AND y.node IS NOT NULL
+                AND t.cluster <> y.cluster THEN 1 ELSE 0 END)::BIGINT
+        AS n_label_changed,
+      sum(CASE WHEN y.node IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new_nodes,
+      sum(CASE WHEN t.node IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_gone_nodes
+    FROM lab_t t FULL JOIN lab_y y ON t.node = y.node
+    """,
+)
+def graph_components_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9v (r10): cluster-LABEL churn between two corpus states — the
+    ops table behind every incremental-components consumer (ST11's
+    maintained index, `dedup_clusters_incremental`): yesterday's corpus
+    (the deterministic "before" slice — each even-hundred block's ten
+    lowest keys absent, so HALF the clusters lose their min member) vs
+    today's full corpus, as one row (n_common, n_label_changed,
+    n_new_nodes, n_gone_nodes). On the fixture the churn is PARTIAL by
+    construction: arrivals that merely join a cluster leave its label
+    alone, arrivals below the old min re-key it — both cases present. Cluster id = min member, so a label
+    changes exactly when new arrivals glue clusters or supply a smaller
+    min — high churn means downstream systems keyed on cluster ids
+    (golden records, served dedup decisions) re-key in bulk, the cost
+    this table prices BEFORE an index refresh ships.
+
+    Plan: two blocked pair generations + two adaptive-tier components
+    runs (both driver/funnel-sized here), one node-keyed full join,
+    a single-row conditional agg. Oracle: two transitive-closure CTEs
+    and the identical full-join rollup."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        fuzzy_dedup_pairs,
+    )
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    named = c.select(
+        F.col("c_custkey").alias("key"),
+        F.translate(
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+            "0123456789",
+            "abcdefghij",
+        ).alias("name"),
+    )
+    blocks = [F.substring("name", 1, 7)]
+    pairs_t = fuzzy_dedup_pairs(named, "key", "name", blocks, max_distance=1)
+    pairs_y = fuzzy_dedup_pairs(
+        named.filter(F.col("key") % 200 >= 10), "key", "name", blocks,
+        max_distance=1,
+    )
+    lab_t = connected_components(pairs_t).select(
+        F.col("node"), F.col("cluster").alias("cluster_t")
+    )
+    lab_y = connected_components(pairs_y).select(
+        F.col("node"), F.col("cluster").alias("cluster_y")
+    )
+    j = lab_t.join(lab_y, "node", "full")
+    both = F.col("cluster_t").isNotNull() & F.col("cluster_y").isNotNull()
+    return j.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_common"),
+        F.sum(
+            F.when(both & (F.col("cluster_t") != F.col("cluster_y")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_label_changed"),
+        F.sum(F.when(F.col("cluster_y").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_nodes"),
+        F.sum(F.when(F.col("cluster_t").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gone_nodes"),
+    )
