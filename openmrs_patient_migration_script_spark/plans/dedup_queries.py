@@ -2592,3 +2592,116 @@ def graph_components_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_gone_nodes"),
     )
+
+
+@query(
+    "dedup_pair_evidence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    dfq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle),
+    shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)
+      WHERE dfc <= {_JACCARD_MAX_DF}
+    ),
+    pair_sh AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b, shingle
+      FROM shf a JOIN shf b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    ranked AS (
+      SELECT key_a, key_b, shingle,
+             count(*) OVER (PARTITION BY key_a, key_b) AS n_shared,
+             row_number() OVER (PARTITION BY key_a, key_b
+                                ORDER BY shingle) AS rn
+      FROM pair_sh
+    )
+    SELECT key_a, key_b, n_shared::BIGINT AS n_shared,
+           string_agg(shingle, ',' ORDER BY shingle) AS evidence
+    FROM ranked
+    WHERE n_shared >= {_JACCARD_MIN_SHARED} AND rn <= 3
+    GROUP BY key_a, key_b, n_shared
+    """,
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3m (r10): candidate-pair EVIDENCE — for every n-gram-Jaccard
+    candidate pair (same inverted index, max-df prefix filter and
+    min-shared floor as `dedup_ngram_jaccard`), the shared-shingle count
+    plus the first three shared shingles as a readable string: what a
+    human reviewer (or an LLM labeling dedup decisions) actually looks
+    at before trusting a merge, and the "why" column every pair audit
+    (`graph_edge_support`'s support-0 flags, `graph_components_size_dist`'s
+    over-merge alarms) points back to.
+
+    Plan: the shingle inverted index (df <= {max_df} prefix filter keeps
+    the hot-shingle quadratic out), pair-keyed shuffle of (pair,
+    shingle) co-occurrence rows, ONE pair-keyed window producing both
+    the shared count and the rank that truncates evidence to 3 (bounded
+    output per pair regardless of overlap size), then a 3-row-bounded
+    sorted concat. All keys are pair/shingle-sized; nothing is
+    corpus-quadratic. Oracle replays the identical window + string_agg
+    (both engines sort evidence lexicographically)."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        _shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the row-local shingle HOF the whole dedup family builds on — the
+    # index is consumed by the df filter and both join sides, so
+    # checkpoint it once (the ngram_jaccard_pairs materialize rule)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    ).localCheckpoint(eager=True)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    shf = sh.join(
+        dfq.filter(F.col("dfc") <= _JACCARD_MAX_DF).select("shingle"),
+        "shingle",
+    )
+    pair_sh = (
+        shf.alias("a")
+        .join(shf.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("key_a"),
+            F.col("b.doc_id").alias("key_b"),
+            "shingle",
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    pw = W.partitionBy("key_a", "key_b")
+    ranked = pair_sh.select(
+        "key_a",
+        "key_b",
+        "shingle",
+        F.count(F.lit(1)).over(pw).alias("n_shared"),
+        F.row_number().over(pw.orderBy("shingle")).alias("rn"),
+    )
+    return (
+        ranked.filter(
+            (F.col("n_shared") >= _JACCARD_MIN_SHARED) & (F.col("rn") <= 3)
+        )
+        .groupBy("key_a", "key_b", "n_shared")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("shingle"))).alias(
+                "evidence"
+            )
+        )
+        .select(
+            "key_a", "key_b", F.col("n_shared").cast("long").alias("n_shared"),
+            "evidence",
+        )
+    )
