@@ -1313,8 +1313,14 @@ def modularity(
     broadcast — comfortably inside executor memory on any 100 TB-class
     cluster profile; above the gate the joins fall back to node-keyed
     shuffles, the same size-gated decision AQE makes, made explicit
-    because `labels` is checkpointed (AQE cannot see through an
-    InMemory/checkpoint scan's size at plan time). The old separate
+    because the label map is eagerly localCheckpoint-ed HERE, inside the
+    operator, before the gate count runs (ADVICE r10): a caller may pass
+    raw unmaterialized LPA output and its lineage still executes exactly
+    once — at the checkpoint, which the three label consumers (both
+    attach sides + the n_nodes agg) need anyway — so the `count()`
+    deciding the hint is a local-block read, never a recompute. (AQE
+    cannot see through an InMemory/checkpoint scan's size at plan time,
+    hence the explicit gate.) The old separate
     node-keyed degree agg is gone: degree_sum per community is the
     count of symmetrized edge endpoints per attached community, and
     n_nodes needs no join at all (a count over the map itself). All
@@ -1636,6 +1642,11 @@ def ktruss(
     if k < 3:
         raise ValueError(
             f"k must be >= 3 (support >= k-2 is vacuous below), got {k}"
+        )
+    if n_rounds < 1:
+        raise ValueError(
+            f"n_rounds must be >= 1 (zero peels produce no support table), "
+            f"got {n_rounds}"
         )
     # canonicalize ONCE (checkpointed: round 1's symmetrize union scans
     # it twice); every peel's survivor set stays canonical, so ALL

@@ -1154,7 +1154,8 @@ def bpe_merge_rounds(words: DataFrame, n_rounds: int):
     it from here."""
     us = BPE_US
     repr_df = words.select(
-        F.regexp_replace("word", "(.)", us + "$1" + us).alias("repr"), "freq"
+        F.regexp_replace("word", "(?s)(.)", us + "$1" + us).alias("repr"),
+        "freq",
     )
     syms = bpe_symbols_col()
     for r in range(1, n_rounds + 1):
@@ -1213,7 +1214,10 @@ def bpe_token_count_col(text_col: str, merges: list[tuple[str, str]]):
     with zero explode/regroup. After training, this is a ZERO-SHUFFLE
     row-local projection — scales with executors, no exchange."""
     us = BPE_US
-    enc = F.regexp_replace(F.lower(F.col(text_col)), "(.)", us + "$1" + us)
+    # (?s): DOTALL so embedded newlines/tabs wrap like any other symbol
+    # (Java regex and DuckDB RE2 both skip line terminators under bare
+    # '.'), keeping multiline text fully wrapped — ADVICE r10.
+    enc = F.regexp_replace(F.lower(F.col(text_col)), "(?s)(.)", us + "$1" + us)
     for a, b in merges:
         enc = F.replace(
             enc, F.lit(us + a + us + us + b + us), F.lit(us + a + b + us)

@@ -1386,7 +1386,7 @@ def _bpe_learn_ctes(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
       GROUP BY t
     ),
     r0 AS MATERIALIZED (
-      SELECT regexp_replace(word, '(.)', chr(31)||'\\1'||chr(31), 'g')
+      SELECT regexp_replace(word, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g')
                AS repr,
              freq
       FROM words
@@ -1445,7 +1445,12 @@ def _bpe_encode_oracle(n_rounds: int = _BPE_MERGE_ROUNDS) -> str:
     learn CTEs, then apply them doc-wide as nested literal replaces —
     space renders as an ordinary wrapped symbol no merge pattern can
     cross, so the doc-wide apply equals the per-word apply."""
-    enc = "regexp_replace(lower(d.text), '(.)', chr(31)||'\\1'||chr(31), 'g')"
+    # (?s) mirrors the engine's DOTALL wrap (operators/text.py): embedded
+    # newlines wrap like any other symbol in both regex engines
+    enc = (
+        "regexp_replace(lower(d.text), '(?s)(.)', "
+        "chr(31)||'\\1'||chr(31), 'g')"
+    )
     for r in range(1, n_rounds + 1):
         # scalar subqueries, not cross joins, for the same merge-dry
         # robustness reason as the learn CTEs' r{r} step

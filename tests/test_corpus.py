@@ -392,3 +392,30 @@ def test_bpe_train_merge_table_and_midladder_dry(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(str(dry / "documents.parquet"))
     assert QUERIES["text_bpe_train"](spark, str(dry)).count() == 0
+
+
+def test_bpe_multiline_text_wraps_every_symbol(spark):
+    """ADVICE r10: bare '(.)' skips line terminators in Java regex, so a
+    word containing an embedded newline got PARTIALLY wrapped symbols
+    and semantically wrong token counts. Under the (?s) DOTALL wrap,
+    'ab\\ncd ab\\ncd' sees the newline as an ordinary 1-char symbol: all
+    adjacent pairs tie at freq 2 and the pair-ASC tie-break picks
+    ('\\n','c') then ('\\nc','d') — '\\n' sorts before 'a' — and the doc
+    encodes to 3 symbols per word."""
+    from openmrs_patient_migration_script_spark.operators.text import (
+        bpe_token_count_col,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab\ncd ab\ncd")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_rounds=2)
+    assert [(a, b) for _, a, b, _ in merges] == [("\n", "c"), ("\nc", "d")]
+    n = docs.select(
+        bpe_token_count_col("text", [(a, b) for _, a, b, _ in merges]).alias(
+            "n"
+        )
+    ).collect()[0]["n"]
+    # per word: [ab, \n, cd]; plus the separating space symbol = 7
+    assert n == 7

@@ -859,6 +859,10 @@ def test_ktruss_distinguishes_square_from_clique(spark):
     assert ktruss_converged(df, k=4, n_rounds=2)
     with pytest.raises(ValueError, match="k must be >= 3"):
         ktruss(df, k=2)
+    # ADVICE r10: n_rounds=0 used to fall through to an AttributeError
+    # on the final sup.filter — now a clear contract error
+    with pytest.raises(ValueError, match="n_rounds must be >= 1"):
+        ktruss(df, k=3, n_rounds=0)
 
 
 def test_ktruss_peel_cascades(spark):

@@ -4,7 +4,7 @@ the CURRENT adaptive tiers and notes tier-boundary sensitivity).
 
 The fuzzy-pair graph at sf0.1 has ~270k symmetrized rows, so the [1, 4,
 16, 64]x ladder crosses the funnel tier's boundary inside the ladder — the probe records which tier each factor actually takes (driver
-union-find <= 50k sym rows, partition-local contraction funnel <= 4M,
+union-find <= 50k sym rows, partition-local contraction funnel <= 10M,
 contraction-prepass + min-label rounds above) AND forces the off-tier
 paths at 16x to price the boundary choice itself.
 
@@ -128,9 +128,10 @@ def main() -> None:
         lines.append(f"- {name}: {t:.2f} s")
     lines += [
         "",
-        "Reading: the r10 4M-sym-row boundary comes from exactly this",
+        "Reading: the r10 10M-sym-row boundary comes from exactly this",
         "table — the funnel wins while one finishing task absorbs the",
-        "star set (~2x at 4.3M rows) and loses when that task becomes",
+        "star set (best-or-equal at 4.3M, ~2x at 8.6M rows) and loses",
+        "when that task becomes",
         "the bottleneck (17M rows), where the prepass+rounds path takes",
         "over. The 50k driver boundary is priced in r9's notes (funnel",
         "fixed overhead ~0.7 s vs a few-thousand-row collect).",
