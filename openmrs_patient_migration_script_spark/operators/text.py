@@ -1228,3 +1228,171 @@ def bpe_token_count_col(text_col: str, merges: list[tuple[str, str]]):
         .otherwise(F.size(F.split(F.btrim(enc, F.lit(us)), us + us)))
         .cast("long")
     )
+
+
+# --- Unigram-LM (SentencePiece-style) tokenizer trainer (r11) --------------
+#
+# Kudo 2018's unigram LM trains by (seed a large candidate vocabulary from
+# frequent substrings) -> (E: segment the corpus with the current vocab) ->
+# (M: re-estimate piece statistics from the segmentation) -> (prune to the
+# target vocabulary) -> repeat. This implementation keeps that exact EM
+# structure but swaps the float Viterbi objective for a DETERMINISTIC
+# integer-decidable segmenter so every round replays exactly in ANSI SQL
+# (the repo's oracle-parity contract): pieces apply in MaxMatch priority
+# order (length DESC, count DESC, piece ASC — longest-match greedy, the
+# WordPiece inference rule), each application being ONE literal string
+# replace over the U+001F-wrapped representation (the BPE trick: the
+# char-wrapped pattern consumes its delimiters, so occurrences merge
+# left-to-right without regex, UDFs, or per-symbol explodes, and a pattern
+# can never match across an already-merged symbol's interior). At 100 TB
+# the float log-likelihood Viterbi is a one-line swap inside the same loop;
+# the EM plumbing — vocab-collapse, bounded driver collects, re-segment from
+# the RAW representation each round — is the part that has to distribute,
+# and it is identical under either objective.
+
+UNI_MAX_PIECE_LEN = 4
+UNI_SEED_SIZE = 20
+UNI_VOCAB_SIZE = 12
+UNI_EM_ROUNDS = 2
+
+
+def _uni_wrap(piece: str) -> str:
+    """The U+001F char-wrapped literal pattern of ``piece`` — what a
+    still-unmerged occurrence looks like inside a wrapped word."""
+    us = BPE_US
+    return us + (us + us).join(piece) + us
+
+
+def unigram_seed_vocab(
+    words: DataFrame,
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+    seed_size: int = UNI_SEED_SIZE,
+) -> list[tuple[str, int]]:
+    """Seed candidates for the unigram trainer: the ``seed_size`` most
+    frequent substrings (length 2..``max_piece_len``) of the word
+    vocabulary, corpus-frequency-weighted per OCCURRENCE (overlaps
+    count — 'aaa' holds two 'aa's), ranked (count DESC, piece ASC).
+
+    Scale: runs over the vocabulary, never the corpus (the BPE
+    vocab-collapse shape); the explode fans each word to at most
+    ``len * (max_piece_len - 1)`` rows, and the result is a bounded
+    driver list (``seed_size`` rows, the TakeOrdered(1) collect class).
+    """
+    subs = words.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                f"  filter(sequence(2, {max_piece_len}),"
+                "          l -> l <= length(word)),"
+                "  l -> transform(sequence(1, length(word) - l + 1),"
+                "                 i -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    rows = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(seed_size)
+        .collect()
+    )
+    return [(r["piece"], int(r["cnt"])) for r in rows]
+
+
+def unigram_segment_col(pieces: list[tuple[str, int]]):
+    """Column: the symbol array of the wrapped ``repr`` column after
+    applying ``pieces`` in MaxMatch priority order (length DESC, count
+    DESC, piece ASC). One literal replace per piece — zero-shuffle,
+    row-local, the ideal corpus-pass shape."""
+    us = BPE_US
+    enc = F.col("repr")
+    for piece, _ in sorted(pieces, key=lambda p: (-len(p[0]), -p[1], p[0])):
+        enc = F.replace(enc, F.lit(_uni_wrap(piece)), F.lit(us + piece + us))
+    return F.split(F.btrim(enc, F.lit(us)), us + us)
+
+
+def unigram_em_rounds(
+    words: DataFrame,
+    n_rounds: int = UNI_EM_ROUNDS,
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+    seed_size: int = UNI_SEED_SIZE,
+    vocab_size: int = UNI_VOCAB_SIZE,
+):
+    """The unigram-LM EM loop over a (word, freq) vocabulary: yields
+    (em_round, survivors) per round with ``survivors`` the pruned
+    [(piece, usage_cnt)] ranked (usage DESC, piece ASC). Each E-step
+    re-segments the RAW wrapped words (never the previous segmentation —
+    EM re-explains the data under the current model), the M-step counts
+    freq-weighted piece usage, and pruning keeps the ``vocab_size``
+    best; pieces the new priorities starve to zero usage drop out, so a
+    round may return fewer than ``vocab_size`` survivors. Candidate and
+    survivor lists are bounded driver collects by contract
+    (``seed_size`` then ``vocab_size`` rows)."""
+    repr_df = words.select(
+        F.regexp_replace("word", "(?s)(.)", BPE_US + "$1" + BPE_US).alias(
+            "repr"
+        ),
+        "freq",
+    )
+    cand = unigram_seed_vocab(words, max_piece_len, seed_size)
+    for r in range(1, n_rounds + 1):
+        if not cand:
+            return
+        syms = unigram_segment_col(cand)
+        survivors = (
+            repr_df.select(F.explode(syms).alias("piece"), "freq")
+            .filter(F.length("piece") >= 2)
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("usage_cnt"))
+            .orderBy(F.desc("usage_cnt"), "piece")
+            .limit(vocab_size)
+            .collect()
+        )
+        cand = [(s["piece"], int(s["usage_cnt"])) for s in survivors]
+        if not cand:
+            return
+        yield r, cand
+
+
+def unigram_train(
+    docs: DataFrame,
+    n_rounds: int = UNI_EM_ROUNDS,
+    text_col: str = "text",
+    max_piece_len: int = UNI_MAX_PIECE_LEN,
+    seed_size: int = UNI_SEED_SIZE,
+    vocab_size: int = UNI_VOCAB_SIZE,
+) -> list[tuple[int, int, str, int]]:
+    """Train the unigram vocabulary on a document corpus: the per-round
+    ledger [(em_round, rank, piece, usage_cnt)] — the final round's
+    slice is the vocabulary `unigram_token_count_col` applies. May stop
+    early on a corpus with no multi-char pieces."""
+    words = bpe_word_vocab(docs, text_col)
+    out = []
+    for r, cand in unigram_em_rounds(
+        words, n_rounds, max_piece_len, seed_size, vocab_size
+    ):
+        out += [(r, i + 1, p, c) for i, (p, c) in enumerate(cand)]
+    return out
+
+
+def unigram_token_count_col(text_col: str, pieces: list[tuple[str, int]]):
+    """Column: unigram token count of ``lower(text_col)`` under the
+    trained ``pieces`` [(piece, usage_cnt)] — the doc-wide apply.
+    Pieces come from space-split words so none contains a space: the
+    space is an ordinary wrapped symbol no piece pattern can cross, and
+    the whole-text nested replace equals the per-word apply (the
+    `bpe_token_count_col` argument). Zero-shuffle row-local
+    projection after training."""
+    us = BPE_US
+    enc = F.regexp_replace(
+        F.lower(F.col(text_col)), "(?s)(.)", us + "$1" + us
+    )
+    for piece, _ in sorted(pieces, key=lambda p: (-len(p[0]), -p[1], p[0])):
+        enc = F.replace(enc, F.lit(_uni_wrap(piece)), F.lit(us + piece + us))
+    n_char = F.length(F.lower(F.col(text_col))).cast("long")
+    return (
+        F.when(n_char == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.btrim(enc, F.lit(us)), us + us)))
+        .cast("long")
+    )

@@ -1639,3 +1639,213 @@ def text_langid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- Unigram-LM (SentencePiece-style) trainer queries (r11) -----------------
+
+from openmrs_patient_migration_script_spark.operators.text import (  # noqa: E402
+    UNI_EM_ROUNDS as _UNI_ROUNDS,
+    UNI_MAX_PIECE_LEN as _UNI_MAX_LEN,
+    UNI_SEED_SIZE as _UNI_SEED,
+    UNI_VOCAB_SIZE as _UNI_VOCAB,
+    unigram_em_rounds,
+    unigram_token_count_col,
+    unigram_train,
+)
+
+_UNI_WRAP_SQL = "regexp_replace({src}, '(?s)(.)', chr(31)||'\\1'||chr(31), 'g')"
+
+
+def _uni_nested_replaces(src: str, table: str, n_prios: int) -> str:
+    """Nested literal replaces applying ``table``'s pieces to ``src`` in
+    priority order 1..``n_prios`` — each pattern/replacement a scalar
+    subquery (computed once, not per row) with the BPE coalesce(chr(0))
+    no-op guard for ranks past the table's actual size."""
+    enc = src
+    for k in range(1, n_prios + 1):
+        pat = (
+            f"coalesce((SELECT {_UNI_WRAP_SQL.format(src='piece')} "
+            f"FROM {table} WHERE prio = {k}), chr(0))"
+        )
+        rep = (
+            f"coalesce((SELECT chr(31)||piece||chr(31) "
+            f"FROM {table} WHERE prio = {k}), chr(0))"
+        )
+        enc = f"replace({enc},\n      {pat},\n      {rep})"
+    return enc
+
+
+def _unigram_learn_ctes(n_rounds: int = _UNI_ROUNDS) -> str:
+    """The shared unrolled unigram-EM CTE chain (the `_bpe_learn_ctes`
+    pattern): words -> wrapped ur0 -> seed substring candidates us0 ->
+    per round (MaxMatch segmentation useg{r}, pruned survivor vocab
+    uv{r}). Each round's segmentation re-reads ur0 (EM re-segments RAW
+    text) with the PREVIOUS round's survivors in (length DESC, usage
+    DESC, piece ASC) priority. All multi-consumer CTEs are
+    MATERIALIZED."""
+    syms = "string_split(trim(repr, chr(31)), chr(31)||chr(31))"
+    parts = [
+        f"""
+    WITH words AS MATERIALIZED (
+      SELECT t AS word, count(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS t
+        FROM documents
+      )
+      WHERE strpos(t, chr(31)) = 0
+      GROUP BY t
+    ),
+    ur0 AS MATERIALIZED (
+      SELECT {_UNI_WRAP_SQL.format(src='word')} AS repr, freq
+      FROM words
+    ),
+    usubs AS (
+      SELECT substring(word, i, l) AS piece, freq
+      FROM (SELECT word, freq FROM words WHERE length(word) >= 2) w
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(2, least({_UNI_MAX_LEN},
+                                               length(word)))) AS l
+      ) ls
+      CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(1, length(word) - l + 1)) AS i
+      ) ps
+    ),
+    us0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             row_number() OVER (ORDER BY length(piece) DESC, cnt DESC,
+                                piece) AS prio
+      FROM (
+        SELECT piece, sum(freq)::BIGINT AS cnt
+        FROM usubs GROUP BY piece
+        ORDER BY cnt DESC, piece LIMIT {_UNI_SEED}
+      )
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        table = "us0" if r == 1 else f"uv{r - 1}"
+        n_prios = _UNI_SEED if r == 1 else _UNI_VOCAB
+        parts.append(f"""
+    useg{r} AS MATERIALIZED (
+      SELECT {_uni_nested_replaces("repr", table, n_prios)} AS repr, freq
+      FROM ur0
+    ),
+    uv{r} AS MATERIALIZED (
+      SELECT piece, usage_cnt,
+             row_number() OVER (ORDER BY usage_cnt DESC, piece)
+               AS vocab_rank,
+             row_number() OVER (ORDER BY length(piece) DESC,
+                                usage_cnt DESC, piece) AS prio
+      FROM (
+        SELECT sym AS piece, sum(freq)::BIGINT AS usage_cnt
+        FROM (SELECT unnest({syms}) AS sym, freq FROM useg{r})
+        WHERE length(sym) >= 2
+        GROUP BY sym
+        ORDER BY usage_cnt DESC, piece LIMIT {_UNI_VOCAB}
+      )
+    )""")
+    return ",".join(parts)
+
+
+def _unigram_train_oracle(n_rounds: int = _UNI_ROUNDS) -> str:
+    """Per-round survivor-vocabulary readout over the shared EM CTEs."""
+    selects = [
+        f"""
+    SELECT {r}::BIGINT AS em_round, vocab_rank::BIGINT AS vocab_rank,
+           piece, length(piece)::BIGINT AS piece_len, usage_cnt
+    FROM uv{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return _unigram_learn_ctes(n_rounds) + "\n    UNION ALL".join(selects)
+
+
+def _unigram_encode_oracle(n_rounds: int = _UNI_ROUNDS) -> str:
+    """Per-document encode readout: re-derive the final vocabulary via
+    the shared EM CTEs, then apply it doc-wide (spaces are ordinary
+    wrapped symbols no space-free piece pattern can cross, so doc-wide
+    equals per-word — the BPE encode argument)."""
+    enc = _uni_nested_replaces(
+        _UNI_WRAP_SQL.format(src="lower(d.text)"), f"uv{n_rounds}", _UNI_VOCAB
+    )
+    return (
+        _unigram_learn_ctes(n_rounds)
+        + f""",
+    enc AS (
+      SELECT d.doc_id,
+             length(lower(d.text))::BIGINT AS n_char_syms,
+             {enc} AS e
+      FROM documents d
+    )
+    SELECT doc_id, n_char_syms,
+           (CASE WHEN n_char_syms = 0 THEN 0
+                 ELSE len(string_split(trim(e, chr(31)),
+                                       chr(31)||chr(31))) END)::BIGINT
+             AS n_unigram_tokens
+    FROM enc"""
+    )
+
+
+@query("text_unigram_train", oracle=_unigram_train_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5s (r11): the UNIGRAM-LM (SentencePiece-style) tokenizer trainer
+    — the other mainstream tokenizer family next to the BPE arc (Kudo
+    2018 trains by seed-big -> EM re-estimate -> prune-to-target; BPE
+    grows bottom-up, unigram shrinks top-down). Seeds the candidate set
+    with the corpus's most frequent substrings (length 2-4, occurrence-
+    counted, corpus-frequency-weighted), then runs fixed EM rounds:
+    E-step segments every vocabulary WORD with the current candidates in
+    MaxMatch priority (length DESC, count DESC, piece ASC — the
+    deterministic integer-decidable surrogate for the float Viterbi; the
+    100 TB trainer swaps the objective inside the same loop), M-step
+    re-counts freq-weighted piece usage over the segmentation, prune
+    keeps the top-``UNI_VOCAB_SIZE`` (usage DESC, piece ASC). Returns
+    the per-round survivor ledger (em_round, vocab_rank, piece,
+    piece_len, usage_cnt); the final round's slice IS the vocabulary
+    `text_unigram_encode` applies.
+
+    Scale: the corpus collapses to its WORD VOCABULARY in the first agg
+    (the BPE vocab-collapse shape — corpus volume never re-enters the
+    EM loop); per round one segmentation pass = nested literal replaces
+    over vocab-sized rows (zero-shuffle projection), one explode + agg
+    (vocab x pieces-per-word rows, map-side combined), one bounded
+    TakeOrdered collect (20-seed / 12-survivor driver lists by
+    contract). Segmentation uses the U+001F wrap: a piece application
+    is ONE string replace whose pattern consumes its delimiters — no
+    regex in the loop, no UDF, no per-symbol explode. Oracle re-derives
+    the identical EM rounds through MATERIALIZED CTEs (useg{r}/uv{r}
+    are each read twice — the `_bpe_learn_ctes` 2^rounds lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        (r, k, p, len(p), c)
+        for r, k, p, c in unigram_train(docs, _UNI_ROUNDS)
+    ]
+    schema = (
+        "em_round long, vocab_rank long, piece string, piece_len long, "
+        "usage_cnt long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query("text_unigram_encode", oracle=_unigram_encode_oracle())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5t (r11): unigram ENCODE — the parity twin applying
+    `text_unigram_train`'s final vocabulary to every document: (doc_id,
+    n_char_syms, n_unigram_tokens). The apply is DOC-WIDE (lowercased
+    text wrapped char-wise; spaces are ordinary wrapped symbols and no
+    piece contains one, so no piece pattern can cross a word boundary —
+    doc-wide nested replace == per-word apply). After the vocab-sized
+    training rounds the corpus pass is a ZERO-SHUFFLE row-local
+    projection: wrap, 12 literal replaces, one split-count — the same
+    ideal 100 TB shape as `text_bpe_encode`. Hash equality against the
+    oracle proves BOTH the trainer's EM rounds and the encode replay
+    exactly in a second engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_vocab(docs)
+    final: list[tuple[str, int]] = []
+    for _, cand in unigram_em_rounds(words, _UNI_ROUNDS):
+        final = cand
+    return docs.select(
+        "doc_id",
+        F.length(F.lower(F.col("text"))).cast("long").alias("n_char_syms"),
+        unigram_token_count_col("text", final).alias("n_unigram_tokens"),
+    )

@@ -419,3 +419,59 @@ def test_bpe_multiline_text_wraps_every_symbol(spark):
     ).collect()[0]["n"]
     # per word: [ab, \n, cd]; plus the separating space symbol = 7
     assert n == 7
+
+
+def test_unigram_train_and_encode_hand_computed(spark, tmp_path):
+    """'banana banana band': every substring seeds (top-20 covers all
+    12), MaxMatch priority puts len-4 pieces first with 'anan' before
+    'bana' (tie at cnt 2, piece ASC) — so 'banana' segments [b, anan, a]
+    (the greedy len-4 merge starves 'bana'/'ana'/'an'), 'band' segments
+    [band]. Usage: anan=2 (banana's corpus freq), band=1; everything
+    else starves to zero and drops at the prune. Round 2 re-segments RAW
+    words with just {anan, band} and reproduces the same vocabulary —
+    the EM fixpoint on this corpus. Encode: doc-wide apply gives
+    [b,anan,a,' ',b,anan,a,' ',band] = 9 tokens over 18 chars."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    rows = [(0, "banana banana band", "en", "web", 18)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    ledger = [
+        (r.em_round, r.vocab_rank, r.piece, r.piece_len, r.usage_cnt)
+        for r in QUERIES["text_unigram_train"](spark, str(tmp_path))
+        .orderBy("em_round", "vocab_rank")
+        .collect()
+    ]
+    assert ledger == [
+        (1, 1, "anan", 4, 2),
+        (1, 2, "band", 4, 1),
+        (2, 1, "anan", 4, 2),
+        (2, 2, "band", 4, 1),
+    ]
+
+    enc = QUERIES["text_unigram_encode"](spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.n_char_syms, r.n_unigram_tokens) for r in enc] == [
+        (0, 18, 9)
+    ]
+
+
+def test_unigram_train_dry_corpus(spark, tmp_path):
+    """Single-char words have no length>=2 substrings: the seed is
+    empty, the EM loop stops before round 1, the ledger is empty, and
+    encode returns every doc fully unmerged (char count = token
+    count)."""
+    from openmrs_patient_migration_script_spark.plans import QUERIES
+
+    spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    assert QUERIES["text_unigram_train"](spark, str(tmp_path)).count() == 0
+    enc = QUERIES["text_unigram_encode"](spark, str(tmp_path)).collect()
+    assert [(r.doc_id, r.n_char_syms, r.n_unigram_tokens) for r in enc] == [
+        (1, 5, 5)
+    ]
