@@ -1751,3 +1751,211 @@ def truss_decomposition(
             .alias("trussness"),
         )
     return result
+
+
+def louvain(
+    edges: DataFrame,
+    n_passes: int = 3,
+    src: str = "key_a",
+    dst: str = "key_b",
+    return_ledger: bool = False,
+):
+    """X9n (r11): Louvain community detection (Blondel et al. 2008) —
+    the standard MODULARITY-OPTIMIZING algorithm, closing the gap next
+    to LPA (`label_propagation`, which optimizes nothing) and the
+    `modularity` metric (which only measures). Each PASS is one
+    synchronous local-move round from singleton communities followed by
+    community contraction; passes iterate a fixed count so an unrolled
+    SQL oracle replays every decision. Returns (node, community) over
+    the ORIGINAL node ids; with ``return_ledger=True`` also returns the
+    per-pass [(pass, q_num_sum, accepted)] audit trail.
+
+    Local move, exact integer form: with every super-node its own
+    community (contraction bakes prior accepted communities into the
+    node set, so every pass STARTS singleton and needs no sigma_tot
+    bookkeeping), the modularity gain of moving node i to neighbor
+    community j is 2m*k_ij - k_j*k_i up to the positive factor 1/(2m^2)
+    (Blondel et al.'s delta-Q with sigma_tot(j) = k_j), where k are
+    WEIGHTED degrees (self-loops count twice — the contracted-graph
+    convention) and m is the constant total edge weight. The argmax is
+    decided entirely in DECIMAL(38,0) — no float in any comparison.
+
+    Determinism & the synchronous-swap hazard: simultaneous moves make
+    symmetric pairs SWAP labels forever (a->b while b->a), so moves are
+    restricted to communities with a SMALLER id than the mover's own
+    (the minimum-labeling convention distributed Louvain implementations
+    use, e.g. Grappolo; same family as `label_propagation`'s min-label
+    tie-break). Tie-break (gain DESC, community ASC); only strictly
+    positive gains move. Id-descending moves forgone in one pass are
+    recovered in later passes once contraction renames the block to its
+    min id.
+
+    Monotonicity GUARD (the verdict's non-decrease contract): after
+    each pass the candidate labels are projected to the original nodes
+    and exact Q is computed by the existing `modularity` operator; the
+    pass is ACCEPTED only if sum(q_num) is non-decreasing (q_den =
+    4m^2 is constant, so the integer numerator sum decides). A rejected
+    pass reverts — and since the state is then unchanged, every later
+    pass recomputes the identical rejected move set: reverts are
+    absorbing, which keeps the fixed-pass contract oracle-replayable
+    (the oracle gates each pass on the same integer comparison).
+    Accepted-pass modularity is therefore non-decreasing BY
+    CONSTRUCTION, and asserted.
+
+    Community contraction is a node-relabel + aggregate (cross-community
+    edges sum into weighted super-edges, intra rows into self-loop
+    weights) — NOT `contract_components`, which contracts by partition-
+    local CONNECTIVITY; Louvain must contract by the community MAP, and
+    a min-label connectivity pass over move edges would fuse communities
+    that merely traded members.
+
+    Scale: per pass, one node-keyed weighted-degree agg, one edge-keyed
+    gain projection + per-node window argmax (WindowGroupLimit prunes to
+    1 row/node pre-exchange), one relabel join + contraction agg, one
+    `modularity` audit on the original graph (broadcast-gated label
+    attach, community-keyed aggs). Contraction shrinks the graph
+    geometrically on community-structured inputs, so pass 1 dominates.
+    Bounded driver scalars only: m (one row, once) and one q_num sum
+    per pass — the TakeOrdered(1) collect class. Lineage is checkpoint-
+    truncated per pass.
+    """
+    dec = "decimal(38,0)"
+    ocanon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = ocanon.count()
+    out_schema = "node long, community long"
+    if m == 0:
+        empty = ocanon.sparkSession.createDataFrame([], out_schema)
+        return (empty, []) if return_ledger else empty
+    two_m = F.lit(2 * m).cast(dec)
+
+    # level state: weighted canonical edges (u < v, w), self-loop weights
+    # (c, s), and the original-node -> super-node projection
+    lvl_e = ocanon.select("u", "v", F.lit(1).cast("long").alias("w"))
+    lvl_s = ocanon.sparkSession.createDataFrame([], "c long, s long")
+    proj = ocanon.select(F.col("u").alias("node")).unionByName(
+        ocanon.select(F.col("v").alias("node"))
+    ).distinct().select("node", F.col("node").alias("community"))
+    proj = proj.localCheckpoint(eager=True)
+
+    def _qnum_sum(labels: DataFrame) -> int:
+        row = (
+            modularity(ocanon, labels, src="u", dst="v")
+            .agg(F.sum(F.col("q_num").cast(dec)).alias("q"))
+            .collect()
+        )
+        return int(row[0]["q"] or 0)
+
+    prev_q = _qnum_sum(proj)
+    ledger: list[tuple[int, int, bool]] = []
+    for p in range(1, n_passes + 1):
+        sym = lvl_e.unionByName(
+            lvl_e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        deg = (
+            sym.groupBy("u")
+            .agg(F.sum("w").cast("long").alias("kd"))
+            .join(lvl_s.select(F.col("c").alias("u"), "s"), "u", "left")
+            .select(
+                "u",
+                (F.col("kd") + F.lit(2) * F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("k"),
+            )
+        )
+        # isolated super-nodes (self-loop only) still need degrees + rows
+        iso = lvl_s.join(
+            sym.select("u").distinct(), lvl_s["c"] == sym["u"], "left_anti"
+        ).select(F.col("c").alias("u"), (F.lit(2) * F.col("s")).cast("long").alias("k"))
+        deg = deg.unionByName(iso).localCheckpoint(eager=True)
+
+        ki = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
+        kj = deg.select(F.col("u").alias("j"), F.col("k").alias("k_j"))
+        gains = (
+            sym.select(F.col("u").alias("i"), F.col("v").alias("j"), "w")
+            .filter(F.col("j") < F.col("i"))  # min-labeling convention
+            .join(ki, "i")
+            .join(kj, "j")
+            .select(
+                "i",
+                "j",
+                (
+                    two_m * F.col("w").cast(dec)
+                    - F.col("k_j").cast(dec) * F.col("k_i").cast(dec)
+                ).alias("g"),
+            )
+            .filter(F.col("g") > 0)
+        )
+        from pyspark.sql.window import Window as _W
+
+        best = (
+            gains.withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.partitionBy("i").orderBy(F.desc("g"), F.asc("j"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("i").alias("u"), F.col("j").alias("tgt"))
+        )
+        lv = (
+            deg.select("u")
+            .join(best, "u", "left")
+            .select(
+                F.col("u").alias("lnode"),
+                F.coalesce(F.col("tgt"), F.col("u")).alias("lcomm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cand_proj = (
+            proj.join(lv, proj["community"] == lv["lnode"])
+            .select("node", F.col("lcomm").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        q = _qnum_sum(cand_proj)
+        accepted = q >= prev_q
+        ledger.append((p, q if accepted else prev_q, accepted))
+        if not accepted:
+            # absorbing revert: unchanged state re-derives the same
+            # rejected moves every later pass (docstring contract)
+            continue
+        assert q >= prev_q  # non-decreasing by construction
+        prev_q = q
+        proj = cand_proj
+        # contract by the community map
+        la = lv.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
+        lb = lv.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
+        relab = lvl_e.join(la, "u").join(lb, "v")
+        cross = (
+            relab.filter(F.col("cu") != F.col("cv"))
+            .select(
+                F.least("cu", "cv").alias("u"),
+                F.greatest("cu", "cv").alias("v"),
+                "w",
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        intra = relab.filter(F.col("cu") == F.col("cv")).select(
+            F.col("cu").alias("c"), "w"
+        )
+        olds = lvl_s.join(
+            lv.select(F.col("lnode").alias("c"), "lcomm"), "c"
+        ).select(F.col("lcomm").alias("c"), F.col("s").alias("w"))
+        selfs = (
+            intra.unionByName(olds)
+            .groupBy("c")
+            .agg(F.sum("w").cast("long").alias("s"))
+        )
+        lvl_e = cross.localCheckpoint(eager=True)
+        lvl_s = selfs.localCheckpoint(eager=True)
+
+    out = proj.select("node", "community")
+    return (out, ledger) if return_ledger else out

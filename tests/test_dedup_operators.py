@@ -945,3 +945,57 @@ def test_dp_noisy_mean_mechanism(spark):
         ).count()
         == 0
     )
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge: pass 1 (min-labeling local
+    moves from singletons) forms partial groups, passes 2-3 contract and
+    finish — the final partition is EXACTLY the two cliques, and the
+    accepted-pass ledger (hand-computed: q_num 134, 162, 286 over
+    q_den = 4*13^2) is strictly increasing."""
+    from openmrs_patient_migration_script_spark.operators.graph import louvain
+
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+        + [(4, 5)]
+    )
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    out, ledger = louvain(df, n_passes=3, return_ledger=True)
+    parts = {}
+    for r in out.collect():
+        parts.setdefault(r["community"], set()).add(r["node"])
+    assert sorted(map(sorted, parts.values())) == [
+        [1, 2, 3, 4],
+        [5, 6, 7, 8],
+    ]
+    assert ledger == [(1, 134, True), (2, 162, True), (3, 286, True)]
+    qs = [q for _, q, acc in ledger if acc]
+    assert qs == sorted(qs), "modularity must be non-decreasing"
+
+
+def test_louvain_isolated_components_and_self_loop_degrees(spark):
+    """A triangle plus a disjoint edge: pass 1 collapses both, leaving a
+    contracted graph with NO cross edges — only self-loops. Later passes
+    must keep those isolated super-nodes alive (the 2s self-loop degree
+    path) and change nothing."""
+    from openmrs_patient_migration_script_spark.operators.graph import louvain
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    out, ledger = louvain(df, n_passes=3, return_ledger=True)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # pass 1 does all the work; passes 2-3 are accepted no-ops
+    assert [acc for _, _, acc in ledger] == [True, True, True]
+    assert ledger[0][1] == ledger[1][1] == ledger[2][1]
+
+
+def test_louvain_empty_graph(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import louvain
+
+    df = spark.createDataFrame([], "key_a long, key_b long")
+    out = louvain(df, n_passes=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "community"]
