@@ -957,3 +957,121 @@ def fellegi_sunter_pairs(
             F.lit("possible")
         ),
     )
+
+
+def span_rewrite(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 5,
+    min_docs: int = 2,
+    occ_stride: int = 1 << 20,
+    materialize: bool = True,
+) -> DataFrame:
+    """The ACTION half of `repeated_span_stats` (r10 verdict gap): rewrite
+    every document with cross-document repeated spans EXCISED, keeping
+    each repeated k-gram's globally FIRST occurrence — Lee et al.'s
+    (ACL 2022) exact-substring dedup applied as an edit, the
+    `paragraph_dedup` keep-first-and-reassemble pattern at span
+    granularity. Returns (key, n_tokens, n_removed, text_rewrite).
+
+    Rule, exactly replayable in SQL: a k-gram occurring in >=
+    ``min_docs`` documents is repeated; its global first occurrence is
+    the minimum of ``occ = key * occ_stride + start`` (contract:
+    documents shorter than ``occ_stride`` tokens — the
+    `paragraph_dedup` position-packing bound, 1M tokens at the
+    default); every token position covered by a NON-first occurrence
+    is removed; survivors rejoin single-spaced in original order (''
+    if nothing survives). A token covered only by first occurrences
+    stays — the canonical copy is never edited, so every repeated span
+    still exists exactly once in the corpus.
+
+    Plan, inverted-index family (zero pair materialization): shingle
+    explode row-local; one vocab-sized agg finds repeated shingles +
+    their min-occ (map-side combine); one join-back tags non-first
+    occurrences; covered positions explode k rows per occurrence into a
+    doc-keyed distinct; the token stream left-anti joins the removal
+    set on (doc, pos) and ONE doc-keyed agg reassembles. Linear in
+    occurrences — a shingle in M docs costs M rows, never M^2.
+    ``materialize`` localCheckpoints the occurrence stream consumed by
+    both the vocab agg and the join-back (the `containment_pairs`
+    rule)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        toks.alias("_t"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)  # shingle stream + token stream + output spine
+    k = span_tokens
+    sh = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "key",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("start"),
+                        F.array_join(F.slice(F.col("_t"), i, k), " ").alias(
+                            "shingle"
+                        ),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "key",
+            F.col("_s.start").alias("start"),
+            F.col("_s.shingle").alias("shingle"),
+            (F.col("key") * F.lit(occ_stride) + F.col("_s.start"))
+            .cast("long")
+            .alias("occ"),
+        )
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    rep = (
+        sh.groupBy("shingle")
+        .agg(
+            F.count_distinct("key").alias("_dc"),
+            F.min("occ").alias("first_occ"),
+        )
+        .filter(F.col("_dc") >= min_docs)
+        .select("shingle", "first_occ")
+    )
+    removed = (
+        sh.join(rep, "shingle")
+        .filter(F.col("occ") != F.col("first_occ"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_stream = base.select(
+        "key", F.posexplode("_t").alias("_p0", "tok")
+    ).select("key", (F.col("_p0") + 1).cast("long").alias("pos"), "tok")
+    kept = (
+        tok_stream.join(removed, ["key", "pos"], "left_anti")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("text_rewrite"),
+        )
+    )
+    return base.select("key", "n_tokens").join(kept, "key", "left").select(
+        "key",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_rewrite"), F.lit("")).alias("text_rewrite"),
+    )

@@ -2895,3 +2895,74 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.expr("k div 10") == F.expr("k2 div 10")),
     ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
     return louvain(chain.unionByName(chord), n_passes=_LOUVAIN_PASSES)
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM base),
+    sh AS (
+      SELECT doc_id, i::BIGINT AS start,
+             array_to_string(list_slice(t, i, i + {_SPAN_K} - 1), ' ')
+               AS shingle,
+             (doc_id * 1048576 + i)::BIGINT AS occ
+      FROM sized, UNNEST(generate_series(1, n - {_SPAN_K} + 1)) AS g(i)
+      WHERE n >= {_SPAN_K}
+    ),
+    rep AS (
+      SELECT shingle, min(occ) AS first_occ
+      FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rm AS (
+      SELECT DISTINCT sh.doc_id, p::BIGINT AS pos
+      FROM sh
+      JOIN rep USING (shingle),
+           UNNEST(generate_series(sh.start, sh.start + {_SPAN_K} - 1))
+             AS u(p)
+      WHERE sh.occ <> rep.first_occ
+    ),
+    toks AS (
+      SELECT doc_id, i::BIGINT AS pos, t[i] AS tok
+      FROM sized, UNNEST(generate_series(1, n)) AS g(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(t.tok, ' ' ORDER BY t.pos) AS txt
+      FROM toks t
+      LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+      WHERE rm.pos IS NULL
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n AS n_tokens,
+           (s.n - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.txt, '') AS text_rewrite
+    FROM sized s LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3n (r11): span-removal REWRITE (operators/dedup.py::span_rewrite)
+    — the action half `dedup_repeated_spans` lacked (that query audits
+    coverage; this one EDITS the corpus, the r10 verdict's #3): every
+    token covered by a non-first occurrence of a cross-document repeated
+    {_SPAN_K}-gram is excised and the survivors reassemble in order —
+    keep-first-occurrence globally, so each repeated span still exists
+    exactly once corpus-wide (Lee et al. ACL 2022 as an edit; the
+    `dedup_paragraph` pattern at span granularity). Same inverted-index
+    plan family as the audit plus a (doc, pos)-keyed removal anti-join
+    and one doc-keyed reassembly agg; linear in occurrences, no pair
+    materialization. All-integer counts + exact surviving text keep the
+    oracle byte-exact."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        span_rewrite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_rewrite(
+        docs, "doc_id", "text", span_tokens=_SPAN_K, min_docs=2
+    )
+    return out.withColumnRenamed("key", "doc_id")

@@ -999,3 +999,33 @@ def test_louvain_empty_graph(spark):
     out = louvain(df, n_passes=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "community"]
+
+
+def test_span_rewrite_excises_planted_shared_passage(spark):
+    """Docs 1 and 2 share the 6-token passage 'a b c d e f': its two
+    5-gram shingles first occur in doc 1, so doc 1 survives byte-exact
+    while doc 2 loses exactly the covered positions 3..8 ('x y ... z'
+    remains). Doc 3 (unrelated) and doc 4 (too short for any shingle)
+    pass through unchanged; doc 5 (identical to the shared passage
+    only) is fully covered and rewrites to ''."""
+    from openmrs_patient_migration_script_spark.operators.dedup import (
+        span_rewrite,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f z"),
+        (3, "p q r s t u v w"),
+        (4, "tiny doc"),
+        (5, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["key"]: (r["n_tokens"], r["n_removed"], r["text_rewrite"])
+        for r in span_rewrite(df, "doc_id", "text", span_tokens=5).collect()
+    }
+    assert out[1] == (8, 0, "a b c d e f g h")
+    assert out[2] == (9, 6, "x y z")
+    assert out[3] == (8, 0, "p q r s t u v w")
+    assert out[4] == (2, 0, "tiny doc")
+    assert out[5] == (6, 6, "")
