@@ -429,3 +429,180 @@ def dp_noisy_mean(
         "noisy_count",
         F.expr("(10 * noisy_sum_cents) div noisy_count").alias("mean_milli"),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    value_cents,
+    lo_cents: int,
+    width_cents: int,
+    n_buckets: int,
+    salt: str,
+    repeats: int = 2,
+) -> DataFrame:
+    """Differentially private HISTOGRAM release (r11) — the third member
+    of the DP family next to `dp_noisy_counts` (group-by counts) and
+    `dp_noisy_mean`: fixed-width bucket counts of an integer-cents
+    value, binomial noise per bucket, released over the FULL grid
+    INCLUDING empty buckets. Releasing every grid cell is what a plain
+    noisy group-by gets wrong: emitting only observed buckets leaks
+    which buckets were empty (a presence disclosure no noise magnitude
+    fixes). The grid is data-independent (lo/width/n_buckets are release
+    parameters) and values CLAMP into it, so one record changes exactly
+    one bucket count by one — sensitivity 1.
+
+    Epsilon accounting: per bucket, noise = sum of ``repeats``
+    Binomial(60, 1/2) - 30 draws (sigma = sqrt(15 * repeats)),
+    content-addressed by (salt, repeat, bucket) — the Gaussian-mechanism
+    approximation `dp_noisy_counts` documents. Each record touches ONE
+    bucket, so PARALLEL composition applies: the whole histogram costs
+    one count-release budget, not n_buckets of them. Rotate the salt
+    only when a new budget is spent.
+
+    Plan: one hash agg over the clamped bucket id (the shuffle carries
+    at most ``n_buckets`` rows), a grid left-join (both sides
+    bucket-sized), row-local addressed noise. Bucketing uses
+    floor(double) division — exact below 2^53 cents (~$90T), asserted
+    nowhere because the clamp bounds the operand by construction.
+    Returns (bucket, bin_lo_cents, noisy_count) — n_buckets rows
+    always, even on an empty input (a pure-noise release is the
+    correct DP answer for empty data)."""
+    hi = lo_cents + width_cents * n_buckets - 1
+    x = F.least(
+        F.greatest(value_cents.cast("long"), F.lit(lo_cents).cast("long")),
+        F.lit(hi).cast("long"),
+    )
+    bucket = F.floor((x - F.lit(lo_cents)) / F.lit(width_cents)).cast("long")
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    grid = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    noise = _binomial_noise(_dp_key_str(["bucket"]), salt, repeats)
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo_cents) + F.col("bucket") * F.lit(width_cents))
+            .cast("long")
+            .alias("bin_lo_cents"),
+            (F.coalesce(F.col("_c"), F.lit(0)) + noise)
+            .cast("long")
+            .alias("noisy_count"),
+        )
+    )
+
+
+def dp_quantile(
+    df: DataFrame,
+    value_cents,
+    lo_cents: int,
+    width_cents: int,
+    n_buckets: int,
+    salt: str,
+    quantile_pcts: tuple[int, ...] = (25, 50, 75),
+    u_floor: int = -60,
+) -> DataFrame:
+    """Differentially private QUANTILE release via the EXPONENTIAL
+    mechanism (McSherry & Talwar 2007) over the same bounded bucket
+    grid as `dp_histogram`, in a fully integer-decidable, seeded form
+    so a second engine replays the exact draw:
+
+    - utility u(b) = -|cumcount(b) - target| with target =
+      (pct * n) div 100, clamped at ``u_floor`` (buckets further than
+      60 ranks from the target get the floor weight — a truncated
+      exponential mechanism, still DP since clamping utilities cannot
+      increase their sensitivity);
+    - base-2 scores: weight(b) = 2^(u(b) - u_floor), an EXACT integer
+      in [1, 2^60] (shiftleft — no exp(), no float anywhere), summed in
+      DECIMAL(38,0)/HUGEINT;
+    - inverse-CDF draw: r = md5-derived 60-bit integer mod total
+      weight, content-addressed by (salt, pct); the released bucket is
+      the first whose cumulative weight exceeds r.
+
+    Epsilon accounting: base 2 means exp(eps * u / 2) with
+    eps = 2 ln 2 per unit utility; adding/removing one record moves
+    every cumcount and the target by at most 1, so delta_u <= 2 and the
+    per-quantile guarantee is eps = 2 * delta_u * ln 2 = 4 ln 2 ~ 2.77;
+    ``len(quantile_pcts)`` releases compose sequentially (separately
+    addressed draws). The 60-bit draw's modulo bias is < 2^-60 relative
+    — negligible against the mechanism's own approximation, and
+    EXACTNESS of replay, not perfection of sampling, is the gate here
+    (the seeded-DP trade `dp_noisy_counts` documents).
+
+    Plan: one corpus-sized hash agg to bucket counts, then every window
+    (cumulative count, cumulative weight, totals) runs on the
+    ``n_buckets``-row grid — single-partition by construction and
+    bounded by contract, the `exact_global_quantile` ladder shape.
+    Returns (quantile_pct, bucket, bin_lo_cents), one row per requested
+    percentile."""
+    from pyspark.sql.window import Window as W
+
+    hi = lo_cents + width_cents * n_buckets - 1
+    x = F.least(
+        F.greatest(value_cents.cast("long"), F.lit(lo_cents).cast("long")),
+        F.lit(hi).cast("long"),
+    )
+    bucket = F.floor((x - F.lit(lo_cents)) / F.lit(width_cents)).cast("long")
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    grid = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    wcum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    base = (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket", F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("c")
+        )
+        .select(
+            "bucket",
+            F.sum("c").over(wcum).cast("long").alias("cum"),
+            F.sum("c").over(wall).cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # one consumer per requested pct
+    )
+    outs = []
+    for pct in quantile_pcts:
+        target = F.expr(f"({pct} * n) div 100")
+        u = F.greatest(-F.abs(F.col("cum") - target), F.lit(u_floor))
+        scored = base.select("bucket", u.alias("u")).selectExpr(
+            "bucket",
+            f"cast(shiftleft(cast(1 as bigint), "
+            f"cast(u - ({u_floor}) as int)) as {dec}) as w",
+        )
+        cw = scored.select(
+            "bucket",
+            F.sum("w").over(wcum).alias("cumw"),
+            F.sum("w").over(wall).alias("tw"),
+        )
+        h = F.conv(
+            F.substring(F.md5(F.lit(f"{salt}:{pct}")), 1, 15), 16, 10
+        ).cast("long")
+        sel = (
+            cw.filter(F.col("cumw") > h.cast(dec) % F.col("tw"))
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(pct).cast("long").alias("quantile_pct"),
+                "bucket",
+                (F.lit(lo_cents) + F.col("bucket") * F.lit(width_cents))
+                .cast("long")
+                .alias("bin_lo_cents"),
+            )
+        )
+        outs.append(sel)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -576,3 +576,144 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeats=2,
         threshold=10,
     )
+
+
+# --- DP histogram + DP quantile (r11) ---------------------------------------
+
+_DP_GRID_LO = -100_000
+_DP_GRID_W = 50_000
+_DP_GRID_N = 22  # covers acctbal cents in [-100000, 999999]
+
+
+def _dp_bucket_noise_sql(salt: str, r: int) -> str:
+    """The `_binomial_noise` replay for a bucket-id key under
+    `_dp_key_str`'s length-prefixed encoding (bucket is never NULL in
+    the released grid)."""
+    key = "len(bucket::VARCHAR)::VARCHAR || ':' || bucket::VARCHAR"
+    return (
+        f"(bit_count(('0x' || substr(md5('{salt}:{r}:' || {key}), 1, 15))"
+        f"::BIGINT) - 30)"
+    )
+
+
+_DP_GRID_SQL = f"""
+    vals AS (
+      SELECT ((least(greatest(CAST(round(c_acctbal * 100) AS BIGINT),
+                              {_DP_GRID_LO}),
+                     {_DP_GRID_LO + _DP_GRID_W * _DP_GRID_N - 1})
+               - {_DP_GRID_LO}) // {_DP_GRID_W})::BIGINT AS bucket
+      FROM customer
+    ),
+    cnt AS (SELECT bucket, count(*)::BIGINT AS c FROM vals GROUP BY bucket),
+    grid AS (
+      SELECT g::BIGINT AS bucket
+      FROM UNNEST(generate_series(0, {_DP_GRID_N - 1})) AS t(g)
+    ),
+    fullgrid AS (
+      SELECT grid.bucket, coalesce(cnt.c, 0)::BIGINT AS c
+      FROM grid LEFT JOIN cnt USING (bucket)
+    )"""
+
+
+@query(
+    "privacy_dp_histogram",
+    oracle=f"""
+    WITH {_DP_GRID_SQL.strip()}
+    SELECT bucket,
+           ({_DP_GRID_LO} + bucket * {_DP_GRID_W})::BIGINT AS bin_lo_cents,
+           (c + {_dp_bucket_noise_sql("dp-hist-1", 0)}
+              + {_dp_bucket_noise_sql("dp-hist-1", 1)})::BIGINT
+             AS noisy_count
+    FROM fullgrid
+    """,
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14m (r11): differentially private HISTOGRAM release
+    (operators/privacy.py::dp_histogram) — account balances clamped
+    into a fixed 22x$500 grid, binomial noise per bucket, released over
+    the FULL grid including empty buckets (emitting only observed
+    buckets would leak emptiness — a presence disclosure no noise
+    fixes). Sensitivity 1 (clamp -> one record, one bucket) and
+    PARALLEL composition: the whole histogram costs one count-release
+    budget. Same content-addressed mechanism as `privacy_dp_counts`,
+    so the oracle replays the released values bit-for-bit. One
+    bucket-keyed hash agg + a grid-sized join; 22 rows out."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_histogram,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return dp_histogram(
+        c,
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+        lo_cents=_DP_GRID_LO,
+        width_cents=_DP_GRID_W,
+        n_buckets=_DP_GRID_N,
+        salt="dp-hist-1",
+        repeats=2,
+    )
+
+
+def _dp_quantile_sel_sql(pct: int) -> str:
+    return f"""(
+      SELECT {pct}::BIGINT AS quantile_pct, bucket,
+             ({_DP_GRID_LO} + bucket * {_DP_GRID_W})::BIGINT AS bin_lo_cents
+      FROM (
+        SELECT bucket,
+               sum(w) OVER (ORDER BY bucket) AS cumw,
+               sum(w) OVER () AS tw
+        FROM (
+          SELECT bucket,
+                 (1::BIGINT << (greatest(
+                    -abs(cum - (({pct} * n) // 100)), -60) + 60)::INT
+                 )::HUGEINT AS w
+          FROM cumgrid
+        )
+      )
+      WHERE cumw > (('0x' || substr(md5('dp-q-1:{pct}'), 1, 15))::BIGINT % tw)
+      ORDER BY bucket LIMIT 1
+    )"""
+
+
+@query(
+    "privacy_dp_quantile",
+    oracle=f"""
+    WITH {_DP_GRID_SQL.strip()},
+    cumgrid AS MATERIALIZED (
+      SELECT bucket,
+             sum(c) OVER (ORDER BY bucket)::BIGINT AS cum,
+             sum(c) OVER ()::BIGINT AS n
+      FROM fullgrid
+    )
+    SELECT * FROM {_dp_quantile_sel_sql(25)}
+    UNION ALL SELECT * FROM {_dp_quantile_sel_sql(50)}
+    UNION ALL SELECT * FROM {_dp_quantile_sel_sql(75)}
+    """,
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14n (r11): differentially private QUANTILES via the exponential
+    mechanism (operators/privacy.py::dp_quantile) — quartiles of the
+    clamped balance distribution over the `privacy_dp_histogram` grid,
+    in the fully integer-decidable seeded form: utility
+    -|cumcount - target| clamped at -60, base-2 weights 2^(u+60) as
+    exact shiftleft integers, one content-addressed 60-bit draw per
+    percentile, released bucket = inverse-CDF selection (first
+    cumulative weight past the draw). Epsilon: base 2 = exp(eps*u/2)
+    with eps = 2 ln 2; delta_u <= 2, so ~2.77 per released percentile,
+    3 sequential releases. Every window runs on the 22-row grid; the
+    only corpus-sized step is the bucket-count agg. The oracle replays
+    utilities, HUGEINT weights, the md5 draw, and the selection."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_quantile,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return dp_quantile(
+        c,
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+        lo_cents=_DP_GRID_LO,
+        width_cents=_DP_GRID_W,
+        n_buckets=_DP_GRID_N,
+        salt="dp-q-1",
+        quantile_pcts=(25, 50, 75),
+    )

@@ -236,3 +236,77 @@ def test_k_map_population_vs_sample_risk(spark, tmp_path):
     a, b = out[(1, "AUTO")], out[(2, "BIKE")]
     assert a.n_sample == 3 and a.n_population == 12 and not a.at_risk
     assert b.n_sample == 2 and b.n_population == 2 and b.at_risk
+
+
+def test_dp_histogram_full_grid_and_determinism(spark):
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 5, 5, 15, 15, 95]], "cents long"
+    )
+    out1 = {
+        r.bucket: (r.bin_lo_cents, r.noisy_count)
+        for r in dp_histogram(
+            df, F.col("cents"), 0, 10, 10, "s1", repeats=2
+        ).collect()
+    }
+    # FULL grid: all 10 buckets present, including the 7 empty ones
+    assert set(out1) == set(range(10))
+    assert [out1[b][0] for b in range(10)] == [b * 10 for b in range(10)]
+    # noise bounded: |sum of 2 (Binomial(60,.5)-30)| <= 60
+    true = {0: 3, 1: 2, 9: 1}
+    for b in range(10):
+        assert abs(out1[b][1] - true.get(b, 0)) <= 60
+    # content-addressed: rerun identical, new salt differs somewhere
+    out2 = {
+        r.bucket: r.noisy_count
+        for r in dp_histogram(
+            df, F.col("cents"), 0, 10, 10, "s1", repeats=2
+        ).collect()
+    }
+    assert out2 == {b: v for b, (_, v) in out1.items()}
+    other = {
+        r.bucket: r.noisy_count
+        for r in dp_histogram(
+            df, F.col("cents"), 0, 10, 10, "s2", repeats=2
+        ).collect()
+    }
+    assert other != out2
+    # clamping: out-of-range values land in edge buckets, count preserved
+    wild = spark.createDataFrame([(-500,), (10_000,)], "cents long")
+    w = {
+        r.bucket: r.noisy_count
+        for r in dp_histogram(wild, F.col("cents"), 0, 10, 10, "sx").collect()
+    }
+    assert set(w) == set(range(10))
+
+
+def test_dp_quantile_tracks_true_quartiles(spark):
+    """1000 uniform values over the grid: the exponential mechanism's
+    released quartile buckets must land within 2 buckets of the true
+    quartiles (weights decay 2x per rank, so mass far from the target
+    is astronomically small), and reruns replay identically."""
+    from openmrs_patient_migration_script_spark.operators.privacy import (
+        dp_quantile,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1000)], "cents long")
+    out = {
+        r.quantile_pct: r.bucket
+        for r in dp_quantile(
+            df, F.col("cents"), 0, 100, 10, "q1", (25, 50, 75)
+        ).collect()
+    }
+    assert set(out) == {25, 50, 75}
+    # true quartile buckets are 2, 5, 7 (target ranks 250/500/750)
+    for pct, true_b in [(25, 2), (50, 5), (75, 7)]:
+        assert abs(out[pct] - true_b) <= 2, (pct, out[pct])
+    rerun = {
+        r.quantile_pct: r.bucket
+        for r in dp_quantile(
+            df, F.col("cents"), 0, 100, 10, "q1", (25, 50, 75)
+        ).collect()
+    }
+    assert rerun == out
