@@ -89,9 +89,17 @@ def fuzzy_dedup_pairs(
         )
         on = [f"_blk{i}" for i in range(len(exprs))]
         pairs = a.join(b, on=on, how="inner").filter(F.col("key_a") < F.col("key_b"))
+        # THRESHOLD levenshtein (r11): the 3-arg form runs the banded
+        # O(len * max_distance) DP with early abort instead of the full
+        # O(len^2) matrix, returning -1 past the threshold — ~2x on the
+        # sf0.1 fuzzy-name blocks at distance 1, byte-identical
+        # survivors (within the threshold the banded distance is exact).
         return (
-            pairs.withColumn("dist", F.levenshtein("text_a", "text_b").cast("long"))
-            .filter(F.col("dist") <= max_distance)
+            pairs.withColumn(
+                "dist",
+                F.levenshtein("text_a", "text_b", max_distance).cast("long"),
+            )
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
             .select("key_a", "key_b", "dist")
         )
 

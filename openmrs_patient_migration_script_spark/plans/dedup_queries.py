@@ -464,7 +464,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_fuzzy(spark, sf_dir)
-    return label_propagation(pairs, n_iter=3)
+    # single-pass blocked join: unique per unordered pair by construction
+    return label_propagation(pairs, n_iter=3, assume_canonical=True)
 
 
 @query(
@@ -1521,7 +1522,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = dedup_fuzzy(spark, sf_dir).localCheckpoint(eager=True)
-    labels = label_propagation(pairs, n_iter=3)
+    labels = label_propagation(pairs, n_iter=3, assume_canonical=True)
     return modularity(pairs, labels)
 
 
