@@ -5,8 +5,10 @@ file, composing the two maintained-state pipelines:
     dedup vs the index AND vs everything already admitted)
     candidate-pair feed ──ST11──▶ persisted (node, cluster) index
     (connected_components_incremental over versioned snapshots)
+    embedding feed ──ST12──▶ persisted (vec_id, _tbl, _bkt) ANN bucket
+    index (append-shaped srp_hashed folds over versioned snapshots)
 
-Both are exactly-once BY CONSTRUCTION: each micro-batch writes its own
+All three are exactly-once BY CONSTRUCTION: each micro-batch writes its own
 overwrite-able directory keyed by batch id, so a replayed batch recomputes
 the identical bytes — demonstrated here by re-running each stream on its
 checkpoint and asserting nothing changed on disk.
@@ -30,7 +32,12 @@ from openmrs_patient_migration_script_spark.operators.graph import (
     connected_components,
 )
 from openmrs_patient_migration_script_spark.session import get_spark
+from openmrs_patient_migration_script_spark.operators.similarity import (
+    srp_hashed,
+)
 from openmrs_patient_migration_script_spark.streaming.pipelines import (
+    stream_ann_buckets_maintain,
+    stream_ann_buckets_read,
     stream_components_maintain,
     stream_components_read,
     stream_ingest_dedup,
@@ -131,6 +138,56 @@ def main() -> None:
     run_fold()
     assert _snapshot(index_dir) == snap
     print("ST11 replay: no new bytes")
+
+    # ---- ST12: fold a 2-batch embedding feed into the ANN bucket index ----
+    from pyspark.sql.types import ArrayType, FloatType
+
+    emb_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    vecs = [
+        (i, [float((i * 5 + j) % 7 - 3) for j in range(8)]) for i in range(8)
+    ]
+    embs = f"{work}/embs"
+    for i, chunk in enumerate([vecs[:3], vecs[3:]]):
+        p = f"{embs}/f{i}"
+        spark.createDataFrame(chunk, emb_schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (3000 + i * 100, 3000 + i * 100))
+    ann_dir, ckpt12 = f"{work}/ann_index", f"{work}/ckpt12"
+
+    def run_ann():
+        q = stream_ann_buckets_maintain(
+            spark.readStream.schema(emb_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{embs}/f*"),
+            ann_dir, ckpt12, num_planes=4, num_tables=8, hash_mode="md5",
+        )
+        q.awaitTermination(120)
+
+    run_ann()
+    maintained = sorted(
+        map(tuple, stream_ann_buckets_read(spark, ann_dir).collect())
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            srp_hashed(
+                spark.createDataFrame(vecs, emb_schema),
+                "vec_id", 4, 8, "embedding", "md5",
+            ).collect(),
+        )
+    )
+    assert maintained == rebuilt
+    print(f"ST12 maintained ANN buckets == one-shot rebuild "
+          f"({len(maintained)} rows = 8 vectors x 8 tables)")
+    snap = _snapshot(ann_dir)
+    run_ann()
+    assert _snapshot(ann_dir) == snap
+    print("ST12 replay: no new bytes")
     print("streaming dedup index: DONE")
     spark.stop()
 

@@ -972,10 +972,13 @@ def stream_cms_read(spark: SparkSession, out_dir: str) -> DataFrame:
     return cells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
-def _committed_index_versions(spark: SparkSession, out_dir: str):
-    """(version, path) for every ``_index_v=<id>`` snapshot carrying a
+def _committed_index_versions(
+    spark: SparkSession, out_dir: str, prefix: str = "_index_v="
+):
+    """(version, path) for every ``<prefix><id>`` snapshot carrying a
     ``_SUCCESS`` marker — the `stream_cms_read` ledger-walk rule applied
-    to versioned index snapshots."""
+    to versioned index snapshots (ST11's components index and ST12's
+    ANN bucket index share it via ``prefix``)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -983,7 +986,7 @@ def _committed_index_versions(spark: SparkSession, out_dir: str):
     if fs.exists(hpath(out_dir)):
         for st in fs.listStatus(hpath(out_dir)):
             name = st.getPath().getName()
-            if name.startswith("_index_v=") and fs.exists(
+            if name.startswith(prefix) and fs.exists(
                 hpath(st.getPath(), "_SUCCESS")
             ):
                 versions.append((int(name.split("=", 1)[1]), st.getPath().toString()))
@@ -1065,4 +1068,86 @@ def stream_components_read(spark: SparkSession, out_dir: str) -> DataFrame:
     versions = _committed_index_versions(spark, out_dir)
     if not versions:
         return spark.createDataFrame([], "node BIGINT, cluster BIGINT")
+    return spark.read.parquet(versions[-1][1])
+
+
+def stream_ann_buckets_maintain(
+    stream_embeddings: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 8,
+    hash_mode: str = "md5",
+    trigger_available_now: bool = True,
+):
+    """ST12 (r11): streaming maintenance of the ANN SRP BUCKET INDEX —
+    the r10 verdict's ask: ST11's versioned-snapshot pattern applied to
+    the bucket table the promoted ANN path (`dedup_embedding_lsh`,
+    `sim_knn_graph_ann`, `ann_topk_lsh`) joins against, so the index a
+    query-time candidate join reads stays current as embeddings stream
+    in, without ever re-hashing the historical corpus.
+
+    The fold is APPEND-SHAPED: SRP planes are a pure function of
+    (dim, planes, tables, hash_mode) (`srp_weights` is content-addressed
+    by construction), so an already-indexed vector's buckets NEVER
+    change and each micro-batch contributes exactly its own
+    `srp_hashed` rows unioned onto the prior snapshot. Batch i reads
+    the newest committed ``_ann_v`` with id < i (self-exclusion), so a
+    replayed batch re-derives the identical union and overwrites its
+    own directory with identical bytes — the ST11/`stream_ingest_dedup`
+    exactly-once construction; `stream_ann_buckets_read` serves the
+    newest committed snapshot. Maintained == one-shot `srp_hashed` over
+    the full corpus (runtime parity test), the incremental == full
+    invariant.
+
+    At 100 TB the snapshot is L rows per indexed vector (key, _tbl,
+    _bkt ints) — a sliver of the embedding stream; retention on old
+    ``_ann_v`` dirs bounds history, the read only touches the newest.
+    """
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        srp_hashed,
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+        target = f"{out_dir}/_ann_v={batch_id}"
+        if fs.exists(hpath(f"{target}/_SUCCESS")):
+            return  # replay: already durable and complete
+        prior = [
+            (v, p)
+            for v, p in _committed_index_versions(spark, out_dir, "_ann_v=")
+            if v < batch_id
+        ]
+        batch_rows = srp_hashed(
+            batch_df, id_col, num_planes, num_tables, vec_col, hash_mode
+        )
+        if prior:
+            index = spark.read.parquet(prior[-1][1])
+            new_index = index.unionByName(batch_rows)
+        else:
+            new_index = batch_rows
+        new_index.write.mode("overwrite").parquet(target)
+
+    writer = stream_embeddings.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ann_buckets_read(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The CURRENT maintained (key, _tbl, _bkt) ANN bucket index: the
+    newest committed ``_ann_v`` snapshot (committed = ``_SUCCESS``
+    present — an in-flight or crashed fold is invisible)."""
+    versions = _committed_index_versions(spark, out_dir, "_ann_v=")
+    if not versions:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, _tbl INT, _bkt INT"
+        )
     return spark.read.parquet(versions[-1][1])
