@@ -1,0 +1,192 @@
+"""64x scaling probe for the r10-verdict shapes (r11 run, VERDICT r10
+task #6): SCALING.md's 64x table predates the truss ladder and the
+promoted ANN paths, so this ladders
+
+- graph_truss_decomposition's chained support peels (the stride+doubling
+  mixed-density fixture, edges replicated key-shifted so every replica
+  replays the same ladder),
+- dedup_embedding_lsh (SRP bucket candidates + exact re-rank at 0.95,
+  planted perturbed twins per copy),
+- sim_knn_graph_ann (LSH candidates feeding the kNN graph tail),
+
+at [1, 4, 16, 64]x of sf0.1. Embedding copies are sign-flip
+decorrelated (`_perturbed_copies`) so true-pair volume stays linear in
+k — identical copies would pile into the same SRP buckets and grow the
+candidate join quadratically, probing a corpus no real ingest produces.
+
+Run ALONE on an idle box. Appends a `## r11 64x probe` section to
+SCALING.md.
+
+Usage: python tools/scale_probe_r11.py
+"""
+
+from __future__ import annotations
+
+import gc
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openmrs_patient_migration_script_spark.session import get_spark  # noqa: E402
+from openmrs_patient_migration_script_spark.sources import load_table  # noqa: E402
+from tools.scale_probe import (  # noqa: E402
+    KEY_SHIFT,
+    _perturbed_copies,
+    replicate,
+    timed,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+FACTORS = [1, 4, 16, 64]
+TWIN_OFFSET = 1_000_000  # inside one copy's KEY_SHIFT stride
+
+
+def _truss_edges(spark):
+    """The declared graph_truss_decomposition fixture (stride 1/2/3
+    same-20-block chords + x2/x3 doubling tails) on the base customer
+    keys — built ONCE; factors replicate the EDGES key-shifted."""
+    c = load_table(spark, SF_DIR, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    parts = []
+    for d in (1, 2, 3):
+        parts.append(
+            c.filter(
+                (F.col("c_custkey") + d <= mx)
+                & (
+                    F.expr(f"(c_custkey - 1 + {d}) div 20")
+                    == F.expr("(c_custkey - 1) div 20")
+                )
+            ).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") + d).alias("key_b"),
+            )
+        )
+    for m in (2, 3):
+        parts.append(
+            c.filter(F.col("c_custkey") * m <= mx).select(
+                F.col("c_custkey").alias("key_a"),
+                (F.col("c_custkey") * m).alias("key_b"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return edges
+
+
+def _truss_shape(edges_k):
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        truss_decomposition,
+    )
+
+    return truss_decomposition(edges_k, max_k=5, n_rounds=3)
+
+
+def _emb_lsh_shape(emb_k):
+    """dedup_embedding_lsh's declared pipeline on the replicated corpus:
+    each vector gets the same deterministically perturbed twin (even
+    components x1.05 / odd x0.95, cosine >= ~0.9987), so planted-pair
+    volume scales linearly with the corpus."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    base = emb_k.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda x, i: x
+            * F.when(i % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    return cosine_pairs_lsh(
+        corpus,
+        threshold=0.95,
+        num_planes=8,
+        num_tables=8,
+        hash_mode="md5",
+    )
+
+
+def _knn_ann_shape(emb_k):
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    cand = cosine_pairs_lsh(
+        emb_k,
+        threshold=-1.0,
+        num_planes=4,
+        num_tables=8,
+        hash_mode="md5",
+    )
+    return knn_graph(emb_k, k=5, candidates=cand)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe-r11")
+    edges = _truss_edges(spark).localCheckpoint(eager=True)
+    emb = load_table(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        e_k = replicate(edges, ["key_a", "key_b"], k, KEY_SHIFT * 100)
+        emb_k = _perturbed_copies(emb, k)
+        if k > 1:
+            e_k = e_k.localCheckpoint(eager=True)
+            emb_k = emb_k.localCheckpoint(eager=True)
+        for name, thunk in {
+            "truss_decomposition": lambda: _truss_shape(e_k),
+            "dedup_embedding_lsh": lambda: _emb_lsh_shape(emb_k),
+            "sim_knn_graph_ann": lambda: _knn_ann_shape(emb_k),
+        }.items():
+            # min-of-2: the first run after a gc cycle is systematically
+            # cold (Python workers respawn) — the funnel-probe rule
+            results.setdefault(name, {})[k] = min(
+                timed(thunk) for _ in range(2)
+            )
+            print(f"k={k:2d} {name}: {results[name][k]:.2f}s", flush=True)
+        del e_k, emb_k
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    span = math.log(FACTORS[-1] / FACTORS[0])
+    lines = [
+        "",
+        "## r11 64x probe (tools/scale_probe_r11.py)",
+        "",
+        "The three r10 shapes the r10 verdict flagged as unprobed at",
+        "64x, alone on an idle box at the r11 tree, min-of-2 per cell.",
+        "Embedding copies are sign-flip decorrelated; the LSH shapes'",
+        "planted twin volume grows linearly with the corpus by",
+        "construction.",
+        "",
+        "| shape | " + " | ".join(f"{k}x sec" for k in FACTORS)
+        + " | exp (64x span) |",
+        "|---|" + "---|" * (len(FACTORS) + 1),
+    ]
+    for name, ts in results.items():
+        exp = math.log(ts[FACTORS[-1]] / ts[FACTORS[0]]) / span
+        lines.append(
+            "| " + name + " | "
+            + " | ".join(f"{ts[k]:.2f}" for k in FACTORS)
+            + f" | {exp:.2f} |"
+        )
+    lines.append("")
+    with open(Path(__file__).resolve().parent.parent / "SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to SCALING.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
