@@ -10,7 +10,8 @@ in rounds 8-10, composed as one runnable pipeline:
 
 Only the train split trains the tokenizer (the same leak discipline as
 model training); every split is encoded and packed with the SAME merge
-table.
+table. Step 5 trains the r11 UNIGRAM-LM vocabulary on the same split
+and compares both tokenizer families' compression on the same corpus.
 
 Run:  python examples/tokenizer_pipeline.py [sf_dir]
 """
@@ -29,6 +30,8 @@ from openmrs_patient_migration_script_spark.operators.text import (
     bpe_token_count_col,
     bpe_train,
     pack_sequences,
+    unigram_token_count_col,
+    unigram_train,
 )
 from openmrs_patient_migration_script_spark.session import get_spark
 from openmrs_patient_migration_script_spark.sources import load_table
@@ -102,6 +105,22 @@ def main() -> None:
     print(f"packed train split: {row['n_seq']} sequences of {SEQ_TOKENS} "
           f"tokens across 32 streams ({row['total']} tokens laid "
           f"end-to-end, zero padding waste)")
+    # 5. the OTHER mainstream family: unigram-LM (SentencePiece-style,
+    # r11) trained on the same split — seed-big, EM re-estimate, prune —
+    # and the two families' compression compared on identical text
+    ledger = unigram_train(kept.filter(F.col("split") == "train"))
+    final_round = max((r for r, *_ in ledger), default=0)
+    vocab = [(p, c) for r, _, p, c in ledger if r == final_round]
+    print(f"unigram vocabulary (round {final_round}, {len(vocab)} pieces): "
+          + ", ".join(repr(p) for p, _ in vocab[:8]) + " ...")
+    compare = kept.select(
+        bpe_token_count_col("text", pair_list).alias("bpe"),
+        unigram_token_count_col("text", vocab).alias("uni"),
+        F.length(F.lower("text")).cast("long").alias("chars"),
+    ).agg(F.sum("bpe").alias("bpe"), F.sum("uni").alias("uni"),
+          F.sum("chars").alias("chars")).collect()[0]
+    print(f"compression on the kept corpus: {compare['chars']} chars -> "
+          f"{compare['bpe']} BPE tokens / {compare['uni']} unigram tokens")
     print("tokenizer: READY")
     spark.stop()
 
