@@ -2967,3 +2967,57 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", span_tokens=_SPAN_K, min_docs=2
     )
     return out.withColumnRenamed("key", "doc_id")
+
+
+@query(
+    "graph_louvain_ledger",
+    oracle=_louvain_ctes()
+    + f"""
+    SELECT * FROM (
+      {"UNION ALL".join(
+        f'''
+      SELECT {p}::BIGINT AS pass_no,
+             (SELECT q FROM q{p})::BIGINT AS q_num_sum,
+             (SELECT a FROM acc{p}) AS accepted
+      '''
+        for p in range(1, _LOUVAIN_PASSES + 1)
+      )}
+    ) t
+    """,
+)
+def graph_louvain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9o (r11): the Louvain AUDIT LEDGER — per pass the exact
+    modularity numerator after the guard decision and whether the pass
+    was accepted, as a declared hash-checked table (the repo rule:
+    every heuristic ships an exact auditable number; `graph_modularity`
+    certifies LPA, this certifies `graph_louvain`'s monotone-guard
+    contract). q_den = 4m^2 is constant, so a non-decreasing q_num_sum
+    column IS the non-decreasing-modularity guarantee — checkable by
+    eye, by the driver's value hash, and by the oracle's independent
+    replay of every gain argmax and accept CASE. Same plan as
+    `graph_louvain` plus three one-row modularity sums; 3 rows out."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        louvain,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    c2 = c.select(F.col("k").alias("k2"))
+    chain = c.join(c2, F.col("k2") == F.col("k") + 1).select(
+        F.col("k").alias("key_a"), F.col("k2").alias("key_b")
+    )
+    chord = c.join(
+        c2,
+        (F.col("k2") == F.col("k") + 2)
+        & (F.expr("k div 10") == F.expr("k2 div 10")),
+    ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
+    _, ledger = louvain(
+        chain.unionByName(chord),
+        n_passes=_LOUVAIN_PASSES,
+        return_ledger=True,
+    )
+    return spark.createDataFrame(
+        [(p, q, acc) for p, q, acc in ledger],
+        "pass_no long, q_num_sum long, accepted boolean",
+    )
