@@ -255,6 +255,20 @@ HEADLINE = [
     # (sim_knn_graph_recall composes two already-benched graph builds)
     # the (planes, tables) frontier ledger for the kNN ANN path
     "sim_knn_candidate_sweep",
+    # round-11: the guarded Louvain passes (local-move gain argmax +
+    # contraction + per-pass modularity audit — the heaviest new graph
+    # shape; graph_louvain_ledger is its 3-row readout, so only the
+    # label table benches), the unigram-LM EM trainer (seed explode +
+    # per-round MaxMatch replaces over the vocabulary), the span-removal
+    # rewrite (inverted index + (doc,pos) anti-join + reassembly), and
+    # the full-grid DP histogram release
+    "graph_louvain",
+    "text_unigram_train",
+    "dedup_span_rewrite",
+    "privacy_dp_histogram",
+    # (text_unigram_encode shares text_bpe_encode's zero-shuffle doc-wide
+    # replace shape; privacy_dp_quantile's windows run on the 22-row
+    # grid — no data-sized work beyond privacy_dp_histogram's agg)
 ]
 
 
