@@ -14,6 +14,15 @@ decorrelated (`_perturbed_copies`) so true-pair volume stays linear in
 k — identical copies would pile into the same SRP buckets and grow the
 candidate join quadratically, probing a corpus no real ingest produces.
 
+PLANES SCALE WITH THE CORPUS: candidates per table ~ n^2 / 2^planes, so
+holding (planes, tables) fixed while n grows k-fold grows the candidate
+join k^2-fold — the first probe run measured exactly that wall
+(knn-ANN at fixed (4,8): 3.8 -> 16.4 s from 1x to 4x, job-killed at
+16x; emb-LSH at fixed (8,8): 2.0 -> 42.0 s at 16x, exponent ~1.1).
+The deployment rule is planes = m0 + log2(corpus growth) (2^m tracks n,
+candidates stay linear), and THAT configuration is what this ladder
+times; the fixed-config wall is recorded in the SCALING.md prose.
+
 Run ALONE on an idle box. Appends a `## r11 64x probe` section to
 SCALING.md.
 
@@ -86,7 +95,7 @@ def _truss_shape(edges_k):
     return truss_decomposition(edges_k, max_k=5, n_rounds=3)
 
 
-def _emb_lsh_shape(emb_k):
+def _emb_lsh_shape(emb_k, planes):
     """dedup_embedding_lsh's declared pipeline on the replicated corpus:
     each vector gets the same deterministically perturbed twin (even
     components x1.05 / odd x0.95, cosine >= ~0.9987), so planted-pair
@@ -111,13 +120,13 @@ def _emb_lsh_shape(emb_k):
     return cosine_pairs_lsh(
         corpus,
         threshold=0.95,
-        num_planes=8,
+        num_planes=planes,
         num_tables=8,
         hash_mode="md5",
     )
 
 
-def _knn_ann_shape(emb_k):
+def _knn_ann_shape(emb_k, planes):
     from openmrs_patient_migration_script_spark.operators.similarity import (
         cosine_pairs_lsh,
         knn_graph,
@@ -126,7 +135,7 @@ def _knn_ann_shape(emb_k):
     cand = cosine_pairs_lsh(
         emb_k,
         threshold=-1.0,
-        num_planes=4,
+        num_planes=planes,
         num_tables=8,
         hash_mode="md5",
     )
@@ -145,17 +154,27 @@ def main() -> None:
         if k > 1:
             e_k = e_k.localCheckpoint(eager=True)
             emb_k = emb_k.localCheckpoint(eager=True)
+        lg = int(math.log2(k))
         for name, thunk in {
             "truss_decomposition": lambda: _truss_shape(e_k),
-            "dedup_embedding_lsh": lambda: _emb_lsh_shape(emb_k),
-            "sim_knn_graph_ann": lambda: _knn_ann_shape(emb_k),
+            f"dedup_embedding_lsh (m={8 + lg})": lambda: _emb_lsh_shape(
+                emb_k, 8 + lg
+            ),
+            f"sim_knn_graph_ann (m={4 + lg})": lambda: _knn_ann_shape(
+                emb_k, 4 + lg
+            ),
         }.items():
-            # min-of-2: the first run after a gc cycle is systematically
-            # cold (Python workers respawn) — the funnel-probe rule
-            results.setdefault(name, {})[k] = min(
-                timed(thunk) for _ in range(2)
-            )
-            print(f"k={k:2d} {name}: {results[name][k]:.2f}s", flush=True)
+            base = name.split(" ")[0]
+            try:
+                # min-of-2: the first run after a gc cycle is
+                # systematically cold (Python workers respawn) — the
+                # funnel-probe rule
+                results.setdefault(base, {})[k] = min(
+                    timed(thunk) for _ in range(2)
+                )
+                print(f"k={k:2d} {name}: {results[base][k]:.2f}s", flush=True)
+            except Exception as exc:  # noqa: BLE001 — ladder survives a cell
+                print(f"k={k:2d} {name}: FAILED ({exc})", flush=True)
         del e_k, emb_k
         gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -169,19 +188,29 @@ def main() -> None:
         "64x, alone on an idle box at the r11 tree, min-of-2 per cell.",
         "Embedding copies are sign-flip decorrelated; the LSH shapes'",
         "planted twin volume grows linearly with the corpus by",
-        "construction.",
+        "construction, and their PLANES grow log2(k) (emb-LSH m=8+lg k,",
+        "knn-ANN m=4+lg k) — the deployment rule that keeps candidates",
+        "linear. Holding (planes, tables) FIXED while the corpus grows",
+        "is the measured wall, not a plan defect: fixed (4,8) knn-ANN",
+        "ran 3.8 -> 16.4 s from 1x to 4x (exp ~1.06) and was job-killed",
+        "at 16x; fixed (8,8) emb-LSH hit 42 s at 16x (exp ~1.1) —",
+        "candidates/table ~ n^2/2^planes is quadratic unless 2^planes",
+        "tracks n. The funnel-probe precedent: an honestly-documented",
+        "cliff plus the configuration that avoids it.",
         "",
         "| shape | " + " | ".join(f"{k}x sec" for k in FACTORS)
         + " | exp (64x span) |",
         "|---|" + "---|" * (len(FACTORS) + 1),
     ]
     for name, ts in results.items():
-        exp = math.log(ts[FACTORS[-1]] / ts[FACTORS[0]]) / span
-        lines.append(
-            "| " + name + " | "
-            + " | ".join(f"{ts[k]:.2f}" for k in FACTORS)
-            + f" | {exp:.2f} |"
+        cells = " | ".join(
+            f"{ts[k]:.2f}" if k in ts else "FAILED" for k in FACTORS
         )
+        if FACTORS[0] in ts and FACTORS[-1] in ts:
+            exp = f"{math.log(ts[FACTORS[-1]] / ts[FACTORS[0]]) / span:.2f}"
+        else:
+            exp = "n/a"
+        lines.append("| " + name + " | " + cells + f" | {exp} |")
     lines.append("")
     with open(Path(__file__).resolve().parent.parent / "SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
