@@ -1788,48 +1788,58 @@ def louvain(
     src: str = "key_a",
     dst: str = "key_b",
     return_ledger: bool = False,
+    rounds_per_pass: int = 2,
 ):
     """X9n (r11): Louvain community detection (Blondel et al. 2008) —
     the standard MODULARITY-OPTIMIZING algorithm, closing the gap next
     to LPA (`label_propagation`, which optimizes nothing) and the
-    `modularity` metric (which only measures). Each PASS is one
-    synchronous local-move round from singleton communities followed by
-    community contraction; passes iterate a fixed count so an unrolled
-    SQL oracle replays every decision. Returns (node, community) over
-    the ORIGINAL node ids; with ``return_ledger=True`` also returns the
-    per-pass [(pass, q_num_sum, accepted)] audit trail.
+    `modularity` metric (which only measures). Each PASS is Blondel's
+    phase 1 as ``rounds_per_pass`` synchronous guarded local-move
+    ROUNDS (from singleton super-node communities) followed by
+    community contraction; pass and round counts are FIXED so an
+    unrolled SQL oracle replays every decision. Returns
+    (node, community) over the ORIGINAL node ids; with
+    ``return_ledger=True`` also the per-pass [(pass, q_num_sum,
+    accepted)] audit trail.
 
-    Local move, exact integer form: with every super-node its own
-    community (contraction bakes prior accepted communities into the
-    node set, so every pass STARTS singleton and needs no sigma_tot
-    bookkeeping), the modularity gain of moving node i to neighbor
-    community j is 2m*k_ij - k_j*k_i up to the positive factor 1/(2m^2)
-    (Blondel et al.'s delta-Q with sigma_tot(j) = k_j), where k are
-    WEIGHTED degrees (self-loops count twice — the contracted-graph
-    convention) and m is the constant total edge weight. The argmax is
-    decided entirely in DECIMAL(38,0) — no float in any comparison.
+    Local move, exact integer form: node i in community d may move to
+    a candidate community c with gain (up to the positive factor
+    1/(2m^2)) of 2m*k_ic - sigma_tot^{-i}(c)*k_i, compared against the
+    STAY score 2m*k_id^{-i} - (sigma_tot(d)-k_i)*k_i — the full
+    Blondel delta-Q with running sigma_tot/size bookkeeping, NOT just
+    the singleton-start special case: round 1 starts singleton (where
+    sigma_tot(j) = k_j reduces this to 2m*w_ij - k_j*k_i), later
+    rounds re-score against the updated communities, which is what
+    lets a splinter join a real community formed one round earlier.
+    k are WEIGHTED degrees (self-loops count twice), m is the constant
+    total edge weight; every comparison is DECIMAL(38,0)/HUGEINT.
 
-    Determinism & the synchronous-swap hazard: simultaneous moves make
-    symmetric pairs SWAP labels forever (a->b while b->a), so moves are
-    restricted to communities with a SMALLER id than the mover's own
-    (the minimum-labeling convention distributed Louvain implementations
-    use, e.g. Grappolo; same family as `label_propagation`'s min-label
-    tie-break). Tie-break (gain DESC, community ASC); only strictly
-    positive gains move. Id-descending moves forgone in one pass are
-    recovered in later passes once contraction renames the block to its
-    min id.
+    Determinism & the synchronous-swap hazard: simultaneous symmetric
+    moves would swap singleton labels forever (a->b while b->a), so a
+    move into a SINGLETON community is allowed only toward a smaller
+    id (the minimum-labeling convention of distributed Louvain, e.g.
+    Grappolo), while a move into a community of size >= 2 is free —
+    measured as the decisive rule (r11): with singleton-start rounds
+    ONLY (the first draft), synchronous argmax degenerates into chain
+    shifts on path-like regions and into block-min deflection next to
+    bridge-degree ties, leaving ~100 of 150 nodes unmerged after 3
+    passes on the chain fixture and 41 communities on the clique-block
+    fixture; with sigma_tot-aware round 2 + the size->=2 eligibility,
+    the clique-block fixture collapses to its planted blocks within
+    pass 1. Tie-break (gain DESC, community ASC), stay row always
+    present.
 
     Monotonicity GUARD (the verdict's non-decrease contract): after
-    each pass the candidate labels are projected to the original nodes
-    and exact Q is computed by the existing `modularity` operator; the
-    pass is ACCEPTED only if sum(q_num) is non-decreasing (q_den =
-    4m^2 is constant, so the integer numerator sum decides). A rejected
-    pass reverts — and since the state is then unchanged, every later
-    pass recomputes the identical rejected move set: reverts are
-    absorbing, which keeps the fixed-pass contract oracle-replayable
-    (the oracle gates each pass on the same integer comparison).
-    Accepted-pass modularity is therefore non-decreasing BY
-    CONSTRUCTION, and asserted.
+    each ROUND the candidate labels are projected to the original
+    nodes and exact Q is computed by the existing `modularity`
+    operator; the round is ACCEPTED only if sum(q_num) is
+    non-decreasing (q_den = 4m^2 is constant, so the integer numerator
+    sum decides). A rejected round reverts — and since the state is
+    then unchanged, an identical later round re-derives and re-rejects
+    the same move set: reverts are absorbing, which keeps the
+    fixed-round contract oracle-replayable (the oracle gates each
+    round on the same integer comparison). Accepted modularity is
+    therefore non-decreasing BY CONSTRUCTION, and asserted per pass.
 
     Community contraction is a node-relabel + aggregate (cross-community
     edges sum into weighted super-edges, intra rows into self-loop
@@ -1905,59 +1915,101 @@ def louvain(
         ).select(F.col("c").alias("u"), (F.lit(2) * F.col("s")).cast("long").alias("k"))
         deg = deg.unionByName(iso).localCheckpoint(eager=True)
 
-        ki = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
-        kj = deg.select(F.col("u").alias("j"), F.col("k").alias("k_j"))
-        gains = (
-            sym.select(F.col("u").alias("i"), F.col("v").alias("j"), "w")
-            .filter(F.col("j") < F.col("i"))  # min-labeling convention
-            .join(ki, "i")
-            .join(kj, "j")
-            .select(
-                "i",
-                "j",
-                (
-                    two_m * F.col("w").cast(dec)
-                    - F.col("k_j").cast(dec) * F.col("k_i").cast(dec)
-                ).alias("g"),
-            )
-            .filter(F.col("g") > 0)
-        )
         from pyspark.sql.window import Window as _W
 
-        best = (
-            gains.withColumn(
-                "rn",
-                F.row_number().over(
-                    _W.partitionBy("i").orderBy(F.desc("g"), F.asc("j"))
-                ),
+        sym_ck = sym.localCheckpoint(eager=True)  # R rounds re-read it
+        lab = deg.select(
+            F.col("u").alias("lnode"), F.col("u").alias("lcomm")
+        ).localCheckpoint(eager=True)
+        pass_start_q = prev_q
+        for _r in range(rounds_per_pass):
+            labn = lab.select(
+                F.col("lnode").alias("nb"), F.col("lcomm").alias("c")
             )
-            .filter(F.col("rn") == 1)
-            .select(F.col("i").alias("u"), F.col("j").alias("tgt"))
-        )
-        lv = (
-            deg.select("u")
-            .join(best, "u", "left")
-            .select(
-                F.col("u").alias("lnode"),
-                F.coalesce(F.col("tgt"), F.col("u")).alias("lcomm"),
+            kic = (
+                sym_ck.select(
+                    F.col("u").alias("i"), F.col("v").alias("nb"), "w"
+                )
+                .join(labn, "nb")
+                .select("i", "c", F.col("w").alias("kic"))
+                .unionByName(
+                    lab.select(
+                        F.col("lnode").alias("i"),
+                        F.col("lcomm").alias("c"),
+                        F.lit(0).cast("long").alias("kic"),
+                    )
+                )
+                .groupBy("i", "c")
+                .agg(F.sum("kic").cast("long").alias("kic"))
             )
-            .localCheckpoint(eager=True)
-        )
-        cand_proj = (
+            stats = (
+                lab.join(deg, lab["lnode"] == deg["u"])
+                .groupBy("lcomm")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_sz"),
+                    F.sum("k").cast("long").alias("sigma"),
+                )
+                .select(F.col("lcomm").alias("c"), "n_sz", "sigma")
+            )
+            cur = lab.select(
+                F.col("lnode").alias("i"), F.col("lcomm").alias("d")
+            )
+            k_i = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
+            sigma_adj = F.col("sigma") - F.when(
+                F.col("c") == F.col("d"), F.col("k_i")
+            ).otherwise(F.lit(0))
+            cand = (
+                kic.join(stats, "c")
+                .join(cur, "i")
+                .join(k_i, "i")
+                .filter(
+                    (F.col("c") == F.col("d"))
+                    | (F.col("c") < F.col("d"))
+                    | (F.col("n_sz") >= 2)
+                )
+                .select(
+                    "i",
+                    "c",
+                    (
+                        two_m * F.col("kic").cast(dec)
+                        - sigma_adj.cast(dec) * F.col("k_i").cast(dec)
+                    ).alias("g"),
+                )
+            )
+            new_lab = (
+                cand.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        _W.partitionBy("i").orderBy(F.desc("g"), F.asc("c"))
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("i").alias("lnode"), F.col("c").alias("lcomm")
+                )
+                .localCheckpoint(eager=True)
+            )
+            cand_proj = (
+                proj.join(new_lab, proj["community"] == new_lab["lnode"])
+                .select("node", F.col("lcomm").alias("community"))
+                .localCheckpoint(eager=True)
+            )
+            q = _qnum_sum(cand_proj)
+            if q >= prev_q:
+                prev_q = q
+                lab = new_lab
+            # rejected round: lab unchanged — the absorbing-revert rule
+            # (an identical round re-derives and re-rejects)
+        lv = lab
+        ledger.append((p, prev_q, prev_q >= pass_start_q))
+        assert prev_q >= pass_start_q  # non-decreasing by construction
+        # apply the pass's accepted state (identity if every round
+        # rejected — the projection and contraction are then no-ops)
+        proj = (
             proj.join(lv, proj["community"] == lv["lnode"])
             .select("node", F.col("lcomm").alias("community"))
             .localCheckpoint(eager=True)
         )
-        q = _qnum_sum(cand_proj)
-        accepted = q >= prev_q
-        ledger.append((p, q if accepted else prev_q, accepted))
-        if not accepted:
-            # absorbing revert: unchanged state re-derives the same
-            # rejected moves every later pass (docstring contract)
-            continue
-        assert q >= prev_q  # non-decreasing by construction
-        prev_q = q
-        proj = cand_proj
         # contract by the community map
         la = lv.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         lb = lv.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))

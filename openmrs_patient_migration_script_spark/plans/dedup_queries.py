@@ -2711,20 +2711,24 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Louvain community detection (r11) --------------------------------------
 
 _LOUVAIN_PASSES = 3
+_LOUVAIN_ROUNDS = 2
 
-# Declared fixture: the block graph over customer keys — a chain (k, k+1)
-# through every key plus a same-block chord (k, k+2) where block = k // 10,
-# so intra-block density beats the single bridge edge crossing each
-# boundary. Community structure is PLANTED (blocks) but the labels are
-# derived, not given — Louvain has real work to do.
+# Declared fixture: clique-blocks over customer keys — every same-block
+# pair (block = k // 10) is an edge, consecutive blocks share one bridge
+# (k, k+1). This is the DOMAIN shape (dedup-candidate graphs are dense
+# near-cliques, not chains — see the operator's domain-honesty note):
+# community structure is PLANTED (blocks) but the labels are derived,
+# not given — Louvain has real work to do.
 _LOUVAIN_EDGE_CTES = """
     keys AS (SELECT c_custkey AS k FROM customer),
     oc AS MATERIALIZED (
       SELECT a.k AS u, b.k AS v
-      FROM keys a JOIN keys b ON b.k = a.k + 1
+      FROM keys a JOIN keys b
+        ON b.k > a.k AND a.k // 10 = b.k // 10
       UNION ALL
       SELECT a.k, b.k
-      FROM keys a JOIN keys b ON b.k = a.k + 2 AND a.k // 10 = b.k // 10
+      FROM keys a JOIN keys b
+        ON b.k = a.k + 1 AND a.k // 10 <> b.k // 10
     ),
     mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM oc),
     onodes AS MATERIALIZED (
@@ -2754,11 +2758,16 @@ def _louvain_qsum(lt: str) -> str:
     )"""
 
 
-def _louvain_ctes(n_passes: int = _LOUVAIN_PASSES) -> str:
+def _louvain_ctes(
+    n_passes: int = _LOUVAIN_PASSES, rounds: int = _LOUVAIN_ROUNDS
+) -> str:
     """Unrolled Louvain replay (the `_bpe_learn_ctes` pattern): per pass,
-    weighted degrees (self-loops twice), min-labeling gain argmax in
-    HUGEINT, the candidate projection, the modularity-guard accept CASE,
-    and the community contraction. Multi-consumer CTEs MATERIALIZED."""
+    weighted degrees (self-loops twice); per ROUND within the pass, the
+    community vote table kc (with explicit stay rows), sigma_tot/size
+    stats st, the eligibility-filtered HUGEINT gain argmax lb, the
+    projected candidate ltq, the modularity guard ar, and the accept
+    CASE lab; then the community contraction. Multi-consumer CTEs
+    MATERIALIZED; the q chain threads every round of every pass."""
     sql = (
         "\n    WITH "
         + _LOUVAIN_EDGE_CTES.strip()
@@ -2770,6 +2779,7 @@ def _louvain_ctes(n_passes: int = _LOUVAIN_PASSES) -> str:
     cg0 AS MATERIALIZED (SELECT u, v, 1::BIGINT AS w FROM oc),
     cs0 AS (SELECT u AS c, 0::BIGINT AS s FROM oc WHERE FALSE)"""
     )
+    qprev = "q0"
     for p in range(1, n_passes + 1):
         sql += f""",
     sym{p} AS MATERIALIZED (
@@ -2785,54 +2795,81 @@ def _louvain_ctes(n_passes: int = _LOUVAIN_PASSES) -> str:
       FROM cs{p - 1} cs
       WHERE cs.c NOT IN (SELECT u FROM sym{p})
     ),
-    mv{p} AS (
-      SELECT u, tgt FROM (
-        SELECT g.u, g.v AS tgt,
-               row_number() OVER (PARTITION BY g.u
-                                  ORDER BY g.g DESC, g.v ASC) AS rn
+    lab{p}r0 AS MATERIALIZED (
+      SELECT u AS lnode, u AS lcomm FROM deg{p}
+    )"""
+        for r in range(1, rounds + 1):
+            sql += f""",
+    kc{p}_{r} AS MATERIALIZED (
+      SELECT i, c, sum(kic)::BIGINT AS kic FROM (
+        SELECT s.u AS i, l.lcomm AS c, s.w AS kic
+        FROM sym{p} s JOIN lab{p}r{r - 1} l ON l.lnode = s.v
+        UNION ALL
+        SELECT lnode, lcomm, 0 FROM lab{p}r{r - 1}
+      ) GROUP BY i, c
+    ),
+    st{p}_{r} AS MATERIALIZED (
+      SELECT l.lcomm AS c, count(*)::BIGINT AS n_sz,
+             sum(d.k)::BIGINT AS sigma
+      FROM lab{p}r{r - 1} l JOIN deg{p} d ON d.u = l.lnode
+      GROUP BY l.lcomm
+    ),
+    lb{p}_{r} AS MATERIALIZED (
+      -- eligibility: stay always; a SINGLETON target only toward a
+      -- smaller id (anti-swap min-labeling); a size>=2 target freely
+      SELECT i AS lnode, c AS lcomm FROM (
+        SELECT x.i, x.c,
+               row_number() OVER (PARTITION BY x.i
+                                  ORDER BY x.g DESC, x.c ASC) AS rn
         FROM (
-          SELECT s.u, s.v,
-                 2::HUGEINT * (SELECT m FROM mm) * s.w
-                   - kj.k::HUGEINT * ki.k AS g
-          FROM sym{p} s
-          JOIN deg{p} ki ON ki.u = s.u
-          JOIN deg{p} kj ON kj.u = s.v
-          WHERE s.v < s.u
-        ) g WHERE g.g > 0
+          SELECT k.i, k.c,
+                 2::HUGEINT * (SELECT m FROM mm) * k.kic
+                   - (st.sigma - CASE WHEN k.c = l.lcomm THEN d.k
+                                      ELSE 0 END)::HUGEINT * d.k AS g
+          FROM kc{p}_{r} k
+          JOIN st{p}_{r} st ON st.c = k.c
+          JOIN lab{p}r{r - 1} l ON l.lnode = k.i
+          JOIN deg{p} d ON d.u = k.i
+          WHERE k.c = l.lcomm OR k.c < l.lcomm OR st.n_sz >= 2
+        ) x
       ) WHERE rn = 1
     ),
-    lv{p} AS MATERIALIZED (
-      SELECT d.u AS lnode, coalesce(mv.tgt, d.u) AS lcomm
-      FROM deg{p} d LEFT JOIN mv{p} mv ON mv.u = d.u
+    ltq{p}_{r} AS MATERIALIZED (
+      SELECT lt.node, lb.lcomm AS community
+      FROM lt{p - 1} lt JOIN lb{p}_{r} lb ON lt.community = lb.lnode
     ),
-    ltc{p} AS MATERIALIZED (
-      SELECT lt.node, lv.lcomm AS community
-      FROM lt{p - 1} lt JOIN lv{p} lv ON lt.community = lv.lnode
+    qv{p}_{r} AS MATERIALIZED (SELECT {_louvain_qsum(f"ltq{p}_{r}")} AS q),
+    ar{p}_{r} AS MATERIALIZED (
+      SELECT (SELECT q FROM qv{p}_{r}) >= (SELECT q FROM {qprev}) AS a
     ),
-    qc{p} AS MATERIALIZED (SELECT {_louvain_qsum(f"ltc{p}")} AS q),
-    acc{p} AS MATERIALIZED (
-      SELECT (SELECT q FROM qc{p}) >= (SELECT q FROM q{p - 1}) AS a
-    ),
-    lva{p} AS MATERIALIZED (
-      SELECT lnode, lcomm FROM lv{p} WHERE (SELECT a FROM acc{p})
+    lab{p}r{r} AS MATERIALIZED (
+      SELECT lnode, lcomm FROM lb{p}_{r} WHERE (SELECT a FROM ar{p}_{r})
       UNION ALL
-      SELECT lnode, lnode FROM lv{p} WHERE NOT (SELECT a FROM acc{p})
+      SELECT lnode, lcomm FROM lab{p}r{r - 1}
+      WHERE NOT (SELECT a FROM ar{p}_{r})
     ),
+    qr{p}_{r} AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT a FROM ar{p}_{r})
+                  THEN (SELECT q FROM qv{p}_{r})
+                  ELSE (SELECT q FROM {qprev}) END AS q
+    )"""
+            qprev = f"qr{p}_{r}"
+        sql += f""",
     lt{p} AS MATERIALIZED (
-      SELECT lt.node, lva.lcomm AS community
-      FROM lt{p - 1} lt JOIN lva{p} lva ON lt.community = lva.lnode
+      SELECT lt.node, lv.lcomm AS community
+      FROM lt{p - 1} lt JOIN lab{p}r{rounds} lv ON lt.community = lv.lnode
     ),
-    q{p} AS MATERIALIZED (
-      SELECT CASE WHEN (SELECT a FROM acc{p}) THEN (SELECT q FROM qc{p})
-                  ELSE (SELECT q FROM q{p - 1}) END AS q
+    q{p} AS MATERIALIZED (SELECT q FROM {qprev}),
+    acc{p} AS MATERIALIZED (
+      SELECT (SELECT q FROM q{p}) >= (SELECT q FROM q{p - 1}) AS a
     ),
     cg{p} AS MATERIALIZED (
       SELECT least(la.lcomm, lb.lcomm) AS u,
              greatest(la.lcomm, lb.lcomm) AS v,
              sum(e.w)::BIGINT AS w
       FROM cg{p - 1} e
-      JOIN lva{p} la ON e.u = la.lnode
-      JOIN lva{p} lb ON e.v = lb.lnode
+      JOIN lab{p}r{rounds} la ON e.u = la.lnode
+      JOIN lab{p}r{rounds} lb ON e.v = lb.lnode
       WHERE la.lcomm <> lb.lcomm
       GROUP BY 1, 2
     ),
@@ -2840,12 +2877,12 @@ def _louvain_ctes(n_passes: int = _LOUVAIN_PASSES) -> str:
       SELECT c, sum(w)::BIGINT AS s FROM (
         SELECT la.lcomm AS c, e.w
         FROM cg{p - 1} e
-        JOIN lva{p} la ON e.u = la.lnode
-        JOIN lva{p} lb ON e.v = lb.lnode
+        JOIN lab{p}r{rounds} la ON e.u = la.lnode
+        JOIN lab{p}r{rounds} lb ON e.v = lb.lnode
         WHERE la.lcomm = lb.lcomm
         UNION ALL
-        SELECT lva.lcomm, cs.s
-        FROM cs{p - 1} cs JOIN lva{p} lva ON cs.c = lva.lnode
+        SELECT lv.lcomm, cs.s
+        FROM cs{p - 1} cs JOIN lab{p}r{rounds} lv ON cs.c = lv.lnode
       ) GROUP BY c
     )"""
     return sql
@@ -2872,10 +2909,11 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-labeling convention (moves only to smaller community ids —
     Grappolo's device), which the unrolled oracle replays verbatim.
 
-    Fixture: the planted block graph over customer keys — a full
-    (k, k+1) chain plus same-block (k, k+2) chords, block = k // 10, so
-    each block is internally dense and consecutive blocks share exactly
-    one bridge edge. Plan per pass: node-keyed degree agg, edge-keyed
+    Fixture: planted clique-blocks over customer keys — every
+    same-block pair is an edge (block = k // 10) and consecutive blocks
+    share exactly one bridge, the dense near-clique shape of real
+    dedup-candidate graphs (the operator's domain-honesty note records
+    why chains are NOT the fixture). Plan per pass: node-keyed degree agg, edge-keyed
     gain projection + per-node argmax window (WindowGroupLimit), one
     relabel+contract agg, one modularity audit on the original graph;
     bounded driver scalars only (m once, one q_num sum per pass)."""
@@ -2887,15 +2925,17 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     c2 = c.select(F.col("k").alias("k2"))
-    chain = c.join(c2, F.col("k2") == F.col("k") + 1).select(
-        F.col("k").alias("key_a"), F.col("k2").alias("key_b")
-    )
-    chord = c.join(
+    clique = c.join(
         c2,
-        (F.col("k2") == F.col("k") + 2)
+        (F.col("k2") > F.col("k"))
         & (F.expr("k div 10") == F.expr("k2 div 10")),
     ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
-    return louvain(chain.unionByName(chord), n_passes=_LOUVAIN_PASSES)
+    bridge = c.join(
+        c2,
+        (F.col("k2") == F.col("k") + 1)
+        & (F.expr("k div 10") != F.expr("k2 div 10")),
+    ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
+    return louvain(clique.unionByName(bridge), n_passes=_LOUVAIN_PASSES)
 
 
 @query(
@@ -3004,16 +3044,18 @@ def graph_louvain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k")
     )
     c2 = c.select(F.col("k").alias("k2"))
-    chain = c.join(c2, F.col("k2") == F.col("k") + 1).select(
-        F.col("k").alias("key_a"), F.col("k2").alias("key_b")
-    )
-    chord = c.join(
+    clique = c.join(
         c2,
-        (F.col("k2") == F.col("k") + 2)
+        (F.col("k2") > F.col("k"))
         & (F.expr("k div 10") == F.expr("k2 div 10")),
     ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
+    bridge = c.join(
+        c2,
+        (F.col("k2") == F.col("k") + 1)
+        & (F.expr("k div 10") != F.expr("k2 div 10")),
+    ).select(F.col("k").alias("key_a"), F.col("k2").alias("key_b"))
     _, ledger = louvain(
-        chain.unionByName(chord),
+        clique.unionByName(bridge),
         n_passes=_LOUVAIN_PASSES,
         return_ledger=True,
     )

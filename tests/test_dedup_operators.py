@@ -948,11 +948,15 @@ def test_dp_noisy_mean_mechanism(spark):
 
 
 def test_louvain_recovers_planted_cliques(spark):
-    """Two 4-cliques joined by one bridge: pass 1 (min-labeling local
-    moves from singletons) forms partial groups, passes 2-3 contract and
-    finish — the final partition is EXACTLY the two cliques, and the
-    accepted-pass ledger (hand-computed: q_num 134, 162, 286 over
-    q_den = 4*13^2) is strictly increasing."""
+    """Two 4-cliques joined by one bridge, hand-computed through the
+    two guarded rounds of pass 1: round 1 (singleton start) stars A
+    onto node 1 while B splinters ({5}, {6}, {7,8} — the bridge skews
+    5's degree); round 2's sigma_tot-aware rescoring regroups B into
+    {5,6} / {7,8} (q_num 134 -> 162); pass 2 merges B's halves
+    (5 < 6, positive contracted gain) and pass 3 is stable — the
+    cross-community gain 2m*1 - 13*13 < 0 keeps the bridge uncut.
+    Ledger q_num = 162, 286, 286 over constant q_den = 4*13^2 —
+    non-decreasing, final partition EXACTLY the two cliques."""
     from openmrs_patient_migration_script_spark.operators.graph import louvain
 
     edges = (
@@ -969,7 +973,7 @@ def test_louvain_recovers_planted_cliques(spark):
         [1, 2, 3, 4],
         [5, 6, 7, 8],
     ]
-    assert ledger == [(1, 134, True), (2, 162, True), (3, 286, True)]
+    assert ledger == [(1, 162, True), (2, 286, True), (3, 286, True)]
     qs = [q for _, q, acc in ledger if acc]
     assert qs == sorted(qs), "modularity must be non-decreasing"
 

@@ -131,4 +131,21 @@ def test_streaming_dedup_index():
     assert "ST8 replay: no new bytes" in stdout
     assert "maintained index == full-history recompute" in stdout
     assert "ST11 replay: no new bytes" in stdout
+    assert "ST12 maintained ANN buckets == one-shot rebuild" in stdout
+    assert "ST12 replay: no new bytes" in stdout
     assert "streaming dedup index: DONE" in stdout
+
+
+def test_community_detection():
+    stdout = _run("community_detection.py")
+    assert "planted blocks of 10" in stdout
+    assert "Louvain (3 passes):" in stdout
+    assert "community detection: DONE" in stdout
+
+
+def test_tokenizer_pipeline_unigram_stage():
+    """The r11 unigram stage of the tokenizer example (split out so the
+    BPE assertions above stay r10-comparable)."""
+    stdout = _run("tokenizer_pipeline.py")
+    assert "unigram vocabulary (round" in stdout
+    assert "compression on the kept corpus:" in stdout
