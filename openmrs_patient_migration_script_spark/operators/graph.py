@@ -1294,6 +1294,8 @@ def modularity(
     src: str = "key_a",
     dst: str = "key_b",
     broadcast_threshold: int = 5_000_000,
+    assume_canonical: bool = False,
+    assume_materialized: bool = False,
 ) -> DataFrame:
     """X9l (r6): exact Newman-Girvan modularity of a community
     assignment — the CERTIFICATION metric for `label_propagation` (and
@@ -1363,16 +1365,28 @@ def modularity(
     initial plan are the community-keyed LEFT joins between
     #community-sized aggregates — AQE converts them at runtime once
     sizes are known."""
-    canon = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    # ``assume_canonical``: skip the canonicalize+checkpoint when the
+    # caller certifies (src < dst, self-loop-free, distinct, already
+    # materialized) — the `edge_support` contract. ``assume_materialized``
+    # skips the label checkpoint for inputs the caller already
+    # checkpointed. Both exist for per-round audit consumers (`louvain`
+    # calls this up to 2*n_passes times per query — r11 measured the
+    # redundant re-canonicalize/re-checkpoint at ~2 jobs per audit).
+    if assume_canonical:
+        canon = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        canon = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # feeds m, degrees, intra counts
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds m, degrees, and intra counts
-    )
-    lab = labels.select("node", "community").localCheckpoint(eager=True)
+    lab = labels.select("node", "community")
+    if not assume_materialized:
+        lab = lab.localCheckpoint(eager=True)
     m_df = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
 
     sym = canon.unionByName(
@@ -1885,8 +1899,17 @@ def louvain(
     proj = proj.localCheckpoint(eager=True)
 
     def _qnum_sum(labels: DataFrame) -> int:
+        # ocanon is canonical + checkpointed; every labels frame passed
+        # here is checkpointed — both fast-path flags apply
         row = (
-            modularity(ocanon, labels, src="u", dst="v")
+            modularity(
+                ocanon,
+                labels,
+                src="u",
+                dst="v",
+                assume_canonical=True,
+                assume_materialized=True,
+            )
             .agg(F.sum(F.col("q_num").cast(dec)).alias("q"))
             .collect()
         )
