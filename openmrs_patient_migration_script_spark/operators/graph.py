@@ -1917,7 +1917,16 @@ def louvain(
 
     prev_q = _qnum_sum(proj)
     ledger: list[tuple[int, int, bool]] = []
+    level_fixpoint = False
     for p in range(1, n_passes + 1):
+        if level_fixpoint:
+            # a pass that changed no label contracts to a no-op, so every
+            # later pass re-derives the identical result — skip the
+            # provably-identical recomputation; the ledger records what
+            # full execution would have recorded (the oracle still
+            # unrolls every pass and lands on the same labels)
+            ledger.append((p, prev_q, True))
+            continue
         sym = lvl_e.unionByName(
             lvl_e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
@@ -1945,6 +1954,7 @@ def louvain(
             F.col("u").alias("lnode"), F.col("u").alias("lcomm")
         ).localCheckpoint(eager=True)
         pass_start_q = prev_q
+        pass_moved = False
         for _r in range(rounds_per_pass):
             labn = lab.select(
                 F.col("lnode").alias("nb"), F.col("lcomm").alias("c")
@@ -2018,16 +2028,30 @@ def louvain(
                 .localCheckpoint(eager=True)
             )
             q = _qnum_sum(cand_proj)
-            if q >= prev_q:
-                prev_q = q
-                lab = new_lab
-            # rejected round: lab unchanged — the absorbing-revert rule
-            # (an identical round re-derives and re-rejects)
+            if q < prev_q:
+                # rejected round: lab unchanged, and an identical next
+                # round would re-derive and re-reject — the absorbing-
+                # revert rule makes the remaining rounds skippable
+                break
+            prev_q = q
+            changed = (
+                new_lab.join(
+                    lab.withColumnRenamed("lcomm", "_old"), "lnode"
+                )
+                .filter(F.col("lcomm") != F.col("_old"))
+                .count()
+            )
+            lab = new_lab
+            if changed == 0:
+                break  # within-level fixpoint: identical rounds follow
+            pass_moved = True
         lv = lab
         ledger.append((p, prev_q, prev_q >= pass_start_q))
         assert prev_q >= pass_start_q  # non-decreasing by construction
-        # apply the pass's accepted state (identity if every round
-        # rejected — the projection and contraction are then no-ops)
+        if not pass_moved:
+            level_fixpoint = True
+            continue  # identity labels: projection + contraction no-ops
+        # apply the pass's accepted state
         proj = (
             proj.join(lv, proj["community"] == lv["lnode"])
             .select("node", F.col("lcomm").alias("community"))
