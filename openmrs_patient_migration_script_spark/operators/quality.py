@@ -771,30 +771,36 @@ def inclusion_audit(
     Scale: both sides DISTINCT-PROJECT to bare key columns before
     anything joins — the shuffle carries each distinct key once (for
     lineitem→orders that is ~4× fewer rows than the fact table, the
-    `referential_orphans` pre-agg rule), then one semi join between the
-    two distinct sets and three one-row counts cross-joined as
-    broadcast scalars. Works unchanged at 100 TB because nothing ever
-    carries fact rows."""
+    `referential_orphans` pre-agg rule), then one left join between the
+    two distinct sets folds the child count and the contained count
+    into a single aggregation, with the parent count cross-joined as a
+    broadcast scalar (fully lazy — a multi-edge discovery sweep unions
+    its audits into ONE job of parallel subtrees). Works unchanged at
+    100 TB because nothing ever carries fact rows."""
     ck = child.select(F.col(child_col).alias("_k")).filter(
         F.col("_k").isNotNull()
     ).distinct()
     pk = parent.select(F.col(parent_col).alias("_k")).filter(
         F.col("_k").isNotNull()
     ).distinct()
-    # one materialization each: every side feeds its own count AND the
-    # semi join (the multi-consumer rule)
-    ck = ck.localCheckpoint(eager=True)
-    pk = pk.localCheckpoint(eager=True)
-    n_child = ck.agg(F.count(F.lit(1)).cast("long").alias("n_child_distinct"))
+    # r11-opt: fully LAZY one-action form. n_child and n_contained fold
+    # into ONE aggregation over a left join of the two distinct sets
+    # (both sides key-unique, so the join cannot duplicate rows and
+    # count(_m) counts exactly the contained keys); pk's two consumers
+    # (the join probe and its own count) are byte-identical subtrees the
+    # planner serves from one ReusedExchange. The former two eager
+    # checkpoints per edge made a 4-edge discovery sweep pay 8 blocking
+    # driver round-trips before its single real job; now the whole sweep
+    # is one job of parallel subtrees.
+    joined = ck.join(pk.withColumn("_m", F.lit(1)), "_k", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("n_contained"),
+    )
     n_parent = pk.agg(
         F.count(F.lit(1)).cast("long").alias("n_parent_distinct")
     )
-    n_cont = ck.join(pk, "_k", "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_contained")
-    )
     return (
-        n_child.crossJoin(F.broadcast(n_parent))
-        .crossJoin(F.broadcast(n_cont))
+        joined.crossJoin(F.broadcast(n_parent))
         .select(
             F.lit(candidate).alias("candidate"),
             "n_child_distinct",
