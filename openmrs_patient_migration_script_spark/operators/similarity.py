@@ -1525,6 +1525,7 @@ def knn_graph(
     vec_col: str = "embedding",
     n_blocks: int = 8,
     candidates: DataFrame | None = None,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every
     vector, its ``k`` most-cosine-similar OTHER vectors — the backbone
@@ -1556,8 +1557,13 @@ def knn_graph(
     )
     # the symmetrize union consumes `pairs` twice; un-checkpointed, the
     # whole block-grid matmul (or the candidate generation) would run
-    # twice (the containment_pairs multi-consumer rule)
-    pairs = pairs.localCheckpoint(eager=True)
+    # twice (the containment_pairs multi-consumer rule).
+    # ``candidates_materialized=True`` lets a caller that already
+    # checkpointed its candidate pairs skip the redundant re-write
+    # (r11-opt: the sweep checkpoints each config's pairs for the
+    # count ledger anyway)
+    if not candidates_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("key_a").alias("key"),
         F.col("key_b").alias("neighbor"),

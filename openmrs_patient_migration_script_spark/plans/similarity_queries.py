@@ -1850,20 +1850,48 @@ def sim_knn_candidate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = (
-        sim_knn_graph(spark, sf_dir)
-        .select(F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id"))
-        .localCheckpoint(eager=True)  # one build, three overlays
-    )
+
+    # r11-opt (guide 2.6): the exact graph and the three per-config LSH
+    # candidate builds are INDEPENDENT jobs whose heavy work happens at
+    # their eager checkpoints — submitting them from a thread pool lets
+    # each job's straggler tail back-fill the others' idle cores instead
+    # of serializing four multi-stage pipelines. Results are unchanged:
+    # each build is deterministic and the overlay/ledger tail below
+    # consumes only the checkpointed outputs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_exact():
+        return (
+            sim_knn_graph(spark, sf_dir)
+            .select(
+                F.col("key").alias("query_id"),
+                F.col("neighbor").alias("vec_id"),
+            )
+            .localCheckpoint(eager=True)  # one build, three overlays
+        )
+
+    def _build_cand(cfg):
+        cm, cl = cfg
+        return cosine_pairs_lsh(
+            emb, threshold=-1.0, num_planes=cm, num_tables=cl, hash_mode="md5"
+        ).localCheckpoint(eager=True)  # pair count + the graph build
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        exact_f = pool.submit(_build_exact)
+        cand_fs = {
+            cfg: pool.submit(_build_cand, cfg) for cfg in _KNN_SWEEP_CFGS
+        }
+        exact = exact_f.result()
+        cands = {cfg: f.result() for cfg, f in cand_fs.items()}
     out = None
     for m, L in _KNN_SWEEP_CFGS:
-        cand = cosine_pairs_lsh(
-            emb, threshold=-1.0, num_planes=m, num_tables=L, hash_mode="md5"
-        ).localCheckpoint(eager=True)  # pair count + the graph build
+        cand = cands[(m, L)]
         n_cand = cand.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
         )
-        ann = knn_graph(emb, k=_K, candidates=cand).select(
+        ann = knn_graph(
+            emb, k=_K, candidates=cand, candidates_materialized=True
+        ).select(
             F.col("key").alias("query_id"), F.col("neighbor").alias("vec_id")
         )
         hits = F.coalesce(

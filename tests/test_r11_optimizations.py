@@ -1,0 +1,144 @@
+"""r11 optimization-round pins: every change is a plan/job-count
+optimization that must be RESULT-INVISIBLE. Each test compares the
+optimized path against the semantics it memoizes or gates:
+
+- fixpoint early-stops (ktruss / k_core / sssp_bounded) return
+  bit-identical tables at any round count past convergence;
+- louvain's broadcast gate fallback (threshold 0 = never broadcast)
+  changes nothing but the join strategy;
+- inclusion_audit's lazy one-action form reports the same exact counts;
+- knn_graph's candidates_materialized flag only skips a redundant
+  checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ktruss_early_stop_matches_deep_round_count(spark):
+    """The stride fixture converges in <= 3 peels; 30 rounds must return
+    the identical support table (early-stop = pure memoization)."""
+    from openmrs_patient_migration_script_spark.operators.graph import ktruss
+
+    edges = [(u, u + d) for u in range(1, 60) for d in (1, 2, 3)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    a = _rows(ktruss(df, k=4, n_rounds=3))
+    b = _rows(ktruss(df, k=4, n_rounds=30))
+    assert a == b and len(a) > 0
+
+
+def test_k_core_early_stop_matches_deep_round_count(spark):
+    """A 5-clique with a pendant chain: the chain peels in 2 rounds and
+    the clique survives; 60 rounds must equal 6."""
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "key_a long, key_b long")
+    a = _rows(k_core(df, k=2, n_rounds=6))
+    b = _rows(k_core(df, k=2, n_rounds=60))
+    assert a == b
+    assert {r[0] for r in a} == {1, 2, 3, 4, 5}
+
+
+def test_k_core_assume_canonical_matches_default(spark):
+    from openmrs_patient_migration_script_spark.operators.graph import k_core
+
+    canon = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(canon, "key_a long, key_b long")
+    messy = spark.createDataFrame(
+        canon + [(2, 1), (3, 1), (4, 4)], "key_a long, key_b long"
+    )
+    assert _rows(
+        k_core(df, k=2, n_rounds=4, assume_canonical=True)
+    ) == _rows(k_core(messy, k=2, n_rounds=4))
+
+
+def test_sssp_early_stop_matches_deep_hop_count(spark):
+    """A 4-node path converges in 3 relaxations; 30 hops must return the
+    identical distance table."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (3, 4, 2), (1, 3, 10)],
+        "key_a long, key_b long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    a = _rows(sssp_bounded(df, seeds, max_hops=3))
+    b = _rows(sssp_bounded(df, seeds, max_hops=30))
+    assert a == b
+    got = dict(a)
+    assert got == {1: 0, 2: 5, 3: 6, 4: 8}
+
+
+def test_louvain_no_broadcast_gate_matches_default(spark):
+    """broadcast_threshold=0 forces the shuffle-join fallback on every
+    node-sized attach; labels and ledger must be bit-identical."""
+    from openmrs_patient_migration_script_spark.operators.graph import louvain
+
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+        + [(4, 5)]
+    )
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    out_b, led_b = louvain(df, n_passes=3, return_ledger=True)
+    out_s, led_s = louvain(
+        df, n_passes=3, return_ledger=True, broadcast_threshold=0
+    )
+    assert _rows(out_b) == _rows(out_s)
+    assert led_b == led_s == [(1, 162, True), (2, 286, True), (3, 286, True)]
+
+
+def test_inclusion_audit_exact_counts(spark):
+    """The lazy one-action form reports the same exact counts the
+    checkpointed form did (3 contained of 4 distinct child keys; NULLs
+    excluded on both sides)."""
+    from openmrs_patient_migration_script_spark.operators.quality import (
+        inclusion_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (9,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (None,)], "p long"
+    )
+    row = inclusion_audit(child, "k", parent, "p", "c->p").collect()[0]
+    assert (
+        row["n_child_distinct"],
+        row["n_parent_distinct"],
+        row["n_contained"],
+        row["is_inclusion"],
+    ) == (4, 4, 3, False)
+    full = inclusion_audit(
+        child.filter("k < 9"), "k", parent, "p", "ok"
+    ).collect()[0]
+    assert full["is_inclusion"] is True
+
+
+def test_knn_graph_materialized_flag_is_result_invisible(spark):
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        knn_graph,
+    )
+
+    import math
+
+    vecs = [
+        (i, [math.cos(i * 0.7 + d) for d in range(8)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cand = cosine_pairs_lsh(
+        emb, threshold=-1.0, num_planes=2, num_tables=4, hash_mode="md5"
+    ).localCheckpoint(eager=True)
+    a = _rows(knn_graph(emb, k=3, candidates=cand))
+    b = _rows(knn_graph(emb, k=3, candidates=cand, candidates_materialized=True))
+    assert a == b and len(a) > 0
