@@ -745,18 +745,17 @@ def label_propagation(
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    obs_n = Observation()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # node count is round-invariant, so one gate decision covers every
-    # round; the count rides the init checkpoint via observe (r11-opt:
-    # the separate count() job was pure latency)
-    bcast = int(obs_n.get["n"]) <= broadcast_threshold
+    bcast = labels.count() <= broadcast_threshold  # node count is
+    # round-invariant, so one gate decision covers every round (a
+    # local-block count over the checkpoint — the r8 rule: observe()'s
+    # listener-bus get stalls in long-lived sessions, sync aggs on
+    # checkpointed frames are milliseconds)
     for r in range(1, n_iter + 1):
         lab_u = labels.select(F.col("node").alias("u"), "label")
         if bcast:
@@ -1114,18 +1113,19 @@ def k_core(
         canon = canon.dropDuplicates(["u", "v"])
     # eager checkpoints: each round's edge list has TWO consumers (the
     # degree agg and the semi joins) — lazy would let them recompute the
-    # upstream independently (the repo-wide multi-consumer rule); the
-    # surviving-row count rides each checkpoint via observe, feeding the
-    # fixpoint early-stop below at zero extra jobs
-    obs0 = Observation()
+    # upstream independently (the repo-wide multi-consumer rule); a
+    # cheap post-checkpoint count per round feeds the fixpoint
+    # early-stop below
     sym = (
         canon.unionByName(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_prev = int(obs0.get["n"])
+    # sync counts over the checkpointed frames (milliseconds), NOT
+    # observe(): the r8 star-loop experiment measured listener-bus gets
+    # stalling for seconds each in long-lived sessions
+    n_prev = sym.count()
     for _ in range(n_rounds):
         keep = (
             sym.groupBy("u")
@@ -1133,14 +1133,12 @@ def k_core(
             .filter(F.col("_d") >= k)
             .select("u")
         )
-        obs = Observation()
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .observe(obs, F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_now = int(obs.get["n"])
+        n_now = sym.count()
         if n_now == n_prev:
             # fixpoint early-stop (r11-opt): round edge sets are NESTED,
             # so an unchanged row count proves no node fell below k —
@@ -1424,12 +1422,8 @@ def modularity(
             .localCheckpoint(eager=True)  # feeds m, degrees, intra counts
         )
     lab = labels.select("node", "community")
-    obs_n = None
     if not assume_materialized:
-        obs_n = Observation()
-        lab = lab.observe(obs_n, F.count(F.lit(1)).alias("n")).localCheckpoint(
-            eager=True
-        )
+        lab = lab.localCheckpoint(eager=True)
     m_df = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
 
     sym = canon.unionByName(
@@ -1437,13 +1431,9 @@ def modularity(
     )
     la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
-    n_lab = int(obs_n.get["n"]) if obs_n is not None else lab.count()
-    if n_lab <= broadcast_threshold:
-        # when we checkpointed the map ourselves the count rode the
-        # checkpoint via observe (no extra job); an assume_materialized
-        # caller's map is already checkpointed, so its count() is a
-        # local-block read. The hint swaps both big-side SMJs for
-        # broadcast hash joins
+    if lab.count() <= broadcast_threshold:
+        # the map is checkpointed, so its count is a local-block read;
+        # the hint swaps both big-side SMJs for broadcast hash joins
         la, lb = F.broadcast(la), F.broadcast(lb)
     # degree_sum per community = symmetrized endpoint rows per attached
     # community (deg(u) copies of each labeled node u), replacing the
@@ -1557,45 +1547,43 @@ def sssp_bounded(
         .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
         .localCheckpoint(eager=True)
     )
-    obs0 = Observation()
     dist = (
         sources.select(F.col(sources.columns[0]).alias(node_col))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .observe(
-            obs0,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
-        )
         .localCheckpoint(eager=True)
     )
-    n_prev, s_prev = int(obs0.get["n"]), int(obs0.get["s"])
+
+    def _sig(d):
+        # sync (count, sum) over the checkpointed frame — milliseconds,
+        # and immune to the listener-bus stalls observe() gets pay in
+        # long-lived sessions (the r8 star-loop finding)
+        r = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return int(r["n"]), int(r["s"])
+
+    n_prev, s_prev = _sig(dist)
     for _ in range(max_hops):
         relaxed = dist.join(sym, dist[node_col] == sym["u"]).select(
             F.col("v").alias(node_col),
             (F.col("dist") + F.col("w")).cast("long").alias("dist"),
         )
-        obs = Observation()
         dist = (
             dist.unionByName(relaxed)
             .groupBy(node_col)
             .agg(F.min("dist").alias("dist"))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
-            )
             .localCheckpoint(eager=True)
         )
-        n_now, s_now = int(obs.get["n"]), int(obs.get["s"])
+        n_now, s_now = _sig(dist)
         if n_now == n_prev and s_now == s_prev:
             # fixpoint early-stop (r11-opt): the reached set only grows
             # and every tentative distance only improves, so an
             # unchanged (count, sum) pair proves the table is
             # row-identical to the previous round — Bellman-Ford has
             # converged and every remaining relaxation would re-derive
-            # this exact frame (the counters ride the checkpoint via
-            # observe: zero extra jobs)
+            # this exact frame
             break
         n_prev, s_prev = n_now, s_now
     return dist
@@ -1769,7 +1757,6 @@ def ktruss(
     # zero-restore — k >= 3 drops support-0 edges at the filter anyway)
     e = edges
     if not assume_canonical:
-        obs0 = Observation()
         e = (
             e.select(
                 F.least(F.col(src), F.col(dst)).alias(src),
@@ -1777,35 +1764,20 @@ def ktruss(
             )
             .filter(F.col(src) != F.col(dst))
             .distinct()
-            .observe(obs0, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_edges_in = int(obs0.get["n"])
+        n_edges_in = e.count()
     sup = None
     n_in = n_edges_in
     for _ in range(n_rounds):
         # checkpoint the support table, not the filtered edge set: it has
         # two consumers (next round's input AND the returned survivors);
-        # the survivor count rides the checkpoint via observe
-        obs = Observation()
-        sup = (
-            edge_support(
-                e, src=src, dst=dst, restore_zero=False, assume_canonical=True
-            )
-            .observe(
-                obs,
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("support") >= k - 2, F.lit(1)
-                        ).otherwise(F.lit(0))
-                    ),
-                    F.lit(0),
-                ).alias("n_surv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_surv = int(obs.get["n_surv"])
+        # the survivor count is a sync filter-count over the checkpoint
+        # (milliseconds — the r8 no-observe rule for loop counters)
+        sup = edge_support(
+            e, src=src, dst=dst, restore_zero=False, assume_canonical=True
+        ).localCheckpoint(eager=True)
+        n_surv = sup.filter(F.col("support") >= k - 2).count()
         if n_in is not None and n_surv == n_in:
             # fixpoint early-stop (r11-opt): survivor sets are NESTED, so
             # an unchanged count proves the filtered set equals this
@@ -1864,7 +1836,6 @@ def truss_decomposition(
     Returns (src, dst, trussness) for every edge of the canonical
     simple graph; trussness = 2 + #{k in 3..max_k: edge in the k-truss
     after ``n_rounds`` peels}."""
-    obs0 = Observation()
     canon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias(src),
@@ -1872,24 +1843,21 @@ def truss_decomposition(
         )
         .filter(F.col(src) != F.col(dst))
         .distinct()
-        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # base table + every membership join
     )
-    n_surv = int(obs0.get["n"])
+    n_surv = canon.count()
     result = canon.select(src, dst, F.lit(2).cast("long").alias("trussness"))
     surv = canon
     for k in range(3, max_k + 1):
-        obs_k = Observation()
         surv = (
             ktruss(
                 surv, k=k, src=src, dst=dst, n_rounds=n_rounds,
                 assume_canonical=True, n_edges_in=n_surv,
             )
             .select(src, dst)
-            .observe(obs_k, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # next peel + the membership join
         )
-        n_surv = int(obs_k.get["n"])
+        n_surv = surv.count()
         member = surv.withColumn("_m", F.lit(1))
         result = result.join(member, [src, dst], "left").select(
             src,
@@ -1989,14 +1957,15 @@ def louvain(
     the joins fall back to keyed shuffles). Contraction shrinks the
     graph geometrically on community-structured inputs, so pass 1
     dominates. Bounded driver scalars only — m, per-level node count,
-    per-round changed count and self-loop total all ride checkpoints
-    via observe(), and one q_num collect per round is the only extra
-    job (r11-opt measured 320 -> ~120 scheduled jobs, wall ~2x lower,
-    on the sf0.1 clique-block fixture). Lineage is checkpoint-
-    truncated per pass.
+    per-round changed count and self-loop total are all sync local-
+    block aggs over already-checkpointed frames (milliseconds; NOT
+    observe(), whose listener-bus gets stall for seconds each in
+    long-lived sessions — the r8 star-loop finding), plus one q_num
+    collect per round (r11-opt measured 320 -> ~130 scheduled jobs,
+    wall ~2x lower, on the sf0.1 clique-block fixture). Lineage is
+    checkpoint-truncated per pass.
     """
     dec = "decimal(38,0)"
-    obs_m = Observation()
     ocanon = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -2004,10 +1973,9 @@ def louvain(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .observe(obs_m, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)
     )
-    m = int(obs_m.get["m"])
+    m = ocanon.count()
     out_schema = "node long, community long"
     if m == 0:
         empty = ocanon.sparkSession.createDataFrame([], out_schema)
@@ -2090,19 +2058,18 @@ def louvain(
         sym = sym.unionByName(
             sym.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
-        obs_n = Observation()
         deg = (
             lvl.select("u", "w")
             .unionByName(lvl.select(F.col("v").alias("u"), "w"))
             .groupBy("u")
             .agg(F.sum("w").cast("long").alias("k"))
-            .observe(obs_n, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         # the label map is supernode-sized; under the gate every
         # node-keyed attach broadcasts (the `modularity` 5M gate — the
-        # count rides the checkpoint via observe, costing no extra job)
-        n_nodes = int(obs_n.get["n"])
+        # count is a sync local-block read over the checkpoint, the r8
+        # no-observe rule for loop counters)
+        n_nodes = deg.count()
         bc = (
             (lambda d: F.broadcast(d))
             if n_nodes <= broadcast_threshold
@@ -2232,10 +2199,10 @@ def louvain(
                 )
             from pyspark.sql.window import Window as _W
 
-            # the changed-row count rides the checkpoint via observe —
-            # no separate count job; _old is carried only inside this
-            # frame and projected away at `nl`
-            obs_ch = Observation()
+            # the old label rides the checkpointed frame as _old, so
+            # the changed-row count (needed only on acceptance) is a
+            # sync filter-count over checkpoint blocks — milliseconds,
+            # no listener-bus observe get
             new_lab = (
                 cand.withColumn(
                     "rn",
@@ -2248,17 +2215,6 @@ def louvain(
                     F.col("i").alias("lnode"), F.col("c").alias("lcomm")
                 )
                 .join(bc(lab.withColumnRenamed("lcomm", "_old")), "lnode")
-                .observe(
-                    obs_ch,
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                F.col("lcomm") != F.col("_old"), F.lit(1)
-                            ).otherwise(F.lit(0))
-                        ),
-                        F.lit(0),
-                    ).alias("ch"),
-                )
                 .localCheckpoint(eager=True)
             )
             nl = new_lab.select("lnode", "lcomm")
@@ -2269,7 +2225,9 @@ def louvain(
                 # revert rule makes the remaining rounds skippable
                 break
             prev_q = q
-            changed = int(obs_ch.get["ch"])
+            changed = new_lab.filter(
+                F.col("lcomm") != F.col("_old")
+            ).count()
             lab = nl
             if changed == 0:
                 break  # within-level fixpoint: identical rounds follow
@@ -2292,7 +2250,6 @@ def louvain(
         # with the next level's s_total riding it via observe
         la = lv.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         lb = lv.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
-        obs_s = Observation()
         lvl = (
             lvl.join(bc(la), "u")
             .join(bc(lb), "v")
@@ -2303,16 +2260,12 @@ def louvain(
             )
             .groupBy("u", "v")
             .agg(F.sum("w").cast("long").alias("w"))
-            .observe(
-                obs_s,
-                F.coalesce(
-                    F.sum(F.when(F.col("u") == F.col("v"), F.col("w"))),
-                    F.lit(0),
-                ).alias("s"),
-            )
             .localCheckpoint(eager=True)
         )
-        s_total = int(obs_s.get["s"])
+        row = lvl.filter(F.col("u") == F.col("v")).agg(
+            F.coalesce(F.sum("w"), F.lit(0)).alias("s")
+        ).collect()
+        s_total = int(row[0]["s"])
 
     out = proj.select("node", "community")
     return (out, ledger) if return_ledger else out
