@@ -446,6 +446,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "key_a",
     dst: str = "key_b",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Global triangle count of the undirected pair graph, as a one-row
     (n_triangles) DataFrame — the density probe of a dedup candidate
@@ -481,12 +482,22 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # broadcast gate (r11-opt): degree and oriented tables are bounded
+    # by the canonical edge count — one sync count over the fresh
+    # checkpoint decides, every wedge join broadcasts its bounded side
+    # under the gate, falls back to keyed shuffles above it (the
+    # `edge_support` rule)
+    bc = (
+        F.broadcast
+        if e.count() <= broadcast_threshold
+        else (lambda d: d)
+    )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     oriented = (
-        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
         .filter(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
@@ -495,10 +506,10 @@ def triangle_count(
         .localCheckpoint(eager=True)
     )
     wedges = oriented.alias("e1").join(
-        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+        bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
     closed = wedges.join(
-        oriented.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+        bc(oriented.select(F.col("u"), F.col("v").alias("w"))), ["u", "w"]
     )
     return closed.agg(F.count("*").alias("n_triangles"))
 
@@ -860,6 +871,7 @@ def common_neighbors(
     src: str = "key_a",
     dst: str = "key_b",
     max_degree: int | None = 1000,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9e: common-neighbor link prediction over an undirected pair graph
     — for every NON-edge pair at distance 2, how many neighbors the two
@@ -893,6 +905,15 @@ def common_neighbors(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # broadcast gate (r11-opt, the `edge_support` rule): under the gate
+    # the wedge join's probe side (the adjacency, 2·|E| rows), the
+    # anti-join's edge set and both degree attaches broadcast; above it
+    # every join falls back to keyed shuffles unchanged
+    bc = (
+        F.broadcast
+        if e.count() <= broadcast_threshold
+        else (lambda d: d)
+    )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(
         eager=True
@@ -911,21 +932,21 @@ def common_neighbors(
     left = adj.select(F.col("v").alias("m"), F.col("u").alias("a"))
     right = adj.select(F.col("v").alias("m"), F.col("u").alias("b"))
     wedges = (
-        left.join(right, "m")
+        left.join(bc(right), "m")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("common_cnt"))
     )
     cand = wedges.join(
-        e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        bc(e.select(F.col("u").alias("a"), F.col("v").alias("b"))),
         ["a", "b"],
         "left_anti",
     )
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
     return (
-        cand.join(da, "a")
-        .join(db, "b")
+        cand.join(bc(da), "a")
+        .join(bc(db), "b")
         .select(
             F.col("a").alias(src),
             F.col("b").alias(dst),
@@ -992,7 +1013,10 @@ def degree_assortativity(
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "key_a", dst: str = "key_b"
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Per-node local clustering coefficient — `triangle_count`'s density
     probe RESOLVED to nodes: cc(v) = 2·T(v) / (d(v)·(d(v)−1)), how close
@@ -1022,14 +1046,22 @@ def clustering_coefficient(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # broadcast gate (r11-opt): the `edge_support`/`triangle_count` rule —
+    # one sync count over the fresh checkpoint, bounded join sides
+    # broadcast under the gate, keyed shuffles above it
+    bc = (
+        F.broadcast
+        if e.count() <= broadcast_threshold
+        else (lambda d: d)
+    )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = (
         sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
         .localCheckpoint(eager=True)
     )
     oriented = (
-        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
         .filter(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
@@ -1038,13 +1070,13 @@ def clustering_coefficient(
         .localCheckpoint(eager=True)
     )
     wedges = oriented.alias("e1").join(
-        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+        bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(
         F.col("e1.u").alias("u"), F.col("e1.v").alias("mid"),
         F.col("e2.v").alias("w"),
     )
     closed = wedges.join(
-        oriented.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+        bc(oriented.select(F.col("u"), F.col("v").alias("w"))), ["u", "w"]
     )
     incid = (
         closed.select(
@@ -1055,7 +1087,7 @@ def clustering_coefficient(
     )
     dd = F.col("d").cast("double")
     return (
-        deg.join(incid, "n", "left")
+        deg.join(bc(incid), "n", "left")
         .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
         .filter(F.col("d") >= 2)
         .select(
@@ -1595,6 +1627,8 @@ def edge_support(
     dst: str = "key_b",
     restore_zero: bool = True,
     assume_canonical: bool = False,
+    n_edges: int | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9s (r9): per-EDGE triangle support — for every undirected edge
     (a, b), how many common neighbors its endpoints share, i.e. how many
@@ -1631,11 +1665,26 @@ def edge_support(
     `ktruss` chain's levers: a peel at k >= 3 drops support-0 edges
     anyway, and its survivor sets stay canonical between rounds — 9
     restore joins and 9 distincts saved across a truss decomposition.
+
+    Broadcast gate (r11-opt): degree tables are node-sized and the
+    oriented edge list is edge-sized; when the canonical edge count is
+    at most ``broadcast_threshold`` (known from the caller via
+    ``n_edges``, or a sync count over the fresh checkpoint otherwise),
+    every wedge-machinery join broadcasts its bounded side — the
+    orientation's two degree attaches, the wedge join's probe side, the
+    closing join's edge side, and the zero-restore left join. Under the
+    gate the whole support pass keeps ONE exchange (the per-edge count
+    agg); above it every join falls back to keyed shuffles unchanged
+    (the `modularity`/`louvain` 5M-gate pattern). In the
+    assume-canonical form the gate stays off unless the caller supplies
+    ``n_edges`` — there is no checkpoint to count cheaply.
     """
     if assume_canonical:
         e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         if restore_zero:
             e = e.localCheckpoint(eager=True)  # sym + the restore join
+            if n_edges is None:
+                n_edges = e.count()  # sync over checkpoint blocks
     else:
         e = (
             edges.select(
@@ -1646,27 +1695,37 @@ def edge_support(
             .distinct()
             .localCheckpoint(eager=True)  # feeds sym and the restore join
         )
+        if n_edges is None:
+            n_edges = e.count()  # sync over checkpoint blocks
+    under_gate = n_edges is not None and n_edges <= broadcast_threshold
+    bc = F.broadcast if under_gate else (lambda d: d)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
     oriented = (
-        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
         .filter(
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
-        .localCheckpoint(eager=True)  # three join consumers (the
-        # triangle-family rule)
     )
+    if not under_gate:
+        # shuffle regime: three join consumers would replay the
+        # orientation pipeline without a materialization (the
+        # triangle-family rule); under the gate the consumers are two
+        # broadcast builds + the stream side, whose shared deg exchange
+        # AQE reuses — skipping the checkpoint folds the orientation and
+        # support passes into one scheduled action per round
+        oriented = oriented.localCheckpoint(eager=True)
     wedges = oriented.alias("e1").join(
-        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+        bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(
         F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
         F.col("e2.v").alias("c"),
     )
     closed = wedges.join(
-        oriented.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        bc(oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))),
         ["a", "c"],
     )
     tri_edges = closed.select(
@@ -1692,7 +1751,7 @@ def edge_support(
             F.col("u").alias(src), F.col("v").alias(dst), "support"
         )
     return (
-        e.join(counted, ["u", "v"], "left")
+        e.join(bc(counted), ["u", "v"], "left")
         .select(
             F.col("u").alias(src),
             F.col("v").alias(dst),
@@ -1709,6 +1768,7 @@ def ktruss(
     n_rounds: int = 3,
     assume_canonical: bool = False,
     n_edges_in: int | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """k-truss of the undirected pair graph via ``n_rounds`` of parallel
     SUPPORT peeling — the edge-level analogue of `k_core`'s degree
@@ -1775,7 +1835,10 @@ def ktruss(
         # the survivor count is a sync filter-count over the checkpoint
         # (milliseconds — the r8 no-observe rule for loop counters)
         sup = edge_support(
-            e, src=src, dst=dst, restore_zero=False, assume_canonical=True
+            e, src=src, dst=dst, restore_zero=False, assume_canonical=True,
+            n_edges=n_in,  # r11-opt: rides the existing per-round survivor
+            # count, so the broadcast gate costs no extra job
+            broadcast_threshold=broadcast_threshold,
         ).localCheckpoint(eager=True)
         n_surv = sup.filter(F.col("support") >= k - 2).count()
         if n_in is not None and n_surv == n_in:
@@ -1815,6 +1878,7 @@ def truss_decomposition(
     src: str = "key_a",
     dst: str = "key_b",
     n_rounds: int = 3,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Full truss decomposition up to ``max_k``: per EDGE the largest k
     such that the edge survives the k-truss peel — the edge-level twin
@@ -1853,12 +1917,17 @@ def truss_decomposition(
             ktruss(
                 surv, k=k, src=src, dst=dst, n_rounds=n_rounds,
                 assume_canonical=True, n_edges_in=n_surv,
+                broadcast_threshold=broadcast_threshold,
             )
             .select(src, dst)
             .localCheckpoint(eager=True)  # next peel + the membership join
         )
         n_surv = surv.count()
         member = surv.withColumn("_m", F.lit(1))
+        if n_surv <= broadcast_threshold:
+            # survivor sets are edge-bounded; the membership fold-back
+            # broadcasts under the `edge_support` gate (r11-opt)
+            member = F.broadcast(member)
         result = result.join(member, [src, dst], "left").select(
             src,
             dst,

@@ -142,3 +142,52 @@ def test_knn_graph_materialized_flag_is_result_invisible(spark):
     a = _rows(knn_graph(emb, k=3, candidates=cand))
     b = _rows(knn_graph(emb, k=3, candidates=cand, candidates_materialized=True))
     assert a == b and len(a) > 0
+
+
+def test_wedge_family_broadcast_gate_is_result_invisible(spark):
+    """The r11 wedge-machinery broadcast gate (edge_support /
+    triangle_count / clustering_coefficient / common_neighbors /
+    truss_decomposition): threshold 0 (never broadcast, the pure
+    shuffle-join regime) must return bit-identical tables to the
+    default gated path on a mixed-density fixture."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        clustering_coefficient,
+        common_neighbors,
+        edge_support,
+        triangle_count,
+        truss_decomposition,
+    )
+
+    edges = [(u, u + d) for u in range(1, 40) for d in (1, 2, 3)]
+    edges += [(u, 2 * u) for u in range(1, 20)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    for op, kw in [
+        (edge_support, {}),
+        (triangle_count, {}),
+        (clustering_coefficient, {}),
+        (common_neighbors, {"max_degree": None}),
+        (truss_decomposition, {"max_k": 4, "n_rounds": 2}),
+    ]:
+        gated = _rows(op(df, **kw))
+        shuffled = _rows(op(df, broadcast_threshold=0, **kw))
+        assert gated == shuffled and len(gated) > 0, op.__name__
+
+
+def test_edge_support_gate_broadcasts_under_and_shuffles_over(spark):
+    """Plan pin: under the gate the wedge joins are BroadcastHashJoin;
+    with threshold 0 the same joins carry Exchange hashpartitioning."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        edge_support,
+    )
+
+    edges = [(u, u + d) for u in range(1, 30) for d in (1, 2)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    plan_on = edge_support(df)._jdf.queryExecution().executedPlan().toString()
+    plan_off = (
+        edge_support(df, broadcast_threshold=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_on
+    assert "SortMergeJoin" in plan_off or "ShuffledHashJoin" in plan_off
