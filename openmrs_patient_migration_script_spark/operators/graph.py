@@ -2069,7 +2069,7 @@ def louvain(
     deg = None
     bc = None
 
-    def _qnum(labels: DataFrame) -> int:
+    def _q_and_changed(labels: DataFrame) -> tuple[int, int]:
         """sum(q_num) = 4m * (intra cross-edge weight + s_total)
         - sum_c sigma(c)^2, evaluated on the CURRENT LEVEL graph:
         contraction preserves both terms exactly (intra weight and
@@ -2078,9 +2078,13 @@ def louvain(
         nodes — the r11-opt replacement for projecting candidate labels
         back to the original graph every round (one label-join over the
         shrinking level edge list instead of a proj-join + full
-        modularity pass over the input edge list)."""
-        nl_u = labels.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
-        nl_v = labels.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
+        modularity pass over the input edge list). The moved-row count
+        rides the same collect as a broadcast one-row attach (r11-opt:
+        the separate post-accept count was one extra scheduled action
+        per round; ``labels`` carries the old label as ``_old``)."""
+        nl = labels.select("lnode", "lcomm")
+        nl_u = nl.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
+        nl_v = nl.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
         e_in = (
             lvl.filter(F.col("u") != F.col("v"))
             .join(bc(nl_u), "u")
@@ -2089,7 +2093,7 @@ def louvain(
             .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("ein"))
         )
         sig2 = (
-            deg.join(bc(labels), deg["u"] == labels["lnode"])
+            deg.join(bc(nl), deg["u"] == nl["lnode"])
             .groupBy("lcomm")
             .agg(F.sum("k").cast("long").alias("sigma"))
             .agg(
@@ -2099,17 +2103,22 @@ def louvain(
                 ).alias("s2")
             )
         )
+        chg = labels.filter(F.col("lcomm") != F.col("_old")).agg(
+            F.count(F.lit(1)).alias("chg")
+        )
         row = (
             e_in.join(F.broadcast(sig2))
+            .join(F.broadcast(chg))
             .select(
                 (
                     four_m * (F.col("ein") + F.lit(s_total).cast(dec))
                     - F.col("s2")
-                ).alias("q")
+                ).alias("q"),
+                "chg",
             )
             .collect()
         )
-        return int(row[0]["q"] or 0)
+        return int(row[0]["q"] or 0), int(row[0]["chg"])
 
     prev_q = None  # seeded from pass-1 degrees: singleton q = -sum k_i^2
     ledger: list[tuple[int, int, bool]] = []
@@ -2229,6 +2238,11 @@ def louvain(
                             F.lit(0).cast("long").alias("kic"),
                         )
                     )
+                    # r11-opt: partition by i ONCE — HashPartitioning(i)
+                    # satisfies both the (i, c) aggregation below and the
+                    # per-i window argmax downstream, so the round's two
+                    # exchanges collapse into this one
+                    .repartition("i")
                     .groupBy("i", "c")
                     .agg(F.sum("kic").cast("long").alias("kic"))
                 )
@@ -2241,17 +2255,22 @@ def louvain(
                     )
                     .select(F.col("lcomm").alias("c"), "n_sz", "sigma")
                 )
-                cur = lab.select(
-                    F.col("lnode").alias("i"), F.col("lcomm").alias("d")
+                # r11-opt: the node's own community and degree attach as
+                # ONE broadcast build (lab ⋈ deg is node-sized), not two
+                cur_k = (
+                    lab.join(deg, lab["lnode"] == deg["u"])
+                    .select(
+                        F.col("lnode").alias("i"),
+                        F.col("lcomm").alias("d"),
+                        F.col("k").alias("k_i"),
+                    )
                 )
-                k_i = deg.select(F.col("u").alias("i"), F.col("k").alias("k_i"))
                 sigma_adj = F.col("sigma") - F.when(
                     F.col("c") == F.col("d"), F.col("k_i")
                 ).otherwise(F.lit(0))
                 cand = (
                     kic.join(bc(stats), "c")
-                    .join(bc(cur), "i")
-                    .join(bc(k_i), "i")
+                    .join(bc(cur_k), "i")
                     .filter(
                         (F.col("c") == F.col("d"))
                         | (F.col("c") < F.col("d"))
@@ -2286,18 +2305,14 @@ def louvain(
                 .join(bc(lab.withColumnRenamed("lcomm", "_old")), "lnode")
                 .localCheckpoint(eager=True)
             )
-            nl = new_lab.select("lnode", "lcomm")
-            q = _qnum(nl)
+            q, changed = _q_and_changed(new_lab)
             if q < prev_q:
                 # rejected round: lab unchanged, and an identical next
                 # round would re-derive and re-reject — the absorbing-
                 # revert rule makes the remaining rounds skippable
                 break
             prev_q = q
-            changed = new_lab.filter(
-                F.col("lcomm") != F.col("_old")
-            ).count()
-            lab = nl
+            lab = new_lab.select("lnode", "lcomm")
             if changed == 0:
                 break  # within-level fixpoint: identical rounds follow
             pass_moved = True

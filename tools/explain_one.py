@@ -1,0 +1,42 @@
+"""Dump `.explain("formatted")` for named declared queries into
+``plans/r11/<query>_<tag>.txt`` — the before/after evidence files the
+optimization round commits alongside each plan-shape claim.
+
+Usage: python tools/explain_one.py <tag> <query> [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from openmrs_patient_migration_script_spark.plans import QUERIES  # noqa: E402
+from openmrs_patient_migration_script_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    tag, names = args[0], args[1:]
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    spark = get_spark("explain-one", shuffle_partitions=8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        path = out_dir / f"{name}_{tag}.txt"
+        path.write_text(plan)
+        print(f"wrote {path} ({plan.count(chr(10))} lines)")
+
+
+if __name__ == "__main__":
+    main()
