@@ -2050,7 +2050,6 @@ def louvain(
         empty = ocanon.sparkSession.createDataFrame([], out_schema)
         return (empty, []) if return_ledger else empty
     two_m = F.lit(2 * m).cast(dec)
-    four_m = F.lit(4 * m).cast(dec)
 
     # level state: ONE weighted edge table; self-loop weights live on
     # u == v rows (so contraction is a single aggregation and degrees
@@ -2079,9 +2078,13 @@ def louvain(
         back to the original graph every round (one label-join over the
         shrinking level edge list instead of a proj-join + full
         modularity pass over the input edge list). The moved-row count
-        rides the same collect as a broadcast one-row attach (r11-opt:
-        the separate post-accept count was one extra scheduled action
-        per round; ``labels`` carries the old label as ``_old``)."""
+        rides the same collect (r11-opt: the separate post-accept count
+        was one extra scheduled action per round). ``labels`` carries
+        the old label as ``_old`` and the node degree as ``lk``, so
+        sigma needs no deg join, and the three one-row aggregates
+        collect as a UNION in one action instead of two one-row
+        broadcast joins; q is assembled driver-side in exact Python
+        ints."""
         nl = labels.select("lnode", "lcomm")
         nl_u = nl.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         nl_v = nl.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
@@ -2090,35 +2093,30 @@ def louvain(
             .join(bc(nl_u), "u")
             .join(bc(nl_v), "v")
             .filter(F.col("cu") == F.col("cv"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("ein"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("val"))
         )
         sig2 = (
-            deg.join(bc(nl), deg["u"] == nl["lnode"])
-            .groupBy("lcomm")
-            .agg(F.sum("k").cast("long").alias("sigma"))
+            labels.groupBy("lcomm")
+            .agg(F.sum("lk").cast("long").alias("sigma"))
             .agg(
                 F.coalesce(
                     F.sum(F.col("sigma").cast(dec) * F.col("sigma").cast(dec)),
                     F.lit(0).cast(dec),
-                ).alias("s2")
+                ).alias("val")
             )
         )
         chg = labels.filter(F.col("lcomm") != F.col("_old")).agg(
-            F.count(F.lit(1)).alias("chg")
+            F.count(F.lit(1)).cast(dec).alias("val")
         )
-        row = (
-            e_in.join(F.broadcast(sig2))
-            .join(F.broadcast(chg))
-            .select(
-                (
-                    four_m * (F.col("ein") + F.lit(s_total).cast(dec))
-                    - F.col("s2")
-                ).alias("q"),
-                "chg",
-            )
+        rows = (
+            e_in.select(F.lit("ein").alias("t"), "val")
+            .unionByName(sig2.select(F.lit("s2").alias("t"), "val"))
+            .unionByName(chg.select(F.lit("chg").alias("t"), "val"))
             .collect()
         )
-        return int(row[0]["q"] or 0), int(row[0]["chg"])
+        got = {r["t"]: int(r["val"] or 0) for r in rows}
+        q = 4 * m * (got["ein"] + s_total) - got["s2"]
+        return q, got["chg"]
 
     prev_q = None  # seeded from pass-1 degrees: singleton q = -sum k_i^2
     ledger: list[tuple[int, int, bool]] = []
@@ -2162,7 +2160,11 @@ def louvain(
             ).collect()
             prev_q = int(row[0]["q"] or 0)
 
-        lab = deg.select(F.col("u").alias("lnode"), F.col("u").alias("lcomm"))
+        lab = deg.select(
+            F.col("u").alias("lnode"),
+            F.col("u").alias("lcomm"),
+            F.col("k").alias("lk"),
+        )
         pass_start_q = prev_q
         pass_moved = False
         for _r in range(rounds_per_pass):
@@ -2219,6 +2221,12 @@ def louvain(
                             ).cast(dec)
                             * F.col("k_i").cast(dec)
                         ).alias("g"),
+                        # singleton start: the old label is the node
+                        # itself; d and k_i ride the candidate rows so
+                        # the argmax winner IS the new label row (no
+                        # post-window lab/deg re-joins)
+                        F.col("i").alias("d"),
+                        "k_i",
                     )
                 )
             else:
@@ -2246,24 +2254,22 @@ def louvain(
                     .groupBy("i", "c")
                     .agg(F.sum("kic").cast("long").alias("kic"))
                 )
+                # r11-opt: lab carries each node's degree as lk, so the
+                # community stats and the node's own (community, degree)
+                # attach are deg-join-free — one aggregation and one
+                # projection over the label frame
                 stats = (
-                    lab.join(deg, lab["lnode"] == deg["u"])
-                    .groupBy("lcomm")
+                    lab.groupBy("lcomm")
                     .agg(
                         F.count(F.lit(1)).cast("long").alias("n_sz"),
-                        F.sum("k").cast("long").alias("sigma"),
+                        F.sum("lk").cast("long").alias("sigma"),
                     )
                     .select(F.col("lcomm").alias("c"), "n_sz", "sigma")
                 )
-                # r11-opt: the node's own community and degree attach as
-                # ONE broadcast build (lab ⋈ deg is node-sized), not two
-                cur_k = (
-                    lab.join(deg, lab["lnode"] == deg["u"])
-                    .select(
-                        F.col("lnode").alias("i"),
-                        F.col("lcomm").alias("d"),
-                        F.col("k").alias("k_i"),
-                    )
+                cur_k = lab.select(
+                    F.col("lnode").alias("i"),
+                    F.col("lcomm").alias("d"),
+                    F.col("lk").alias("k_i"),
                 )
                 sigma_adj = F.col("sigma") - F.when(
                     F.col("c") == F.col("d"), F.col("k_i")
@@ -2283,14 +2289,17 @@ def louvain(
                             two_m * F.col("kic").cast(dec)
                             - sigma_adj.cast(dec) * F.col("k_i").cast(dec)
                         ).alias("g"),
+                        "d",
+                        "k_i",
                     )
                 )
             from pyspark.sql.window import Window as _W
 
-            # the old label rides the checkpointed frame as _old, so
-            # the changed-row count (needed only on acceptance) is a
-            # sync filter-count over checkpoint blocks — milliseconds,
-            # no listener-bus observe get
+            # the old label (d) and degree (k_i) ride the candidate
+            # rows through the argmax, so the checkpointed frame needs
+            # NO post-window lab/deg re-joins; the changed-row count is
+            # a sync filter over checkpoint blocks — milliseconds, no
+            # listener-bus observe get
             new_lab = (
                 cand.withColumn(
                     "rn",
@@ -2300,9 +2309,11 @@ def louvain(
                 )
                 .filter(F.col("rn") == 1)
                 .select(
-                    F.col("i").alias("lnode"), F.col("c").alias("lcomm")
+                    F.col("i").alias("lnode"),
+                    F.col("c").alias("lcomm"),
+                    F.col("d").alias("_old"),
+                    F.col("k_i").alias("lk"),
                 )
-                .join(bc(lab.withColumnRenamed("lcomm", "_old")), "lnode")
                 .localCheckpoint(eager=True)
             )
             q, changed = _q_and_changed(new_lab)
@@ -2312,7 +2323,7 @@ def louvain(
                 # revert rule makes the remaining rounds skippable
                 break
             prev_q = q
-            lab = new_lab.select("lnode", "lcomm")
+            lab = new_lab.select("lnode", "lcomm", "lk")
             if changed == 0:
                 break  # within-level fixpoint: identical rounds follow
             pass_moved = True
