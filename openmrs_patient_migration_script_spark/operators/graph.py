@@ -522,6 +522,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**9,
     seeds: DataFrame | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over the undirected pair graph — node
     centrality for duplicate-cluster triage (in a dedup candidate graph,
@@ -548,12 +549,16 @@ def pagerank(
     use — and total mass loss is visible, not compounding, because each
     iteration re-adds the exact (100-d)·base floor.
 
-    Plan shape per iteration: TWO shuffles, both keyed on the node id —
-    one join (ranks onto the edge list's src) and one aggregation that
-    folds the node universe in via SEED ROWS (every node contributes a
-    zero-inflow row carrying its outdeg, so nodes with no inflow keep
-    the teleport floor WITHOUT a third per-iteration join back onto the
-    degree frame — measured as the only other exchange in the loop).
+    Plan shape per iteration: the rank map is NODE-sized, so it
+    BROADCASTS into the edge join under ``broadcast_threshold`` (the
+    `modularity`/`louvain` 5M gate, decided once from the checkpointed
+    degree count — r11-opt: the big symmetrized edge list never
+    shuffles for the join; above the gate it falls back to the
+    node-keyed shuffle), leaving ONE shuffle per iteration: the
+    aggregation that folds the node universe in via SEED ROWS (every
+    node contributes a zero-inflow row carrying its outdeg, so nodes
+    with no inflow keep the teleport floor WITHOUT a third
+    per-iteration join back onto the degree frame).
     A cluster run pins one partitioning and reuses it; lineage is
     truncated per round with localCheckpoint (the module-docstring
     contract for every iterative loop here). The symmetrized graph has
@@ -650,8 +655,13 @@ def pagerank(
         F.col("fl"),
         F.lit(0).cast("long").alias("c"),
     ).localCheckpoint(eager=True)
+    bc = (
+        (lambda d: F.broadcast(d))
+        if n_nodes <= broadcast_threshold
+        else (lambda d: d)
+    )
     for i in range(n_iter):
-        contrib = sym.join(ranks, "u").select(
+        contrib = sym.join(bc(ranks), "u").select(
             F.col("v").alias("node"),
             F.lit(None).cast("long").alias("outdeg"),
             F.lit(None).cast("long").alias("fl"),
@@ -1110,6 +1120,7 @@ def k_core(
     dst: str = "key_b",
     n_rounds: int = 6,
     assume_canonical: bool = False,
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """k-core of the undirected pair graph via ``n_rounds`` of parallel
     peeling (Matula & Beck's algorithm, synchronous form): each round
@@ -1127,9 +1138,14 @@ def k_core(
     no-op round is two semi joins) or check `k_core_converged`.
 
     Plan shape per round: one degree agg (node-keyed, map-side combine)
-    + two semi joins of the edge list against the surviving node set —
-    all shuffles keyed on node ids, O(|E|) per round, lineage truncated
-    per round (the module contract for iterative loops).
+    + two semi joins of the edge list against the surviving node set.
+    The surviving-node set is node-sized, so both semi joins BROADCAST
+    it under ``broadcast_threshold`` on the round's symmetrized edge
+    count (the `modularity`/`louvain` 5M gate — r11-opt: the gate reads
+    the per-round count the fixpoint early-stop already pays for, and
+    under it the edge list never shuffles for the semis; above it the
+    node-keyed shuffle form returns). O(|E|) per round, lineage
+    truncated per round (the module contract for iterative loops).
     """
     # canonicalize BEFORE symmetrizing (the triangle_count rule): a pair
     # reported in both orientations or repeated would double a node's
@@ -1159,6 +1175,11 @@ def k_core(
     # stalling for seconds each in long-lived sessions
     n_prev = sym.count()
     for _ in range(n_rounds):
+        bc = (
+            (lambda d: F.broadcast(d))
+            if n_prev <= broadcast_threshold
+            else (lambda d: d)
+        )
         keep = (
             sym.groupBy("u")
             .agg(F.count(F.lit(1)).alias("_d"))
@@ -1166,8 +1187,8 @@ def k_core(
             .select("u")
         )
         sym = (
-            sym.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            sym.join(bc(keep), "u", "left_semi")
+            .join(bc(keep.withColumnRenamed("u", "v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
         n_now = sym.count()
@@ -1295,6 +1316,7 @@ def bfs_hops(
     src: str = "key_a",
     dst: str = "key_b",
     node_col: str = "node",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9j (r6): bounded breadth-first search — (node, hop) with hop =
     the minimum number of edges from ANY source node, for nodes within
@@ -1318,9 +1340,14 @@ def bfs_hops(
     Scale: round r shuffles |frontier_r|-adjacent edge rows on the node
     key — total work Σ|N(frontier_r)| ≤ |E| per direction, never
     visited×edges (the frontier, not the accumulated set, probes the
-    edge list); the visited anti-join is node-keyed. ``max_hops`` bounds
-    rounds; the early-exit empty check is an observe() metric on the
-    round's own checkpoint job — no extra driver action."""
+    edge list); the visited anti-join is node-keyed. The frontier and
+    visited sets are node-sized, so BOTH joins broadcast their bounded
+    side under ``broadcast_threshold`` on the symmetrized edge count
+    (the `modularity`/`louvain` 5M gate, a local-block count over the
+    fresh checkpoint — r11-opt: the edge list never shuffles under the
+    gate; above it the node-keyed shuffle form returns). ``max_hops``
+    bounds rounds; the early-exit empty check is an observe() metric on
+    the round's own checkpoint job — no extra driver action."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
@@ -1334,6 +1361,11 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = visited.select(node_col)
+    bc = (
+        (lambda d: F.broadcast(d))
+        if sym.count() <= broadcast_threshold  # local-block read
+        else (lambda d: d)
+    )
     for h in range(1, max_hops + 1):
         # the empty-frontier check rides nxt's checkpoint job via
         # observe(), and visited stays a LAZY union of checkpointed
@@ -1341,11 +1373,12 @@ def bfs_hops(
         # blocks, never recomputes) — 1 job per round instead of the
         # former 3 (nxt checkpoint + isEmpty + visited checkpoint)
         obs = Observation()
+        bfr = bc(frontier)
         nxt = (
-            frontier.join(sym, frontier[node_col] == sym["u"])
+            bfr.join(sym, bfr[node_col] == sym["u"])
             .select(F.col("v").alias(node_col))
             .distinct()
-            .join(visited.select(node_col), node_col, "left_anti")
+            .join(bc(visited.select(node_col)), node_col, "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
@@ -1430,9 +1463,9 @@ def modularity(
     (1.19 vs 1.01 s min-of-3, isolated tail) — the hint is for the
     regime where the edge list is thousands of partitions and a
     node-keyed shuffle of it dominates; the declared query's cost is
-    ~75% upstream LPA rounds either way. The two remaining SMJs in the
-    initial plan are the community-keyed LEFT joins between
-    #community-sized aggregates — AQE converts them at runtime once
+    ~75% upstream LPA rounds either way. The one remaining SMJ in the
+    initial plan is the community-keyed LEFT join between
+    #community-sized aggregates — AQE converts it at runtime once
     sizes are known."""
     # ``assume_canonical``: skip the canonicalize+checkpoint when the
     # caller certifies (src < dst, self-loop-free, distinct, already
@@ -1458,50 +1491,56 @@ def modularity(
         lab = lab.localCheckpoint(eager=True)
     m_df = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
 
-    sym = canon.unionByName(
-        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
     la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
     if lab.count() <= broadcast_threshold:
         # the map is checkpointed, so its count is a local-block read;
         # the hint swaps both big-side SMJs for broadcast hash joins
         la, lb = F.broadcast(la), F.broadcast(lb)
-    # degree_sum per community = symmetrized endpoint rows per attached
-    # community (deg(u) copies of each labeled node u), replacing the
-    # old node-keyed degree agg + node-keyed map join with ONE edge-side
-    # join feeding a community-keyed agg
-    deg_comm = (
-        sym.join(la, "u")
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    # r11-opt: degree_sum and intra_edges fuse into ONE edge-side join
+    # pass + ONE community-keyed aggregation. Each canonical edge with
+    # endpoint communities (ca, cb) contributes one endpoint row to ca
+    # (carrying the intra flag [ca == cb]) and one to cb (flag 0) — a
+    # row-local explode — so count(*) per community is exactly the old
+    # symmetrized-endpoint degree_sum and sum(flag) the old intra count.
+    # The old shape scanned the edge list twice (sym ⋈ la for degrees,
+    # canon ⋈ la ⋈ lb for intra) and paid two community exchanges.
+    edge_comm = (
+        canon.join(la, "u")
+        .join(lb, "v")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("ca").alias("c"),
+                        (F.col("ca") == F.col("cb"))
+                        .cast("long")
+                        .alias("i"),
+                    ),
+                    F.struct(
+                        F.col("cb").alias("c"),
+                        F.lit(0).cast("long").alias("i"),
+                    ),
+                )
+            ).alias("_x")
+        )
+        .groupBy(F.col("_x.c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.sum("_x.i").cast("long").alias("intra_edges"),
+        )
     )
-    comm = (
+    dec = "decimal(19,0)"
+    out = (
         lab.groupBy("community")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .join(deg_comm, "community", "left")
+        .join(edge_comm, "community", "left")
         .select(
             "community",
             "n_nodes",
             F.coalesce(F.col("degree_sum"), F.lit(0))
             .cast("long")
             .alias("degree_sum"),
-        )
-    )
-    intra = (
-        canon.join(la, "u")
-        .join(lb, "v")
-        .filter(F.col("ca") == F.col("cb"))
-        .groupBy(F.col("ca").alias("community"))
-        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
-    )
-    dec = "decimal(19,0)"
-    out = (
-        comm.join(intra, "community", "left")
-        .select(
-            "community",
-            "n_nodes",
-            "degree_sum",
             F.coalesce(F.col("intra_edges"), F.lit(0))
             .cast("long")
             .alias("intra_edges"),
@@ -1533,6 +1572,7 @@ def sssp_bounded(
     dst: str = "key_b",
     weight: str = "w",
     node_col: str = "node",
+    broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9m (r6): bounded single-source(-set) shortest paths — min total
     WEIGHT from any source over paths of at most ``max_hops`` edges
@@ -1550,12 +1590,18 @@ def sssp_bounded(
     be non-negative (asserted in-plan is impossible on a column; the
     declared query derives integer weights ≥ 1).
 
-    Scale, per round: one node-keyed join (tentative dists onto the
-    symmetrized edge list) + one node-keyed min agg — shuffles carry
-    reached-nodes + their adjacency, never paths (the oracle's
-    path-enumeration form is the REPLAY, not the plan). Rounds are
-    bounded by ``max_hops``; lineage localCheckpoint-truncates per
-    round (the `connected_components` rule)."""
+    Scale, per round: the tentative-distance table is reached-node-
+    sized, so it BROADCASTS into the edge join under
+    ``broadcast_threshold`` (the `modularity`/`louvain` 5M gate —
+    r11-opt: the gate count is the row count the fixpoint signature
+    already collects per round, so it costs nothing; the big
+    symmetrized edge list never shuffles for the join, and above the
+    gate the node-keyed shuffle form returns) + one node-keyed min agg
+    — shuffles carry reached-nodes + their adjacency, never paths (the
+    oracle's path-enumeration form is the REPLAY, not the plan).
+    Rounds are bounded by ``max_hops``; lineage
+    localCheckpoint-truncates per round (the `connected_components`
+    rule)."""
     # the relaxation sums in long: a double weight column would be
     # silently FLOORED by the cast below (truncated distances, no error)
     # — fail loud instead, the require_integral_key rule
@@ -1598,7 +1644,10 @@ def sssp_bounded(
 
     n_prev, s_prev = _sig(dist)
     for _ in range(max_hops):
-        relaxed = dist.join(sym, dist[node_col] == sym["u"]).select(
+        bdist = (
+            F.broadcast(dist) if n_prev <= broadcast_threshold else dist
+        )
+        relaxed = bdist.join(sym, bdist[node_col] == sym["u"]).select(
             F.col("v").alias(node_col),
             (F.col("dist") + F.col("w")).cast("long").alias("dist"),
         )

@@ -191,3 +191,73 @@ def test_edge_support_gate_broadcasts_under_and_shuffles_over(spark):
     )
     assert "BroadcastHashJoin" in plan_on
     assert "SortMergeJoin" in plan_off or "ShuffledHashJoin" in plan_off
+
+
+def test_iterative_family_broadcast_gate_is_result_invisible(spark):
+    """The r11 iterative-loop broadcast gate (pagerank / sssp_bounded /
+    bfs_hops / k_core): threshold 0 (never broadcast, the pure
+    shuffle-join regime) must return bit-identical tables to the
+    default gated path on a mixed-density fixture with seeds."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        bfs_hops,
+        k_core,
+        pagerank,
+        sssp_bounded,
+    )
+
+    edges = [(u, u + d) for u in range(1, 40) for d in (1, 2, 3)]
+    edges += [(u, 2 * u) for u in range(1, 20)]
+    df = spark.createDataFrame(edges, "key_a long, key_b long")
+    wdf = df.withColumn(
+        "w", (F.col("key_a") + F.col("key_b")) % 5 + F.lit(1)
+    )
+    seeds = df.select(F.col("key_a").alias("node")).filter(
+        F.col("node") % 7 == 0
+    )
+    for name, run in [
+        ("pagerank", lambda t: pagerank(df, n_iter=3, broadcast_threshold=t)),
+        (
+            "ppr",
+            lambda t: pagerank(
+                df, n_iter=3, seeds=seeds, broadcast_threshold=t
+            ),
+        ),
+        (
+            "sssp",
+            lambda t: sssp_bounded(
+                wdf, seeds, max_hops=3, broadcast_threshold=t
+            ),
+        ),
+        ("bfs", lambda t: bfs_hops(df, seeds, max_hops=3, broadcast_threshold=t)),
+        ("k_core", lambda t: k_core(df, k=3, n_rounds=4, broadcast_threshold=t)),
+    ]:
+        gated = _rows(run(5_000_000))
+        shuffled = _rows(run(0))
+        assert gated == shuffled and len(gated) > 0, name
+
+
+def test_modularity_fused_agg_matches_manual_recompute(spark):
+    """The r11 fused degree/intra aggregation in `modularity`: one
+    explode-based community agg must equal a hand-computed per-community
+    (n_nodes, degree_sum, intra_edges) on a planted two-community
+    fixture with a bridge edge."""
+    from openmrs_patient_migration_script_spark.operators.graph import (
+        modularity,
+    )
+
+    # K4 on {1..4}, K3 on {10..12}, bridge 4-10
+    block = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    block += [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+    block += [(4, 10)]
+    edges = spark.createDataFrame(block, "key_a long, key_b long")
+    labels = spark.createDataFrame(
+        [(n, 1) for n in range(1, 5)] + [(n, 2) for n in range(10, 13)],
+        "node long, community long",
+    )
+    got = {
+        r["community"]: (r["n_nodes"], r["degree_sum"], r["intra_edges"])
+        for r in modularity(edges, labels).collect()
+    }
+    # m=10; community 1: 4 nodes, degrees 3+3+3+4=13, intra=6 (K4);
+    # community 2: 3 nodes, degrees 3+2+2=7, intra=3 (K3)
+    assert got == {1: (4, 13, 6), 2: (3, 7, 3)}
