@@ -527,6 +527,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """X4c: maximal-marginal-relevance diversified re-rank (Carbonell &
     Goldstein, SIGIR 1998) — plain top-k returns near-duplicates of one
@@ -575,9 +576,20 @@ def mmr_rerank(
         ]
     )
 
-    cands = cosine_topk_vectorized(
-        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
+    # ``candidates`` (r11-opt, the `knn_graph` candidates precedent):
+    # a caller that already holds THE exact top-``k_candidates`` table
+    # this function would compute (same (query_id, vec_id, cos_sim)
+    # schema, same 6dp rounding and (cos_sim desc, id) tie-break —
+    # e.g. a checkpointed `cosine_topk_vectorized` shared with a
+    # relevance ledger) passes it in and skips the second full corpus
+    # scoring scan. Result-identical by contract.
+    cands = (
+        candidates
+        if candidates is not None
+        else cosine_topk_vectorized(
+            corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
     )
     with_vec = corpus.select(id_col, vec_col).join(F.broadcast(cands), id_col)
 

@@ -994,20 +994,38 @@ def sim_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate sets are k-bounded (≤10 rows per query); the
     pairwise comparisons are ≤ k² per query computed row-locally from
     broadcast-joined vectors — the corpus shuffles nowhere."""
+    from pyspark.sql.window import Window
+
     from openmrs_patient_migration_script_spark.operators.similarity import (
         cosine_similarity,
-        cosine_topk,
+        cosine_topk_vectorized,
         mmr_rerank,
     )
 
     emb, queries = _split(spark, sf_dir)
     rel_s = F.round(F.col("cos_sim") * 1000000, 0).cast("long")
-    top = cosine_topk(emb, queries, k=_K).select(
-        "query_id", "vec_id", rel_s.alias("rel_s")
+    # r11-opt: ONE exact scoring pass serves both ledger arms. The
+    # top-10 candidate table is checkpointed and (a) prefix-ranked to
+    # the plain top-5 (row_number over the same (cos_sim desc, id)
+    # order cosine_topk uses — a top-5 of an ordering IS the first 5
+    # of its top-10, so this is bit-identical to the old separate
+    # cosine_topk call the oracle still replays) and (b) passed into
+    # mmr_rerank as its candidate set, skipping its internal second
+    # full-corpus scan.
+    cands10 = cosine_topk_vectorized(emb, queries, k=10).localCheckpoint(
+        eager=True
     )
-    mmr = mmr_rerank(emb, queries, k_candidates=10, k_select=_K).select(
-        "query_id", "vec_id", rel_s.alias("rel_s")
+    w5 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
     )
+    top = (
+        cands10.withColumn("_rn", F.row_number().over(w5))
+        .filter(F.col("_rn") <= _K)
+        .select("query_id", "vec_id", rel_s.alias("rel_s"))
+    )
+    mmr = mmr_rerank(
+        emb, queries, k_candidates=10, k_select=_K, candidates=cands10
+    ).select("query_id", "vec_id", rel_s.alias("rel_s"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     def ledger(sel: DataFrame, rel_name: str, sim_name: str) -> DataFrame:

@@ -261,3 +261,32 @@ def test_modularity_fused_agg_matches_manual_recompute(spark):
     # m=10; community 1: 4 nodes, degrees 3+3+3+4=13, intra=6 (K4);
     # community 2: 3 nodes, degrees 3+2+2=7, intra=3 (K3)
     assert got == {1: (4, 13, 6), 2: (3, 7, 3)}
+
+
+def test_mmr_candidates_passthrough_is_result_invisible(spark):
+    """The r11 shared-scoring-pass rewrite of `sim_mmr_diversity`:
+    mmr_rerank fed a precomputed (checkpointed) exact candidate table
+    must equal mmr_rerank computing the same table internally."""
+    import math
+
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        mmr_rerank,
+    )
+
+    vecs = [
+        (i, [math.cos(i * 0.9 + d * 0.3) for d in range(6)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = cosine_topk_vectorized(emb, queries, k=8).localCheckpoint(
+        eager=True
+    )
+    a = _rows(mmr_rerank(emb, queries, k_candidates=8, k_select=4))
+    b = _rows(
+        mmr_rerank(emb, queries, k_candidates=8, k_select=4, candidates=cands)
+    )
+    assert a == b and len(a) > 0
