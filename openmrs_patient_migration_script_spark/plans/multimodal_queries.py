@@ -142,10 +142,15 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     media = make_media_table(d)
-    reingested = media.withColumn(
-        "media_id", F.col("media_id") + F.lit(1_000_000)
+    # r11-opt: the fingerprint is a pure function of the payload bytes,
+    # so the id-shifted re-ingested copy's fingerprint IS the original's
+    # — fingerprint once, checkpoint the clip-sized result, and union
+    # the shifted KEYS (exactly the oracle's fp0-then-shift CTE shape)
+    # instead of running the Arrow decode over a doubled media table
+    fp0 = image_phash(media).localCheckpoint(eager=True)
+    fps = fp0.unionByName(
+        fp0.withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
     )
-    fps = image_phash(media.unionByName(reingested))
     return simhash_pairs(
         fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
     )
@@ -258,11 +263,15 @@ def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant re-ingested copies (the id-shifted second crawl): the fixture
     # corpus has no byte-identical clips, so the copies make the declared
     # output non-vacuous — every clip must pair with its own copy at
-    # Hamming 0, and with nothing else
-    reingested = media.withColumn(
-        "media_id", F.col("media_id") + F.lit(1_000_000)
+    # Hamming 0, and with nothing else. r11-opt: the fingerprint is a
+    # pure function of the payload bytes, so fingerprint ONCE,
+    # checkpoint the clip-sized result, and union the shifted KEYS
+    # (the oracle's fp0-then-shift CTE shape) instead of running the
+    # Arrow decode over a doubled media table
+    fp0 = audio_fingerprint(media).localCheckpoint(eager=True)
+    fps = fp0.unionByName(
+        fp0.withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
     )
-    fps = audio_fingerprint(media.unionByName(reingested))
     return simhash_pairs(
         fps, key_col="media_id", fp_col="afp", bits=60, max_hamming=3
     )
