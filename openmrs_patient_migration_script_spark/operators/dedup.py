@@ -502,6 +502,7 @@ def simhash_pairs(
     fp_col: str = "simhash",
     bits: int = 60,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs from SimHash fingerprints: (key_a, key_b,
     hamming) for every pair within ``max_hamming`` bits — the SEARCH half
@@ -524,10 +525,20 @@ def simhash_pairs(
     — hot buckets are ordinary join skew (AQE). 32-bit fingerprints leave
     8-bit bands that bucket too coarsely at corpus scale; prefer >= 60
     bits for production (the md5-declared 60-bit form is exactly
-    oracle-reproducible, so nothing is lost going wide)."""
+    oracle-reproducible, so nothing is lost going wide).
+
+    ``materialize`` (default on, r11-opt — the `minhash_candidate_pairs`
+    precedent): localCheckpoints the fingerprint table, which BOTH
+    sides of the band self-join consume — without it a lazy upstream
+    fingerprint pass (md5/aHash/energy folds over full payloads) runs
+    twice. Pass ``materialize=False`` when ``fps`` is already
+    checkpoint-backed (the multimodal pair queries union id-shifted
+    keys over a checkpointed fingerprint table)."""
     n_bands = max_hamming + 1
     if bits % n_bands:
         raise ValueError(f"bits ({bits}) must divide into {n_bands} equal bands")
+    if materialize:
+        fps = fps.localCheckpoint(eager=True)
     width = bits // n_bands
     mask = (1 << width) - 1
 

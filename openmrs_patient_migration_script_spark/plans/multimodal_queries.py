@@ -152,7 +152,8 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp0.withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
     )
     return simhash_pairs(
-        fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3
+        fps, key_col="media_id", fp_col="phash", bits=60, max_hamming=3,
+        materialize=False,  # fps unions id-shifted keys over a checkpoint
     )
 
 
@@ -273,7 +274,8 @@ def multimodal_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp0.withColumn("media_id", F.col("media_id") + F.lit(1_000_000))
     )
     return simhash_pairs(
-        fps, key_col="media_id", fp_col="afp", bits=60, max_hamming=3
+        fps, key_col="media_id", fp_col="afp", bits=60, max_hamming=3,
+        materialize=False,  # fps unions id-shifted keys over a checkpoint
     )
 
 
