@@ -149,6 +149,15 @@ def interpolate_linear(
     # no successor and emits itself alone (vs/1e6 — and the interior j=0
     # branch (vs*n)/(n*1e6) is the same correctly-rounded quotient, so the
     # two forms can never disagree on an observed bucket).
+    #
+    # The successor struct and the segment length n are hoisted into a
+    # one-element array binding (transform over array(struct(...))): HOF
+    # lambda bodies are interpreted per element with NO common-
+    # subexpression hoisting, so inlining size(sequence(...)) in the
+    # per-bucket lambda re-materializes the full O(n) timestamp array for
+    # EVERY grid bucket — O(n²) per segment. The binding makes each
+    # bucket O(1); the arithmetic (and therefore every emitted value) is
+    # unchanged.
     filled = F.expr(
         f"""
         flatten(transform(obs_arr, (o, i) ->
@@ -157,21 +166,21 @@ def interpolate_linear(
                          cast(o.vs AS double) / 1000000.0D AS value_interp,
                          true AS observed))
           ELSE
-            transform(
-              sequence(o.bucket,
-                       try_element_at(obs_arr, i + 2).bucket - {interval},
-                       {interval}),
-              (b, j) -> struct(
-                b AS bucket,
-                cast(o.vs * (size(sequence(o.bucket,
-                                           try_element_at(obs_arr, i + 2).bucket,
-                                           {interval})) - 1 - j)
-                     + try_element_at(obs_arr, i + 2).vs * j AS double)
-                / (cast(size(sequence(o.bucket,
-                                      try_element_at(obs_arr, i + 2).bucket,
-                                      {interval})) - 1 AS double) * 1000000.0D)
-                AS value_interp,
-                j = 0 AS observed))
+            flatten(transform(
+              array(struct(
+                try_element_at(obs_arr, i + 2).bucket AS nb,
+                try_element_at(obs_arr, i + 2).vs AS nvs,
+                size(sequence(o.bucket,
+                              try_element_at(obs_arr, i + 2).bucket,
+                              {interval})) - 1 AS n)),
+              s -> transform(
+                sequence(o.bucket, s.nb - {interval}, {interval}),
+                (b, j) -> struct(
+                  b AS bucket,
+                  cast(o.vs * (s.n - j) + s.nvs * j AS double)
+                  / (cast(s.n AS double) * 1000000.0D)
+                  AS value_interp,
+                  j = 0 AS observed))))
           END))
         """
     )
