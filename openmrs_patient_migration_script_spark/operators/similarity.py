@@ -54,10 +54,19 @@ def _as_double(col):
 def normalized(col):
     """Unit-normalize once per vector so pairwise cosine reduces to a plain
     dot product — O(d) per PAIR instead of O(3d): with n×m candidate pairs
-    the norm work drops from per-pair to per-row."""
+    the norm work drops from per-pair to per-row.
+
+    The norm is bound once per ROW via a one-element array transform: HOF
+    lambdas evaluate interpreted with no common-subexpression hoisting, so
+    the naive ``transform(v, x -> x / n)`` re-runs the whole O(d)
+    norm fold (plus its array allocation) for EVERY element — O(d²) per
+    row, measured 15-30× slower at d=64. Same divisions, identical
+    output (exceptAll-equal both directions)."""
     v = _as_double(col)
     n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return F.transform(v, lambda x: x / n)
+    return F.element_at(
+        F.transform(F.array(n), lambda nn: F.transform(v, lambda x: x / nn)), 1
+    )
 
 
 def dot(a, b):
