@@ -290,3 +290,92 @@ def test_mmr_candidates_passthrough_is_result_invisible(spark):
         mmr_rerank(emb, queries, k_candidates=8, k_select=4, candidates=cands)
     )
     assert a == b and len(a) > 0
+
+
+def test_normalized_binding_matches_naive_division(spark):
+    """The r11 one-element-binding rewrite of `normalized()`: binding the
+    norm once per row must emit the exact doubles of the naive
+    transform(v, x -> x / n) form (same IEEE divisions, only the
+    evaluation count changes)."""
+    from openmrs_patient_migration_script_spark.operators.similarity import (
+        _as_double,
+        normalized,
+    )
+
+    vecs = [
+        (i, [((i * 7 + d * 3) % 13) - 6.0 for d in range(16)])
+        for i in range(1, 200)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    v = _as_double(F.col("embedding"))
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    naive = df.select("vec_id", F.transform(v, lambda x: x / n).alias("nv"))
+    opt = df.select("vec_id", normalized(F.col("embedding")).alias("nv"))
+    assert _rows(opt) == _rows(naive)
+
+
+def test_interpolate_segment_binding_matches_inline_form(spark):
+    """The r11 hoist of interpolate_linear's per-segment length: grid
+    values must equal the pre-hoist inline-size(sequence(...)) form
+    bit-for-bit (identical int64 numerators, one double division)."""
+    from pyspark.sql import functions as F2
+
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = []
+    for key in (1, 2):
+        for h, val in [(0, 10.0), (5, 4.5), (6, -2.25), (13, 100.0)]:
+            rows.append((key, f"2024-03-01 0{h}:17:00" if h < 10
+                         else f"2024-03-01 {h}:17:00", val + key))
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.select("user_id", F2.to_timestamp("ts").alias("ts"), "value")
+    got = interpolate_linear(df, "user_id", "ts", "value")
+    interval = "interval 1 hour"
+    obs = df.groupBy(
+        F2.col("user_id").alias("key"),
+        F2.date_trunc("hour", F2.col("ts")).alias("bucket"),
+    ).agg(
+        F2.sum(F2.round(F2.col("value") * F2.lit(1_000_000)).cast("long")).alias("vs")
+    )
+    per_key = obs.groupBy("key").agg(
+        F2.sort_array(F2.collect_list(F2.struct("bucket", "vs"))).alias("obs_arr")
+    )
+    inline = F2.expr(
+        f"""
+        flatten(transform(obs_arr, (o, i) ->
+          CASE WHEN try_element_at(obs_arr, i + 2) IS NULL THEN
+            array(struct(o.bucket AS bucket,
+                         cast(o.vs AS double) / 1000000.0D AS value_interp,
+                         true AS observed))
+          ELSE
+            transform(
+              sequence(o.bucket,
+                       try_element_at(obs_arr, i + 2).bucket - {interval},
+                       {interval}),
+              (b, j) -> struct(
+                b AS bucket,
+                cast(o.vs * (size(sequence(o.bucket,
+                                           try_element_at(obs_arr, i + 2).bucket,
+                                           {interval})) - 1 - j)
+                     + try_element_at(obs_arr, i + 2).vs * j AS double)
+                / (cast(size(sequence(o.bucket,
+                                      try_element_at(obs_arr, i + 2).bucket,
+                                      {interval})) - 1 AS double) * 1000000.0D)
+                AS value_interp,
+                j = 0 AS observed))
+          END))
+        """
+    )
+    expected = per_key.select("key", F2.explode(inline).alias("g")).select(
+        "key", "g.bucket", "g.value_interp", "g.observed"
+    )
+    assert _rows(got) == _rows(expected)
+    # the 06:17 -> 13:17 gap spans 7 buckets: interpolation really ramps
+    interp_vals = [r for r in got.collect() if not r["observed"]]
+    assert len(interp_vals) > 0
