@@ -189,6 +189,70 @@ def interpolate_linear(
     )
 
 
+_FOLD_CHUNK = 512
+
+
+def _chunked_history_fold(seq, state_zero, step, out_elem_type, chunk=_FOLD_CHUNK):
+    """Evaluate ``aggregate(seq, struct(arr=[], *state), step, acc -> acc.arr)``
+    in fixed-size chunks, preserving the step arithmetic bit-for-bit.
+
+    The monolithic history fold appends each output with
+    ``concat(acc.arr, array(out))`` — an O(position) array copy per
+    element, O(n²) per key (measured: 63 s of single-task time for ONE
+    64k-element key, while ``max_group_size`` admits 100k). Folding
+    chunk-by-chunk keeps the copy quadratic only WITHIN a chunk
+    (O(n·chunk) total): the outer accumulator carries an
+    array-of-chunk-outputs (a shallow pointer concat per chunk, never a
+    re-copy of emitted elements) plus the scalar state fields, and each
+    chunk's inner fold seeds from the carried state — the step
+    expressions see the same inputs in the same order, so every emitted
+    value is IDENTICAL to the monolithic fold (pinned in
+    tests/test_r11_optimizations.py).
+
+    ``state_zero``: ordered (name, Column) seeds for the state fields,
+    in the exact field order ``step``'s returned struct uses after
+    ``arr``. ``step``: the existing (acc, x) -> struct("arr", *state)
+    lambda, reused verbatim. ``out_elem_type``: DDL type of one output
+    element. The inner fold result is bound ONCE via a one-element
+    transform (the `normalized()` rule: interpreted HOF bodies
+    re-evaluate every reference)."""
+    names = [n for n, _ in state_zero]
+
+    def outer_step(acc, ch):
+        inner_zero = F.struct(
+            F.array().cast(f"array<{out_elem_type}>").alias("arr"),
+            *[acc[n].alias(n) for n in names],
+        )
+        inner = F.aggregate(ch, inner_zero, step)
+        return F.element_at(
+            F.transform(
+                F.array(inner),
+                lambda t: F.struct(
+                    F.concat(acc["chunks"], F.array(t["arr"])).alias("chunks"),
+                    *[t[n].alias(n) for n in names],
+                ),
+            ),
+            1,
+        )
+
+    n_chunks = F.greatest(
+        F.ceil(F.size(seq) / F.lit(chunk)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda ci: F.slice(
+            seq, (ci - F.lit(1)) * F.lit(chunk) + F.lit(1), F.lit(chunk)
+        ),
+    )
+    outer_zero = F.struct(
+        F.array().cast(f"array<array<{out_elem_type}>>").alias("chunks"),
+        *[c.alias(n) for n, c in state_zero],
+    )
+    return F.aggregate(
+        chunks, outer_zero, outer_step, lambda acc: F.flatten(acc["chunks"])
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,
@@ -230,14 +294,12 @@ def ewma(
     )
     per_key = per_key.where(guard.isNull())
     # sequential fold: accumulator = (emitted smoothed values, prev state);
-    # the first element seeds the recurrence with its raw value
+    # the first element seeds the recurrence with its raw value. Chunked
+    # (r11): same step expressions, O(n·chunk) copies instead of O(n²).
     a = float(alpha)
-    folded = F.aggregate(
+    folded = _chunked_history_fold(
         F.col("seq"),
-        F.struct(
-            F.array().cast("array<double>").alias("arr"),
-            F.lit(None).cast("double").alias("prev"),
-        ),
+        [("prev", F.lit(None).cast("double"))],
         lambda acc, x: F.struct(
             F.concat(
                 acc["arr"],
@@ -251,7 +313,7 @@ def ewma(
             .otherwise(F.lit(a) * x[value_col] + F.lit(1.0 - a) * acc["prev"])
             .alias("prev"),
         ),
-        lambda acc: acc["arr"],
+        "double",
     )
     out = per_key.select(
         key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
@@ -330,15 +392,12 @@ def holt_linear(
             1.0 - b
         ) * acc["trend"]
 
-    folded = F.aggregate(
+    folded = _chunked_history_fold(
         F.col("seq"),
-        F.struct(
-            F.array()
-            .cast("array<struct<level: double, trend: double>>")
-            .alias("arr"),
-            F.lit(None).cast("double").alias("level"),
-            F.lit(None).cast("double").alias("trend"),
-        ),
+        [
+            ("level", F.lit(None).cast("double")),
+            ("trend", F.lit(None).cast("double")),
+        ],
         lambda acc, x: F.struct(
             F.concat(
                 acc["arr"],
@@ -364,7 +423,7 @@ def holt_linear(
             .otherwise(_new_trend(acc, x))
             .alias("trend"),
         ),
-        lambda acc: acc["arr"],
+        "struct<level: double, trend: double>",
     )
     out = per_key.select(
         key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
@@ -648,15 +707,11 @@ def cusum(
             sl.alias("sl"),
         )
 
-    folded = F.aggregate(
+    folded = _chunked_history_fold(
         F.col("seq"),
-        F.struct(
-            F.array().cast("array<struct<sh:bigint,sl:bigint>>").alias("arr"),
-            zero.alias("sh"),
-            zero.alias("sl"),
-        ),
+        [("sh", zero), ("sl", zero)],
         step,
-        lambda acc: acc["arr"],
+        "struct<sh:bigint,sl:bigint>",
     )
     out = per_key.select(
         key_col, F.posexplode(F.arrays_zip(F.col("seq"), folded)).alias("i", "z")
@@ -1014,22 +1069,16 @@ def holt_winters_additive(
             .alias("seas"),
         )
 
-    folded = F.aggregate(
+    folded = _chunked_history_fold(
         F.col("seq"),
-        F.struct(
-            F.array()
-            .cast(
-                "array<struct<level: double, trend: double,"
-                " season: double, fcst: double>>"
-            )
-            .alias("arr"),
-            F.array().cast("array<double>").alias("buf"),
-            F.lit(None).cast("double").alias("level"),
-            F.lit(None).cast("double").alias("trend"),
-            F.lit(None).cast("array<double>").alias("seas"),
-        ),
+        [
+            ("buf", F.array().cast("array<double>")),
+            ("level", F.lit(None).cast("double")),
+            ("trend", F.lit(None).cast("double")),
+            ("seas", F.lit(None).cast("array<double>")),
+        ],
         _step,
-        lambda acc: acc["arr"],
+        "struct<level: double, trend: double, season: double, fcst: double>",
     )
     out = per_key.select(
         key_col,

@@ -379,3 +379,88 @@ def test_interpolate_segment_binding_matches_inline_form(spark):
     # the 06:17 -> 13:17 gap spans 7 buckets: interpolation really ramps
     interp_vals = [r for r in got.collect() if not r["observed"]]
     assert len(interp_vals) > 0
+
+
+def test_chunked_history_fold_matches_monolithic_fold(spark):
+    """The r11 chunked rewrite of the sequential history folds: folding
+    in fixed-size chunks with carried state must emit the exact values
+    (and order) of the monolithic aggregate — across chunk boundaries,
+    with a partial final chunk, and through the NULL-seeded first step.
+    Exercised with chunk=7 (many boundaries) and the ewma step."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        _chunked_history_fold,
+    )
+
+    a = 0.5
+    n = 39  # 5 full chunks of 7 + a partial chunk of 4
+    df = spark.range(1, n + 1).select(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("id").alias("o"),
+                    ((F.col("id") * 13 % 29) / 3.0).alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+
+    def step(acc, x):
+        nxt = F.when(acc["prev"].isNull(), x["v"]).otherwise(
+            F.lit(a) * x["v"] + F.lit(1.0 - a) * acc["prev"]
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(nxt)).alias("arr"),
+            nxt.alias("prev"),
+        )
+
+    mono = F.aggregate(
+        F.col("seq"),
+        F.struct(
+            F.array().cast("array<double>").alias("arr"),
+            F.lit(None).cast("double").alias("prev"),
+        ),
+        step,
+        lambda acc: acc["arr"],
+    )
+    chunked = _chunked_history_fold(
+        F.col("seq"),
+        [("prev", F.lit(None).cast("double"))],
+        step,
+        "double",
+        chunk=7,
+    )
+    row = df.select(mono.alias("m"), chunked.alias("c")).collect()[0]
+    assert row["m"] == row["c"] and len(row["m"]) == n
+
+
+def test_chunked_fold_operators_cross_default_chunk_boundary(spark):
+    """Operator-level pin: a key longer than the default 512-chunk must
+    still satisfy the recurrences exactly (spot-checked against a pure
+    Python replay of ewma and cusum)."""
+    from openmrs_patient_migration_script_spark.operators.timeseries import (
+        cusum,
+        ewma,
+    )
+
+    n = 1200
+    vals = [((i * 13) % 29) / 3.0 for i in range(1, n + 1)]
+    df = spark.createDataFrame(
+        [(1, i + 1, v) for i, v in enumerate(vals)], "k long, o long, v double"
+    )
+    got = {r["o"]: r["ewma"] for r in ewma(df, "k", ["o"], "v").collect()}
+    s = None
+    for i, v in enumerate(vals):
+        s = v if s is None else 0.5 * v + 0.5 * s
+        assert got[i + 1] == s  # bit-exact: same IEEE op order
+    got_c = {
+        r["o"]: (r["cusum_hi"], r["cusum_lo"])
+        for r in cusum(
+            df, "k", ["o"], "v", target=4.0, slack=0.5, threshold=9.0
+        ).collect()
+    }
+    sh = sl = 0
+    for i, v in enumerate(vals):
+        vs = round(v * 1_000_000)
+        sh = max(0, sh + (vs - 4_500_000))
+        sl = max(0, sl + (3_500_000 - vs))
+        assert got_c[i + 1] == (sh / 1e6, sl / 1e6)
