@@ -296,9 +296,13 @@ def main() -> None:
     # The driver captures a fixed-size tail of stdout: r5's 85-query map
     # made the single JSON line overflow it -> BENCH_r05 "parsed": null
     # (no machine-readable bench grade that round). The printed line now
-    # carries only the total + the top-10 heaviest queries (~500 bytes);
-    # the full per-query map goes to bench_detail.json, which the repo
-    # tracks so cross-round per-query history stays diffable.
+    # carries only the total + the top-20 heaviest queries (~1 KB; r12,
+    # additions-only: the r11 top-10 line lost two comparable queries to
+    # the cutoff purely because they got FASTER, which PERF then read as
+    # "dropped" — a wider common set keeps round-over-round comparison
+    # honest as queries speed up); the full per-query map goes to
+    # bench_detail.json, which the repo tracks so cross-round per-query
+    # history stays diffable.
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -310,7 +314,7 @@ def main() -> None:
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
         json.dumps(detail, indent=1) + "\n"
     )
-    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    top20 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
@@ -318,7 +322,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
-                "queries": top10,
+                "queries": top20,
                 "sf": sf,
             }
         )

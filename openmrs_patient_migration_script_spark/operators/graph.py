@@ -43,6 +43,65 @@ _CONTRACT_KEY_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 #: labels; the driver tier stays comfortably inside driver memory.
 _DRIVER_TIER = 50_000
 
+#: byte budget for one gate-hinted broadcast relation (r12-opt, guide
+#: §3.1: the small side must actually FIT — a flat 5M-ROW gate lets a
+#: wide-keyed table imply a multi-hundred-MB broadcast near the gate,
+#: aggressive for default driver/executor memory). 128 MiB keeps the
+#: classic two-long edge/degree tables at their measured 5M-row gate
+#: (16 B/row -> the row threshold still binds first) while wide rows
+#: (string keys, multi-column label frames) gate proportionally lower.
+#: Parameterised for cluster runs (size to executor memory / concurrent
+#: broadcasts); the local default keeps bench plans byte-identical.
+_BC_MAX_BYTES_DEFAULT = 128 * 1024 * 1024
+
+#: Catalyst defaultSize per column type (the planner's own estimate
+#: vocabulary); unknown/nested types charge 32 B — conservative, which
+#: only LOWERS the gate (never broadcasts something wider than modeled).
+_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8, "string": 20,
+}
+
+
+def _est_row_bytes(df: DataFrame, extra_bytes: int = 0) -> int:
+    """Estimated broadcast-row width: sum of per-column Catalyst
+    defaultSizes over ``df``'s schema plus ``extra_bytes`` for numeric
+    columns the broadcast side appends beyond this frame's columns."""
+    total = extra_bytes
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        total += 16 if t.startswith("decimal") else _TYPE_BYTES.get(t, 32)
+    return max(total, 1)
+
+
+def broadcast_fits(
+    n_rows: int,
+    df: DataFrame,
+    row_threshold: int,
+    extra_bytes: int = 0,
+    max_bytes: int | None = None,
+) -> bool:
+    """The shared broadcast-gate decision (r12-opt): TRUE iff the
+    bounded side fits BOTH the caller's row threshold (the measured 5M
+    edge/node gate every graph operator exposes) AND the byte budget
+    ``rows x estimated-row-width <= max_bytes`` (``df`` models the
+    widest frame the gate will hint; env `SPARK_GRAFT_BROADCAST_MAX_BYTES`
+    overrides the 128 MiB default for cluster memory geometry). Above
+    either bound the caller falls back to its keyed-shuffle form
+    unchanged — the gate is hint-only, never semantic."""
+    import os
+
+    if max_bytes is None:
+        max_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_MAX_BYTES", _BC_MAX_BYTES_DEFAULT
+            )
+        )
+    return n_rows <= min(
+        row_threshold, max_bytes // _est_row_bytes(df, extra_bytes)
+    )
+
 
 def _contract_partition_fn(batches):
     """mapInPandas body: connected components WITHIN one partition's edge
@@ -486,10 +545,10 @@ def triangle_count(
     # by the canonical edge count — one sync count over the fresh
     # checkpoint decides, every wedge join broadcasts its bounded side
     # under the gate, falls back to keyed shuffles above it (the
-    # `edge_support` rule)
+    # `edge_support` rule; r12: byte-derived via `broadcast_fits`)
     bc = (
         F.broadcast
-        if e.count() <= broadcast_threshold
+        if broadcast_fits(e.count(), e, broadcast_threshold, extra_bytes=8)
         else (lambda d: d)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -655,9 +714,11 @@ def pagerank(
         F.col("fl"),
         F.lit(0).cast("long").alias("c"),
     ).localCheckpoint(eager=True)
+    # r12: byte-derived gate — the hinted side is the rank map
+    # (node, outdeg, r: key + 16 B), modeled off the seed-row frame
     bc = (
         (lambda d: F.broadcast(d))
-        if n_nodes <= broadcast_threshold
+        if broadcast_fits(n_nodes, seed_rows, broadcast_threshold)
         else (lambda d: d)
     )
     for i in range(n_iter):
@@ -772,11 +833,14 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    bcast = labels.count() <= broadcast_threshold  # node count is
+    bcast = broadcast_fits(
+        labels.count(), labels, broadcast_threshold
+    )  # node count is
     # round-invariant, so one gate decision covers every round (a
     # local-block count over the checkpoint — the r8 rule: observe()'s
     # listener-bus get stalls in long-lived sessions, sync aggs on
-    # checkpointed frames are milliseconds)
+    # checkpointed frames are milliseconds); r12: byte-derived gate,
+    # the hinted side is the (node, label) map this frame models
     for r in range(1, n_iter + 1):
         lab_u = labels.select(F.col("node").alias("u"), "label")
         if bcast:
@@ -881,6 +945,7 @@ def common_neighbors(
     src: str = "key_a",
     dst: str = "key_b",
     max_degree: int | None = 1000,
+    n_edges: int | None = None,
     broadcast_threshold: int = 5_000_000,
 ) -> DataFrame:
     """X9e: common-neighbor link prediction over an undirected pair graph
@@ -918,10 +983,16 @@ def common_neighbors(
     # broadcast gate (r11-opt, the `edge_support` rule): under the gate
     # the wedge join's probe side (the adjacency, 2·|E| rows), the
     # anti-join's edge set and both degree attaches broadcast; above it
-    # every join falls back to keyed shuffles unchanged
+    # every join falls back to keyed shuffles unchanged. A caller that
+    # already knows the canonical edge count threads it via ``n_edges``
+    # (the `edge_support`/`ktruss` rule, r12: the gate then costs no
+    # sync count job); otherwise one local-block count over the fresh
+    # checkpoint decides.
+    if n_edges is None:
+        n_edges = e.count()  # sync over checkpoint blocks
     bc = (
         F.broadcast
-        if e.count() <= broadcast_threshold
+        if broadcast_fits(n_edges, e, broadcast_threshold, extra_bytes=8)
         else (lambda d: d)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1058,10 +1129,11 @@ def clustering_coefficient(
     )
     # broadcast gate (r11-opt): the `edge_support`/`triangle_count` rule —
     # one sync count over the fresh checkpoint, bounded join sides
-    # broadcast under the gate, keyed shuffles above it
+    # broadcast under the gate, keyed shuffles above it (r12:
+    # byte-derived via `broadcast_fits`)
     bc = (
         F.broadcast
-        if e.count() <= broadcast_threshold
+        if broadcast_fits(e.count(), e, broadcast_threshold, extra_bytes=8)
         else (lambda d: d)
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1175,9 +1247,11 @@ def k_core(
     # stalling for seconds each in long-lived sessions
     n_prev = sym.count()
     for _ in range(n_rounds):
+        # r12: byte-derived gate — the hinted `keep` set is one key
+        # column; n_prev (symmetrized edge rows) bounds its size
         bc = (
             (lambda d: F.broadcast(d))
-            if n_prev <= broadcast_threshold
+            if broadcast_fits(n_prev, sym.select("u"), broadcast_threshold)
             else (lambda d: d)
         )
         keep = (
@@ -1363,7 +1437,10 @@ def bfs_hops(
     frontier = visited.select(node_col)
     bc = (
         (lambda d: F.broadcast(d))
-        if sym.count() <= broadcast_threshold  # local-block read
+        # local-block read; r12: byte-derived — the hinted frontier /
+        # visited sets are node-sized (key + hop int), bounded by the
+        # symmetrized edge count this gate reads
+        if broadcast_fits(sym.count(), visited, broadcast_threshold)
         else (lambda d: d)
     )
     for h in range(1, max_hops + 1):
@@ -1493,9 +1570,10 @@ def modularity(
 
     la = lab.select(F.col("node").alias("u"), F.col("community").alias("ca"))
     lb = lab.select(F.col("node").alias("v"), F.col("community").alias("cb"))
-    if lab.count() <= broadcast_threshold:
+    if broadcast_fits(lab.count(), lab, broadcast_threshold):
         # the map is checkpointed, so its count is a local-block read;
         # the hint swaps both big-side SMJs for broadcast hash joins
+        # (r12: byte-derived off the (node, community) map's width)
         la, lb = F.broadcast(la), F.broadcast(lb)
     # r11-opt: degree_sum and intra_edges fuse into ONE edge-side join
     # pass + ONE community-keyed aggregation. Each canonical edge with
@@ -1645,7 +1723,11 @@ def sssp_bounded(
     n_prev, s_prev = _sig(dist)
     for _ in range(max_hops):
         bdist = (
-            F.broadcast(dist) if n_prev <= broadcast_threshold else dist
+            F.broadcast(dist)
+            # r12: byte-derived — the hinted side is the tentative
+            # distance map itself (key + long)
+            if broadcast_fits(n_prev, dist, broadcast_threshold)
+            else dist
         )
         relaxed = bdist.join(sym, bdist[node_col] == sym["u"]).select(
             F.col("v").alias(node_col),
@@ -1746,7 +1828,9 @@ def edge_support(
         )
         if n_edges is None:
             n_edges = e.count()  # sync over checkpoint blocks
-    under_gate = n_edges is not None and n_edges <= broadcast_threshold
+    under_gate = n_edges is not None and broadcast_fits(
+        n_edges, e, broadcast_threshold, extra_bytes=8
+    )
     bc = F.broadcast if under_gate else (lambda d: d)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
@@ -1973,9 +2057,10 @@ def truss_decomposition(
         )
         n_surv = surv.count()
         member = surv.withColumn("_m", F.lit(1))
-        if n_surv <= broadcast_threshold:
+        if broadcast_fits(n_surv, member, broadcast_threshold):
             # survivor sets are edge-bounded; the membership fold-back
-            # broadcasts under the `edge_support` gate (r11-opt)
+            # broadcasts under the `edge_support` gate (r11-opt; r12:
+            # byte-derived off the member frame's width)
             member = F.broadcast(member)
         result = result.join(member, [src, dst], "left").select(
             src,
@@ -2071,17 +2156,23 @@ def louvain(
     to 1 row/node pre-exchange; round 1's singleton start needs no
     kic join/groupBy at all — (i, nb) is unique), and one level-graph
     q audit. Every node-sized attach (labels, degrees) broadcasts
-    under ``broadcast_threshold`` (the `modularity` 5M gate; above it
-    the joins fall back to keyed shuffles). Contraction shrinks the
-    graph geometrically on community-structured inputs, so pass 1
-    dominates. Bounded driver scalars only — m, per-level node count,
-    per-round changed count and self-loop total are all sync local-
-    block aggs over already-checkpointed frames (milliseconds; NOT
-    observe(), whose listener-bus gets stall for seconds each in
-    long-lived sessions — the r8 star-loop finding), plus one q_num
-    collect per round (r11-opt measured 320 -> ~130 scheduled jobs,
-    wall ~2x lower, on the sf0.1 clique-block fixture). Lineage is
-    checkpoint-truncated per pass.
+    under ``broadcast_threshold`` (the `modularity` 5M gate, r12
+    byte-derived via `broadcast_fits`; above it the joins fall back to
+    keyed shuffles). Contraction shrinks the graph geometrically on
+    community-structured inputs, so pass 1 dominates. Bounded driver
+    scalars only, ONE collect per round (r12-opt): the q-guard union
+    also returns the moved count, the intra cross weight and the
+    community count, so the next level's self-loop total
+    (= s_total + intra) and node count (= community count) need no
+    separate actions, and the pass-1 node count rides the q-seed
+    collect — all sync aggs over already-checkpointed frames
+    (milliseconds; NOT observe(), whose listener-bus gets stall for
+    seconds each in long-lived sessions — the r8 star-loop finding).
+    The original-node projection composes ONCE at the end instead of a
+    join+checkpoint per pass (label-map application is associative).
+    r11-opt measured 320 -> 113 scheduled jobs on the sf0.1
+    clique-block fixture; the r12 cuts take it to ~95 (profiled).
+    Lineage is checkpoint-truncated per pass.
     """
     dec = "decimal(38,0)"
     ocanon = (
@@ -2093,12 +2184,14 @@ def louvain(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    m = ocanon.count()
     out_schema = "node long, community long"
-    if m == 0:
-        empty = ocanon.sparkSession.createDataFrame([], out_schema)
-        return (empty, []) if return_ledger else empty
-    two_m = F.lit(2 * m).cast(dec)
+    # r12-opt: m is NOT a standalone count job — level 1 has no self
+    # loops, so sum(k) over the pass-1 degree frame is exactly 2m and
+    # rides the q-seed collect below (the empty-graph early return
+    # moves there too: n_nodes == 0 iff the canonical edge set is
+    # empty, and the seed collect is the first action either way)
+    m: int | None = None
+    two_m = None
 
     # level state: ONE weighted edge table; self-loop weights live on
     # u == v rows (so contraction is a single aggregation and degrees
@@ -2106,18 +2199,23 @@ def louvain(
     # slots of the degree union, i.e. the required 2s)
     lvl = ocanon.select("u", "v", F.lit(1).cast("long").alias("w"))
     s_total = 0  # total self-loop weight this level (move-invariant)
+    # r12-opt: the original-node projection is NOT updated per pass —
+    # label maps compose associatively, so the per-pass relabel joins
+    # defer to ONE chained attach at the end (each accepted pass's
+    # checkpointed label frame is kept; the former per-pass
+    # proj-join-checkpoint paid one action + one broadcast build per
+    # pass for an intermediate nobody read)
     proj = (
         ocanon.select(F.col("u").alias("node"))
         .unionByName(ocanon.select(F.col("v").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("community"))
-        .localCheckpoint(eager=True)
     )
 
     deg = None
     bc = None
 
-    def _q_and_changed(labels: DataFrame) -> tuple[int, int]:
+    def _q_and_changed(labels: DataFrame) -> tuple[int, int, int, int]:
         """sum(q_num) = 4m * (intra cross-edge weight + s_total)
         - sum_c sigma(c)^2, evaluated on the CURRENT LEVEL graph:
         contraction preserves both terms exactly (intra weight and
@@ -2130,10 +2228,19 @@ def louvain(
         rides the same collect (r11-opt: the separate post-accept count
         was one extra scheduled action per round). ``labels`` carries
         the old label as ``_old`` and the node degree as ``lk``, so
-        sigma needs no deg join, and the three one-row aggregates
-        collect as a UNION in one action instead of two one-row
-        broadcast joins; q is assembled driver-side in exact Python
-        ints."""
+        sigma needs no deg join; q is assembled driver-side in exact
+        Python ints. r12-opt: the union is TWO branches (one label-side
+        aggregation + one edge-side aggregation) and the same collect
+        also returns (a) the moved count — it rides the per-community
+        partial aggregation as sum of per-community moved counts —
+        (b) the community COUNT, which is the NEXT level's node count
+        (every community owns at least a self-loop row after
+        contraction), killing the per-pass deg.count() gate job, and
+        (c) the raw intra weight ``ein``, because the contracted
+        level's self-loop total is EXACTLY s_total + ein of the
+        accepted labels (intra cross rows fold into self-loops, old
+        self rows keep theirs), killing the per-pass s_total
+        collect."""
         nl = labels.select("lnode", "lcomm")
         nl_u = nl.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         nl_v = nl.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
@@ -2142,34 +2249,54 @@ def louvain(
             .join(bc(nl_u), "u")
             .join(bc(nl_v), "v")
             .filter(F.col("cu") == F.col("cv"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("val"))
+            .agg(
+                F.coalesce(F.sum("w"), F.lit(0)).cast(dec).alias("val"),
+                F.lit(0).cast(dec).alias("val2"),
+                F.lit(0).cast(dec).alias("val3"),
+            )
         )
-        sig2 = (
+        lab_side = (
             labels.groupBy("lcomm")
-            .agg(F.sum("lk").cast("long").alias("sigma"))
+            .agg(
+                F.sum("lk").cast("long").alias("sigma"),
+                F.sum(
+                    F.when(F.col("lcomm") != F.col("_old"), 1).otherwise(0)
+                ).cast("long").alias("chgc"),
+            )
             .agg(
                 F.coalesce(
                     F.sum(F.col("sigma").cast(dec) * F.col("sigma").cast(dec)),
                     F.lit(0).cast(dec),
-                ).alias("val")
+                ).alias("val"),
+                # community count == next level's node count
+                F.count(F.lit(1)).cast(dec).alias("val2"),
+                # total moved rows = sum of per-community moved counts
+                F.coalesce(F.sum("chgc"), F.lit(0)).cast(dec).alias("val3"),
             )
         )
-        chg = labels.filter(F.col("lcomm") != F.col("_old")).agg(
-            F.count(F.lit(1)).cast(dec).alias("val")
-        )
         rows = (
-            e_in.select(F.lit("ein").alias("t"), "val")
-            .unionByName(sig2.select(F.lit("s2").alias("t"), "val"))
-            .unionByName(chg.select(F.lit("chg").alias("t"), "val"))
+            e_in.select(F.lit("ein").alias("t"), "val", "val2", "val3")
+            .unionByName(
+                lab_side.select(F.lit("s2").alias("t"), "val", "val2", "val3")
+            )
             .collect()
         )
-        got = {r["t"]: int(r["val"] or 0) for r in rows}
-        q = 4 * m * (got["ein"] + s_total) - got["s2"]
-        return q, got["chg"]
+        got = {
+            r["t"]: (
+                int(r["val"] or 0),
+                int(r["val2"] or 0),
+                int(r["val3"] or 0),
+            )
+            for r in rows
+        }
+        q = 4 * m * (got["ein"][0] + s_total) - got["s2"][0]
+        return q, got["s2"][2], got["ein"][0], got["s2"][1]
 
     prev_q = None  # seeded from pass-1 degrees: singleton q = -sum k_i^2
     ledger: list[tuple[int, int, bool]] = []
     level_fixpoint = False
+    n_nodes: int | None = None  # r12-opt: carried across passes (see below)
+    lv_chain: list[tuple[DataFrame, bool]] = []  # accepted (labels, gated)
     for p in range(1, n_passes + 1):
         if level_fixpoint:
             # a pass that changed no label contracts to a no-op, so every
@@ -2190,24 +2317,51 @@ def louvain(
             .agg(F.sum("w").cast("long").alias("k"))
             .localCheckpoint(eager=True)
         )
-        # the label map is supernode-sized; under the gate every
-        # node-keyed attach broadcasts (the `modularity` 5M gate — the
-        # count is a sync local-block read over the checkpoint, the r8
-        # no-observe rule for loop counters)
-        n_nodes = deg.count()
-        bc = (
-            (lambda d: F.broadcast(d))
-            if n_nodes <= broadcast_threshold
-            else (lambda d: d)
-        )
         if prev_q is None:
-            # singleton labels: e_c = 0, so sum(q_num) = -sum k_i^2
+            # singleton labels: e_c = 0, so sum(q_num) = -sum k_i^2;
+            # r12-opt: the pass-1 node count rides this collect (the
+            # former standalone deg.count() gate job), every later
+            # pass's count rides the q-guard collect — the community
+            # count of the accepted labels IS the next level's node
+            # count (each community keeps at least its self-loop row
+            # through contraction) — and sum(k) = 2m rides it too
+            # (level 1 has no self-loop rows), replacing the former
+            # standalone ocanon.count() job
             row = deg.agg(
                 (-F.sum(F.col("k").cast(dec) * F.col("k").cast(dec))).alias(
                     "q"
-                )
+                ),
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("k"), F.lit(0)).alias("k2"),
             ).collect()
             prev_q = int(row[0]["q"] or 0)
+            n_nodes = int(row[0]["n"])
+            if n_nodes == 0:
+                # empty canonical edge set: no nodes, nothing to label
+                empty = ocanon.sparkSession.createDataFrame(
+                    [], out_schema
+                )
+                return (empty, []) if return_ledger else empty
+            m = int(row[0]["k2"]) // 2
+            two_m = F.lit(2 * m).cast(dec)
+            # r12-opt: the pass-1 degree frame's key set IS the node
+            # universe (degree agg over the level-1 edge list) — the
+            # composed projection below reads it from the checkpoint
+            # instead of re-deriving a distinct over both ocanon
+            # endpoint columns (one exchange less in the final action)
+            proj = deg.select(
+                F.col("u").alias("node"), F.col("u").alias("community")
+            )
+        # the label map is supernode-sized; under the gate every
+        # node-keyed attach broadcasts (the `modularity` 5M gate; r12:
+        # byte-derived — the widest hinted frame is the 4-column label
+        # map, deg's schema + two extra key-sized columns)
+        under_gate = broadcast_fits(
+            n_nodes, deg, broadcast_threshold, extra_bytes=24
+        )
+        bc = (
+            (lambda d: F.broadcast(d)) if under_gate else (lambda d: d)
+        )
 
         lab = deg.select(
             F.col("u").alias("lnode"),
@@ -2216,7 +2370,11 @@ def louvain(
         )
         pass_start_q = prev_q
         pass_moved = False
+        last_ein = 0  # intra cross weight of the last ACCEPTED labels
+        next_nodes = n_nodes  # community count of the last ACCEPTED labels
         for _r in range(rounds_per_pass):
+            from pyspark.sql.window import Window as _W
+
             if _r == 0:
                 # singleton start: lab is the identity, so kic needs no
                 # join and no groupBy ((i, nb) is unique in sym and the
@@ -2224,7 +2382,13 @@ def louvain(
                 # sigma = k / n_sz = 1, and d = i — the candidate build
                 # collapses to two broadcast-gated degree attaches; the
                 # eligibility filter (c==d)|(c<d)|(n_sz>=2) reduces to
-                # c <= i
+                # c <= i. (r12 examined, kept: deriving k_i from a
+                # stay-row max-window instead of the second degree
+                # attach would make g post-exchange-only and forfeit
+                # the argmax's PRE-exchange WindowGroupLimit pruning —
+                # the round's only edge-sized shuffle would carry every
+                # candidate row at scale to save one node-sized
+                # broadcast build. Wrong trade, guide §1.2.)
                 cand = (
                     sym.select(
                         F.col("u").alias("i"),
@@ -2342,7 +2506,6 @@ def louvain(
                         "k_i",
                     )
                 )
-            from pyspark.sql.window import Window as _W
 
             # the old label (d) and degree (k_i) ride the candidate
             # rows through the argmax, so the checkpointed frame needs
@@ -2365,7 +2528,7 @@ def louvain(
                 )
                 .localCheckpoint(eager=True)
             )
-            q, changed = _q_and_changed(new_lab)
+            q, changed, ein, ncomm = _q_and_changed(new_lab)
             if q < prev_q:
                 # rejected round: lab unchanged, and an identical next
                 # round would re-derive and re-reject — the absorbing-
@@ -2373,6 +2536,7 @@ def louvain(
                 break
             prev_q = q
             lab = new_lab.select("lnode", "lcomm", "lk")
+            last_ein, next_nodes = ein, ncomm
             if changed == 0:
                 break  # within-level fixpoint: identical rounds follow
             pass_moved = True
@@ -2382,16 +2546,19 @@ def louvain(
         if not pass_moved:
             level_fixpoint = True
             continue  # identity labels: projection + contraction no-ops
-        # apply the pass's accepted state
-        proj = (
-            proj.join(bc(lv), proj["community"] == lv["lnode"])
-            .select("node", F.col("lcomm").alias("community"))
-            .localCheckpoint(eager=True)
-        )
+        # apply the pass's accepted state: record the label frame for
+        # the end-of-loop composed projection (r12-opt — no per-pass
+        # proj join/checkpoint)
+        lv_chain.append((lv, under_gate))
+        if p == n_passes:
+            # r12-opt: the final pass's contracted level graph has no
+            # reader (no further pass runs rounds on it) — skipping the
+            # relabel+aggregate+checkpoint is pure dead-work removal,
+            # invisible to the labels and the ledger
+            continue
         # contract by the community map: relabel both endpoints; cross
         # edges keep u < v orientation, intra edges and old self-loops
-        # both land on u == v rows — ONE aggregation, one checkpoint,
-        # with the next level's s_total riding it via observe
+        # both land on u == v rows — ONE aggregation, one checkpoint
         la = lv.select(F.col("lnode").alias("u"), F.col("lcomm").alias("cu"))
         lb = lv.select(F.col("lnode").alias("v"), F.col("lcomm").alias("cv"))
         lvl = (
@@ -2406,10 +2573,24 @@ def louvain(
             .agg(F.sum("w").cast("long").alias("w"))
             .localCheckpoint(eager=True)
         )
-        row = lvl.filter(F.col("u") == F.col("v")).agg(
-            F.coalesce(F.sum("w"), F.lit(0)).alias("s")
-        ).collect()
-        s_total = int(row[0]["s"])
+        # r12-opt: the contracted level's self-loop total needs no
+        # collect — it is s_total + the accepted labels' intra cross
+        # weight, already returned by the q-guard collect (intra cross
+        # rows fold into u == v rows, old self rows keep their weight);
+        # the next level's node count rode the same collect
+        s_total = s_total + last_ein
+        n_nodes = next_nodes
 
-    out = proj.select("node", "community")
+    # compose the accepted label maps once: community(node) =
+    # lv_P(...lv_1(node)) — label-map application is associative, so
+    # deferring the joins to one chained attach is value-identical to
+    # the former per-pass projection update (each lv is a checkpointed
+    # supernode-sized frame; under its pass's gate it broadcasts here
+    # exactly as it did in the per-pass join)
+    out = proj
+    for lv, gated in lv_chain:
+        mapped = F.broadcast(lv) if gated else lv
+        out = out.join(
+            mapped, out["community"] == lv["lnode"]
+        ).select("node", F.col("lcomm").alias("community"))
     return (out, ledger) if return_ledger else out

@@ -201,17 +201,21 @@ def _chunked_history_fold(seq, state_zero, step, out_elem_type, chunk=_FOLD_CHUN
     element, O(n²) per key (measured: 63 s of single-task time for ONE
     64k-element key, while ``max_group_size`` admits 100k). Folding
     chunk-by-chunk keeps the copy quadratic only WITHIN a chunk
-    (O(n·chunk) total): the outer accumulator carries an
+    (O(n·chunk) for the OUTPUT array): the outer accumulator carries an
     array-of-chunk-outputs (a shallow pointer concat per chunk, never a
-    re-copy of emitted elements) plus the scalar state fields, and each
+    re-copy of emitted elements) plus the state fields, and each
     chunk's inner fold seeds from the carried state — the step
     expressions see the same inputs in the same order, so every emitted
     value is IDENTICAL to the monolithic fold (pinned in
     tests/test_r11_optimizations.py).
 
-    ``state_zero``: ordered (name, Column) seeds for the state fields,
-    in the exact field order ``step``'s returned struct uses after
-    ``arr``. ``step``: the existing (acc, x) -> struct("arr", *state)
+    ``state_zero``: ordered (name, Column) seeds for the state fields
+    — scalar OR array-typed (`holt_winters_additive` carries its
+    period-bounded seasonal buffers here; per-step copies of an array
+    state are unchanged from the monolithic fold and bounded by the
+    state's own length, not by the key's element count) — in the exact
+    field order ``step``'s returned struct uses after ``arr``.
+    ``step``: the existing (acc, x) -> struct("arr", *state)
     lambda, reused verbatim. ``out_elem_type``: DDL type of one output
     element. The inner fold result is bound ONCE via a one-element
     transform (the `normalized()` rule: interpreted HOF bodies
