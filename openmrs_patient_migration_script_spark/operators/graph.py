@@ -1843,14 +1843,16 @@ def edge_support(
         )
         .select("u", "v")
     )
-    if not under_gate:
-        # shuffle regime: three join consumers would replay the
-        # orientation pipeline without a materialization (the
-        # triangle-family rule); under the gate the consumers are two
-        # broadcast builds + the stream side, whose shared deg exchange
-        # AQE reuses — skipping the checkpoint folds the orientation and
-        # support passes into one scheduled action per round
-        oriented = oriented.localCheckpoint(eager=True)
+    # materialize the orientation ONCE for its three join consumers (the
+    # wedge stream side + two broadcast builds). In the shuffle regime
+    # this was always the triangle-family rule; r12-opt extends it to the
+    # broadcast regime too: Spark 4.1 measurably never ReuseExchanges the
+    # chained broadcast builds, so an un-checkpointed oriented replays the
+    # full sym->deg->filter pipeline (with its own nested deg broadcast
+    # builds) once per build — 2 extra map passes over the edge list per
+    # support pass at cluster scale, for the price of one checkpoint
+    # action the gate regime now shares with the shuffle regime.
+    oriented = oriented.localCheckpoint(eager=True)
     wedges = oriented.alias("e1").join(
         bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(

@@ -1850,8 +1850,16 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=16, double_hash=md5_pair
     ).localCheckpoint(eager=True)  # one signature build feeds all configs
 
-    ledgers = []
-    for bands, rows, tstar in _BAND_SWEEP:
+    # r12-opt (guide 2.6, the sim_knn_candidate_sweep precedent): the four
+    # per-config ledger rows are INDEPENDENT pipelines over the one
+    # checkpointed signature table — submitting each config's 1-row ledger
+    # build from a thread pool lets every pipeline's straggler tail
+    # back-fill the others' idle cores instead of serializing four
+    # multi-stage bucket aggregations + candidate self-joins. Results are
+    # unchanged: each build is deterministic, and the union below consumes
+    # the checkpointed 1-row outputs in the fixed _BAND_SWEEP order.
+    def _ledger(cfg):
+        bands, rows, tstar = cfg
         bb = _band_buckets(sig, 16, bands, hash_buckets=False)
         occ = bb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).cast("long").alias("sz")
@@ -1872,8 +1880,9 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
         )
-        ledgers.append(
-            bstats.crossJoin(F.broadcast(npairs)).select(
+        return (
+            bstats.crossJoin(F.broadcast(npairs))
+            .select(
                 F.lit(bands).cast("long").alias("bands"),
                 F.lit(rows).cast("long").alias("rows_per_band"),
                 "n_buckets",
@@ -1882,7 +1891,13 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidate_pairs",
                 F.lit(tstar).cast("double").alias("threshold_star"),
             )
+            .localCheckpoint(eager=True)
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        ledgers = list(pool.map(_ledger, _BAND_SWEEP))
     out = ledgers[0]
     for led in ledgers[1:]:
         out = out.unionByName(led)

@@ -24,7 +24,7 @@ def main() -> None:
         sf_dir = args[i + 1]
         del args[i : i + 2]
     tag, names = args[0], args[1:]
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain-one", shuffle_partitions=8)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
