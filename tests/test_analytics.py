@@ -12,6 +12,7 @@ from openmrs_patient_migration_script_spark.operators.sampling import (
 )
 from openmrs_patient_migration_script_spark.operators.text import ngram_counts
 from openmrs_patient_migration_script_spark.plans import QUERIES
+import pytest
 
 
 def test_hash_sample_is_deterministic_and_partition_invariant(spark, sf_dir):
@@ -1437,6 +1438,7 @@ def test_power_mde_hand_computed(spark, tmp_path):
     assert abs(row.mde_cents - round(2.801585 * se, 6)) < 1e-6
 
 
+@pytest.mark.slow
 def test_exact_global_quantile_matches_sorted_reference(spark):
     """The histogram-selection path must reproduce the rank rule
     min{v : 100·cum ≥ p·n} of a driver-side sort, across percentiles,
@@ -1464,6 +1466,7 @@ def test_exact_global_quantile_matches_sorted_reference(spark):
     assert exact_global_quantile(df.limit(0), "v", 50) is None
 
 
+@pytest.mark.slow
 def test_exact_global_quantile_target_rank_mode(spark):
     """Exact-rank mode must hit the r-th smallest with no pct rounding —
     the k-th-largest use (rank = n − k) that an integer pct double-ceils

@@ -29,6 +29,10 @@ import pytest
 from openmrs_patient_migration_script_spark.plans import ORACLES, QUERIES
 from tools.verify_local import compare
 
+#: slow tier (r12): whole-surface ANSI-mode parity sweep (~7 min) — excluded from the
+#: default driver-window run; `-m "slow or not slow"` runs it.
+pytestmark = pytest.mark.slow
+
 ORACLE_NAMES = sorted(ORACLES)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLES))
 

@@ -4,6 +4,8 @@ round-1 shipped unexercised."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.operators.dedup import (
@@ -226,6 +228,7 @@ def test_connected_components_string_keys_funnel(spark, monkeypatch):
     assert {r["node"]: r["cluster"] for r in funneled.collect()} == want
 
 
+@pytest.mark.slow
 def test_connected_components_self_loop_only_node_kept(spark, monkeypatch):
     """A node whose only edge is a self-loop has no star edge, but the
     min-label loop keeps it as its own singleton cluster — the funnel's
@@ -818,6 +821,7 @@ def test_edge_support_hub_exact_k4(spark):
     assert len(got) == len(k4) + 20
 
 
+@pytest.mark.slow
 def test_ktruss_distinguishes_square_from_clique(spark):
     """The 4-cycle is a perfectly good 2-core (every node degree 2) but
     no edge of it closes a triangle — the truss peel drops it where the

@@ -124,6 +124,7 @@ def _snapshot(spark) -> dict[str, list[tuple]]:
     }
 
 
+@pytest.mark.slow
 def test_results_invariant_under_repartitioning(spark):
     base = _snapshot(spark)
     old = spark.conf.get("spark.sql.shuffle.partitions")

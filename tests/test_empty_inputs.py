@@ -18,6 +18,10 @@ import pytest
 from openmrs_patient_migration_script_spark.plans import QUERIES
 from openmrs_patient_migration_script_spark.sources import load_table
 
+#: slow tier (r12): whole-surface empty-input sweep (~1.5 min) — excluded from the
+#: default driver-window run; `-m "slow or not slow"` runs it.
+pytestmark = pytest.mark.slow
+
 TABLES = [
     "region",
     "nation",

@@ -6,6 +6,11 @@ from __future__ import annotations
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+#: slow tier (r12): end-to-end example pipelines (integration breadth, ~7 min) — excluded from the
+#: default driver-window run; `-m "slow or not slow"` runs it.
+pytestmark = pytest.mark.slow
 
 ROOT = Path(__file__).resolve().parent.parent
 

@@ -23,6 +23,10 @@ from pyspark.sql.types import ArrayType, DataType, DecimalType, MapType, StructT
 
 from openmrs_patient_migration_script_spark.plans import QUERIES
 
+#: slow tier (r12): whole-surface dtype sweep (~1.5 min) — excluded from the
+#: default driver-window run; `-m "slow or not slow"` runs it.
+pytestmark = pytest.mark.slow
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 

@@ -849,6 +849,7 @@ _PYTHON_STAGE_OK_PREFIXES = (
 )
 
 
+@pytest.mark.slow
 def test_whole_surface_plan_lint(spark):
     """No unplanned cartesian product and no row-at-a-time Python UDF
     anywhere in the 220-query surface. A new query regressing into
@@ -918,6 +919,7 @@ def test_mann_whitney_window_is_vocab_sized(spark):
     assert re.search(r"Keys \[1\]: \[value", plan), plan
 
 
+@pytest.mark.slow
 def test_r10_truss_and_ann_plan_shapes(spark):
     """r10 pins: the truss peel plans stay wedge-join shaped (keyed
     joins, no cartesian), the LSH pair scan keeps its Arrow hash stage +

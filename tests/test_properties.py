@@ -9,6 +9,11 @@ from datetime import datetime, timedelta
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
+
+#: slow tier (r12): property/stress comparisons vs reference implementations (~4 min) — excluded from the
+#: default driver-window run; `-m "slow or not slow"` runs it.
+pytestmark = pytest.mark.slow
 
 SETTINGS = dict(
     max_examples=8,

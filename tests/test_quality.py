@@ -4,6 +4,8 @@ mechanics; these tests assert the audits actually catch dirty data."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from openmrs_patient_migration_script_spark.operators.quality import (
@@ -324,6 +326,7 @@ def test_equidepth_histogram_balances_skew_where_equal_width_cannot(spark):
         histogram_equidepth(df, "v", n_buckets=1)
 
 
+@pytest.mark.slow
 def test_table_checksum_catches_what_each_digest_part_is_for(spark):
     from openmrs_patient_migration_script_spark.operators.quality import (
         table_checksum,

@@ -10,6 +10,7 @@ from openmrs_patient_migration_script_spark.operators.similarity import (
     cosine_topk,
 )
 from openmrs_patient_migration_script_spark.sources import load_table
+import pytest
 
 SF = "/root/testdata/sf0.01"
 
@@ -726,6 +727,7 @@ def test_quantize_int8_roundtrip_and_saturation(spark):
     assert out[1].sse_num == 0 and out[1].n_sat == 0
 
 
+@pytest.mark.slow
 def test_matryoshka_overlap_planted_prefix_flip(spark):
     """Truncation-recall semantics: a corpus where the full-dim nearest
     neighbor differs from the prefix-dim nearest neighbor must report

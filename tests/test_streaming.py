@@ -100,6 +100,7 @@ def test_stateful_stream_totals_match_batch(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data contract: once the watermark (max event time - 10 min)
     passes a window's end, a straggler row for that window is dropped and
@@ -424,6 +425,7 @@ def test_foreachbatch_rewrites_incomplete_batch_dirs(spark, tmp_path):
     assert n == load_table(spark, SF, "events").count()
 
 
+@pytest.mark.slow
 def test_stateful_ewma_carries_recurrence_across_batches(spark, tmp_path):
     """ST5b: the EWMA recurrence must CONTINUE across micro-batches from
     GroupState — two pinned batches (each user's earlier events, then the
@@ -487,6 +489,7 @@ def test_stateful_ewma_carries_recurrence_across_batches(spark, tmp_path):
     assert len(got) == len(rows)
 
 
+@pytest.mark.slow
 def test_stateful_cusum_matches_batch_fold_across_batches(spark, tmp_path):
     """ST5c: streaming CUSUM must continue its int64 state across
     micro-batches and agree with the batch `cusum` fold over the union
@@ -590,6 +593,7 @@ def test_stateful_pipeline_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(key, old)
 
 
+@pytest.mark.slow
 def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     """ST5c: EventTimeTimeout session closing — sessions must be emitted
     by the TIMEOUT callback once the watermark passes last_ts + gap (not
@@ -664,6 +668,7 @@ def test_stateful_sessions_event_time_timeout(spark, tmp_path):
     assert len(got) == 6  # two closed sessions per base user
 
 
+@pytest.mark.slow
 def test_stream_cdc_apply_materializes_and_replays_idempotently(spark, tmp_path):
     """Streaming CDC → parquet target: two micro-batches of
     insert/update/delete changes fold into the target via foreachBatch +
@@ -774,6 +779,7 @@ def test_trending_topk_over_streamed_state_matches_batch(spark):
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_admits_once_across_batches(spark, tmp_path):
     """Streaming ingest dedup: batch 1's admitted docs join the index for
     batch 2 (a cross-batch near-dup lands once); exact re-crawls and
@@ -907,6 +913,7 @@ def test_distinct_users_stream_chains_two_stateful_ops(spark, provider):
     assert len(got) >= len(want) - 2
 
 
+@pytest.mark.slow
 def test_stream_ingest_dedup_collapses_intra_batch_dups(spark, tmp_path):
     """ADVICE r5: near/exact duplicates arriving within the SAME
     micro-batch must land once (deterministic min-key winner), not both
@@ -948,6 +955,7 @@ def test_stream_ingest_dedup_collapses_intra_batch_dups(spark, tmp_path):
     assert admitted == {11, 12}
 
 
+@pytest.mark.slow
 def test_stream_cms_maintain_merges_across_batches_and_replays(spark, tmp_path):
     """ST10 (r6): the maintained streaming sketch (cell-wise sum across
     micro-batch deltas) must equal the one-shot batch CMS of all data;
@@ -1054,6 +1062,7 @@ def test_stream_cms_read_ignores_uncommitted_batch_dirs(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == ["row", "bucket", "cnt"]
 
 
+@pytest.mark.slow
 def test_stateful_sprt_matches_batch_decision(spark, tmp_path):
     """ST5d parity: the GroupState SPRT must reproduce the batch
     ab_sequential_sprt row exactly — including a boundary crossing that

@@ -1,5 +1,8 @@
+import pytest
 
 
+
+@pytest.mark.slow
 def test_stream_components_maintain_equals_full_recompute_and_replays(
     spark, tmp_path
 ):
@@ -76,6 +79,7 @@ def test_stream_components_maintain_equals_full_recompute_and_replays(
     assert 10 in partial and partial[10] == 10  # v1: bridge not yet folded
 
 
+@pytest.mark.slow
 def test_stream_ann_buckets_maintain_equals_full_rebuild_and_replays(
     spark, tmp_path
 ):
