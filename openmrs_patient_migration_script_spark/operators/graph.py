@@ -501,27 +501,6 @@ def connected_components_star(
     return labels.unionByName(centers)
 
 
-def _orient_by_degree(e: DataFrame, deg: DataFrame, bc) -> DataFrame:
-    """Degree orientation computed from the CANONICAL edge list in one
-    pass (r12-opt, guide §2.3 probe fewer rows): for each (u, v) row emit
-    (u, v) when (d_u, u) < (d_v, v) else (v, u). Identical to the old
-    form — symmetrize to 2|E| rows, attach both degrees, filter the
-    passing direction — because each undirected edge passes that filter
-    in exactly one direction; emitting it directly halves the rows
-    flowing through both degree joins. ``deg`` carries (n, d); ``bc``
-    is the caller's broadcast-gate hint."""
-    j = e.join(
-        bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u"
-    ).join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    return j.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
-    )
-
-
 def triangle_count(
     edges: DataFrame,
     src: str = "key_a",
@@ -574,10 +553,17 @@ def triangle_count(
     )
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
-    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v) — emitted
-    # directly from the canonical list (half the probe rows, see
-    # _orient_by_degree)
-    oriented = _orient_by_degree(e, deg, bc).localCheckpoint(eager=True)
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    oriented = (
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
     wedges = oriented.alias("e1").join(
         bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
@@ -1155,9 +1141,16 @@ def clustering_coefficient(
         sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
         .localCheckpoint(eager=True)
     )
-    # orient by (degree, id), emitted directly from the canonical list
-    # (half the probe rows — see _orient_by_degree)
-    oriented = _orient_by_degree(e, deg, bc).localCheckpoint(eager=True)
+    oriented = (
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
     wedges = oriented.alias("e1").join(
         bc(oriented.alias("e2")), F.col("e1.v") == F.col("e2.u")
     ).select(
@@ -1841,9 +1834,15 @@ def edge_support(
     bc = F.broadcast if under_gate else (lambda d: d)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed("u", "n")
-    # orient by (degree, id), emitted directly from the canonical list
-    # (half the probe rows — see _orient_by_degree)
-    oriented = _orient_by_degree(e, deg, bc)
+    oriented = (
+        sym.join(bc(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(bc(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
     # materialize the orientation ONCE for its three join consumers (the
     # wedge stream side + two broadcast builds). In the shuffle regime
     # this was always the triangle-family rule; r12-opt extends it to the

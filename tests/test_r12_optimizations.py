@@ -139,44 +139,3 @@ def test_interpolate_segment_binding_survives_optimizer(spark):
     out = interpolate_linear(df, "series_id", "ts", "val")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("size(sequence(") <= 3, plan
-
-
-def test_orient_by_degree_matches_symmetrize_filter_form(spark):
-    """r12 one-pass degree orientation: emitting the oriented pair
-    directly from the canonical edge list with a when() must equal the
-    old form (symmetrize to 2|E| rows, attach degrees, filter the
-    passing direction) on a mixed-density fixture with degree ties."""
-    from openmrs_patient_migration_script_spark.operators.graph import (
-        _orient_by_degree,
-    )
-
-    edges = [(u, u + d) for u in range(1, 40) for d in (1, 2, 3)]
-    edges += [(u, 2 * u) for u in range(1, 20)]
-    e = (
-        spark.createDataFrame(edges, "key_a long, key_b long")
-        .select(
-            F.least("key_a", "key_b").alias("u"),
-            F.greatest("key_a", "key_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = (
-        sym.groupBy("u")
-        .agg(F.count("*").alias("d"))
-        .withColumnRenamed("u", "n")
-    )
-    old = (
-        sym.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-    )
-    new = _orient_by_degree(e, deg, lambda d: d)
-    assert _rows(new) == _rows(old) and len(_rows(new)) > 0
